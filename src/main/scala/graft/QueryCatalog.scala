@@ -1,0 +1,153 @@
+package graft
+
+import graft.core.SchemaRules
+import graft.io.Sources
+import graft.ops.{Bronze, Loader}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wires SURVEY.md §2.4's declared query inventory to implementations.
+  *
+  * Every query is a single shuffle-bounded DataFrame plan ending in a
+  * total ORDER BY (deterministic row order for the DuckDB-oracle hash
+  * compare). Column names are aliased identically in the Spark plan and
+  * the oracle SQL — the driver sorts columns by name before hashing.
+  */
+object QueryCatalog {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  // ---- reference-faithful: 8 bronze full-copy models (bronze_*.sql:5-7) ----
+
+  private val bronzeQueries: Map[String, Q] =
+    Bronze.tables.map { case (name, _) =>
+      s"bronze_$name" -> ((s: SparkSession, dir: String) => Bronze.copy(s, dir, name))
+    }.toMap
+
+  private val bronzeOracles: Map[String, String] =
+    Bronze.tables.map { case (name, pk) =>
+      // events.ts: µs-since-epoch BIGINT on both sides (see Sources.table).
+      val sql =
+        if (name == "events")
+          "SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, value, props " +
+            "FROM events ORDER BY event_id"
+        else s"SELECT * FROM $name ORDER BY ${pk.mkString(", ")}"
+      s"bronze_$name" -> sql
+    }.toMap
+
+  // ---- reference-faithful: MERGE semantics (gcp_function.py:67-113) ----
+
+  /** Staging for merge_upsert_orders (FIXTURES.md §B4): update-rows =
+    * keys ≡ 0 (mod 7) with o_totalprice×1.1; insert-rows = the 5 smallest
+    * keys shifted by +1e9 (guaranteed-new keys, fully deterministic).
+    */
+  private def ordersStaging(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val updates = orders
+      .filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+    val inserts = orders.orderBy("o_orderkey").limit(5)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+    updates.unionByName(inserts)
+  }
+
+  private def customerStaging(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_custkey") % 5 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+
+  private def supplierStaging(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier").orderBy("s_suppkey").limit(3)
+      .withColumn("s_suppkey", col("s_suppkey") + lit(1000000000L))
+
+  private def partStaging(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").withColumn("p_retailprice", col("p_retailprice") * lit(0.9))
+
+  private val mergeQueries: Map[String, Q] = Map(
+    "merge_upsert_orders" -> ((s: SparkSession, dir: String) =>
+      Loader.upsert(t(s, dir, "orders"), ordersStaging(s, dir), Seq("o_orderkey"))
+        .orderBy("o_orderkey")),
+    "merge_update_only_customer" -> ((s: SparkSession, dir: String) =>
+      Loader.upsert(t(s, dir, "customer"), customerStaging(s, dir), Seq("c_custkey"))
+        .orderBy("c_custkey")),
+    "merge_insert_only_supplier" -> ((s: SparkSession, dir: String) =>
+      Loader.upsert(t(s, dir, "supplier"), supplierStaging(s, dir), Seq("s_suppkey"))
+        .orderBy("s_suppkey")),
+    "full_replace_part" -> ((s: SparkSession, dir: String) =>
+      Loader.fullReplace(partStaging(s, dir)).orderBy("p_partkey")),
+    "sanitize_columns_events" -> ((s: SparkSession, dir: String) =>
+      SchemaRules.sanitizeColumns(t(s, dir, "events")).orderBy("event_id")),
+  )
+
+  /** ANSI MERGE-equivalent: staging ∪ target-rows-not-in-staging. */
+  private def mergeOracle(
+      table: String, key: String, stagingSql: String, orderBy: String): String =
+    s"""WITH staging AS ($stagingSql)
+       |SELECT * FROM staging
+       |UNION ALL
+       |SELECT t.* FROM $table t
+       |WHERE NOT EXISTS (SELECT 1 FROM staging s WHERE s.$key = t.$key)
+       |ORDER BY $orderBy""".stripMargin
+
+  private val ordersStagingSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |       o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |UNION ALL
+      |SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, o_orderstatus,
+      |       o_totalprice, o_orderdate, o_orderpriority
+      |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 5)""".stripMargin
+
+  private val mergeOracles: Map[String, String] = Map(
+    "merge_upsert_orders" ->
+      mergeOracle("orders", "o_orderkey", ordersStagingSql, "o_orderkey"),
+    "merge_update_only_customer" -> mergeOracle(
+      "customer", "c_custkey",
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+        |       c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 = 0""".stripMargin,
+      "c_custkey"),
+    "merge_insert_only_supplier" -> mergeOracle(
+      "supplier", "s_suppkey",
+      """SELECT s_suppkey + 1000000000 AS s_suppkey, s_name, s_nationkey, s_acctbal
+        |  FROM (SELECT * FROM supplier ORDER BY s_suppkey LIMIT 3)""".stripMargin,
+      "s_suppkey"),
+    "full_replace_part" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size,
+        |       p_retailprice * 0.9 AS p_retailprice
+        |  FROM part ORDER BY p_partkey""".stripMargin,
+    "sanitize_columns_events" ->
+      ("SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, value, props " +
+        "FROM events ORDER BY event_id"),
+  )
+
+  // ---- assembled contract ----
+
+  def queries: Map[String, Q] = bronzeQueries ++ mergeQueries
+
+  def oracleSql: Map[String, String] = bronzeOracles ++ mergeOracles
+
+  /** Flagship (SparkEntry.entry): revenue per region — scan → filter →
+    * 4 joins (dims broadcast) → agg → sort, exercising the full stack.
+    */
+  def flagship(s: SparkSession, dir: String): DataFrame = {
+    val lineitem = t(s, dir, "lineitem")
+    val orders   = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    val nation   = t(s, dir, "nation")
+    val region   = t(s, dir, "region")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.io
+
+import graft.core.SchemaRules
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source readers with the reference's ingest option parity.
+  *
+  * Reference behavior being re-expressed:
+  *  - recursive file discovery (main.py:58-73) → `recursiveFileLookup`
+  *  - NDJSON external tables, schema autodetect (main.py:318-320)
+  *  - whole-file JSON arrays normalized to rows (main.py:246-255) →
+  *    Spark's `multiLine` reader already yields one row per element
+  *  - CSV: header skip, quoted newlines, jagged rows tolerated
+  *    (main.py:321-326) → header/multiLine/PERMISSIVE
+  *  - identifier sanitization applied at read, as a schema transform
+  *    instead of file rewriting (main.py:191-311)
+  *  - explicit schema overrides autodetect (main.py:333-335)
+  *
+  * Scale note: sanitization is a projection over the scan — at 100 TB no
+  * data is rewritten and column pruning/pushdown still reach the source.
+  */
+object Sources {
+
+  /** NDJSON (one object per line) or, with `multiLine=true`, whole-file
+    * JSON values incl. top-level arrays (main.py:196-212's format sniff
+    * becomes an explicit caller flag).
+    */
+  def readJson(
+      spark: SparkSession,
+      path: String,
+      multiLine: Boolean = false,
+      schema: Option[StructType] = None,
+      recursive: Boolean = true,
+      sanitize: Boolean = true): DataFrame = {
+    var r = spark.read
+      .option("multiLine", multiLine.toString)
+      .option("recursiveFileLookup", recursive.toString)
+      .option("mode", "PERMISSIVE")
+    schema.foreach(s => r = r.schema(s))
+    val df = r.json(path)
+    if (sanitize) SchemaRules.sanitizeColumns(df) else df
+  }
+
+  /** CSV with the reference's external-table options (main.py:321-326):
+    * skip_leading_rows=1 → header, allow_quoted_newlines → multiLine,
+    * allow_jagged_rows → PERMISSIVE (short rows padded with nulls).
+    */
+  def readCsv(
+      spark: SparkSession,
+      path: String,
+      schema: Option[StructType] = None,
+      inferSchema: Boolean = true,
+      recursive: Boolean = true,
+      sanitize: Boolean = true): DataFrame = {
+    var r = spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("recursiveFileLookup", recursive.toString)
+    schema match {
+      case Some(s) => r = r.schema(s)
+      case None    => r = r.option("inferSchema", inferSchema.toString)
+    }
+    val df = r.csv(path)
+    if (sanitize) SchemaRules.sanitizeColumns(df) else df
+  }
+
+  /** Parquet reader for the repo testdata (TESTDATA.md). */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Testdata table loader: `table(spark, sfDir, "lineitem")`.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
+    * (µs) cannot represent — we read it as ns-since-epoch BIGINT via the
+    * nanosAsLong conf, then truncate to µs-since-epoch BIGINT. µs is the
+    * common denominator across engines (DuckDB builds differ on whether
+    * TIMESTAMP_NS survives read_parquet; epoch_us(ts) is stable in both).
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      readParquet(spark, s"$sfDir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("ts div 1000"))
+    } else readParquet(spark, s"$sfDir/$name.parquet")
+  }
+
+  /** Register a path as an unmanaged (external) table in the session
+    * catalog — the reference's create_external_table (main.py:314-349),
+    * idempotent like its exists_ok=True (main.py:343).
+    */
+  def registerExternal(
+      spark: SparkSession,
+      tableName: String,
+      path: String,
+      format: String): Unit = {
+    val fmt = format.toLowerCase match {
+      case "json" | "newline_delimited_json" => "json"
+      case "csv"                             => "csv"
+      case "parquet"                         => "parquet"
+      case other => throw new IllegalArgumentException(s"Unsupported format: $other")
+    }
+    val opts = fmt match {
+      case "csv" => ", header 'true', multiLine 'true', mode 'PERMISSIVE'"
+      case _     => ""
+    }
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS `$tableName` USING $fmt OPTIONS (path '$path'$opts)")
+  }
+}

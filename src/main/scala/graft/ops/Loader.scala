@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{AnalysisException, DataFrame}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+
+/** Load-type semantics of the reference's incremental-load library
+  * (gcp_function.py:115-166), re-expressed as single shuffle-bounded
+  * DataFrame plans.
+  *
+  *  - Full replace  ≡ WRITE_TRUNCATE load (gcp_function.py:126-127).
+  *  - Upsert (MERGE) ≡ generate_merge_query + merge_query
+  *    (gcp_function.py:67-113):
+  *      MERGE target T USING staging S ON ⋀ T.k = S.k
+  *      WHEN MATCHED  THEN UPDATE SET <all non-key cols>
+  *      WHEN NOT MATCHED THEN INSERT <all cols>
+  *    which is exactly `staging ∪ (target LEFT ANTI JOIN staging ON keys)`
+  *    — one equi-join + union, no Delta dependency.
+  *
+  * Scale posture: the anti-join shuffles on the merge keys; when staging is
+  * small relative to target (the common incremental case) we broadcast it,
+  * turning the merge into a shuffle-free map-side pass over target. AQE
+  * picks this up automatically, but the explicit hint keeps the plan stable
+  * at 100 TB where a 600 MB "small" staging side may exceed the auto
+  * threshold yet still be worth broadcasting.
+  */
+object Loader {
+
+  /** BQ MERGE errors when a target row matches multiple staging rows; our
+    * join-based rewrite would silently keep both (SURVEY.md §7.4.3), so we
+    * enforce staging-key uniqueness up front.
+    */
+  def requireUniqueKeys(staging: DataFrame, keys: Seq[String]): Unit = {
+    val dups = staging.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).count()
+    if (dups > 0)
+      throw new IllegalArgumentException(
+        s"staging has duplicate merge keys ${keys.mkString(",")}: MERGE would match multiple rows")
+  }
+
+  /** Upsert plan: all staging rows verbatim + target rows whose keys are
+    * absent from staging. Column set follows the registry's schema_columns
+    * (gcp_function.py:63,76-80): staging is aligned to target's columns.
+    *
+    * @param broadcastStaging hint staging as the build side (default: let
+    *   Catalyst/AQE decide; pass true when staging ≪ target)
+    */
+  def upsert(
+      target: DataFrame,
+      staging: DataFrame,
+      keys: Seq[String],
+      checkUniqueKeys: Boolean = true,
+      broadcastStaging: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "MERGE requires at least one on_condition column")
+    if (checkUniqueKeys) requireUniqueKeys(staging, keys)
+    val alignedStaging = staging.select(target.columns.map(col).toIndexedSeq: _*)
+    val probe = if (broadcastStaging) broadcast(alignedStaging) else alignedStaging
+    val untouched = target.join(probe, keys, "left_anti")
+    alignedStaging.unionByName(untouched)
+  }
+
+  /** 'Update'-branch no-op on empty staging (gcp_function.py:156,166). */
+  def upsertOrNoop(target: DataFrame, staging: DataFrame, keys: Seq[String]): DataFrame =
+    if (staging.isEmpty) target else upsert(target, staging, keys)
+
+  /** Full-replace (WRITE_TRUNCATE, gcp_function.py:126-127): result is the
+    * staging data, schema-aligned to the declared schema if given.
+    */
+  def fullReplace(staging: DataFrame): DataFrame = staging
+
+  /** Materialize into the session catalog (≡ load job / merge_query's
+    * write-back + staging cleanup, gcp_function.py:108-112).
+    */
+  def writeTable(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").saveAsTable(table)
+
+  /** Drop a staging table if present (gcp_function.py:112's
+    * delete_table(not_found_ok-less) — we tolerate absence).
+    */
+  def dropTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    try spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    catch { case _: AnalysisException => () }
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LoaderSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def target: DataFrame = {
+    import spark.implicits._
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+  }
+
+  test("mixed upsert: updates overwrite, inserts append (gcp_function.py:82-92)") {
+    import spark.implicits._
+    val staging = Seq((2L, "b2", 22.0), (9L, "i", 90.0)).toDF("k", "name", "v")
+    val out = Loader.upsert(target, staging, Seq("k")).orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 9L))
+    assert(out(1).getString(1) == "b2" && out(1).getDouble(2) == 22.0)
+    assert(out(3).getString(1) == "i")
+  }
+
+  test("update-only: row count unchanged, all staging rows verbatim") {
+    import spark.implicits._
+    val staging = Seq((1L, "a9", 11.0)).toDF("k", "name", "v")
+    val out = Loader.upsert(target, staging, Seq("k")).orderBy("k").collect()
+    assert(out.length == 3)
+    assert(out(0).getString(1) == "a9")
+  }
+
+  test("insert-only: |merged| = |target| + |staging|") {
+    import spark.implicits._
+    val staging = Seq((7L, "g", 70.0), (8L, "h", 80.0)).toDF("k", "name", "v")
+    val out = Loader.upsert(target, staging, Seq("k"))
+    assert(out.count() == 5)
+  }
+
+  test("merge invariant: key uniqueness preserved") {
+    import spark.implicits._
+    val staging = Seq((2L, "x", 0.0), (9L, "y", 1.0)).toDF("k", "name", "v")
+    val out = Loader.upsert(target, staging, Seq("k"))
+    assert(out.groupBy("k").count().filter(col("count") > 1).isEmpty)
+  }
+
+  test("duplicate staging keys rejected like BQ MERGE multiple-match (SURVEY §7.4.3)") {
+    import spark.implicits._
+    val staging = Seq((2L, "x", 0.0), (2L, "y", 1.0)).toDF("k", "name", "v")
+    intercept[IllegalArgumentException] {
+      Loader.upsert(target, staging, Seq("k"))
+    }
+  }
+
+  test("empty staging is a no-op (gcp_function.py:156)") {
+    import spark.implicits._
+    val staging = Seq.empty[(Long, String, Double)].toDF("k", "name", "v")
+    val out = Loader.upsertOrNoop(target, staging, Seq("k"))
+    assert(out.count() == 3)
+  }
+
+  test("staging column order is aligned to target (gcp_function.py:63,76-80)") {
+    import spark.implicits._
+    val staging = Seq(("z", 9L, 99.0)).toDF("name", "k", "v")
+      .select("name", "k", "v")
+    val out = Loader.upsert(target, staging, Seq("k")).orderBy("k").collect()
+    assert(out.last.getLong(0) == 9L && out.last.getString(1) == "z")
+  }
+
+  test("multi-column merge keys (gcp_function.py:73 conjunctive ON)") {
+    import spark.implicits._
+    val t2 = Seq((1L, 1, "a"), (1L, 2, "b")).toDF("k1", "k2", "v")
+    val staging = Seq((1L, 2, "b2"), (2L, 1, "c")).toDF("k1", "k2", "v")
+    val out = Loader.upsert(t2, staging, Seq("k1", "k2"))
+      .orderBy("k1", "k2").collect()
+    assert(out.map(_.getString(2)).toSeq == Seq("a", "b2", "c"))
+  }
+}
