@@ -1,0 +1,162 @@
+package graft
+
+import graft.ext._
+import graft.io.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** North-star extension queries (SURVEY.md §2.4 extension table +
+  * training-data-pipeline operators) and their DuckDB oracles.
+  *
+  * Oracle SQL is generated from the SAME constants (marker words, score
+  * weights, normalization regexes) as the Spark implementations, so the
+  * two sides cannot drift independently.
+  */
+object ExtQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Sources.table(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Sources.table(s, dir, "embeddings")
+
+  // Shared SQL fragments (DuckDB dialect; 'g' flag = replace-all, which
+  // is Spark's regexp_replace default)
+  private val NormSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+  private val WsToksSql =
+    """CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"""
+
+  private def likeScoreSql(words: Seq[String]): String =
+    words.map(w => s"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+  val queries: Map[String, Q] = Map(
+    // -- text analysis --
+    "text_stats_documents" -> ((s: SparkSession, dir: String) =>
+      TextStats.textStats(docs(s, dir))),
+    "token_count_documents" -> ((s: SparkSession, dir: String) =>
+      TextStats.tokenCounts(docs(s, dir))),
+    "lang_id_documents" -> ((s: SparkSession, dir: String) =>
+      TextStats.langId(docs(s, dir))),
+    "quality_score_documents" -> ((s: SparkSession, dir: String) =>
+      TextStats.qualityScore(docs(s, dir))),
+    "fingerprint_documents" -> ((s: SparkSession, dir: String) =>
+      TextStats.fingerprint(docs(s, dir))),
+    // -- dedup --
+    "dedup_exact_documents" -> ((s: SparkSession, dir: String) =>
+      Dedup.exact(docs(s, dir))),
+    "dedup_minhash_documents" -> ((s: SparkSession, dir: String) =>
+      Dedup.minHashDedup(docs(s, dir))),
+    "dedup_minhash_pairs_documents" -> ((s: SparkSession, dir: String) =>
+      Dedup.minHashPairs(docs(s, dir), threshold = 0.2)),
+    "dedup_simhash_pairs_documents" -> ((s: SparkSession, dir: String) =>
+      Dedup.simHashPairs(docs(s, dir))),
+    "dedup_ngram_pairs_documents" -> ((s: SparkSession, dir: String) =>
+      Dedup.ngramJaccardPairs(docs(s, dir),
+        candidateThreshold = 0.1, threshold = 0.1)),
+    "dedup_embedding_pairs_embeddings" -> ((s: SparkSession, dir: String) =>
+      // synthetic embeddings have no true near-dups (max pairwise cosine
+      // ≈0.48 at sf0.001); 0.3 exercises the LSH-candidate + verify path
+      Dedup.embeddingPairs(embs(s, dir), threshold = 0.3)),
+    // -- similarity search --
+    "similarity_topk_embeddings" -> ((s: SparkSession, dir: String) => {
+      val e = embs(s, dir)
+      Similarity.topK(e, Similarity.defaultProbe(e))
+    }),
+    "similarity_ann_embeddings" -> ((s: SparkSession, dir: String) => {
+      val e = embs(s, dir)
+      Similarity.annTopK(e, Similarity.defaultProbe(e))
+    }),
+    "similarity_ivf_embeddings" -> ((s: SparkSession, dir: String) => {
+      val e = embs(s, dir)
+      val assigned = Similarity.ivfAssign(e)
+      val centroids = e.orderBy("vec_id").limit(16)
+        .select(e("vec_id").as("centroid_id"), e("embedding").as("cvec"))
+      Similarity.ivfTopK(assigned, centroids, Similarity.defaultProbe(e))
+    }),
+    // -- sessionize --
+    "sessionize_events" -> ((s: SparkSession, dir: String) =>
+      Sessionize.sessionize(Sources.table(s, dir, "events"))),
+    // -- multimodal --
+    "media_stats_documents" -> ((s: SparkSession, dir: String) =>
+      Multimodal.mediaStats(Multimodal.asMediaTable(docs(s, dir)))),
+    "multimodal_features_documents" -> ((s: SparkSession, dir: String) =>
+      Multimodal.extractFeatures(Multimodal.asMediaTable(docs(s, dir)))
+        .orderBy("media_id")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats_documents" ->
+      s"""WITH t AS (SELECT lang, n_chars, $WsToksSql AS toks FROM documents)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |       sum(n_chars)::BIGINT AS sum_chars,
+         |       sum(toks)::BIGINT AS sum_tokens,
+         |       round(sum(n_chars)::DOUBLE / count(*), 4) AS avg_chars,
+         |       round(sum(toks)::DOUBLE / count(*), 4) AS avg_tokens
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "token_count_documents" ->
+      s"""SELECT doc_id, ($WsToksSql)::BIGINT AS ws_tokens,
+         |  len(regexp_extract_all(text, '${TextStats.BpeTokenRegex.replace("\\", "\\")}'))::BIGINT AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id_documents" -> {
+      val scores = TextStats.LangMarkers
+        .map { case (l, ws) => s"(${likeScoreSql(ws)}) AS score_$l" }
+        .mkString(", ")
+      val maxExpr = TextStats.LangMarkers.map { case (l, _) => s"score_$l" }
+        .mkString("GREATEST(", ", ", ")")
+      val pick = TextStats.LangMarkers
+        .map { case (l, _) => s"WHEN score_$l = m THEN '$l'" }.mkString(" ")
+      s"""WITH s AS (SELECT doc_id, lang AS lang_declared, $scores FROM documents),
+         |m AS (SELECT *, $maxExpr AS m FROM s)
+         |SELECT doc_id, lang_declared,
+         |       CASE WHEN m = 0 THEN 'und' $pick END AS lang_pred
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "quality_score_documents" -> {
+      val stops = likeScoreSql(TextStats.LangMarkers.flatMap(_._2).distinct)
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    GREATEST(length(text)::DOUBLE, 1.0) AS len,
+         |    GREATEST(($WsToksSql)::DOUBLE, 1.0) AS toks,
+         |    length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
+         |    ($stops)::DOUBLE AS stops
+         |  FROM documents)
+         |SELECT doc_id,
+         |  round(punct / len, 4) AS punct_ratio,
+         |  round(stops / toks, 4) AS stopword_ratio,
+         |  round(len / toks, 4) AS avg_word_len,
+         |  round(LEAST(1.0, GREATEST(0.0,
+         |    0.4 * LEAST(stops / toks * 10.0, 1.0) +
+         |    0.3 * (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |    0.3 * (CASE WHEN punct / len < 0.1 THEN 1.0 ELSE 0.0 END))), 4) AS quality_score
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+    "fingerprint_documents" ->
+      s"SELECT doc_id, md5($NormSql) AS fingerprint FROM documents ORDER BY doc_id",
+    "dedup_exact_documents" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM (
+         |  SELECT d.*, ROW_NUMBER() OVER (
+         |    PARTITION BY md5($NormSql) ORDER BY doc_id) AS rn
+         |  FROM documents d) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "sessionize_events" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),
+         |s AS (SELECT event_id, user_id, ts,
+         |  CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         |       WHEN ts - lag(ts) OVER w > ${Sessionize.DefaultGapMicros} THEN 1
+         |       ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT event_id, user_id, ts,
+         |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |FROM s ORDER BY user_id, ts, event_id""".stripMargin,
+    "media_stats_documents" ->
+      """WITH m AS (SELECT
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  octet_length(encode(text)) AS byte_len FROM documents)
+        |SELECT media_type, count(*)::BIGINT AS n,
+        |  sum(byte_len)::BIGINT AS total_bytes,
+        |  max(byte_len)::BIGINT AS max_bytes
+        |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin,
+    // no oracle (array math / LSH): dedup_minhash*, dedup_simhash*,
+    // dedup_ngram*, dedup_embedding*, similarity_*, multimodal_features —
+    // covered by scalatest property/brute-force checks instead.
+  )
+}

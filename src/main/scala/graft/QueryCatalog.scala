@@ -126,9 +126,9 @@ object QueryCatalog {
 
   // ---- assembled contract ----
 
-  def queries: Map[String, Q] = bronzeQueries ++ mergeQueries
+  def queries: Map[String, Q] = bronzeQueries ++ mergeQueries ++ ExtQueries.queries
 
-  def oracleSql: Map[String, String] = bronzeOracles ++ mergeOracles
+  def oracleSql: Map[String, String] = bronzeOracles ++ mergeOracles ++ ExtQueries.oracleSql
 
   /** Flagship (SparkEntry.entry): revenue per region — scan → filter →
     * 4 joins (dims broadcast) → agg → sort, exercising the full stack.

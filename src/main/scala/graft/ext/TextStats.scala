@@ -1,0 +1,138 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star extension, SURVEY.md §2.4 / BASELINE.json).
+  *
+  * All operators are single-pass narrow projections or one-shuffle
+  * aggregations built purely from codegen'd built-in expressions — no
+  * UDFs — so at 100 TB they stay inside whole-stage codegen and the
+  * parquet scan prunes to the referenced columns only.
+  *
+  * Determinism for the DuckDB oracle: integer sums (exact), single
+  * final divisions rounded to 4 dp (no accumulation-order sensitivity).
+  */
+object TextStats {
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("bigint"))
+
+  /** BPE-ish subword proxy: runs of letters, single digits, single
+    * non-alnum marks — the classic pre-tokenizer regex shape.
+    */
+  val BpeTokenRegex = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenRegex)).cast("bigint")
+
+  /** Punctuation characters (for quality ratios). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;:]", "")).cast("bigint")
+
+  /** Per-language corpus stats: doc count, exact char/token sums, and
+    * 4-dp averages. One hash-aggregate shuffle on `lang`.
+    */
+  def textStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), col("n_chars"), wsTokenCount(col("text")).as("toks"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum("toks").as("sum_tokens"))
+      .select(
+        col("lang"), col("n_docs"), col("sum_chars"), col("sum_tokens"),
+        round(col("sum_chars").cast("double") / col("n_docs"), 4).as("avg_chars"),
+        round(col("sum_tokens").cast("double") / col("n_docs"), 4).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** Per-document token counts (whitespace + BPE-ish) — narrow, no shuffle. */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      wsTokenCount(col("text")).as("ws_tokens"),
+      bpeTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Stopword sets for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "les", "des", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"),
+  )
+
+  private def markerHits(text: Column, words: Seq[String]): Column =
+    words.map { w =>
+      when(text.like(s"% $w %"), lit(1)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Language-ID: stopword-marker voting over lowercased padded text.
+    * Deterministic tie-break by marker-table order; 'und' (undetermined)
+    * when no marker hits. Narrow projection — scales linearly.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val scored = documents.select(
+      col("doc_id") +: col("lang").as("lang_declared") +:
+        LangMarkers.map { case (l, ws) => markerHits(padded, ws).as(s"score_$l") }: _*)
+    val best = LangMarkers.map(_._1).foldLeft((lit(0), lit("und"))) {
+      case ((bestScore, bestLang), l) =>
+        val s = col(s"score_$l")
+        (when(s > bestScore, s).otherwise(bestScore),
+          when(s > bestScore, lit(l)).otherwise(bestLang))
+    }
+    scored
+      .withColumn("lang_pred", best._2)
+      .select("doc_id", "lang_declared", "lang_pred")
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/punctuation/stopword/word-length signals →
+    * [0,1] score. Single narrow projection; each ratio is one division
+    * rounded at the end (oracle-exact).
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val len = greatest(length(col("text")).cast("double"), lit(1.0))
+    val toks = greatest(wsTokenCount(col("text")).cast("double"), lit(1.0))
+    val punct = punctCount(col("text")).cast("double")
+    val stops = markerHits(concat(lit(" "), lower(col("text")), lit(" ")),
+      LangMarkers.flatMap(_._2).distinct).cast("double")
+    val punctRatio = punct / len
+    val stopRatio = stops / toks
+    val avgWordLen = len / toks
+    // heuristic score: reward stopword presence + sane word length,
+    // penalize punctuation soup and extreme lengths
+    val score =
+      least(lit(1.0), greatest(lit(0.0),
+        lit(0.4) * least(stopRatio * lit(10.0), lit(1.0)) +
+          lit(0.3) * when(avgWordLen.between(3.0, 12.0), 1.0).otherwise(0.0) +
+          lit(0.3) * when(punctRatio < 0.1, 1.0).otherwise(0.0)))
+    documents.select(
+      col("doc_id"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(avgWordLen, 4).as("avg_word_len"),
+      round(score, 4).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text
+    * (the portable stand-in for a rolling hash — identical output in any
+    * engine, which a seeded rolling hash is not).
+    */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      md5(normText(col("text"))).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Normalization shared by fingerprint + exact dedup. */
+  def normText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+}

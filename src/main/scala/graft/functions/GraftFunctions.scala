@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession, SparkSessionExtensions}
+
+/** Column-API and SQL entry points for the custom expressions. */
+object GraftFunctions {
+
+  def simhash64(c: Column): Column =
+    GraftBridge.column(SimHash64Expr(GraftBridge.expression(c)))
+
+  def minhashSig(c: Column): Column =
+    GraftBridge.column(MinHashSigExpr(GraftBridge.expression(c)))
+
+  private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_simhash64" -> (es => SimHash64Expr(es.head)),
+    "graft_minhash_sig" -> (es => MinHashSigExpr(es.head)),
+  )
+
+  /** Register the functions for SQL use on an existing session
+    * (idempotent). Equivalent to installing [[GraftExtensions]].
+    */
+  def register(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}
+
+/** SparkSessionExtensions installer:
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    Seq(
+      ("graft_simhash64", (es: Seq[Expression]) => SimHash64Expr(es.head)),
+      ("graft_minhash_sig", (es: Seq[Expression]) => MinHashSigExpr(es.head)),
+    ).foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.Expressions", name),
+        builder))
+    }
+}

@@ -1,0 +1,123 @@
+package graft.functions
+
+/** Pure JVM hash kernels behind the custom Catalyst expressions
+  * ([[SimHash64Expr]], [[MinHashSigExpr]]). Tight loops over the token
+  * stream — these are what whole-stage codegen calls per row, replacing
+  * O(words × bits) interpreted array expressions with O(words) JVM code
+  * (~100× on the bench).
+  *
+  * All constants are fixed (seeded): results are reproducible across
+  * runs, partitions, and machines.
+  */
+object Hashing {
+
+  /** 64-bit avalanche string hash (splitmix64-style finalizer over a
+    * FNV-1a roll) — strong enough for LSH banding, self-contained.
+    */
+  def hash64(s: CharSequence): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    val n = s.length
+    while (i < n) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }
+    // splitmix64 finalizer
+    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  /** Whitespace/case normalization + tokenization, semantics identical
+    * to TextStats.normText + split(" "): lowercase, runs of whitespace
+    * collapse, leading/trailing trimmed.
+    */
+  def tokens(text: String): Array[String] = {
+    val t = text.toLowerCase.trim
+    if (t.isEmpty) Array("") else t.split("\\s+")
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over the document's distinct words: per-bit ±1
+    * votes from each word hash, sign → bit.
+    */
+  def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    val seen = new java.util.HashSet[String]()
+    val ws = tokens(text)
+    var i = 0
+    while (i < ws.length) {
+      if (seen.add(ws(i))) {
+        val h = hash64(ws(i))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  // ------------------------------------------------------------- minhash
+
+  val MinHashK = 16
+  val ShingleN = 3
+  // 2^31-1 (Mersenne): 31-bit affine universal hashing, overflow-free
+  val MersennePrime = 2147483647L
+
+  /** Seeded affine coefficients, identical across the engine. */
+  val perms: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(MinHashK)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
+      math.abs(rnd.nextLong()) % MersennePrime))
+  }
+
+  /** MinHash signature over distinct word-ShingleN-grams: K minima of
+    * affine permutations of 31-bit shingle hashes.
+    */
+  def minhashSig(text: String): Array[Long] = {
+    val ws = tokens(text)
+    val sig = Array.fill(MinHashK)(Long.MaxValue)
+    val seen = new java.util.HashSet[Long]()
+    val nShingles = math.max(1, ws.length - ShingleN + 1)
+    var i = 0
+    while (i < nShingles) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      val end = math.min(i + ShingleN, ws.length)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(ws(j))
+        j += 1
+      }
+      val h = hash64(sb) & 0x7FFFFFFFL
+      if (seen.add(h)) {
+        var k = 0
+        while (k < MinHashK) {
+          val (a, b) = perms(k)
+          val v = (a * h + b) % MersennePrime
+          if (v < sig(k)) sig(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Band key for LSH: hash of `r` consecutive signature entries. */
+  def bandKey(sig: Array[Long], band: Int, r: Int): Long = {
+    var h = 0xcbf29ce484222325L ^ band
+    var i = band * r
+    val end = i + r
+    while (i < end) {
+      h = (h ^ sig(i)) * 0x100000001b3L
+      h ^= h >>> 29
+      i += 1
+    }
+    h
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class DedupSpec extends SparkSpec {
+
+  private def docsDF(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src' AS source",
+        "length(text) AS n_chars")
+  }
+
+  test("exact dedup keeps lowest doc_id per normalized text") {
+    val df = docsDF(Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "HELLO\tWORLD"),
+      (4L, "different doc"), (5L, "another one")))
+    val out = Dedup.exact(df).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 4L, 5L))
+  }
+
+  test("minhash: exact duplicates always pair with est_jaccard 1.0") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = docsDF(Seq(
+      (1L, base), (2L, base),
+      (3L, "completely unrelated words about spark catalyst optimizer rules"),
+      (4L, "yet another separate document mentioning parquet columnar scans")))
+    val pairs = Dedup.minHashPairs(df, threshold = 0.9).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L
+      && r.getDouble(2) == 1.0))
+    // unrelated docs must not pair at a high threshold
+    assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
+  test("minhash threshold monotonicity: higher threshold ⊆ lower threshold") {
+    val df = docsDF((1L to 30L).map { i =>
+      val words = (0 until 20).map(j => s"w${(i * 7 + j * 3) % 25}").mkString(" ")
+      (i, words)
+    })
+    val lo = Dedup.minHashPairs(df, threshold = 0.2)
+      .select("doc_id_a", "doc_id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hi = Dedup.minHashPairs(df, threshold = 0.6)
+      .select("doc_id_a", "doc_id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hi.subsetOf(lo))
+  }
+
+  test("minHashDedup removes near-dup copies, keeps distinct docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = docsDF(Seq(
+      (1L, base), (2L, base), (3L, base + " lambda"), // 3 is a near-dup of 1
+      (4L, "some totally different text with other vocabulary entirely here")))
+    val out = Dedup.minHashDedup(df, threshold = 0.5).collect()
+    val ids = out.map(_.getLong(0)).toSet
+    assert(ids.contains(1L) && ids.contains(4L))
+    assert(!ids.contains(2L)) // exact copy dropped
+  }
+
+  test("simhash: identical texts have hamming 0; disjoint vocab far apart") {
+    val df = docsDF(Seq(
+      (1L, "spark shuffle partition broadcast join codegen whole stage"),
+      (2L, "spark shuffle partition broadcast join codegen whole stage"),
+      (3L, "zx qv wq jk pl mn bv cx df gh")))
+    val pairs = Dedup.simHashPairs(df, maxHamming = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L
+      && r.getInt(2) == 0))
+    assert(!pairs.exists(r => r.getLong(1) == 3L))
+  }
+
+  test("ngram Jaccard verify: exact value on constructed overlap") {
+    // doc1: 12 words → 10 3-grams; doc2 appends one word → 11 grams
+    // sharing all 10 → exact J = 10/11. High J ⇒ the LSH candidate
+    // stage (bands of 4) finds the pair with near-certainty.
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val df = docsDF(Seq(
+      (1L, base), (2L, base + " w13"),
+      (3L, "totally different unrelated vocabulary set right here friend")))
+    val pairs = Dedup.ngramJaccardPairs(df,
+      candidateThreshold = 0.3, threshold = 0.3).collect()
+    val p12 = pairs.find(r => r.getLong(1) == 1L && r.getLong(0) == 2L ||
+      r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(p12.isDefined, s"expected 1-2 pair in ${pairs.mkString(",")}")
+    assert(math.abs(p12.get.getAs[Double]("exact_jaccard") - 10.0 / 11.0) < 1e-5)
+    assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
+  test("embedding near-dup: identical vectors pair at cosine 1.0") {
+    import spark.implicits._
+    val v1 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val v2 = Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)
+    val df = Seq((1L, v1.toSeq, 0), (2L, v1.toSeq, 0), (3L, v2.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingPairs(df, threshold = 0.99).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(math.abs(pairs.head.getDouble(2) - 1.0) < 1e-9)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+class MultimodalSpec extends SparkSpec {
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src' AS source",
+        "length(text) AS n_chars")
+  }
+
+  private val media = Multimodal.asMediaTable(docsDF(Seq(
+    (0L, "image payload"), (1L, "audio payload"), (2L, "video payload"),
+    (3L, "another image"))))
+
+  test("media table shape: binary payload + typed metadata struct") {
+    assert(media.schema("payload").dataType == BinaryType)
+    val meta = media.schema("meta").dataType.asInstanceOf[StructType]
+    assert(meta.fieldNames.toSeq == Seq("media_type", "byte_len", "checksum"))
+    val rows = media.orderBy("media_id").collect()
+    assert(rows(0).getStruct(2).getString(0) == "image") // doc_id%3==0
+    assert(rows(1).getStruct(2).getString(0) == "audio")
+    assert(rows(2).getStruct(2).getString(0) == "video")
+    assert(rows(3).getStruct(2).getString(0) == "image")
+    // ascii text: byte_len == char count
+    assert(rows(0).getStruct(2).getLong(1) == "image payload".length.toLong)
+  }
+
+  test("extractFeatures: deterministic, fixed dim, batch-streamed") {
+    val f1 = Multimodal.extractFeatures(media, dim = 8).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media, dim = 8).orderBy("media_id").collect()
+    assert(f1.length == 4)
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.getSeq[Float](2) == b.getSeq[Float](2))
+    }
+    assert(f1.head.getSeq[Float](2).length == 8)
+    // different payloads → different features (stub is payload-derived)
+    assert(f1(0).getSeq[Float](2) != f1(1).getSeq[Float](2))
+  }
+
+  test("fakeDecode is pure and payload-sensitive") {
+    val a = Multimodal.fakeDecode("abc".getBytes, 8)
+    val b = Multimodal.fakeDecode("abc".getBytes, 8)
+    val c = Multimodal.fakeDecode("abd".getBytes, 8)
+    assert(a.toSeq == b.toSeq)
+    assert(a.toSeq != c.toSeq)
+  }
+
+  test("mediaStats aggregates by media_type with exact byte sums") {
+    val stats = Multimodal.mediaStats(media).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats("image")._1 == 2L)
+    assert(stats("image")._2 == "image payload".length + "another image".length)
+    assert(stats("audio")._1 == 1L)
+    assert(stats("video")._1 == 1L)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.io.Sources
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val embs = Sources.table(spark, "/root/testdata/sf0.001", "embeddings")
+
+  /** Brute-force reference computed driver-side from collected vectors. */
+  private def bruteTopK(probe: Seq[Float], k: Int): Seq[(Long, Double)] = {
+    val all = embs.collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val p = probe.map(_.toDouble).toArray
+    all.map { case (id, v) => (id, cos(p, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(k).toSeq
+  }
+
+  test("brute-force topK matches driver-side reference exactly") {
+    val probe = Similarity.defaultProbe(embs)
+    val got = Similarity.topK(embs, probe, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val want = bruteTopK(probe, 10)
+    assert(got.map(_._1).toSeq == want.map(_._1))
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-4) // result rounds to 6dp
+    }
+  }
+
+  test("ANN topK: probe's own vector always found; results are true cosines") {
+    val probe = Similarity.defaultProbe(embs)
+    val got = Similarity.annTopK(embs, probe, k = 10).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getLong(0)).contains(0L)) // identical vector, hamming 0
+    assert(got.head.getLong(0) == 0L && math.abs(got.head.getDouble(2) - 1.0) < 1e-6)
+    // ANN results must be a subset of the full table with correct scores
+    val brute = bruteTopK(probe, 500).toMap
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(2) - brute(r.getLong(0))) < 1e-4)
+    }
+  }
+
+  test("ANN recall vs brute force is reasonable on this data (fixed seed)") {
+    val probe = Similarity.defaultProbe(embs)
+    val ann = Similarity.annTopK(embs, probe, k = 10).collect().map(_.getLong(0)).toSet
+    val brute = bruteTopK(probe, 10).map(_._1).toSet
+    val recall = (ann intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall") // deterministic given seeded planes
+  }
+
+  test("IVF: probe finds its own vector; scans subset of buckets") {
+    val assigned = Similarity.ivfAssign(embs)
+    assert(assigned.count() == embs.count()) // every vector assigned once
+    val centroids = embs.orderBy("vec_id").limit(16)
+      .select(embs("vec_id").as("centroid_id"), embs("embedding").as("cvec"))
+    val probe = Similarity.defaultProbe(embs)
+    val got = Similarity.ivfTopK(assigned, centroids, probe, k = 10)
+    val rows = got.collect()
+    assert(rows.length == 10)
+    assert(rows.head.getLong(0) == 0L) // own vector, cosine 1.0
+  }
+}

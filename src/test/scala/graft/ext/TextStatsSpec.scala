@@ -1,0 +1,74 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class TextStatsSpec extends SparkSpec {
+
+  private def docsDF(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src' AS source",
+        "length(text) AS n_chars")
+  }
+
+  test("wsTokenCount: empty→0, blanks collapse, leading/trailing trimmed") {
+    val df = docsDF(Seq(
+      (1L, "", "en"), (2L, "   ", "en"), (3L, "one", "en"),
+      (4L, "  a   b\t c  ", "en")))
+    val got = df.select(col("doc_id"), TextStats.wsTokenCount(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 3L))
+  }
+
+  test("bpe token count: words, digits, punctuation split") {
+    val df = docsDF(Seq((1L, "hello world42, ok!", "en")))
+    val got = df.select(TextStats.bpeTokenCount(col("text"))).collect().head.getLong(0)
+    // hello | world | 4 | 2 | , | ok | !  → 7
+    assert(got == 7L)
+  }
+
+  test("langId votes stopword markers; und when none; earliest lang wins ties") {
+    val df = docsDF(Seq(
+      (1L, "this is the house and the tree of life", "en"),
+      (2L, "der hund und die katze ist hier", "de"),
+      (3L, "xyzzy plugh qwerty", "zz")))
+    val got = TextStats.langId(df).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "und")
+  }
+
+  test("quality score components: clean prose scores higher than junk") {
+    val df = docsDF(Seq(
+      (1L, "the cat sat on the mat and the dog ran in the park", "en"),
+      (2L, "!!!???;;;...,,,:::!!!", "en")))
+    val got = TextStats.qualityScore(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    assert(got(1L) > got(2L))
+    assert(got(1L) >= 0.7)
+    assert(got(2L) <= 0.31)
+  }
+
+  test("fingerprint invariant under case + whitespace differences") {
+    val df = docsDF(Seq(
+      (1L, "Hello   World", "en"), (2L, "hello world", "en"),
+      (3L, "hello worlds", "en")))
+    val fps = TextStats.fingerprint(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("textStats aggregates exact sums per lang") {
+    val df = docsDF(Seq(
+      (1L, "a b", "en"), (2L, "c d e", "en"), (3L, "x", "fr")))
+    val got = TextStats.textStats(df).collect()
+    val en = got.find(_.getString(0) == "en").get
+    assert(en.getAs[Long]("n_docs") == 2L)
+    assert(en.getAs[Long]("sum_tokens") == 5L)
+    assert(en.getAs[Long]("sum_chars") == 8L) // "a b"=3 + "c d e"=5
+    assert(en.getAs[Double]("avg_tokens") == 2.5)
+  }
+}
