@@ -127,17 +127,21 @@ object Dedup {
       n: Int = 3): DataFrame = {
     val cands = minHashPairs(documents, candidateThreshold)
       .select("doc_id_a", "doc_id_b")
+    // gram sets as sorted 64-bit hash arrays (codegen'd expression):
+    // 8 bytes/gram through the joins, linear-merge Jaccard on candidates
     val sets = documents.select(
-      col("doc_id"), array_distinct(shingles(col("text"), n)).as("grams"))
+      col("doc_id"),
+      graft.functions.GraftFunctions.ngramHashes(col("text"), n).as("grams"))
+      .persist() // joined twice (a-side and b-side)
     val joined = cands
       .join(sets.withColumnRenamed("doc_id", "doc_id_a")
         .withColumnRenamed("grams", "grams_a"), Seq("doc_id_a"))
       .join(sets.withColumnRenamed("doc_id", "doc_id_b")
         .withColumnRenamed("grams", "grams_b"), Seq("doc_id_b"))
-    val inter = size(array_intersect(col("grams_a"), col("grams_b"))).cast("double")
-    val union = size(array_union(col("grams_a"), col("grams_b"))).cast("double")
     joined
-      .withColumn("exact_jaccard", round(inter / greatest(union, lit(1.0)), 6))
+      .withColumn("exact_jaccard",
+        round(graft.functions.GraftFunctions.jaccardSorted(
+          col("grams_a"), col("grams_b")), 6))
       .filter(col("exact_jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "exact_jaccard")
       .orderBy("doc_id_a", "doc_id_b")
@@ -195,8 +199,8 @@ object Dedup {
   def embeddingPairs(
       embeddings: DataFrame,
       dim: Int = 64,
-      planes: Int = 16,
-      bands: Int = 4,
+      planes: Int = 32, // 8-bit bands: 256 buckets/band keeps candidate
+      bands: Int = 4,   // sets ~linear as n grows (vs quadratic at 4-bit)
       threshold: Double = 0.95): DataFrame = {
     val sketch = Similarity.hyperplaneSketch(col("embedding"), dim, planes)
     val sk = embeddings.select(col("vec_id"), col("embedding"), sketch.as("sk"))

@@ -17,18 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
+  /** Dot product of two float-array columns, accumulated in double.
+    * (Built-in array expressions; kept for composability — the hot
+    * paths below use the codegen'd kernels instead.)
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
-
-  /** Cosine similarity (0 when either norm is 0). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b) / (norm(a) * norm(b))
-    when(norm(a) === 0.0 || norm(b) === 0.0, lit(0.0)).otherwise(d)
-  }
+  /** Cosine similarity (0 when either norm is 0) — codegen'd custom
+    * expression (graft.functions.CosineSimExpr): one fused JVM loop per
+    * pair vs three interpreted array-aggregates.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineSim(a, b)
 
   /** Brute-force cosine top-k against a constant probe vector.
     * The probe is a literal array — broadcast implicitly in the plan.
@@ -51,23 +53,11 @@ object Similarity {
 
   // ------------------------------------------------------ hyperplane LSH
 
-  /** Seeded random hyperplanes (unit-free gaussian components). */
-  private def planesFor(dim: Int, planes: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(11)
-    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
-  }
-
-  /** Sign-bit sketch of `planes` seeded hyperplanes packed into a BIGINT.
-    * Pure array expressions; reused by Dedup.embeddingPairs.
+  /** Sign-bit sketch of seeded hyperplanes packed into a BIGINT —
+    * codegen'd custom expression; reused by Dedup.embeddingPairs.
     */
-  def hyperplaneSketch(emb: Column, dim: Int, planes: Int): Column = {
-    val ps = planesFor(dim, planes)
-    val bits = ps.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      when(dot(emb, planeCol) > 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def hyperplaneSketch(emb: Column, dim: Int, planes: Int): Column =
+    graft.functions.GraftFunctions.hyperplaneSketch(emb, dim, planes)
 
   /** LSH-bucketed ANN top-k: scan only buckets whose sketch is within
     * `maxHamming` of the probe sketch (sketch comparison is a bigint

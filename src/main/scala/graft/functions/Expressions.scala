@@ -47,3 +47,88 @@ case class MinHashSigExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
     copy(child = newChild)
 }
+
+/** `cosine_sim(a, b)`: cosine similarity of two array<float> columns. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorOps.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `ngram_hashes(text)`: sorted distinct 64-bit hashes of word n-grams. */
+case class NGramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Hashing.ngramHashes(input.asInstanceOf[UTF8String].toString, n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.Hashing.ngramHashes($c.toString(), $n))")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramHashesExpr =
+    copy(child = newChild)
+}
+
+/** `jaccard_sorted(a, b)`: Jaccard of two sorted array<bigint> sets by
+  * linear merge.
+  */
+case class JaccardExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard"
+
+  private def longs(x: Any): Array[Long] =
+    x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Hashing.jaccardSorted(longs(a), longs(b))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Hashing.jaccardSorted($a.toLongArray(), $b.toLongArray())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `hyperplane_sketch(v)`: sign-bit LSH sketch (seeded planes) packed
+  * into a BIGINT; `dim`/`planes` are plan-time constants.
+  */
+case class HyperplaneSketchExpr(child: Expression, dim: Int, planes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_sketch"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.sketch(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], dim, planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorOps.sketch($c, $dim, $planes)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSketchExpr =
+    copy(child = newChild)
+}

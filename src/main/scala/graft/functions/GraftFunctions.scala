@@ -13,6 +13,20 @@ object GraftFunctions {
   def minhashSig(c: Column): Column =
     GraftBridge.column(MinHashSigExpr(GraftBridge.expression(c)))
 
+  def ngramHashes(c: Column, n: Int): Column =
+    GraftBridge.column(NGramHashesExpr(GraftBridge.expression(c), n))
+
+  def jaccardSorted(a: Column, b: Column): Column =
+    GraftBridge.column(JaccardExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def hyperplaneSketch(v: Column, dim: Int, planes: Int): Column =
+    GraftBridge.column(HyperplaneSketchExpr(GraftBridge.expression(v), dim, planes))
+
   private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_simhash64" -> (es => SimHash64Expr(es.head)),
     "graft_minhash_sig" -> (es => MinHashSigExpr(es.head)),

@@ -108,6 +108,48 @@ object Hashing {
     sig
   }
 
+  /** Sorted distinct 64-bit hashes of the word n-grams — the compact
+    * set representation for exact Jaccard verification (8 bytes/gram vs
+    * tens for the string; collisions ~2^-64 per pair are negligible).
+    */
+  def ngramHashes(text: String, n: Int): Array[Long] = {
+    val ws = tokens(text)
+    val nShingles = math.max(1, ws.length - n + 1)
+    val hs = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < nShingles) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      val end = math.min(i + n, ws.length)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(ws(j))
+        j += 1
+      }
+      hs.add(hash64(sb))
+      i += 1
+    }
+    val out = new Array[Long](hs.size)
+    val it = hs.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
+  /** Jaccard of two sorted long arrays by linear merge — no hashing,
+    * no allocation.
+    */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   /** Band key for LSH: hash of `r` consecutive signature entries. */
   def bandKey(sig: Array[Long], band: Int, r: Int): Long = {
     var h = 0xcbf29ce484222325L ^ band

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** JVM vector kernels behind the custom expressions ([[CosineSimExpr]],
+  * [[HyperplaneSketchExpr]]): tight loops over float arrays instead of
+  * interpreted zip_with/aggregate chains — the difference between ~µs
+  * and ~ms per pair on 64-dim embeddings.
+  */
+object VectorOps {
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Seeded gaussian hyperplane matrices, cached per (dim, planes). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  def planesFor(dim: Int, planes: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((dim, planes), { case (d, p) =>
+      val rnd = new scala.util.Random(11)
+      Array.fill(p)(Array.fill(d)(rnd.nextGaussian()))
+    })
+
+  /** Sign-bit sketch of the seeded hyperplanes packed into a Long. */
+  def sketch(v: ArrayData, dim: Int, nPlanes: Int): Long = {
+    val ps = planesFor(dim, nPlanes)
+    val n = math.min(v.numElements(), dim)
+    var out = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val plane = ps(p)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getFloat(i) * plane(i); i += 1 }
+      if (dot > 0.0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+}

@@ -105,7 +105,9 @@ object Sources {
       case "csv" => ", header 'true', multiLine 'true', mode 'PERMISSIVE'"
       case _     => ""
     }
+    val qualified = tableName.split('.')
+      .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
     spark.sql(
-      s"CREATE TABLE IF NOT EXISTS `$tableName` USING $fmt OPTIONS (path '$path'$opts)")
+      s"CREATE TABLE IF NOT EXISTS $qualified USING $fmt OPTIONS (path '$path'$opts)")
   }
 }

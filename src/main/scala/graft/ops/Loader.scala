@@ -79,4 +79,47 @@ object Loader {
   def dropTable(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
     try spark.sql(s"DROP TABLE IF EXISTS `$table`")
     catch { case _: AnalysisException => () }
+
+  /** Load mode of the reference's dispatcher (gcp_function.py:133-166). */
+  sealed trait LoadMode
+  case object Create extends LoadMode // 'Create' → WRITE_TRUNCATE full replace
+  case object Update extends LoadMode // 'Update' → staging + MERGE
+
+  /** O19, `final_load_data_into_bigquery`: dispatch a batch of rows into
+    * `table` using the registry's schema + merge keys.
+    *
+    *  - Create: full replace (gcp_function.py:151-154)
+    *  - Update: land staging at `{table}_temp`, MERGE into target on the
+    *    registry's on_condition_columns, drop staging
+    *    (gcp_function.py:157-165)
+    *  - empty input: no-op (gcp_function.py:156,166)
+    */
+  def load(
+      spark: org.apache.spark.sql.SparkSession,
+      mode: LoadMode,
+      data: DataFrame,
+      table: String,
+      registry: graft.core.SchemaRegistry): Unit = {
+    val entry = registry.load(table).getOrElse(
+      throw new IllegalArgumentException(s"no registry entry for $table"))
+    val aligned = data.select(entry.columnNames.map(col): _*)
+    mode match {
+      case Create =>
+        writeTable(aligned, table)
+      case Update =>
+        if (!aligned.isEmpty) {
+          val stagingName = s"${table}_temp"
+          writeTable(aligned, stagingName) // land staging (WRITE_TRUNCATE)
+          val merged = upsert(
+            spark.table(table), spark.table(stagingName), entry.keyColumns)
+          // cannot overwrite the table the plan reads from: materialize
+          // to a swap table, then rename — fully distributed, no collect
+          val swap = s"${table}_merged_swap"
+          writeTable(merged, swap)
+          dropTable(spark, table)
+          spark.sql(s"ALTER TABLE `$swap` RENAME TO `$table`")
+          dropTable(spark, stagingName)
+        }
+    }
+  }
 }
