@@ -52,6 +52,9 @@ object ExtQueries {
     "dedup_ngram_pairs_documents" -> ((s: SparkSession, dir: String) =>
       Dedup.ngramJaccardPairs(docs(s, dir),
         candidateThreshold = 0.1, threshold = 0.1)),
+    "dedup_cluster_documents" -> ((s: SparkSession, dir: String) =>
+      // transitive near-dup clusters (GraphX connected components)
+      DedupClusters.minHashClusters(docs(s, dir), threshold = 0.8)),
     "dedup_embedding_pairs_embeddings" -> ((s: SparkSession, dir: String) =>
       // synthetic embeddings have no true near-dups (max pairwise cosine
       // ≈0.48 at sf0.001); 0.3 exercises the LSH-candidate + verify path

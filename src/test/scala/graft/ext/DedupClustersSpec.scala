@@ -1,0 +1,47 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class DedupClustersSpec extends SparkSpec {
+
+  private def docsDF(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map(i => (i, s"text $i")).toDF("doc_id", "text")
+  }
+
+  private def pairsDF(ps: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    ps.toDF("doc_id_a", "doc_id_b")
+  }
+
+  test("chains collapse transitively: a~b, b~c → one cluster") {
+    val docs = docsDF(Seq(1L, 2L, 3L, 4L, 5L))
+    val pairs = pairsDF(Seq((1L, 2L), (2L, 3L)))
+    val got = DedupClusters.clusters(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(1L) == 1L)           // min id labels the component
+    assert(got(4L) == 4L && got(5L) == 5L) // singletons keep own id
+  }
+
+  test("dedupByClusters keeps exactly one representative per component") {
+    val docs = docsDF(Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val pairs = pairsDF(Seq((1L, 2L), (2L, 3L), (5L, 6L)))
+    val kept = DedupClusters.dedupByClusters(docs, pairs).collect()
+      .map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 4L, 5L))
+  }
+
+  test("minhash clustering groups exact copies end-to-end") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base),
+      (4L, "совершенно other unrelated text with different vocabulary set"))
+      .toDF("doc_id", "text")
+    val got = DedupClusters.minHashClusters(docs, threshold = 0.9).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(4L) == 4L)
+  }
+}
