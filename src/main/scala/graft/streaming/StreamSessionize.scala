@@ -86,6 +86,22 @@ object StreamSessionize {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop events already seen (by key columns)
+    * within the watermark horizon — the streaming face of
+    * `Dedup.exact`. State is bounded by the watermark: duplicates
+    * arriving later than `watermark` after the original are admitted
+    * (the standard correctness/state-size trade).
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+      .drop("event_time")
+
   /** File-source stream over an events directory — the production entry:
     * `readStream` with the batch schema, bounded per-trigger file intake.
     */

@@ -53,6 +53,27 @@ class StreamSessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamSessionize.dedupStream
+    val input = MemoryStream[Event]
+    val q = dedupStream(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1L, 0L, 1L, "c", 1.0, "{}"),
+        Event(1L, 0L, 1L, "c", 1.0, "{}"), // in-batch dup
+        Event(2L, 1 * min, 1L, "c", 1.0, "{}"))
+      q.processAllAvailable()
+      input.addData(Event(1L, 2 * min, 1L, "c", 1.0, "{}")) // cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id"))
+      assert(ids.sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("watermarked windowed counts aggregate per window and type") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
