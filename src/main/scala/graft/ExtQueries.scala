@@ -78,6 +78,17 @@ object ExtQueries {
     // -- sessionize --
     "sessionize_events" -> ((s: SparkSession, dir: String) =>
       Sessionize.sessionize(Sources.table(s, dir, "events"))),
+    // -- analytics pack (join/agg/window/json over the big tables) --
+    "analytics_pricing_summary" -> ((s: SparkSession, dir: String) =>
+      Analytics.pricingSummary(s, dir)),
+    "analytics_regional_revenue" -> ((s: SparkSession, dir: String) =>
+      Analytics.regionalRevenue(s, dir)),
+    "analytics_top_customers" -> ((s: SparkSession, dir: String) =>
+      Analytics.topCustomers(s, dir)),
+    "analytics_order_priority_rank" -> ((s: SparkSession, dir: String) =>
+      Analytics.orderPriorityRank(s, dir)),
+    "analytics_event_props" -> ((s: SparkSession, dir: String) =>
+      Analytics.eventProps(s, dir)),
     // -- multimodal --
     "media_stats_documents" -> ((s: SparkSession, dir: String) =>
       Multimodal.mediaStats(Multimodal.asMediaTable(docs(s, dir)))),
@@ -150,6 +161,52 @@ object ExtQueries {
          |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
          |FROM s ORDER BY user_id, ts, event_id""".stripMargin,
+    // money sums aggregate in DECIMAL on BOTH engines (exact, order-
+    // independent) and cast to double once — a double sum's last ulp
+    // depends on partition merge order and would break the hash compare
+    "analytics_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "analytics_regional_revenue" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "analytics_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+    "analytics_order_priority_rank" ->
+      """SELECT o_orderpriority, price_rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+        |  FROM orders)
+        |WHERE price_rank <= 5
+        |ORDER BY o_orderpriority, price_rank""".stripMargin,
+    "analytics_event_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "media_stats_documents" ->
       """WITH m AS (SELECT
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

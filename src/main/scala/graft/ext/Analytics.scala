@@ -1,0 +1,97 @@
+package graft.ext
+
+import graft.io.Sources
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Analytical query pack over the TPC-H-ish tables — the join/aggregate
+  * workload that exercises the engine at its largest test scale
+  * (lineitem = 600 k rows at sf0.1; ~100 TB-class fact table in
+  * production).
+  *
+  * Determinism rule for money sums: aggregate in DECIMAL (exact,
+  * order-independent — a double sum differs in the last ulp depending on
+  * partition merge order) and cast the final value to double once.
+  * Counts/int sums are exact already.
+  *
+  * Plan posture: dims broadcast (explicit hint where cardinality is
+  * known-tiny), fact table never re-shuffled except by its groupBy keys;
+  * top-k via TakeOrderedAndProject (no global sort).
+  */
+object Analytics {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1-shaped pricing summary over lineitem. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Sources.table(spark, dir, "lineitem")
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Revenue per region through the full dim chain (flagship shape). */
+  def regionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Sources.table(spark, dir, "lineitem")
+    val orders   = Sources.table(spark, dir, "orders")
+    val customer = Sources.table(spark, dir, "customer")
+    val nation   = Sources.table(spark, dir, "nation")
+    val region   = Sources.table(spark, dir, "region")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name")
+  }
+
+  /** Top-10 customers by revenue — join + agg + TakeOrderedAndProject. */
+  def topCustomers(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val lineitem = Sources.table(spark, dir, "lineitem")
+    val orders   = Sources.table(spark, dir, "orders")
+    val customer = Sources.table(spark, dir, "customer")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** Rank orders inside each priority class by price — window surface. */
+  def orderPriorityRank(spark: SparkSession, dir: String, topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Sources.table(spark, dir, "orders")
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .withColumn("price_rank", row_number().over(w))
+      .filter(col("price_rank") <= topN)
+      .select("o_orderpriority", "price_rank", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "price_rank")
+  }
+
+  /** JSON-typed column extraction from events.props + rollup. */
+  def eventProps(spark: SparkSession, dir: String): DataFrame = {
+    val events = Sources.table(spark, dir, "events")
+    events
+      .withColumn("k_value", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k_value").as("sum_k"),
+        max("k_value").as("max_k"))
+      .orderBy("event_type")
+  }
+}
