@@ -3,6 +3,7 @@ package graft
 import graft.ext._
 import graft.io.Sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** North-star extension queries (SURVEY.md §2.4 extension table +
   * training-data-pipeline operators) and their DuckDB oracles.
@@ -93,7 +94,12 @@ object ExtQueries {
     "media_stats_documents" -> ((s: SparkSession, dir: String) =>
       Multimodal.mediaStats(Multimodal.asMediaTable(docs(s, dir)))),
     "multimodal_features_documents" -> ((s: SparkSession, dir: String) =>
+      // features serialized to a deterministic CSV string: the driver's
+      // pandas sort/hash compare can't factorize ndarray cells
       Multimodal.extractFeatures(Multimodal.asMediaTable(docs(s, dir)))
+        .select(col("media_id"), col("media_type"),
+          concat_ws(",",
+            transform(col("features"), f => format_number(f, 6))).as("features_csv"))
         .orderBy("media_id")),
   )
 

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for 100 TB-scale corpora.
@@ -25,12 +24,15 @@ object Dedup {
     */
   def exact(documents: DataFrame): DataFrame = {
     val key = md5(TextStats.normText(col("text")))
-    val w = Window.partitionBy(key).orderBy(col("doc_id"))
-    documents
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
-      .orderBy("doc_id")
+    // Shuffle only (key, doc_id) — with map-side partial agg the exchange
+    // carries ~one row per distinct key per map partition, not full rows
+    // (the text column never moves). Winners join back by id; AQE turns
+    // the semi-join into a broadcast when the winner set is small.
+    val winners = documents
+      .select(key.as("k"), col("doc_id"))
+      .groupBy("k").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    documents.join(winners, Seq("doc_id"), "left_semi").orderBy("doc_id")
   }
 
   // -------------------------------------------------------------- minhash
@@ -78,11 +80,14 @@ object Dedup {
       }: _*)).as("b"))
       .select(col("doc_id"), col("sig"), col("b.band"), col("b.bkey"))
       .persist()
-    // skew guard: degenerate buckets (e.g. empty-text hash) explode joins
-    val bucketSizes = banded.groupBy("band", "bkey").count()
-      .filter(col("count") <= MaxBucket)
-    val capped = banded.join(broadcastIfSmall(bucketSizes.select("band", "bkey")),
-      Seq("band", "bkey"), "left_semi")
+    // Skew guard: degenerate buckets (e.g. empty-text hash) explode the
+    // self-join quadratically. Broadcast the OVERSIZED buckets (tiny by
+    // construction: ≤ n/MaxBucket of them, and in practice a handful) and
+    // anti-join — never the surviving buckets, whose count grows ∝ corpus.
+    val oversized = banded.groupBy("band", "bkey").count()
+      .filter(col("count") > MaxBucket)
+      .select("band", "bkey")
+    val capped = banded.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
     val a = capped.select(col("band"), col("bkey"),
       col("doc_id").as("doc_id_a"), col("sig").as("sig_a"))
     val b = capped.select(col("band"), col("bkey"),
@@ -101,8 +106,6 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "est_jaccard")
       .orderBy("doc_id_a", "doc_id_b")
   }
-
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 
   /** MinHash near-dup dedup: drop the higher doc_id of every confident
     * near-dup pair (transitive closure approximated by pair-drop, the
@@ -173,10 +176,12 @@ object Dedup {
       }: _*)).as("b"))
       .select(col("doc_id"), col("sh"), col("b.band"), col("b.bkey"))
       .persist() // 3 consumers; avoid re-deriving the simhash expression
-    val bucketSizes = banded.groupBy("band", "bkey").count()
-      .filter(col("count") <= MaxBucket)
-    val capped = banded.join(broadcast(bucketSizes.select("band", "bkey")),
-      Seq("band", "bkey"), "left_semi")
+    // same inverted skew guard as minHashPairs: broadcast only the
+    // oversized buckets (bounded), anti-join the corpus-sized side
+    val oversized = banded.groupBy("band", "bkey").count()
+      .filter(col("count") > MaxBucket)
+      .select("band", "bkey")
+    val capped = banded.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
     val a = capped.select(col("band"), col("bkey"),
       col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
     val b = capped.select(col("band"), col("bkey"),

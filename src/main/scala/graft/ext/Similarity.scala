@@ -96,13 +96,22 @@ object Similarity {
     * with the centroid set broadcast.
     */
   def ivfAssign(embeddings: DataFrame, nCentroids: Int = 16): DataFrame = {
-    val centroids = embeddings.orderBy("vec_id").limit(nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-    val joined = embeddings.crossJoin(broadcast(centroids))
-      .withColumn("dist", -cosine(col("embedding"), col("cvec")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
-    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // The centroid set is tiny and plan-time-constant: collect it (like
+    // the 1-row probe fetch) and fold it into literal expressions, so the
+    // assignment is ONE narrow projection — nCentroids codegen'd cosine
+    // kernels per row, zero exchanges. The crossJoin+window alternative
+    // shuffles nCentroids× the data just to pick an argmin.
+    val centroidRows = embeddings.orderBy("vec_id").limit(nCentroids)
+      .select(col("vec_id"), col("embedding")).collect()
+    val scored = array(centroidRows.map { r =>
+      val cvec = array(r.getSeq[Float](1).map(lit): _*)
+      struct((-cosine(col("embedding"), cvec)).as("d"),
+        lit(r.getLong(0)).as("cid"))
+    }.toIndexedSeq: _*)
+    // array_min over struct(dist, centroid_id) = argmin with the same
+    // (dist asc, centroid_id asc) tie-break as an ORDER BY would give
+    embeddings
+      .withColumn("centroid_id", array_min(scored).getField("cid"))
       .select("vec_id", "embedding", "label", "centroid_id")
   }
 
