@@ -51,6 +51,10 @@ object ExtQueries {
     "dedup_simhash_pairs_documents" -> ((s: SparkSession, dir: String) =>
       Dedup.simHashPairs(docs(s, dir))),
     "dedup_ngram_pairs_documents" -> ((s: SparkSession, dir: String) =>
+      // exact inverted-index variant: no sketch → DuckDB-oracle-checkable
+      Dedup.ngramJaccardPairsExact(docs(s, dir), threshold = 0.1)),
+    "dedup_ngram_lsh_pairs_documents" -> ((s: SparkSession, dir: String) =>
+      // LSH-candidate variant (MinHash banding prunes the pair space)
       Dedup.ngramJaccardPairs(docs(s, dir),
         candidateThreshold = 0.1, threshold = 0.1)),
     "dedup_cluster_documents" -> ((s: SparkSession, dir: String) =>
@@ -151,6 +155,34 @@ object ExtQueries {
     },
     "fingerprint_documents" ->
       s"SELECT doc_id, md5($NormSql) AS fingerprint FROM documents ORDER BY doc_id",
+    // exact n-gram Jaccard: same normalization, shingling (ShingleN),
+    // frequency cap (MaxBucket) and threshold as the Spark plan. The
+    // Spark side compares 64-bit gram hashes, the oracle the gram
+    // strings themselves — identical Jaccard short of 2^-64 collisions.
+    "dedup_ngram_pairs_documents" -> {
+      val n = graft.functions.Hashing.ShingleN
+      val cap = Dedup.MaxBucket
+      s"""WITH d AS (SELECT doc_id, $NormSql AS norm FROM documents),
+         |w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM d),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(words) < $n THEN [array_to_string(words, ' ')]
+         |       ELSE list_distinct(list_transform(range(1, len(words) - ${n - 2}),
+         |            i -> array_to_string(words[i:i+${n - 1}], ' '))) END AS grams
+         |  FROM w),
+         |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         |big AS (SELECT gram FROM e GROUP BY gram HAVING count(*) > $cap),
+         |ee AS (SELECT doc_id, gram FROM e WHERE gram NOT IN (SELECT gram FROM big)),
+         |c AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |      FROM ee a JOIN ee b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |j AS (SELECT doc_id_a, doc_id_b,
+         |  round(len(list_intersect(ga.grams, gb.grams))::DOUBLE /
+         |        (len(ga.grams) + len(gb.grams)
+         |         - len(list_intersect(ga.grams, gb.grams))), 6) AS exact_jaccard
+         |  FROM c JOIN g ga ON ga.doc_id = c.doc_id_a
+         |         JOIN g gb ON gb.doc_id = c.doc_id_b)
+         |SELECT doc_id_a, doc_id_b, exact_jaccard FROM j
+         |WHERE exact_jaccard >= 0.1 ORDER BY doc_id_a, doc_id_b""".stripMargin
+    },
     "dedup_exact_documents" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM (
          |  SELECT d.*, ROW_NUMBER() OVER (

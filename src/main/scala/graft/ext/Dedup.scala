@@ -37,8 +37,8 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  val MinHashK: Int = graft.functions.Hashing.MinHashK // signature length
-  val Bands = 4              // LSH bands (r = K/Bands rows per band)
+  val MinHashK: Int = graft.functions.Hashing.MinHashK // default signature length
+  val Bands = 4              // default LSH bands (r = K/Bands rows per band)
   val MaxBucket = 64         // skew guard: drop degenerate band buckets
 
   /** Word n-gram shingles of normalized text (default 3-gram). */
@@ -58,24 +58,33 @@ object Dedup {
     * one tight JVM pass per row vs K interpreted ArrayAggregates
     * (~20× faster on the bench at identical semantics).
     */
-  def minHashSignature(text: Column): Column =
-    graft.functions.GraftFunctions.minhashSig(text)
+  def minHashSignature(text: Column, k: Int = MinHashK): Column =
+    graft.functions.GraftFunctions.minhashSig(text, k)
 
   /** Candidate pairs whose estimated Jaccard (signature agreement) ≥
     * `threshold`. Plan: signature projection → explode band keys →
     * skew-capped self-join on band key → distinct pairs → estimate.
+    *
+    * `k`/`bands` tune the S-curve: K=16/b=4 (r=4) is the bench default;
+    * production corpus dedup typically runs K=128/b=32 for a sharper
+    * threshold at ~0.5 — a config here, not a rewrite.
     */
-  def minHashPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val r = MinHashK / Bands
+  def minHashPairs(
+      documents: DataFrame,
+      threshold: Double = 0.5,
+      k: Int = MinHashK,
+      bands: Int = Bands): DataFrame = {
+    require(bands >= 1 && k % bands == 0, s"bands ($bands) must divide K ($k)")
+    val r = k / bands
     val sigs = documents
-      .select(col("doc_id"), minHashSignature(col("text")).as("sig"))
+      .select(col("doc_id"), minHashSignature(col("text"), k).as("sig"))
     // The banded table feeds three consumers (bucket-size census + both
     // sides of the self-join); without materialization the expensive
     // signature expression re-evaluates per consumer. At cluster scale
     // the equivalent move is checkpointing signatures to storage once.
     val banded = sigs.select(
       col("doc_id"), col("sig"),
-      explode(array((0 until Bands).map { i =>
+      explode(array((0 until bands).map { i =>
         struct(lit(i).as("band"), hash(slice(col("sig"), i * r + 1, r), lit(i)).as("bkey"))
       }: _*)).as("b"))
       .select(col("doc_id"), col("sig"), col("b.band"), col("b.bkey"))
@@ -101,7 +110,7 @@ object Dedup {
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
     pairs
-      .withColumn("est_jaccard", agree.cast("double") / lit(MinHashK))
+      .withColumn("est_jaccard", agree.cast("double") / lit(k))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "est_jaccard")
       .orderBy("doc_id_a", "doc_id_b")
@@ -111,8 +120,12 @@ object Dedup {
     * near-dup pair (transitive closure approximated by pair-drop, the
     * standard single-pass policy for corpus dedup at scale).
     */
-  def minHashDedup(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val losers = minHashPairs(documents, threshold)
+  def minHashDedup(
+      documents: DataFrame,
+      threshold: Double = 0.8,
+      k: Int = MinHashK,
+      bands: Int = Bands): DataFrame = {
+    val losers = minHashPairs(documents, threshold, k, bands)
       .select(col("doc_id_b").as("doc_id")).distinct()
     documents.join(losers, Seq("doc_id"), "left_anti").orderBy("doc_id")
   }
@@ -142,6 +155,46 @@ object Dedup {
       .join(sets.withColumnRenamed("doc_id", "doc_id_b")
         .withColumnRenamed("grams", "grams_b"), Seq("doc_id_b"))
     joined
+      .withColumn("exact_jaccard",
+        round(graft.functions.GraftFunctions.jaccardSorted(
+          col("grams_a"), col("grams_b")), 6))
+      .filter(col("exact_jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "exact_jaccard")
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  /** Exact n-gram Jaccard pairs via an inverted gram index — no sketch
+    * anywhere, so the result is oracle-checkable in plain SQL. Candidate
+    * generation: explode grams, drop grams shared by more than
+    * `maxGramDocs` docs (stopword-gram guard — the broadcast side is the
+    * *oversized* gram list, bounded by construction), self-join on gram.
+    * A pair with Jaccard ≥ t > 0 shares ≥ 1 gram, so recall is exact up
+    * to the frequency cap, which the oracle replicates verbatim.
+    */
+  def ngramJaccardPairsExact(
+      documents: DataFrame,
+      threshold: Double = 0.1,
+      n: Int = 3,
+      maxGramDocs: Int = MaxBucket): DataFrame = {
+    val sets = documents.select(
+      col("doc_id"),
+      graft.functions.GraftFunctions.ngramHashes(col("text"), n).as("grams"))
+      .persist() // inverted index + both verify joins
+    val inv = sets.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val oversized = inv.groupBy("gram").count()
+      .filter(col("count") > maxGramDocs)
+      .select("gram")
+    val capped = inv.join(broadcast(oversized), Seq("gram"), "left_anti")
+    val cands = capped.select(col("gram"), col("doc_id").as("doc_id_a"))
+      .join(capped.select(col("gram"), col("doc_id").as("doc_id_b")), Seq("gram"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b")
+      .dropDuplicates("doc_id_a", "doc_id_b")
+    cands
+      .join(sets.select(col("doc_id").as("doc_id_a"), col("grams").as("grams_a")),
+        Seq("doc_id_a"))
+      .join(sets.select(col("doc_id").as("doc_id_b"), col("grams").as("grams_b")),
+        Seq("doc_id_b"))
       .withColumn("exact_jaccard",
         round(graft.functions.GraftFunctions.jaccardSorted(
           col("grams_a"), col("grams_b")), 6))

@@ -30,19 +30,22 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `minhash_sig(text)`: MinHash signature (array<bigint>, length K). */
-case class MinHashSigExpr(child: Expression) extends UnaryExpression {
+/** `minhash_sig(text)`: MinHash signature (array<bigint>, length `k` —
+  * a plan-time constant; K=16 bench default, K≈128 production).
+  */
+case class MinHashSigExpr(child: Expression, k: Int = Hashing.MinHashK)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 
   override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(Hashing.minhashSig(input.asInstanceOf[UTF8String].toString))
+    new GenericArrayData(Hashing.minhashSig(input.asInstanceOf[UTF8String].toString, k))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.Hashing.minhashSig($c.toString()))")
+        s"graft.functions.Hashing.minhashSig($c.toString(), $k))")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
     copy(child = newChild)

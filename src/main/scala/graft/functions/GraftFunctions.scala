@@ -10,8 +10,8 @@ object GraftFunctions {
   def simhash64(c: Column): Column =
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(c)))
 
-  def minhashSig(c: Column): Column =
-    GraftBridge.column(MinHashSigExpr(GraftBridge.expression(c)))
+  def minhashSig(c: Column, k: Int = Hashing.MinHashK): Column =
+    GraftBridge.column(MinHashSigExpr(GraftBridge.expression(c), k))
 
   def ngramHashes(c: Column, n: Int): Column =
     GraftBridge.column(NGramHashesExpr(GraftBridge.expression(c), n))

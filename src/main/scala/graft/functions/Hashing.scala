@@ -63,24 +63,32 @@ object Hashing {
 
   // ------------------------------------------------------------- minhash
 
-  val MinHashK = 16
+  val MinHashK = 16   // bench/test default; production corpus dedup → 128
+  val MaxMinHashK = 256
   val ShingleN = 3
   // 2^31-1 (Mersenne): 31-bit affine universal hashing, overflow-free
   val MersennePrime = 2147483647L
 
-  /** Seeded affine coefficients, identical across the engine. */
+  /** Seeded affine coefficients, identical across the engine. Generated
+    * once at MaxMinHashK; a signature of length k uses the first k, so
+    * growing K never changes the values of existing positions (the
+    * sequential draw from the fixed seed is order-stable).
+    */
   val perms: Array[(Long, Long)] = {
     val rnd = new scala.util.Random(7)
-    Array.fill(MinHashK)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
+    Array.fill(MaxMinHashK)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
       math.abs(rnd.nextLong()) % MersennePrime))
   }
 
   /** MinHash signature over distinct word-ShingleN-grams: K minima of
     * affine permutations of 31-bit shingle hashes.
     */
-  def minhashSig(text: String): Array[Long] = {
+  def minhashSig(text: String): Array[Long] = minhashSig(text, MinHashK)
+
+  def minhashSig(text: String, k: Int): Array[Long] = {
+    require(k >= 1 && k <= MaxMinHashK, s"minhash K must be in [1,$MaxMinHashK]")
     val ws = tokens(text)
-    val sig = Array.fill(MinHashK)(Long.MaxValue)
+    val sig = Array.fill(k)(Long.MaxValue)
     val seen = new java.util.HashSet[Long]()
     val nShingles = math.max(1, ws.length - ShingleN + 1)
     var i = 0
@@ -95,12 +103,12 @@ object Hashing {
       }
       val h = hash64(sb) & 0x7FFFFFFFL
       if (seen.add(h)) {
-        var k = 0
-        while (k < MinHashK) {
-          val (a, b) = perms(k)
+        var p = 0
+        while (p < k) {
+          val (a, b) = perms(p)
           val v = (a * h + b) % MersennePrime
-          if (v < sig(k)) sig(k) = v
-          k += 1
+          if (v < sig(p)) sig(p) = v
+          p += 1
         }
       }
       i += 1

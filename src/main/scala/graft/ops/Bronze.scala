@@ -4,6 +4,9 @@ import graft.io.Sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
 /** Bronze-layer full-copy models (models/yelp/bronze_*.sql:5-7 ×8 and
   * dbt_project.yml:28): each model is `CREATE TABLE bronze.t AS SELECT *
   * FROM staging.t` — a scan + full projection + materialize. The DAG is
@@ -34,13 +37,31 @@ object Bronze {
   }
 
   /** Materialize all 8 bronze tables into the catalog (≡ `dbt run` over
-    * the flat 8-model DAG, SURVEY.md §3 E3).
+    * the flat 8-model DAG, SURVEY.md §3 E3). The DAG is flat, so the 8
+    * jobs are submitted CONCURRENTLY — the reference's own posture
+    * (`threads: 4`, profile.yml:9). Spark's scheduler interleaves the
+    * independent jobs; wall-clock ≈ the largest copy, not the sum.
     */
-  def buildAll(spark: SparkSession, sfDir: String, targetDb: String = "bronze"): Unit = {
+  def buildAll(
+      spark: SparkSession,
+      sfDir: String,
+      targetDb: String = graft.core.Secrets.fetch("bronze_database").getOrElse("bronze"),
+      threads: Int = 4): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$targetDb`")
-    tables.foreach { case (t, _) =>
-      Sources.table(spark, sfDir, t)
-        .write.mode("overwrite").saveAsTable(s"`$targetDb`.`$t`")
-    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val jobs = tables.map { case (t, _) =>
+        Future {
+          Sources.table(spark, sfDir, t)
+            .write.mode("overwrite").saveAsTable(s"`$targetDb`.`$t`")
+        }
+      }
+      // wait for ALL jobs (no Future.sequence: its continuations would
+      // need the pool after a fail-fast shutdown), then surface the
+      // first failure
+      jobs.foreach(Await.ready(_, Duration.Inf))
+      jobs.foreach(_.value.get.get)
+    } finally pool.shutdown()
   }
 }

@@ -40,10 +40,17 @@ object Ingest {
     * (main.py:384-387), registered idempotently (exists_ok,
     * main.py:343). Returns the registrations performed.
     */
+  /** Target database, overridable via the O14 config/secret shim
+    * (the reference bootstraps its dataset names from Secret Manager,
+    * gcp_function.py:33-38 + main.py:39-55).
+    */
+  def defaultDatabase: String =
+    graft.core.Secrets.fetch("staging_database").getOrElse("staging")
+
   def run(
       spark: SparkSession,
       baseFolder: String,
-      database: String = "staging"): Seq[IngestedTable] = {
+      database: String = defaultDatabase): Seq[IngestedTable] = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`") // main.py:39-55
     val json = findFiles(baseFolder, ".json").map((_, "json"))
     val csv = findFiles(baseFolder, ".csv").map((_, "csv"))

@@ -45,6 +45,23 @@ class DedupSpec extends SparkSpec {
     assert(hi.subsetOf(lo))
   }
 
+  test("minhash K/bands are config: K=128/b=32 keeps the exact-dup guarantee") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = docsDF(Seq(
+      (1L, base), (2L, base),
+      (3L, "completely unrelated words about spark catalyst optimizer rules")))
+    for ((k, b) <- Seq((16, 4), (128, 32))) {
+      val pairs = Dedup.minHashPairs(df, threshold = 0.9, k = k, bands = b).collect()
+      assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L
+        && r.getDouble(2) == 1.0), s"K=$k b=$b")
+      assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+    }
+    // growing K is backward-stable: first 16 signature slots unchanged
+    val s16 = graft.functions.Hashing.minhashSig(base, 16).toSeq
+    val s128 = graft.functions.Hashing.minhashSig(base, 128).toSeq
+    assert(s128.take(16) == s16)
+  }
+
   test("minHashDedup removes near-dup copies, keeps distinct docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val df = docsDF(Seq(
@@ -82,6 +99,21 @@ class DedupSpec extends SparkSpec {
     assert(p12.isDefined, s"expected 1-2 pair in ${pairs.mkString(",")}")
     assert(math.abs(p12.get.getAs[Double]("exact_jaccard") - 10.0 / 11.0) < 1e-5)
     assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
+  test("ngram exact pairs (inverted index): exact J, no sketch, cap respected") {
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val df = docsDF(Seq(
+      (1L, base), (2L, base + " w13"),
+      (3L, "totally different unrelated vocabulary set right here friend")))
+    val pairs = Dedup.ngramJaccardPairsExact(df, threshold = 0.3).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(math.abs(pairs.head.getAs[Double]("exact_jaccard") - 10.0 / 11.0) < 1e-5)
+    // a gram shared by every doc is dropped by the frequency cap: with
+    // cap=1 nothing can pair (every shared gram exceeds the cap)
+    val capped = Dedup.ngramJaccardPairsExact(df, threshold = 0.1, maxGramDocs = 1)
+    assert(capped.count() == 0)
   }
 
   test("embedding near-dup: identical vectors pair at cosine 1.0") {
