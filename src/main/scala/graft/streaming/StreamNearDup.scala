@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate detection — the streaming face of
+  * `Dedup.minHashPairs`/`minHashDedup` (batch LSH), with the SAME
+  * banding, signature, and estimate so a replayed table gives the same
+  * drop set as the batch operator.
+  *
+  * Shape: per-doc MinHash signature (narrow map) → explode to one row
+  * per LSH band → `flatMapGroupsWithState` keyed by (band, bucket): the
+  * state is the bucket's seen docs (id + full signature, capped at
+  * `maxBucket` like the batch skew guard). A new doc is tagged a
+  * near-dup when any stored signature agrees on ≥ `threshold` of the K
+  * minima. Docs inside a micro-batch are processed in doc_id order, so
+  * replay order never changes who is "earlier".
+  *
+  * The tag stream is the operator output (append-mode, one row per
+  * detecting band): survivors = input ∖ tagged doc_ids, a batch-side
+  * anti-join (`survivors`) in the foreachBatch sink — Spark does not
+  * allow a second stateful operator downstream of
+  * flatMapGroupsWithState, and the final sink write is a foreachBatch
+  * at scale anyway.
+  *
+  * State bound: per-bucket cap (`maxBucket`) plus an optional
+  * processing-time idle timeout (the watermark analogue used by
+  * [[StreamSessionize.sessionize]]): buckets idle longer than
+  * `idleTimeout` are evicted, so a near-dup arriving within the horizon
+  * is dropped and the store never grows beyond the live horizon.
+  */
+case class StreamDoc(doc_id: Long, ts: Long, text: String)
+
+case class NearDupTag(doc_id: Long, dup_of: Long, band: Int, est_jaccard: Double)
+
+private[streaming] case class BandedDoc(
+    band: Int, bkey: Long, doc_id: Long, sig: Seq[Long])
+
+private[streaming] case class BucketState(
+    docIds: Seq[Long], sigs: Seq[Seq[Long]])
+
+object StreamNearDup {
+
+  /** Near-dup detections (append stream): one tag per (doc, band) whose
+    * bucket holds an earlier doc with signature agreement ≥ threshold.
+    * `dup_of` is the smallest matching earlier doc_id in that bucket.
+    */
+  def nearDupTags(
+      docs: Dataset[StreamDoc],
+      threshold: Double = 0.8,
+      k: Int = Hashing.MinHashK,
+      bands: Int = graft.ext.Dedup.Bands,
+      maxBucket: Int = graft.ext.Dedup.MaxBucket,
+      idleTimeout: Option[String] = None): Dataset[NearDupTag] = {
+    import docs.sparkSession.implicits._
+    require(bands >= 1 && k % bands == 0, s"bands ($bands) must divide K ($k)")
+    val r = k / bands
+    val banded = docs.flatMap { d =>
+      val sig = Hashing.minhashSig(d.text, k)
+      (0 until bands).map(b =>
+        BandedDoc(b, Hashing.bandKey(sig, b, r), d.doc_id, sig.toSeq))
+    }
+    val timeoutConf = idleTimeout
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout())
+    banded
+      .groupByKey(bd => (bd.band, bd.bkey))
+      .flatMapGroupsWithState[BucketState, NearDupTag](
+        OutputMode.Append(), timeoutConf) {
+        case (_, it, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(BucketState(Nil, Nil))
+            var ids = s.docIds.toVector
+            var sigs = s.sigs.toVector.map(_.toArray)
+            val out = Vector.newBuilder[NearDupTag]
+            // doc_id order inside the batch = replay-stable "earlier"
+            it.toSeq.sortBy(_.doc_id).foreach { bd =>
+              val sig = bd.sig.toArray
+              var best = -1L
+              var bestEst = 0.0
+              var i = 0
+              while (i < sigs.length) {
+                var agree = 0
+                var j = 0
+                while (j < k) { if (sigs(i)(j) == sig(j)) agree += 1; j += 1 }
+                val est = agree.toDouble / k
+                if (est >= threshold && (best == -1L || ids(i) < best)) {
+                  best = ids(i); bestEst = est
+                }
+                i += 1
+              }
+              if (best != -1L)
+                out += NearDupTag(bd.doc_id, best, bd.band, bestEst)
+              // store tagged docs too: batch pair-drop compares every
+              // doc against ALL lower ids, losers included
+              if (ids.length < maxBucket) { ids :+= bd.doc_id; sigs :+= sig }
+            }
+            s = BucketState(ids, sigs.map(_.toSeq))
+            state.update(s)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Batch-side combine for the foreachBatch sink: docs of this batch
+    * minus every doc any band tagged. With arrival in doc_id order this
+    * equals `Dedup.minHashDedup` on the replayed table.
+    */
+  def survivors(docs: DataFrame, tags: DataFrame): DataFrame =
+    docs.join(tags.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+}

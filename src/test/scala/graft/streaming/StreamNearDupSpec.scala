@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamNearDupSpec extends SparkSpec {
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again"
+  private val other = "completely unrelated words about spark catalyst optimizer rules"
+
+  test("near-dup arriving in a later micro-batch (within horizon) is tagged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamDoc]
+    val q = StreamNearDup.nearDupTags(input.toDS(), threshold = 0.5)
+      .writeStream.format("memory").queryName("neardup_tags")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(StreamDoc(1L, 0L, base), StreamDoc(2L, 1L, other))
+      q.processAllAvailable()
+      assert(spark.table("neardup_tags").count() == 0) // originals pass
+      // a near-dup of doc 1 arrives a batch later: bucket state carried
+      input.addData(StreamDoc(3L, 2L, base + " lambda"))
+      q.processAllAvailable()
+      val tags = spark.table("neardup_tags").collect()
+      assert(tags.nonEmpty)
+      assert(tags.forall(r => r.getAs[Long]("doc_id") == 3L
+        && r.getAs[Long]("dup_of") == 1L))
+      assert(tags.forall(_.getAs[Double]("est_jaccard") >= 0.5))
+    } finally q.stop()
+  }
+
+  test("replayed table: streaming survivors equal batch minHashDedup") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // corpus with exact dups, near dups, and distinct docs
+    val docs = Seq(
+      StreamDoc(1L, 0L, base),
+      StreamDoc(2L, 1L, other),
+      StreamDoc(3L, 2L, base),              // exact dup of 1
+      StreamDoc(4L, 3L, base + " lambda"),  // near dup of 1
+      StreamDoc(5L, 4L, "yet another separate document mentioning parquet columnar scans"),
+      StreamDoc(6L, 5L, other + " okay"),   // near dup of 2
+      StreamDoc(7L, 6L, "final distinct text with its very own vocabulary entirely"))
+    val input = MemoryStream[StreamDoc]
+    val q = StreamNearDup.nearDupTags(input.toDS(), threshold = 0.5)
+      .writeStream.format("memory").queryName("neardup_replay")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      docs.grouped(3).foreach { batch =>  // replay across 3 micro-batches
+        input.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val tagged = spark.table("neardup_replay").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      val streamSurvivors = docs.map(_.doc_id).filterNot(tagged).toSet
+      val batchDF = docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+        .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+          "length(text) AS n_chars")
+      val batchSurvivors = graft.ext.Dedup.minHashDedup(batchDF, threshold = 0.5)
+        .collect().map(_.getLong(0)).toSet
+      assert(streamSurvivors == batchSurvivors)
+      // batch-side combine helper gives the same set
+      val surv = StreamNearDup.survivors(
+        batchDF, spark.table("neardup_replay")).collect().map(_.getLong(0)).toSet
+      assert(surv == batchSurvivors)
+    } finally q.stop()
+  }
+}
