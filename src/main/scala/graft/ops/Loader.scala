@@ -37,23 +37,43 @@ object Loader {
         s"staging has duplicate merge keys ${keys.mkString(",")}: MERGE would match multiple rows")
   }
 
+  /** A MERGE-specific broadcast ceiling, far above the session's
+    * autoBroadcastJoinThreshold (default 10 MB): for an incremental load
+    * the anti-join's alternative is shuffling the ENTIRE target, so a
+    * build side of hundreds of MB is still a win at 100 TB target scale.
+    */
+  val BroadcastStagingMaxBytes: Long = 512L << 20 // 512 MiB
+
+  /** Plan-statistics broadcast decision for the MERGE anti-join: hint
+    * broadcast when staging is bounded ([[BroadcastStagingMaxBytes]])
+    * AND materially smaller than target (≤ 1/8 by estimated size) —
+    * the registry-driven loads land staging as a table first, so its
+    * stats are real file sizes, not guesses.
+    */
+  def shouldBroadcastStaging(target: DataFrame, staging: DataFrame): Boolean = {
+    val s = staging.queryExecution.optimizedPlan.stats.sizeInBytes
+    val t = target.queryExecution.optimizedPlan.stats.sizeInBytes
+    s <= BroadcastStagingMaxBytes && s * 8 <= t
+  }
+
   /** Upsert plan: all staging rows verbatim + target rows whose keys are
     * absent from staging. Column set follows the registry's schema_columns
     * (gcp_function.py:63,76-80): staging is aligned to target's columns.
     *
-    * @param broadcastStaging hint staging as the build side (default: let
-    *   Catalyst/AQE decide; pass true when staging ≪ target)
+    * @param broadcastStaging Some(true)/Some(false) force the hint; None
+    *   (default) decides from plan statistics ([[shouldBroadcastStaging]])
     */
   def upsert(
       target: DataFrame,
       staging: DataFrame,
       keys: Seq[String],
       checkUniqueKeys: Boolean = true,
-      broadcastStaging: Boolean = false): DataFrame = {
+      broadcastStaging: Option[Boolean] = None): DataFrame = {
     require(keys.nonEmpty, "MERGE requires at least one on_condition column")
     if (checkUniqueKeys) requireUniqueKeys(staging, keys)
     val alignedStaging = staging.select(target.columns.map(col).toIndexedSeq: _*)
-    val probe = if (broadcastStaging) broadcast(alignedStaging) else alignedStaging
+    val doBroadcast = broadcastStaging.getOrElse(shouldBroadcastStaging(target, staging))
+    val probe = if (doBroadcast) broadcast(alignedStaging) else alignedStaging
     val untouched = target.join(probe, keys, "left_anti")
     alignedStaging.unionByName(untouched)
   }

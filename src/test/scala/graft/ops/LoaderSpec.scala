@@ -21,6 +21,25 @@ class LoaderSpec extends SparkSpec {
     assert(out(3).getString(1) == "i")
   }
 
+  test("stats-driven broadcast decision: small staging yes, comparable no") {
+    import spark.implicits._
+    val bigTarget = spark.range(0, 20000)
+      .select(col("id").as("k"), concat(lit("name_"), col("id")).as("name"),
+        col("id").cast("double").as("v"))
+    val tinyStaging = Seq((2L, "b2", 22.0)).toDF("k", "name", "v")
+    assert(Loader.shouldBroadcastStaging(bigTarget, tinyStaging))
+    // staging ~ target size: shuffle both sides instead of building a
+    // hash relation of the whole batch
+    assert(!Loader.shouldBroadcastStaging(tinyStaging, tinyStaging))
+    // result identical under both forced hints and under auto
+    val auto = Loader.upsert(bigTarget, tinyStaging, Seq("k"))
+      .orderBy("k").collect()
+    val forced = Loader.upsert(bigTarget, tinyStaging, Seq("k"),
+      broadcastStaging = Some(false)).orderBy("k").collect()
+    assert(auto.sameElements(forced))
+    assert(auto.count(_.getString(1) == "b2") == 1)
+  }
+
   test("update-only: row count unchanged, all staging rows verbatim") {
     import spark.implicits._
     val staging = Seq((1L, "a9", 11.0)).toDF("k", "name", "v")
