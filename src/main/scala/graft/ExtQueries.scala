@@ -80,6 +80,15 @@ object ExtQueries {
         .select(e("vec_id").as("centroid_id"), e("embedding").as("cvec"))
       Similarity.ivfTopK(assigned, centroids, Similarity.defaultProbe(e))
     }),
+    // -- corpus preparation (sampling / scrubbing / chunking / packing) --
+    "sample_hash_documents" -> ((s: SparkSession, dir: String) =>
+      Corpus.sampleByHash(docs(s, dir))),
+    "redact_pii_documents" -> ((s: SparkSession, dir: String) =>
+      Corpus.redactPii(docs(s, dir))),
+    "chunk_documents" -> ((s: SparkSession, dir: String) =>
+      Corpus.chunkDocuments(docs(s, dir))),
+    "pack_greedy_documents" -> ((s: SparkSession, dir: String) =>
+      Corpus.packGreedy(docs(s, dir))),
     // -- sessionize --
     "sessionize_events" -> ((s: SparkSession, dir: String) =>
       Sessionize.sessionize(Sources.table(s, dir, "events"))),
@@ -188,6 +197,34 @@ object ExtQueries {
          |  SELECT d.*, ROW_NUMBER() OVER (
          |    PARTITION BY md5($NormSql) ORDER BY doc_id) AS rn
          |  FROM documents d) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "sample_hash_documents" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE md5(text) < '40' ORDER BY doc_id""".stripMargin,
+    "redact_pii_documents" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '${Corpus.EmailRegex}', '<EMAIL>', 'g'),
+         |                 '${Corpus.LongNumberRegex}', '<NUM>', 'g') AS clean_text
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "chunk_documents" -> {
+      val cw = 50; val step = 50 - 10
+      s"""WITH d AS (SELECT doc_id, $NormSql AS norm FROM documents),
+         |w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM d),
+         |s AS (SELECT doc_id, words,
+         |      unnest(range(1, greatest(len(words), 1) + 1, $step)) AS start FROM w)
+         |SELECT doc_id,
+         |  ((start - 1) / $step + 1)::BIGINT AS chunk_idx,
+         |  array_to_string(words[start:start+${cw - 1}], ' ') AS chunk_text,
+         |  least(len(words) - start + 1, $cw)::BIGINT AS n_words
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+    "pack_greedy_documents" ->
+      s"""WITH t AS (SELECT doc_id, lang, ($WsToksSql)::BIGINT AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT doc_id, lang, n_tokens,
+         |  lang || '#' || CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT)::VARCHAR AS pack_id
+         |FROM c ORDER BY doc_id""".stripMargin,
     "sessionize_events" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),
          |s AS (SELECT event_id, user_id, ts,

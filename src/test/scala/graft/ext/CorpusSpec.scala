@@ -1,0 +1,65 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class CorpusSpec extends SparkSpec {
+
+  private def docsDF(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src' AS source",
+        "length(text) AS n_chars")
+  }
+
+  test("sampleByHash: deterministic, content-addressed, monotone in threshold") {
+    val df = docsDF((1L to 200L).map(i => (i, s"document number $i with words")))
+    val s1 = Corpus.sampleByHash(df, "40").collect().map(_.getLong(0)).toSet
+    val s2 = Corpus.sampleByHash(df, "40").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)                       // re-run stable
+    assert(s1.nonEmpty && s1.size < 200)   // a real subset at ~25%
+    val s3 = Corpus.sampleByHash(df, "80").collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s3))                // thresholds nest
+  }
+
+  test("redactPii scrubs emails and long digit runs, keeps short numbers") {
+    val df = docsDF(Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk or call 5551234567"),
+      (2L, "version 2 has 42 fixes"),
+      (3L, "ids 123456 and 99999 differ")))
+    val out = Corpus.redactPii(df).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "contact me at <EMAIL> or call <NUM>")
+    assert(out(2L) == "version 2 has 42 fixes")           // short digits kept
+    assert(out(3L) == "ids <NUM> and 99999 differ")       // 6+ only
+  }
+
+  test("chunkDocuments: overlapping windows cover every word; short doc = 1 chunk") {
+    val words120 = (1 to 120).map(i => s"w$i").mkString(" ")
+    val df = docsDF(Seq((1L, words120), (2L, "tiny doc"), (3L, "")))
+    val out = Corpus.chunkDocuments(df, chunkWords = 50, overlapWords = 10).collect()
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    assert(doc1.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L)) // starts 1,41,81
+    assert(doc1.head.getString(2).startsWith("w1 w2 "))
+    assert(doc1.head.getLong(3) == 50)
+    assert(doc1(1).getString(2).startsWith("w41 ")) // 10-word overlap
+    assert(doc1(2).getLong(3) == 40)                // tail chunk 81..120
+    assert(out.filter(_.getLong(0) == 2L).map(_.getString(2)).toSeq == Seq("tiny doc"))
+    assert(out.count(_.getLong(0) == 3L) == 1)      // empty doc: one chunk
+  }
+
+  test("packGreedy: packs fill to budget in doc_id order per shard") {
+    import spark.implicits._
+    // 5 docs of 200 tokens each → budget 512 → packs 0,0,0(?),1,1 by cum
+    val text200 = (1 to 200).map(i => s"t$i").mkString(" ")
+    val df = (1L to 5L).map(i => (i, text200)).toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "length(text) AS n_chars")
+    val out = Corpus.packGreedy(df, budgetTokens = 512).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // cum-before: 0,200,400,600,800 → bins 0,0,0,1,1
+    assert(out == Map(1L -> "en#0", 2L -> "en#0", 3L -> "en#0",
+      4L -> "en#1", 5L -> "en#1"))
+    // every doc appears exactly once
+    assert(Corpus.packGreedy(df).count() == 5)
+  }
+}
