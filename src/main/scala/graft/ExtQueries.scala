@@ -106,6 +106,16 @@ object ExtQueries {
     // -- multimodal --
     "media_stats_documents" -> ((s: SparkSession, dir: String) =>
       Multimodal.mediaStats(Multimodal.asMediaTable(docs(s, dir)))),
+    "media_resize_documents" -> ((s: SparkSession, dir: String) =>
+      // metadata projection of the resize op (payload column excluded
+      // from the compare; the byte work happens in mapPartitions)
+      Multimodal.resize(Multimodal.asMediaTable(docs(s, dir)))
+        .select(col("media_id"), col("media_type"),
+          col("orig_bytes"), col("resized_bytes"))
+        .orderBy("media_id")),
+    "frame_sample_documents" -> ((s: SparkSession, dir: String) =>
+      Multimodal.frameSample(Multimodal.asMediaTable(docs(s, dir)))
+        .drop("frame_payload")),
     "multimodal_features_documents" -> ((s: SparkSession, dir: String) =>
       // features serialized to a deterministic CSV string: the driver's
       // pandas sort/hash compare can't factorize ndarray cells
@@ -290,6 +300,21 @@ object ExtQueries {
         |  sum(byte_len)::BIGINT AS total_bytes,
         |  max(byte_len)::BIGINT AS max_bytes
         |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin,
+    "media_resize_documents" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  octet_length(encode(text)) AS byte_len FROM documents)
+        |SELECT media_id, media_type, byte_len::BIGINT AS orig_bytes,
+        |  least(byte_len, 4096)::BIGINT AS resized_bytes
+        |FROM m ORDER BY media_id""".stripMargin,
+    "frame_sample_documents" ->
+      """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_len FROM documents),
+        |f AS (SELECT media_id, byte_len,
+        |      unnest(range(0, greatest(least((byte_len + 999) // 1000, 8), 1))) AS frame_idx FROM m)
+        |SELECT media_id, frame_idx::BIGINT AS frame_idx,
+        |  (frame_idx * 1000 + 1)::BIGINT AS frame_offset,
+        |  least(1000, byte_len - frame_idx * 1000)::BIGINT AS frame_len
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     // no oracle (array math / LSH): dedup_minhash*, dedup_simhash*,
     // dedup_ngram*, dedup_embedding*, similarity_*, multimodal_features —
     // covered by scalatest property/brute-force checks instead.

@@ -73,6 +73,65 @@ object Multimodal {
     out
   }
 
+  /** STUB resize: deterministic stand-in for decode→scale→re-encode
+    * (truncate the payload to `targetBytes`). The mapPartitions plumbing
+    * — per-batch codec init, streamed rows, payload never at the driver
+    * — is exactly what a real resize drops into.
+    */
+  def resize(media: DataFrame, targetBytes: Int = 4096): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media_type", StringType),
+      StructField("orig_bytes", LongType),
+      StructField("payload", BinaryType),
+      StructField("resized_bytes", LongType),
+    ))
+    val input = media.select(col("media_id"), col("meta.media_type").as("mt"),
+      col("payload"))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      // per-partition codec init would go here
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        val resized = if (p == null) null
+          else if (p.length <= targetBytes) p
+          else java.util.Arrays.copyOfRange(p, 0, targetBytes)
+        Row(r.getAs[Long]("media_id"), r.getAs[String]("mt"),
+          if (p == null) 0L else p.length.toLong,
+          resized,
+          if (resized == null) 0L else resized.length.toLong)
+      }
+    }
+  }
+
+  /** Frame sampling: one row per fixed-stride frame of the payload,
+    * capped at `maxFrames`; empty payloads yield one zero-length frame.
+    * Offsets/lengths are pure arithmetic over the metadata (the scan
+    * never needs the payload column unless frame bytes are selected) —
+    * a narrow explode, no shuffle.
+    */
+  def frameSample(
+      media: DataFrame,
+      frameBytes: Int = 1000,
+      maxFrames: Int = 8): DataFrame = {
+    val len = col("meta.byte_len")
+    val nFrames = greatest(
+      least(floor((len + frameBytes - 1) / frameBytes), lit(maxFrames)), lit(1))
+    media
+      .select(col("media_id"), len.as("byte_len"), col("payload"),
+        explode(sequence(lit(0), (nFrames - 1).cast("int"))).as("frame_idx"))
+      .select(
+        col("media_id"),
+        col("frame_idx").cast("bigint").as("frame_idx"),
+        (col("frame_idx") * frameBytes + 1).cast("bigint").as("frame_offset"),
+        least(lit(frameBytes),
+          col("byte_len") - col("frame_idx") * frameBytes).cast("bigint")
+          .as("frame_len"),
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")
+          .as("frame_payload"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Batch feature extraction over partitions: the Scala analogue of a
     * pandas-batch UDF — per-partition (≙ per-batch) setup happens once,
     * rows stream through without materializing the partition.

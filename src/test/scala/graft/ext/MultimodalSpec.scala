@@ -49,6 +49,33 @@ class MultimodalSpec extends SparkSpec {
     assert(a.toSeq != c.toSeq)
   }
 
+  test("resize truncates to target, keeps short payloads, exact metadata") {
+    val out = Multimodal.resize(media, targetBytes = 6).orderBy("media_id").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("resized_bytes") == math.min(r.getAs[Long]("orig_bytes"), 6L))
+      assert(r.getAs[Array[Byte]]("payload").length == r.getAs[Long]("resized_bytes"))
+    }
+    // truncation is a prefix, not a rehash
+    assert(new String(out.head.getAs[Array[Byte]]("payload")) == "image ")
+  }
+
+  test("frameSample: stride offsets, capped count, tail frame short, bytes align") {
+    val longDoc = docsDF(Seq((0L, "x" * 2500), (1L, "")))
+    val m = Multimodal.asMediaTable(longDoc)
+    val frames = Multimodal.frameSample(m, frameBytes = 1000, maxFrames = 8).collect()
+    val d0 = frames.filter(_.getLong(0) == 0L)
+    assert(d0.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    assert(d0.map(_.getLong(2)).toSeq == Seq(1L, 1001L, 2001L)) // offsets
+    assert(d0.map(_.getLong(3)).toSeq == Seq(1000L, 1000L, 500L)) // tail short
+    assert(d0.forall(r => r.getAs[Array[Byte]]("frame_payload").length == r.getLong(3)))
+    // empty payload: exactly one zero-length frame
+    val d1 = frames.filter(_.getLong(0) == 1L)
+    assert(d1.length == 1 && d1.head.getLong(3) == 0L)
+    // cap: 20_000-byte payload yields maxFrames rows
+    val big = Multimodal.asMediaTable(docsDF(Seq((0L, "y" * 20000))))
+    assert(Multimodal.frameSample(big, 1000, 8).count() == 8L)
+  }
+
   test("mediaStats aggregates by media_type with exact byte sums") {
     val stats = Multimodal.mediaStats(media).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
