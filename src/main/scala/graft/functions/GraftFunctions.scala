@@ -27,9 +27,23 @@ object GraftFunctions {
   def hyperplaneSketch(v: Column, dim: Int, planes: Int): Column =
     GraftBridge.column(HyperplaneSketchExpr(GraftBridge.expression(v), dim, planes))
 
+  /** Plan-time integer constant for SQL-facing builders (K, n, dim…). */
+  private def litInt(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal argument, got $other")
+  }
+
   private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_simhash64" -> (es => SimHash64Expr(es.head)),
-    "graft_minhash_sig" -> (es => MinHashSigExpr(es.head)),
+    "graft_minhash_sig" -> (es =>
+      if (es.length >= 2) MinHashSigExpr(es.head, litInt(es(1)))
+      else MinHashSigExpr(es.head)),
+    "graft_ngram_hashes" -> (es => NGramHashesExpr(es.head, litInt(es(1)))),
+    "graft_jaccard_sorted" -> (es => JaccardExpr(es.head, es(1))),
+    "graft_cosine_sim" -> (es => CosineSimExpr(es.head, es(1))),
+    "graft_hyperplane_sketch" -> (es =>
+      HyperplaneSketchExpr(es.head, litInt(es(1)), litInt(es(2)))),
   )
 
   /** Register the functions for SQL use on an existing session
@@ -40,6 +54,9 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+
+  private[functions] def extensionFunctions: Seq[(String, Seq[Expression] => Expression)] =
+    sqlFunctions
 }
 
 /** SparkSessionExtensions installer:
@@ -47,10 +64,7 @@ object GraftFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    Seq(
-      ("graft_simhash64", (es: Seq[Expression]) => SimHash64Expr(es.head)),
-      ("graft_minhash_sig", (es: Seq[Expression]) => MinHashSigExpr(es.head)),
-    ).foreach { case (name, builder) =>
+    GraftFunctions.extensionFunctions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.Expressions", name),
