@@ -93,6 +93,22 @@ object Loader {
   def writeTable(df: DataFrame, table: String): Unit =
     df.write.mode("overwrite").saveAsTable(table)
 
+  /** Bucketed+sorted materialization by the merge keys: the 100 TB
+    * layout for a repeatedly-merged target. Subsequent upserts read the
+    * target already hash-partitioned on the join keys, so the MERGE
+    * anti-join shuffles ONLY the staging side — the target (the big
+    * side, by orders of magnitude in incremental loads) never moves.
+    */
+  def writeTableBucketed(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
   /** Drop a staging table if present (gcp_function.py:112's
     * delete_table(not_found_ok-less) — we tolerate absence).
     */

@@ -40,6 +40,31 @@ class LoaderSpec extends SparkSpec {
     assert(auto.count(_.getString(1) == "b2") == 1)
   }
 
+  test("bucketed target: MERGE anti-join shuffles only the staging side") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS bucketed_target_spec")
+    val big = spark.range(0, 10000)
+      .select(col("id").as("k"), concat(lit("n"), col("id")).as("name"),
+        col("id").cast("double").as("v"))
+    Loader.writeTableBucketed(big, "bucketed_target_spec", Seq("k"), buckets = 4)
+    val staging = Seq((5L, "b2", 22.0), (20000L, "new", 1.0)).toDF("k", "name", "v")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val merged = Loader.upsert(spark.table("bucketed_target_spec"), staging,
+        Seq("k"), broadcastStaging = Some(false))
+      val plan = merged.queryExecution.executedPlan.toString
+      val exchanges = "(?<!Broadcast)Exchange hashpartitioning".r
+        .findAllIn(plan).length
+      assert(exchanges == 1, s"expected 1 exchange (staging only), plan:\n$plan")
+      // and the merge is still correct
+      val out = merged.orderBy("k").collect()
+      assert(out.length == 10001)
+      assert(out(5).getString(1) == "b2")
+      assert(out.last.getLong(0) == 20000L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("update-only: row count unchanged, all staging rows verbatim") {
     import spark.implicits._
     val staging = Seq((1L, "a9", 11.0)).toDF("k", "name", "v")
