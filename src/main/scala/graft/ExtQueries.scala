@@ -92,6 +92,17 @@ object ExtQueries {
     // -- sessionize --
     "sessionize_events" -> ((s: SparkSession, dir: String) =>
       Sessionize.sessionize(Sources.table(s, dir, "events"))),
+    // -- as-of join: each event enriched with the user's latest
+    //    at-or-before purchase (point-in-time dimension lookup) --
+    "asof_enrich_events" -> ((s: SparkSession, dir: String) => {
+      val e = Sources.table(s, dir, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      AsOf.joinAsOf(e, purchases, Seq("user_id"), "ts", "ts", Seq("purchase_value"))
+        .select("event_id", "user_id", "ts", "event_type", "purchase_value")
+        .orderBy("event_id")
+    }),
     // -- analytics pack (join/agg/window/json over the big tables) --
     "analytics_pricing_summary" -> ((s: SparkSession, dir: String) =>
       Analytics.pricingSummary(s, dir)),
@@ -207,6 +218,12 @@ object ExtQueries {
          |  SELECT d.*, ROW_NUMBER() OVER (
          |    PARTITION BY md5($NormSql) ORDER BY doc_id) AS rn
          |  FROM documents d) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "asof_enrich_events" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts, event_type, value FROM events),
+        |p AS (SELECT user_id, ts, value AS purchase_value FROM e WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.ts, e.event_type, p.purchase_value
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
     "sample_hash_documents" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE md5(text) < '40' ORDER BY doc_id""".stripMargin,

@@ -9,19 +9,7 @@ class BronzeSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
   test("buildAll materializes all 8 bronze tables concurrently and exactly") {
-    // a previous JVM's managed-table dirs would trip Spark 4's
-    // location-exists validation on CREATE: start from a clean slate
-    spark.sql("DROP DATABASE IF EXISTS bronze_spec CASCADE")
-    val wh = java.nio.file.Paths.get(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      "bronze_spec.db")
-    if (java.nio.file.Files.exists(wh)) {
-      import scala.jdk.CollectionConverters._
-      val s = java.nio.file.Files.walk(wh)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-      finally s.close()
-    }
+    dropWithLocation("bronze_spec", isDatabase = true)
     Bronze.buildAll(spark, sfDir, targetDb = "bronze_spec")
     Bronze.tables.foreach { case (t, _) =>
       val expected = Sources.table(spark, sfDir, t).count()

@@ -42,7 +42,7 @@ class LoaderSpec extends SparkSpec {
 
   test("bucketed target: MERGE anti-join shuffles only the staging side") {
     import spark.implicits._
-    spark.sql("DROP TABLE IF EXISTS bucketed_target_spec")
+    dropWithLocation("bucketed_target_spec")
     val big = spark.range(0, 10000)
       .select(col("id").as("k"), concat(lit("n"), col("id")).as("name"),
         col("id").cast("double").as("v"))
