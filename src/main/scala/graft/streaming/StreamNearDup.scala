@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.functions.Hashing
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming near-duplicate detection — the streaming face of
@@ -36,10 +36,11 @@ case class StreamDoc(doc_id: Long, ts: Long, text: String)
 case class NearDupTag(doc_id: Long, dup_of: Long, band: Int, est_jaccard: Double)
 
 private[streaming] case class BandedDoc(
-    band: Int, bkey: Long, doc_id: Long, sig: Seq[Long])
+    band: Int, bkey: Long, doc_id: Long, ts: Long, sig: Seq[Long],
+    event_time: java.sql.Timestamp)
 
 private[streaming] case class BucketState(
-    docIds: Seq[Long], sigs: Seq[Seq[Long]])
+    docIds: Seq[Long], sigs: Seq[Seq[Long]], maxTsMicros: Long)
 
 object StreamNearDup {
 
@@ -47,24 +48,50 @@ object StreamNearDup {
     * bucket holds an earlier doc with signature agreement ≥ threshold.
     * `dup_of` is the smallest matching earlier doc_id in that bucket.
     */
+  /** @param idleTimeout processing-time bucket eviction (simple horizon)
+    * @param eventTimeHorizon event-time eviction: buckets whose newest
+    *   doc is older than the watermark minus this horizon are removed —
+    *   the streaming-dedup watermark semantics (`dedupStream` analogue):
+    *   a near-dup arriving within the horizon is tagged; one arriving
+    *   after eviction is admitted (the state-size/correctness trade).
+    *   Requires `docs.ts` to be event time in µs. Mutually exclusive
+    *   with `idleTimeout`.
+    */
   def nearDupTags(
       docs: Dataset[StreamDoc],
       threshold: Double = 0.8,
       k: Int = Hashing.MinHashK,
       bands: Int = graft.ext.Dedup.Bands,
       maxBucket: Int = graft.ext.Dedup.MaxBucket,
-      idleTimeout: Option[String] = None): Dataset[NearDupTag] = {
+      idleTimeout: Option[String] = None,
+      eventTimeHorizon: Option[String] = None): Dataset[NearDupTag] = {
     import docs.sparkSession.implicits._
     require(bands >= 1 && k % bands == 0, s"bands ($bands) must divide K ($k)")
+    require(idleTimeout.isEmpty || eventTimeHorizon.isEmpty,
+      "choose one of idleTimeout (processing time) / eventTimeHorizon (event time)")
     val r = k / bands
-    val banded = docs.flatMap { d =>
+    val horizonMs: Long = eventTimeHorizon
+      .map(h => scala.concurrent.duration.Duration(h).toMillis).getOrElse(0L)
+    val banded0 = docs.flatMap { d =>
       val sig = Hashing.minhashSig(d.text, k)
       (0 until bands).map(b =>
-        BandedDoc(b, Hashing.bandKey(sig, b, r), d.doc_id, sig.toSeq))
+        BandedDoc(b, Hashing.bandKey(sig, b, r), d.doc_id, d.ts, sig.toSeq,
+          new java.sql.Timestamp(d.ts / 1000)))
     }
-    val timeoutConf = idleTimeout
-      .map(_ => GroupStateTimeout.ProcessingTimeTimeout())
-      .getOrElse(GroupStateTimeout.NoTimeout())
+    // in event-time mode the watermarked time column must survive into
+    // the stateful operator — rebuild it at µs precision and watermark
+    val banded = eventTimeHorizon match {
+      case Some(horizon) => banded0
+        .withColumn("event_time", timestamp_micros(col("ts")))
+        .withWatermark("event_time", horizon)
+        .as[BandedDoc]
+      case None => banded0
+    }
+    val timeoutConf =
+      if (eventTimeHorizon.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else idleTimeout
+        .map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+        .getOrElse(GroupStateTimeout.NoTimeout())
     banded
       .groupByKey(bd => (bd.band, bd.bkey))
       .flatMapGroupsWithState[BucketState, NearDupTag](
@@ -74,12 +101,14 @@ object StreamNearDup {
             state.remove()
             Iterator.empty
           } else {
-            var s = state.getOption.getOrElse(BucketState(Nil, Nil))
+            var s = state.getOption.getOrElse(BucketState(Nil, Nil, Long.MinValue))
             var ids = s.docIds.toVector
             var sigs = s.sigs.toVector.map(_.toArray)
+            var maxTs = s.maxTsMicros
             val out = Vector.newBuilder[NearDupTag]
             // doc_id order inside the batch = replay-stable "earlier"
             it.toSeq.sortBy(_.doc_id).foreach { bd =>
+              if (bd.ts > maxTs) maxTs = bd.ts
               val sig = bd.sig.toArray
               var best = -1L
               var bestEst = 0.0
@@ -100,9 +129,11 @@ object StreamNearDup {
               // doc against ALL lower ids, losers included
               if (ids.length < maxBucket) { ids :+= bd.doc_id; sigs :+= sig }
             }
-            s = BucketState(ids, sigs.map(_.toSeq))
+            s = BucketState(ids, sigs.map(_.toSeq), maxTs)
             state.update(s)
             idleTimeout.foreach(state.setTimeoutDuration)
+            if (eventTimeHorizon.isDefined && maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs / 1000 + horizonMs)
             out.result().iterator
           }
       }

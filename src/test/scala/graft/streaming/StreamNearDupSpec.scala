@@ -31,6 +31,42 @@ class StreamNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time horizon: near-dup within horizon tagged, after eviction admitted") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hour = 3600L * 1000000 // µs
+    val B = 1000 * hour        // a base well above the initial watermark (epoch)
+    val input = MemoryStream[StreamDoc]
+    val q = StreamNearDup.nearDupTags(input.toDS(), threshold = 0.5,
+      eventTimeHorizon = Some("1 hour"))
+      .writeStream.format("memory").queryName("neardup_evict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(StreamDoc(1L, B, base))
+      q.processAllAvailable()
+      // within the horizon: a near-dup 30 min later is tagged
+      input.addData(StreamDoc(2L, B + hour / 2, base + " lambda"))
+      q.processAllAvailable()
+      assert(spark.table("neardup_evict").collect()
+        .map(_.getAs[Long]("doc_id")).toSet == Set(2L))
+      // advance the watermark to B+2h (past doc 1/2's eviction timestamp
+      // B+30min+1h), then confirm in-horizon detection still works
+      input.addData(StreamDoc(3L, B + 3 * hour, other))
+      q.processAllAvailable()
+      input.addData(StreamDoc(4L, B + 3 * hour + 1, other + " okay"))
+      q.processAllAvailable()
+      assert(spark.table("neardup_evict").collect()
+        .exists(r => r.getAs[Long]("doc_id") == 4L && r.getAs[Long]("dup_of") == 3L))
+      // doc 5: above the watermark (B+2.5h > B+2h, so NOT late-filtered)
+      // but the base docs' bucket state is evicted → admitted, not tagged
+      input.addData(StreamDoc(5L, B + 5 * hour / 2, base))
+      q.processAllAvailable()
+      val tagged = spark.table("neardup_evict").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(!tagged.contains(5L), s"doc 5 should be admitted, got $tagged")
+    } finally q.stop()
+  }
+
   test("replayed table: streaming survivors equal batch minHashDedup") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
