@@ -92,6 +92,9 @@ object ExtQueries {
     // -- sessionize --
     "sessionize_events" -> ((s: SparkSession, dir: String) =>
       Sessionize.sessionize(Sources.table(s, dir, "events"))),
+    // -- range join: concurrent-session pairs (interval overlap) --
+    "range_join_sessions" -> ((s: SparkSession, dir: String) =>
+      RangeJoin.sessionOverlaps(Sources.table(s, dir, "events"))),
     // -- as-of join: each event enriched with the user's latest
     //    at-or-before purchase (point-in-time dimension lookup) --
     "asof_enrich_events" -> ((s: SparkSession, dir: String) => {
@@ -218,6 +221,23 @@ object ExtQueries {
          |  SELECT d.*, ROW_NUMBER() OVER (
          |    PARTITION BY md5($NormSql) ORDER BY doc_id) AS rn
          |  FROM documents d) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "range_join_sessions" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),
+         |s AS (SELECT event_id, user_id, ts,
+         |  CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         |       WHEN ts - lag(ts) OVER w > ${Sessionize.DefaultGapMicros} THEN 1
+         |       ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sz AS (SELECT user_id, ts,
+         |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM s),
+         |sess AS (SELECT user_id, session_seq, min(ts) AS s_ts, max(ts) AS e_ts
+         |         FROM sz GROUP BY 1, 2),
+         |i AS (SELECT user_id * 1000000 + session_seq AS id, s_ts, e_ts FROM sess)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  (least(a.e_ts, b.e_ts) - greatest(a.s_ts, b.s_ts)) AS overlap_us
+         |FROM i a JOIN i b ON a.id < b.id AND a.s_ts <= b.e_ts AND b.s_ts <= a.e_ts
+         |ORDER BY id_a, id_b""".stripMargin,
     "asof_enrich_events" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts, event_type, value FROM events),
         |p AS (SELECT user_id, ts, value AS purchase_value FROM e WHERE event_type = 'purchase')

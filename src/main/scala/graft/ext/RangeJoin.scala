@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap (range) self-join — Spark's optimizer turns a plain
+  * inequality join into a BroadcastNestedLoopJoin (a cross product),
+  * which is the canonical 100 TB anti-pattern.
+  *
+  * Scalable shape: explode each interval to the fixed-width time bins
+  * it covers, equi-join on the bin (ONE hash shuffle), verify the exact
+  * overlap predicate, dedupe pairs that met in several bins. Cost is
+  * ∝ Σ bins-per-interval + true-result size, never |L|×|R|. Pick
+  * `binMicros` near the typical interval length: too small explodes
+  * long intervals into many bins, too large packs unrelated intervals
+  * into the same bin (both only cost, never correctness).
+  */
+object RangeJoin {
+
+  /** Pairs (id_a < id_b) of overlapping `[start_ts, end_ts]` intervals
+    * (inclusive bounds, µs), with the overlap length. Input schema:
+    * `id BIGINT (unique), start_ts BIGINT, end_ts BIGINT`.
+    */
+  def selfOverlapPairs(
+      intervals: DataFrame,
+      binMicros: Long = 3600L * 1000000): DataFrame = {
+    val binned = intervals
+      .select(col("id"), col("start_ts"), col("end_ts"),
+        explode(sequence(
+          expr(s"start_ts div $binMicros"),
+          expr(s"end_ts div $binMicros"))).as("bin"))
+    val a = binned.select(col("bin"), col("id").as("id_a"),
+      col("start_ts").as("s_a"), col("end_ts").as("e_a"))
+    val b = binned.select(col("bin"), col("id").as("id_b"),
+      col("start_ts").as("s_b"), col("end_ts").as("e_b"))
+    a.join(b, Seq("bin"))
+      .filter(col("id_a") < col("id_b")
+        && col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .select(col("id_a"), col("id_b"),
+        (least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")))
+          .as("overlap_us"))
+      .dropDuplicates("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Session time-overlap pairs across the events table: sessionize,
+    * collapse each (user, session) to its `[first, last]` event span,
+    * and find all concurrent session pairs. `id = user_id·10⁶ + seq`.
+    */
+  def sessionOverlaps(events: DataFrame, binMicros: Long = 3600L * 1000000): DataFrame = {
+    val sessions = Sessionize.sessionize(events)
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts").as("start_ts"), max("ts").as("end_ts"))
+      .select((col("user_id") * 1000000 + col("session_seq")).as("id"),
+        col("start_ts"), col("end_ts"))
+    selfOverlapPairs(sessions, binMicros)
+  }
+}
