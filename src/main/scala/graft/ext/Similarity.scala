@@ -95,24 +95,69 @@ object Similarity {
     * data); every vector assigned to its nearest centroid in one pass
     * with the centroid set broadcast.
     */
-  def ivfAssign(embeddings: DataFrame, nCentroids: Int = 16): DataFrame = {
-    // The centroid set is tiny and plan-time-constant: collect it (like
-    // the 1-row probe fetch) and fold it into literal expressions, so the
-    // assignment is ONE narrow projection — nCentroids codegen'd cosine
-    // kernels per row, zero exchanges. The crossJoin+window alternative
-    // shuffles nCentroids× the data just to pick an argmin.
-    val centroidRows = embeddings.orderBy("vec_id").limit(nCentroids)
+  /** Seed centroids: the first `nCentroids` vectors by vec_id — the
+    * deterministic k-means init (k-means++ would sharpen it; the seeds
+    * only need to be spread enough for Lloyd to converge).
+    */
+  def seedCentroids(embeddings: DataFrame, nCentroids: Int): Seq[(Long, Seq[Float])] =
+    embeddings.orderBy("vec_id").limit(nCentroids)
       .select(col("vec_id"), col("embedding")).collect()
-    val scored = array(centroidRows.map { r =>
-      val cvec = array(r.getSeq[Float](1).map(lit): _*)
-      struct((-cosine(col("embedding"), cvec)).as("d"),
-        lit(r.getLong(0)).as("cid"))
+      .toIndexedSeq.map(r => r.getLong(0) -> r.getSeq[Float](1))
+
+  /** Lloyd k-means over cosine assignment: each iteration is one
+    * distributed pass (narrow literal-argmin assignment + per-dimension
+    * mean via posexplode/groupBy), then a k×dim collect — the ONLY
+    * driver-side data is the centroid matrix itself. Empty clusters keep
+    * their previous centroid.
+    */
+  def kMeansCentroids(
+      embeddings: DataFrame,
+      nCentroids: Int = 16,
+      iterations: Int = 5): Seq[(Long, Seq[Float])] = {
+    var centroids = seedCentroids(embeddings, nCentroids)
+      .zipWithIndex.map { case ((_, v), i) => i.toLong -> v }
+    for (_ <- 0 until iterations) {
+      val updated = ivfAssignTo(embeddings, centroids)
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("centroid_id", "pos").agg(avg("v").as("v"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("centroid_id"),
+          transform(col("pv"), x => x.getField("v").cast("float")).as("cvec"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      centroids = centroids.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
+    }
+    centroids
+  }
+
+  /** Assign every vector to its nearest centroid in ONE narrow
+    * projection: the tiny centroid set is folded into literal
+    * expressions (nCentroids codegen'd cosine kernels per row, zero
+    * exchanges). The crossJoin+window alternative shuffles nCentroids×
+    * the data just to pick an argmin.
+    */
+  def ivfAssignTo(
+      embeddings: DataFrame,
+      centroids: Seq[(Long, Seq[Float])]): DataFrame = {
+    val scored = array(centroids.map { case (cid, v) =>
+      val cvec = array(v.map(lit): _*)
+      struct((-cosine(col("embedding"), cvec)).as("d"), lit(cid).as("cid"))
     }.toIndexedSeq: _*)
     // array_min over struct(dist, centroid_id) = argmin with the same
     // (dist asc, centroid_id asc) tie-break as an ORDER BY would give
     embeddings
       .withColumn("centroid_id", array_min(scored).getField("cid"))
       .select("vec_id", "embedding", "label", "centroid_id")
+  }
+
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int = 16): DataFrame =
+    ivfAssignTo(embeddings, seedCentroids(embeddings, nCentroids))
+
+  /** Centroid table for [[ivfTopK]] from a collected centroid set. */
+  def centroidsDF(spark: SparkSession, centroids: Seq[(Long, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    centroids.toDF("centroid_id", "cvec")
   }
 
   /** IVF probe: search only the `nProbe` centroids closest to the probe

@@ -55,6 +55,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall") // deterministic given seeded planes
   }
 
+  test("kMeans: recovers well-separated clusters; empty clusters keep centroids") {
+    import spark.implicits._
+    // 3 tight clusters around orthogonal-ish axes in 8-dim space
+    def vec(axis: Int, jitter: Int): Seq[Float] =
+      Seq.tabulate(8)(i => (if (i == axis) 10f else 0f) + (jitter % 3) * 0.1f)
+    val df = (0 until 30).map { i =>
+      (i.toLong, vec(i % 3, i), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = Similarity.kMeansCentroids(df, nCentroids = 3, iterations = 5)
+    val assigned = Similarity.ivfAssignTo(df, cents).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // all members of a true cluster land in the same learned cell
+    (0 until 3).foreach { axis =>
+      val cells = (0 until 30).filter(_ % 3 == axis).map(i => assigned(i.toLong)).toSet
+      assert(cells.size == 1, s"axis $axis split across cells $cells")
+    }
+    // and distinct true clusters land in distinct cells
+    assert((0 until 3).map(a => assigned(a.toLong)).toSet.size == 3)
+  }
+
+  test("IVF with kMeans centroids: probe finds its own vector, recall >= seeds") {
+    val probe = Similarity.defaultProbe(embs)
+    val cents = Similarity.kMeansCentroids(embs, nCentroids = 16, iterations = 3)
+    val assigned = Similarity.ivfAssignTo(embs, cents)
+    val got = Similarity.ivfTopK(assigned,
+      Similarity.centroidsDF(spark, cents), probe, k = 10).collect()
+    assert(got.length == 10)
+    assert(got.head.getLong(0) == 0L) // own vector, cosine 1.0
+    val brute = bruteTopK(probe, 10).map(_._1).toSet
+    val recall = (got.map(_.getLong(0)).toSet intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
   test("IVF: probe finds its own vector; scans subset of buckets") {
     val assigned = Similarity.ivfAssign(embs)
     assert(assigned.count() == embs.count()) // every vector assigned once
