@@ -91,6 +91,9 @@ object ExtQueries {
       Corpus.chunkDocuments(docs(s, dir))),
     "pack_greedy_documents" -> ((s: SparkSession, dir: String) =>
       Corpus.packGreedy(docs(s, dir))),
+    "curate_documents" -> ((s: SparkSession, dir: String) =>
+      // full pipeline: redact → quality-filter → dedup → sample
+      Corpus.curate(docs(s, dir))),
     // -- sessionize --
     "sessionize_events" -> ((s: SparkSession, dir: String) =>
       Sessionize.sessionize(Sources.table(s, dir, "events"))),
@@ -274,6 +277,31 @@ object ExtQueries {
          |SELECT doc_id, lang, n_tokens,
          |  lang || '#' || CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT)::VARCHAR AS pack_id
          |FROM c ORDER BY doc_id""".stripMargin,
+    "curate_documents" -> {
+      val stops = likeScoreSql(TextStats.LangMarkers.flatMap(_._2).distinct)
+      val normClean = """trim(regexp_replace(lower(clean_text), '\s+', ' ', 'g'))"""
+      s"""WITH r AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '${Corpus.EmailRegex}', '<EMAIL>', 'g'),
+         |                 '${Corpus.LongNumberRegex}', '<NUM>', 'g') AS clean_text
+         |  FROM documents),
+         |qb AS (SELECT doc_id,
+         |  GREATEST(length(text)::DOUBLE, 1.0) AS len,
+         |  GREATEST(($WsToksSql)::DOUBLE, 1.0) AS toks,
+         |  length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
+         |  ($stops)::DOUBLE AS stops FROM documents),
+         |q AS (SELECT doc_id, round(LEAST(1.0, GREATEST(0.0,
+         |    0.4 * LEAST(stops / toks * 10.0, 1.0) +
+         |    0.3 * (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |    0.3 * (CASE WHEN punct / len < 0.1 THEN 1.0 ELSE 0.0 END))), 4) AS quality_score
+         |  FROM qb),
+         |j AS (SELECT d.doc_id, d.lang, r.clean_text, q.quality_score
+         |      FROM documents d JOIN r USING (doc_id) JOIN q USING (doc_id)
+         |      WHERE q.quality_score >= 0.5),
+         |w AS (SELECT min(doc_id) AS doc_id FROM j GROUP BY md5($normClean))
+         |SELECT doc_id, lang, clean_text, quality_score FROM j
+         |WHERE doc_id IN (SELECT doc_id FROM w) AND md5(clean_text) < '80'
+         |ORDER BY doc_id""".stripMargin
+    },
     "sessionize_events" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),
          |s AS (SELECT event_id, user_id, ts,

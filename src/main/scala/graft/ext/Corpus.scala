@@ -66,6 +66,37 @@ object Corpus {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** End-to-end curation pipeline — the composition a real corpus prep
+    * runs: PII-redact → quality filter (TextStats score on the original
+    * text) → exact-dedup on the redacted text (keep lowest doc_id) →
+    * content-addressed sample. Every stage is one of this engine's
+    * oracle-verified operators, so the COMPOSITION is oracle-checkable
+    * too. Plan: two broadcast-friendly id joins + the dedup key
+    * aggregation — no stage materializes to the driver.
+    */
+  def curate(
+      documents: DataFrame,
+      minQuality: Double = 0.5,
+      sampleHexThreshold: String = "80"): DataFrame = {
+    val redacted = redactPii(documents)
+    val quality = TextStats.qualityScore(documents)
+      .select(col("doc_id"), col("quality_score"))
+    val joined = documents.select(col("doc_id"), col("lang"))
+      .join(redacted, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .filter(col("quality_score") >= minQuality)
+    val key = md5(TextStats.normText(col("clean_text")))
+    val winners = joined
+      .select(key.as("k"), col("doc_id"))
+      .groupBy("k").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    joined
+      .join(winners, Seq("doc_id"), "left_semi")
+      .filter(md5(encode(col("clean_text"), "UTF-8")) < lit(sampleHexThreshold))
+      .select("doc_id", "lang", "clean_text", "quality_score")
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget packs by
     * cumulative whitespace-token count in doc_id order WITHIN each lang
     * shard. This is the standard distributed approximation of greedy

@@ -47,6 +47,27 @@ class CorpusSpec extends SparkSpec {
     assert(out.count(_.getLong(0) == 3L) == 1)      // empty doc: one chunk
   }
 
+  test("curate pipeline: redacts, filters quality, dedups, samples") {
+    val prose = "the quick brown fox and the lazy dog are in a field of green grass"
+    val df = docsDF(Seq(
+      (1L, prose + " call 1234567"),
+      (2L, prose + " call 7654321"),   // redacts to a DIFFERENT clean text
+      (3L, prose + " CALL   1234567"), // dup of 1 after redact+normalize
+      (4L, "!!!???...;;;:::!!!???...;;;:::")))  // junk: fails quality
+    val out = Corpus.curate(df, minQuality = 0.5, sampleHexThreshold = "ff")
+      .collect()
+    val ids = out.map(_.getLong(0)).toSet
+    assert(!ids.contains(4L))          // junk filtered
+    assert(!ids.contains(3L))          // dedup kept lowest id (1)
+    assert(ids.contains(1L))
+    assert(out.forall(_.getString(2).contains("<NUM>"))) // redaction applied
+    assert(out.forall(_.getDouble(3) >= 0.5))
+    // sampling: a tight threshold keeps a strict subset
+    val sampled = Corpus.curate(df, minQuality = 0.5, sampleHexThreshold = "40")
+      .collect().map(_.getLong(0)).toSet
+    assert(sampled.subsetOf(ids))
+  }
+
   test("packGreedy: packs fill to budget in doc_id order per shard") {
     import spark.implicits._
     // 5 docs of 200 tokens each → budget 512 → packs 0,0,0(?),1,1 by cum
