@@ -185,6 +185,7 @@ object Dedup {
       .filter(col("count") > maxGramDocs)
       .select("gram")
     val capped = inv.join(broadcast(oversized), Seq("gram"), "left_anti")
+      .persist() // both sides of the candidate self-join
     val cands = capped.select(col("gram"), col("doc_id").as("doc_id_a"))
       .join(capped.select(col("gram"), col("doc_id").as("doc_id_b")), Seq("gram"))
       .filter(col("doc_id_a") < col("doc_id_b"))
