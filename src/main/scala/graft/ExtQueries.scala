@@ -122,6 +122,8 @@ object ExtQueries {
       Analytics.orderPriorityRank(s, dir)),
     "analytics_event_props" -> ((s: SparkSession, dir: String) =>
       Analytics.eventProps(s, dir)),
+    "winsorize_events" -> ((s: SparkSession, dir: String) =>
+      Analytics.winsorize(s, dir)),
     // -- multimodal --
     "media_stats_documents" -> ((s: SparkSession, dir: String) =>
       Multimodal.mediaStats(Multimodal.asMediaTable(docs(s, dir)))),
@@ -359,6 +361,18 @@ object ExtQueries {
         |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "winsorize_events" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |r AS (SELECT event_id, event_type, value,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |b AS (SELECT event_type,
+        |      max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN value END) AS lo_v,
+        |      max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS hi_v
+        |      FROM r GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  least(greatest(e.value, b.lo_v), b.hi_v) AS clipped_value
+        |FROM e JOIN b USING (event_type) ORDER BY event_id""".stripMargin,
     "media_stats_documents" ->
       """WITH m AS (SELECT
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

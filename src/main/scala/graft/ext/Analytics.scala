@@ -94,4 +94,34 @@ object Analytics {
         max("k_value").as("max_k"))
       .orderBy("event_type")
   }
+
+  /** Winsorize `value` within each event_type: clip to the per-group
+    * [p_lo, p_hi] DISCRETE order statistics (value at rank ⌈q·n⌉ — an
+    * existing value, picked by rank, not interpolated: no float
+    * arithmetic, so the result is oracle-exact across engines).
+    * Plan: one window shuffle on the group key for the ranks, a tiny
+    * per-group bounds table broadcast back. Standard outlier clipping
+    * before model-feature extraction.
+    */
+  def winsorize(
+      spark: SparkSession,
+      dir: String,
+      lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    val events = Sources.table(spark, dir, "events")
+      .select("event_id", "event_type", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("value", "event_id")
+    val ranked = events
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+    val bounds = ranked.groupBy("event_type").agg(
+      max(when(col("rn") === ceil(lit(lo) * col("n")), col("value"))).as("lo_v"),
+      max(when(col("rn") === ceil(lit(hi) * col("n")), col("value"))).as("hi_v"))
+    events.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(greatest(col("value"), col("lo_v")), col("hi_v")).as("clipped_value"))
+      .orderBy("event_id")
+  }
 }

@@ -110,4 +110,20 @@ object Sources {
     spark.sql(
       s"CREATE TABLE IF NOT EXISTS $qualified USING $fmt OPTIONS (path '$path'$opts)")
   }
+
+  /** Write `df` date-partitioned by the given µs-epoch timestamp column
+    * (`<path>/p_date=YYYY-MM-DD/...`). At 100 TB this is the layout that
+    * makes time-ranged queries touch only their days: a `p_date` filter
+    * prunes at the FILE LISTING level (shows up as PartitionFilters in
+    * `.explain`, zero I/O for other days), before any row is read.
+    */
+  def writePartitionedByDay(
+      df: org.apache.spark.sql.DataFrame,
+      path: String,
+      tsCol: String = "ts"): Unit =
+    df.withColumn("p_date",
+      org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col(tsCol))))
+      .write.mode("overwrite").partitionBy("p_date").parquet(path)
 }

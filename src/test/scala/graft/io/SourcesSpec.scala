@@ -63,6 +63,25 @@ class SourcesSpec extends SparkSpec {
     assert(df.schema("b").dataType == StringType)
   }
 
+  test("writePartitionedByDay: day filter prunes partitions at the scan") {
+    import spark.implicits._
+    val day = 86400L * 1000000
+    val df = Seq(
+      (1L, 0L, "a"), (2L, day / 2, "b"),        // day 1970-01-01
+      (3L, day + 1, "c"), (4L, 2 * day + 5, "d")) // later days
+      .toDF("event_id", "ts", "payload")
+    val dir = Files.createTempDirectory("pdate").toString
+    Sources.writePartitionedByDay(df, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4)
+    val oneDay = back.filter(org.apache.spark.sql.functions.col("p_date") === "1970-01-01")
+    assert(oneDay.collect().map(_.getAs[Long]("event_id")).toSet == Set(1L, 2L))
+    // the filter must reach the file listing, not the row scan
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("p_date"), s"expected partition pruning, plan:\n$plan")
+  }
+
   test("registerExternal creates an idempotent catalog table (main.py:314-349)") {
     val dir = Files.createTempDirectory("ext")
     Files.writeString(dir.resolve("t.json"), """{"x":1}""" + "\n" + """{"x":2}""" + "\n")
