@@ -94,6 +94,8 @@ object ExtQueries {
     "curate_documents" -> ((s: SparkSession, dir: String) =>
       // full pipeline: redact → quality-filter → dedup → sample
       Corpus.curate(docs(s, dir))),
+    "quantize_embeddings" -> ((s: SparkSession, dir: String) =>
+      Similarity.quantizeInt8(embs(s, dir))),
     // -- sessionize --
     "sessionize_events" -> ((s: SparkSession, dir: String) =>
       Sessionize.sessionize(Sources.table(s, dir, "events"))),
@@ -228,6 +230,16 @@ object ExtQueries {
          |  SELECT d.*, ROW_NUMBER() OVER (
          |    PARTITION BY md5($NormSql) ORDER BY doc_id) AS rn
          |  FROM documents d) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "quantize_embeddings" ->
+      """WITH b AS (SELECT vec_id,
+        |  list_aggregate(embedding, 'min')::DOUBLE AS mn,
+        |  list_aggregate(embedding, 'max')::DOUBLE AS mx,
+        |  embedding FROM embeddings)
+        |SELECT vec_id, round(mn, 6) AS mn_r, round(mx, 6) AS mx_r,
+        |  array_to_string(list_transform(embedding, v ->
+        |    CAST(CASE WHEN mx = mn THEN 0 ELSE
+        |      least(255, floor((v::DOUBLE - mn) * 256.0 / (mx - mn))) END AS BIGINT)::VARCHAR), ',') AS q_csv
+        |FROM b ORDER BY vec_id""".stripMargin,
     "range_join_sessions" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),
          |s AS (SELECT event_id, user_id, ts,

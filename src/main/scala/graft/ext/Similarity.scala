@@ -154,6 +154,30 @@ object Similarity {
   def ivfAssign(embeddings: DataFrame, nCentroids: Int = 16): DataFrame =
     ivfAssignTo(embeddings, seedCentroids(embeddings, nCentroids))
 
+  /** Per-vector int8 (0–255) min–max quantization — the storage path
+    * for vector corpora at scale (4× smaller than float32 before
+    * compression; IVF/LSH recall is barely affected at 8 bits). Pure
+    * narrow projection; `floor` (not `round`) keeps the binning
+    * bit-identical across engines, and the vector is serialized to CSV
+    * for the driver's hash compare. Constant vectors quantize to 0s.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val mn = array_min(col("embedding")).cast("double")
+    val mx = array_max(col("embedding")).cast("double")
+    embeddings
+      .select(col("vec_id"), mn.as("mn"), mx.as("mx"), col("embedding"))
+      .select(col("vec_id"),
+        round(col("mn"), 6).as("mn_r"),
+        round(col("mx"), 6).as("mx_r"),
+        concat_ws(",", transform(col("embedding"), v =>
+          when(col("mx") === col("mn"), lit(0L))
+            .otherwise(least(lit(255L),
+              floor((v.cast("double") - col("mn")) * lit(256.0)
+                / (col("mx") - col("mn")))))
+            .cast("string"))).as("q_csv"))
+      .orderBy("vec_id")
+  }
+
   /** Centroid table for [[ivfTopK]] from a collected centroid set. */
   def centroidsDF(spark: SparkSession, centroids: Seq[(Long, Seq[Float])]): DataFrame = {
     import spark.implicits._

@@ -88,6 +88,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("quantizeInt8: bins in [0,255], min→0, max→255, constant vector→0s") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(-1.0f, 0.0f, 1.0f), 0),
+      (2L, Seq(0.5f, 0.5f, 0.5f), 0)) // constant
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "0,128,255")
+    assert(out(2L) == "0,0,0")
+    // real data: every bin within range, min/max bins present per vector
+    val real = Similarity.quantizeInt8(embs).limit(50).collect()
+    real.foreach { r =>
+      val bins = r.getString(3).split(",").map(_.toInt)
+      assert(bins.forall(b => b >= 0 && b <= 255))
+      assert(bins.contains(0) && bins.contains(255))
+    }
+  }
+
   test("IVF: probe finds its own vector; scans subset of buckets") {
     val assigned = Similarity.ivfAssign(embs)
     assert(assigned.count() == embs.count()) // every vector assigned once
