@@ -44,6 +44,8 @@ object ExtQueries {
     // -- dedup --
     "dedup_exact_documents" -> ((s: SparkSession, dir: String) =>
       Dedup.exact(docs(s, dir))),
+    "dedup_exact_keep_longest_documents" -> ((s: SparkSession, dir: String) =>
+      Dedup.exactKeepLongest(docs(s, dir))),
     "dedup_minhash_documents" -> ((s: SparkSession, dir: String) =>
       Dedup.minHashDedup(docs(s, dir))),
     "dedup_minhash_pairs_documents" -> ((s: SparkSession, dir: String) =>
@@ -229,6 +231,11 @@ object ExtQueries {
       s"""SELECT doc_id, text, lang, source, n_chars FROM (
          |  SELECT d.*, ROW_NUMBER() OVER (
          |    PARTITION BY md5($NormSql) ORDER BY doc_id) AS rn
+         |  FROM documents d) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_exact_keep_longest_documents" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM (
+         |  SELECT d.*, ROW_NUMBER() OVER (
+         |    PARTITION BY md5($NormSql) ORDER BY n_chars DESC, doc_id) AS rn
          |  FROM documents d) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "quantize_embeddings" ->
       """WITH b AS (SELECT vec_id,

@@ -35,6 +35,22 @@ object Dedup {
     documents.join(winners, Seq("doc_id"), "left_semi").orderBy("doc_id")
   }
 
+  /** Exact dedup, keep-LONGEST policy (ties → lowest doc_id): the usual
+    * corpus rule when duplicates differ by truncation. Same shuffle
+    * shape as [[exact]] — only (key, n_chars, doc_id) moves; the winner
+    * per key is a single max of a (n_chars, -doc_id) struct (map-side
+    * combinable, no window sort).
+    */
+  def exactKeepLongest(documents: DataFrame): DataFrame = {
+    val key = md5(TextStats.normText(col("text")))
+    val winners = documents
+      .select(key.as("k"), col("n_chars"), col("doc_id"))
+      .groupBy("k")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("w"))
+      .select((-col("w.neg_id")).cast("bigint").as("doc_id"))
+    documents.join(winners, Seq("doc_id"), "left_semi").orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- minhash
 
   val MinHashK: Int = graft.functions.Hashing.MinHashK // default signature length

@@ -20,6 +20,19 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 4L, 5L))
   }
 
+  test("exactKeepLongest keeps the longest copy, ties to lowest doc_id") {
+    import spark.implicits._
+    // same normalized text, different raw lengths (trailing whitespace)
+    val df = Seq(
+      (1L, "hello world"), (2L, "hello   world  "), (3L, "hello world "),
+      (4L, "another doc"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "length(text) AS n_chars")
+    val out = Dedup.exactKeepLongest(df).collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 4L)) // doc 2 is the longest of the dup group
+  }
+
   test("minhash: exact duplicates always pair with est_jaccard 1.0") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val df = docsDF(Seq(
