@@ -19,17 +19,29 @@ object Bench {
       try graft.io.Sources.table(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // noop sink: full evaluation of every column (count() would let
+    // Catalyst prune the very projections being benchmarked)
+    def evalOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // noop sink: full evaluation of every column (count() would let
-      // Catalyst prune the very projections being benchmarked)
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // release operator-pinned intermediates (LSH banded tables etc.)
+      // so one query's cache never pressures the next query's heap
+      graft.core.CacheScope.releaseAll()
+      spark.catalog.clearCache()
+      sec
+    }
+    // deterministic sorted order + min-of-2: the artifact must be
+    // reproducible and robust to transient co-tenant CPU contention
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val s1 = evalOnce(fn)
+      val s2 = evalOnce(fn)
+      name -> math.min(s1, s2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -104,7 +104,7 @@ object Dedup {
         struct(lit(i).as("band"), hash(slice(col("sig"), i * r + 1, r), lit(i)).as("bkey"))
       }: _*)).as("b"))
       .select(col("doc_id"), col("sig"), col("b.band"), col("b.bkey"))
-      .persist()
+      .transform(graft.core.CacheScope.persist)
     // Skew guard: degenerate buckets (e.g. empty-text hash) explode the
     // self-join quadratically. Broadcast the OVERSIZED buckets (tiny by
     // construction: ≤ n/MaxBucket of them, and in practice a handful) and
@@ -164,7 +164,7 @@ object Dedup {
     val sets = documents.select(
       col("doc_id"),
       graft.functions.GraftFunctions.ngramHashes(col("text"), n).as("grams"))
-      .persist() // joined twice (a-side and b-side)
+      .transform(graft.core.CacheScope.persist) // joined twice (a-side and b-side)
     val joined = cands
       .join(sets.withColumnRenamed("doc_id", "doc_id_a")
         .withColumnRenamed("grams", "grams_a"), Seq("doc_id_a"))
@@ -195,13 +195,13 @@ object Dedup {
     val sets = documents.select(
       col("doc_id"),
       graft.functions.GraftFunctions.ngramHashes(col("text"), n).as("grams"))
-      .persist() // inverted index + both verify joins
+      .transform(graft.core.CacheScope.persist) // inverted index + both verify joins
     val inv = sets.select(col("doc_id"), explode(col("grams")).as("gram"))
     val oversized = inv.groupBy("gram").count()
       .filter(col("count") > maxGramDocs)
       .select("gram")
     val capped = inv.join(broadcast(oversized), Seq("gram"), "left_anti")
-      .persist() // both sides of the candidate self-join
+      .transform(graft.core.CacheScope.persist) // both sides of the candidate self-join
     val cands = capped.select(col("gram"), col("doc_id").as("doc_id_a"))
       .join(capped.select(col("gram"), col("doc_id").as("doc_id_b")), Seq("gram"))
       .filter(col("doc_id_a") < col("doc_id_b"))
@@ -245,7 +245,7 @@ object Dedup {
             .bitwiseAND(lit((1L << bitsPer) - 1)).as("bkey"))
       }: _*)).as("b"))
       .select(col("doc_id"), col("sh"), col("b.band"), col("b.bkey"))
-      .persist() // 3 consumers; avoid re-deriving the simhash expression
+      .transform(graft.core.CacheScope.persist) // 3 consumers; avoid re-deriving the simhash expression
     // same inverted skew guard as minHashPairs: broadcast only the
     // oversized buckets (bounded), anti-join the corpus-sized side
     val oversized = banded.groupBy("band", "bkey").count()
@@ -287,7 +287,7 @@ object Dedup {
             .bitwiseAND(lit((1L << bitsPer) - 1)).as("bkey"))
       }: _*)).as("b"))
       .select(col("vec_id"), col("embedding"), col("b.band"), col("b.bkey"))
-      .persist() // both sides of the self-join
+      .transform(graft.core.CacheScope.persist) // both sides of the self-join
     val a = banded.select(col("band"), col("bkey"),
       col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
     val b = banded.select(col("band"), col("bkey"),
