@@ -29,6 +29,34 @@ object ExtQueries {
     words.map(w => s"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
       .mkString(" + ")
 
+  /** CTE chain producing `j(doc_id_a, doc_id_b, exact_jaccard)` — the
+    * exact inverted-index n-gram pair set of [[Dedup.ngramJaccardPairsExact]]
+    * (same ShingleN / MaxBucket constants). Shared by the pair query and
+    * the transitive-closure cluster oracle so they cannot drift.
+    */
+  private val NgramPairCtes: String = {
+    val n = graft.functions.Hashing.ShingleN
+    val cap = Dedup.MaxBucket
+    s"""d AS (SELECT doc_id, $NormSql AS norm FROM documents),
+       |w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM d),
+       |g AS (SELECT doc_id,
+       |  CASE WHEN len(words) < $n THEN [array_to_string(words, ' ')]
+       |       ELSE list_distinct(list_transform(range(1, len(words) - ${n - 2}),
+       |            i -> array_to_string(words[i:i+${n - 1}], ' '))) END AS grams
+       |  FROM w),
+       |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |big AS (SELECT gram FROM e GROUP BY gram HAVING count(*) > $cap),
+       |ee AS (SELECT doc_id, gram FROM e WHERE gram NOT IN (SELECT gram FROM big)),
+       |c AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+       |      FROM ee a JOIN ee b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |j AS (SELECT doc_id_a, doc_id_b,
+       |  round(len(list_intersect(ga.grams, gb.grams))::DOUBLE /
+       |        (len(ga.grams) + len(gb.grams)
+       |         - len(list_intersect(ga.grams, gb.grams))), 6) AS exact_jaccard
+       |  FROM c JOIN g ga ON ga.doc_id = c.doc_id_a
+       |         JOIN g gb ON gb.doc_id = c.doc_id_b)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     // -- text analysis --
     "text_stats_documents" -> ((s: SparkSession, dir: String) =>
@@ -62,6 +90,12 @@ object ExtQueries {
     "dedup_cluster_documents" -> ((s: SparkSession, dir: String) =>
       // transitive near-dup clusters (GraphX connected components)
       DedupClusters.minHashClusters(docs(s, dir), threshold = 0.8)),
+    "dedup_cluster_exact_documents" -> ((s: SparkSession, dir: String) =>
+      // same GraphX CC, but over the exact (sketch-free) n-gram pair
+      // set → the component structure is DuckDB-oracle-checkable via
+      // WITH RECURSIVE transitive closure
+      DedupClusters.clusters(docs(s, dir),
+        Dedup.ngramJaccardPairsExact(docs(s, dir), threshold = 0.1))),
     "dedup_embedding_pairs_embeddings" -> ((s: SparkSession, dir: String) =>
       // synthetic embeddings have no true near-dups (max pairwise cosine
       // ≈0.48 at sf0.001); 0.3 exercises the LSH-candidate + verify path
@@ -203,30 +237,40 @@ object ExtQueries {
     // frequency cap (MaxBucket) and threshold as the Spark plan. The
     // Spark side compares 64-bit gram hashes, the oracle the gram
     // strings themselves — identical Jaccard short of 2^-64 collisions.
-    "dedup_ngram_pairs_documents" -> {
-      val n = graft.functions.Hashing.ShingleN
-      val cap = Dedup.MaxBucket
-      s"""WITH d AS (SELECT doc_id, $NormSql AS norm FROM documents),
-         |w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM d),
-         |g AS (SELECT doc_id,
-         |  CASE WHEN len(words) < $n THEN [array_to_string(words, ' ')]
-         |       ELSE list_distinct(list_transform(range(1, len(words) - ${n - 2}),
-         |            i -> array_to_string(words[i:i+${n - 1}], ' '))) END AS grams
-         |  FROM w),
-         |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-         |big AS (SELECT gram FROM e GROUP BY gram HAVING count(*) > $cap),
-         |ee AS (SELECT doc_id, gram FROM e WHERE gram NOT IN (SELECT gram FROM big)),
-         |c AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-         |      FROM ee a JOIN ee b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-         |j AS (SELECT doc_id_a, doc_id_b,
-         |  round(len(list_intersect(ga.grams, gb.grams))::DOUBLE /
-         |        (len(ga.grams) + len(gb.grams)
-         |         - len(list_intersect(ga.grams, gb.grams))), 6) AS exact_jaccard
-         |  FROM c JOIN g ga ON ga.doc_id = c.doc_id_a
-         |         JOIN g gb ON gb.doc_id = c.doc_id_b)
+    "dedup_ngram_pairs_documents" ->
+      s"""WITH $NgramPairCtes
          |SELECT doc_id_a, doc_id_b, exact_jaccard FROM j
-         |WHERE exact_jaccard >= 0.1 ORDER BY doc_id_a, doc_id_b""".stripMargin
-    },
+         |WHERE exact_jaccard >= 0.1 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    // transitive closure of the SAME exact pair set: min reachable
+    // doc_id per doc ≡ GraphX connectedComponents' min-vertex label
+    "dedup_cluster_exact_documents" ->
+      s"""WITH RECURSIVE $NgramPairCtes,
+         |p AS (SELECT doc_id_a, doc_id_b FROM j WHERE exact_jaccard >= 0.1),
+         |edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM p
+         |          UNION ALL SELECT doc_id_b, doc_id_a FROM p),
+         |walk(doc_id, reach) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT wk.doc_id, e2.b FROM walk wk JOIN edges e2 ON wk.reach = e2.a)
+         |SELECT doc_id, min(reach)::BIGINT AS cluster_id
+         |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // brute-force cosine top-k against the min-vec_id probe: per-element
+    // double accumulation mirrors the codegen'd kernel; 6-dp rounding on
+    // both sides absorbs summation-order ulps (same recipe as quantize)
+    "similarity_topk_embeddings" ->
+      """WITH p AS (SELECT embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 1),
+        |u AS (SELECT vec_id,
+        |        unnest(embedding)::DOUBLE AS v,
+        |        unnest((SELECT pe FROM p))::DOUBLE AS pv
+        |      FROM embeddings),
+        |s AS (SELECT vec_id, sum(v * pv) AS dp,
+        |        sum(v * v) AS na, sum(pv * pv) AS nb
+        |      FROM u GROUP BY vec_id)
+        |SELECT e.vec_id, e.label,
+        |  round(CASE WHEN s.na = 0 OR s.nb = 0 THEN 0 ELSE s.dp / sqrt(s.na * s.nb) END, 6)
+        |    AS cosine
+        |FROM s JOIN embeddings e USING (vec_id)
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "dedup_exact_documents" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM (
          |  SELECT d.*, ROW_NUMBER() OVER (
@@ -415,8 +459,10 @@ object ExtQueries {
         |  (frame_idx * 1000 + 1)::BIGINT AS frame_offset,
         |  least(1000, byte_len - frame_idx * 1000)::BIGINT AS frame_len
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
-    // no oracle (array math / LSH): dedup_minhash*, dedup_simhash*,
-    // dedup_ngram*, dedup_embedding*, similarity_*, multimodal_features —
-    // covered by scalatest property/brute-force checks instead.
+    // no oracle (hash-seeded LSH, not SQL-expressible): dedup_minhash*,
+    // dedup_simhash_pairs, dedup_ngram_lsh_pairs, dedup_cluster (minhash
+    // variant; the exact variant IS oracle-checked above), dedup_embedding
+    // _pairs, similarity_ann/ivf, multimodal_features — covered by
+    // scalatest property/brute-force checks instead.
   )
 }
