@@ -90,11 +90,18 @@ object Sources {
     * catalog — the reference's create_external_table (main.py:314-349),
     * idempotent like its exists_ok=True (main.py:343).
     */
+  /** An explicit `schema` disables autodetect (the reference's
+    * `schema=` on its external-table config, main.py:333-335): the
+    * column list is declared in the DDL and Spark skips inference —
+    * which also means a file Spark cannot infer from (empty, corrupt)
+    * still registers and reads under the declared shape.
+    */
   def registerExternal(
       spark: SparkSession,
       tableName: String,
       path: String,
-      format: String): Unit = {
+      format: String,
+      schema: Option[StructType] = None): Unit = {
     val fmt = format.toLowerCase match {
       case "json" | "newline_delimited_json" => "json"
       case "csv"                             => "csv"
@@ -107,8 +114,20 @@ object Sources {
     }
     val qualified = tableName.split('.')
       .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+    val cols = schema.map(s => s" (${s.toDDL})").getOrElse("")
+    val existed = spark.catalog.tableExists(qualified.replace("`", ""))
     spark.sql(
-      s"CREATE TABLE IF NOT EXISTS $qualified USING $fmt OPTIONS (path '$path'$opts)")
+      s"CREATE TABLE IF NOT EXISTS $qualified$cols USING $fmt OPTIONS (path '$path'$opts)")
+    // registration-time validation, mirroring the reference's external-
+    // table creation (a BQ table with zero autodetected columns is a
+    // creation error, not a deferred query error): Spark 4 lazily infers
+    // JSON/CSV schemas, so an uninferable file (empty, corrupt) would
+    // otherwise register fine and break every later reader.
+    if (schema.isEmpty && spark.table(qualified).schema.isEmpty) {
+      if (!existed) spark.sql(s"DROP TABLE IF EXISTS $qualified")
+      throw new IllegalArgumentException(
+        s"schema autodetect produced no columns for $path — pass an explicit schema")
+    }
   }
 
   /** Write `df` date-partitioned by the given µs-epoch timestamp column

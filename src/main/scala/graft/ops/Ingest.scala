@@ -21,6 +21,18 @@ import scala.jdk.CollectionConverters._
 object Ingest {
 
   final case class IngestedTable(table: String, path: String, format: String)
+  final case class FailedFile(path: String, error: String)
+
+  /** Outcome of an ingest batch: what registered, what didn't. The
+    * reference counts per-file failures and keeps going rather than
+    * aborting the batch (`error_count`, main.py:182-186), then gives
+    * failures one more sequential chance (main.py:400-427).
+    */
+  final case class IngestResult(
+      tables: Seq[IngestedTable],
+      failures: Seq[FailedFile]) {
+    def errorCount: Int = failures.size
+  }
 
   /** Recursive *.json / *.csv discovery (main.py:58-73). */
   def findFiles(baseFolder: String, suffix: String): Seq[String] = {
@@ -47,20 +59,43 @@ object Ingest {
   def defaultDatabase: String =
     graft.core.Secrets.fetch("staging_database").getOrElse("staging")
 
+  /** `schemas` maps a sanitized table stem (what
+    * [[Names.tableNameForFile]] yields) to an explicit schema, which
+    * disables autodetect for that table (main.py:333-335). One bad file
+    * never aborts the batch: each failure is recorded, retried once
+    * sequentially (main.py:400-427), and reported in the result.
+    */
   def run(
       spark: SparkSession,
       baseFolder: String,
-      database: String = defaultDatabase): Seq[IngestedTable] = {
+      database: String = defaultDatabase,
+      schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty)
+      : IngestResult = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`") // main.py:39-55
     val json = findFiles(baseFolder, ".json").map((_, "json"))
     val csv = findFiles(baseFolder, ".csv").map((_, "csv"))
-    (json ++ csv).map { case (path, fmt) =>
-      val table = s"$database.${Names.tableNameForFile(path)}"
+    val all = json ++ csv
+    def attempt(path: String, fmt: String): Either[FailedFile, IngestedTable] = {
+      val stem = Names.tableNameForFile(path)
+      val table = s"$database.$stem"
       // sanitized *view* of the raw file: rename-only projection over an
       // external scan; table registration stays pointed at the raw file
-      Sources.registerExternal(spark, table, path, fmt)
-      IngestedTable(table, path, fmt)
+      try {
+        Sources.registerExternal(spark, table, path, fmt, schemas.get(stem))
+        Right(IngestedTable(table, path, fmt))
+      } catch {
+        case e: Throwable =>
+          Left(FailedFile(path, Option(e.getMessage).getOrElse(e.toString)))
+      }
     }
+    val first = all.map { case (path, fmt) => (path, fmt, attempt(path, fmt)) }
+    val settled = first.map {
+      case (path, fmt, Left(_)) => attempt(path, fmt) // one sequential retry
+      case (_, _, ok)           => ok
+    }
+    IngestResult(
+      settled.collect { case Right(t) => t },
+      settled.collect { case Left(f) => f })
   }
 
   /** Sanitized readers for ingested tables: the identifier cleanup the
