@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{AnalysisException, DataFrame}
-import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+import org.apache.spark.sql.functions.{broadcast, col, concat, concat_ws, count, lit}
 
 /** Load-type semantics of the reference's incremental-load library
   * (gcp_function.py:115-166), re-expressed as single shuffle-bounded
@@ -27,7 +27,11 @@ object Loader {
 
   /** BQ MERGE errors when a target row matches multiple staging rows; our
     * join-based rewrite would silently keep both (SURVEY.md §7.4.3), so we
-    * enforce staging-key uniqueness up front.
+    * enforce staging-key uniqueness — eagerly here (a separate blocking
+    * job; kept for callers who want the check up front), or lazily inside
+    * the merge plan itself via [[withUniqueKeyGuard]] (the default in
+    * [[upsert]]: no extra pass over staging, no driver serialization at
+    * plan-construction time).
     */
   def requireUniqueKeys(staging: DataFrame, keys: Seq[String]): Unit = {
     val dups = staging.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
@@ -35,6 +39,26 @@ object Loader {
     if (dups > 0)
       throw new IllegalArgumentException(
         s"staging has duplicate merge keys ${keys.mkString(",")}: MERGE would match multiple rows")
+  }
+
+  /** In-plan staging-key uniqueness guard: a window count over the merge
+    * keys plus `assert_true`, evaluated when the merge job itself runs —
+    * duplicate keys fail the ACTION with a descriptive error instead of
+    * costing an extra eager pass at plan-construction time. The guard
+    * lives in a filter so column pruning cannot drop it.
+    */
+  def withUniqueKeyGuard(staging: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    staging
+      .withColumn("_graft_key_n", count(lit(1)).over(w))
+      .filter(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.assert_true(
+          col("_graft_key_n") <= 1,
+          concat(lit(s"staging has duplicate merge keys (${keys.mkString(",")}): " +
+            "MERGE would match multiple rows, e.g. key "),
+            concat_ws(",", keys.map(c => col(c).cast("string")): _*))
+        ).cast("boolean"), lit(true)))
+      .drop("_graft_key_n")
   }
 
   /** A MERGE-specific broadcast ceiling, far above the session's
@@ -70,10 +94,18 @@ object Loader {
       checkUniqueKeys: Boolean = true,
       broadcastStaging: Option[Boolean] = None): DataFrame = {
     require(keys.nonEmpty, "MERGE requires at least one on_condition column")
-    if (checkUniqueKeys) requireUniqueKeys(staging, keys)
     val alignedStaging = staging.select(target.columns.map(col).toIndexedSeq: _*)
+    // Uniqueness rides the merge job (assert at action time) — zero eager
+    // jobs at plan-construction time. The guard sits on the anti-join
+    // PROBE branch, where its window's keys-exchange doubles as the
+    // shuffle the join needs anyway: in the non-broadcast (bucketed-
+    // target) case the plan still has exactly one staging exchange and
+    // the target never moves. The anti-join consumes every probe row, so
+    // every duplicate key trips the assert.
+    val guarded =
+      if (checkUniqueKeys) withUniqueKeyGuard(alignedStaging, keys) else alignedStaging
     val doBroadcast = broadcastStaging.getOrElse(shouldBroadcastStaging(target, staging))
-    val probe = if (doBroadcast) broadcast(alignedStaging) else alignedStaging
+    val probe = if (doBroadcast) broadcast(guarded) else guarded
     val untouched = target.join(probe, keys, "left_anti")
     alignedStaging.unionByName(untouched)
   }

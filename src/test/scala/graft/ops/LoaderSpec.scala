@@ -90,9 +90,33 @@ class LoaderSpec extends SparkSpec {
   test("duplicate staging keys rejected like BQ MERGE multiple-match (SURVEY §7.4.3)") {
     import spark.implicits._
     val staging = Seq((2L, "x", 0.0), (2L, "y", 1.0)).toDF("k", "name", "v")
-    intercept[IllegalArgumentException] {
-      Loader.upsert(target, staging, Seq("k"))
+    // the guard rides the merge job: plan construction is fine, the
+    // ACTION fails with the descriptive duplicate-keys error
+    val plan = Loader.upsert(target, staging, Seq("k"))
+    val e = intercept[Exception] { plan.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("duplicate merge keys")),
+      s"unexpected error: $e")
+  }
+
+  test("upsert plan construction triggers zero Spark jobs") {
+    import spark.implicits._
+    val staging = Seq((2L, "b2", 2.2), (4L, "d", 4.4)).toDF("k", "name", "v")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
     }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Thread.sleep(300) // drain in-flight listener events from prior tests
+      jobs.set(0)
+      Loader.upsert(target, staging, Seq("k")) // plan only — no action
+      Thread.sleep(500) // listener delivery is async
+      assert(jobs.get() == 0, s"plan construction ran ${jobs.get()} eager job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("empty staging is a no-op (gcp_function.py:156)") {
