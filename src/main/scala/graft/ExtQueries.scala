@@ -111,12 +111,12 @@ object ExtQueries {
     }),
     "similarity_ivf_embeddings" -> ((s: SparkSession, dir: String) => {
       val e = embs(s, dir)
-      // Lloyd-refined centroids (3 distributed passes) tighten the
-      // cells vs raw seeds → better recall at the same nProbe
-      val cents = Similarity.kMeansCentroids(e, nCentroids = 16, iterations = 3)
-      val assigned = Similarity.ivfAssignTo(e, cents)
-      Similarity.ivfTopK(assigned, Similarity.centroidsDF(s, cents),
-        Similarity.defaultProbe(e))
+      // explicit index-build step (offline at cluster scale: train once,
+      // write vectors bucketed by centroid_id), then the query consumes
+      // the index — Lloyd's source scan happens once, pinned, released
+      val index = Similarity.buildIvfIndex(e, nCentroids = 16, iterations = 3)
+      val assigned = Similarity.ivfAssignTo(e, index.centroids)
+      Similarity.ivfTopK(assigned, index.toDF(s), Similarity.defaultProbe(e))
     }),
     // -- corpus preparation (sampling / scrubbing / chunking / packing) --
     "sample_hash_documents" -> ((s: SparkSession, dir: String) =>

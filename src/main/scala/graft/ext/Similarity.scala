@@ -109,27 +109,52 @@ object Similarity {
     * mean via posexplode/groupBy), then a k×dim collect — the ONLY
     * driver-side data is the centroid matrix itself. Empty clusters keep
     * their previous centroid.
+    *
+    * The (vec_id, embedding) projection is pinned for the duration of
+    * the loop and released on exit: the SOURCE is scanned once total,
+    * however many iterations run — not once per iteration.
     */
   def kMeansCentroids(
       embeddings: DataFrame,
       nCentroids: Int = 16,
       iterations: Int = 5): Seq[(Long, Seq[Float])] = {
-    var centroids = seedCentroids(embeddings, nCentroids)
-      .zipWithIndex.map { case ((_, v), i) => i.toLong -> v }
-    for (_ <- 0 until iterations) {
-      val updated = ivfAssignTo(embeddings, centroids)
-        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("centroid_id", "pos").agg(avg("v").as("v"))
-        .groupBy("centroid_id")
-        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
-        .select(col("centroid_id"),
-          transform(col("pv"), x => x.getField("v").cast("float")).as("cvec"))
-        .collect()
-        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-      centroids = centroids.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
-    }
-    centroids
+    val cached = embeddings.select(col("vec_id"), col("embedding")).persist()
+    try {
+      var centroids = seedCentroids(cached, nCentroids)
+        .zipWithIndex.map { case ((_, v), i) => i.toLong -> v }
+      for (_ <- 0 until iterations) {
+        val updated = cached
+          .withColumn("centroid_id", nearestCentroid(centroids))
+          .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("centroid_id", "pos").agg(avg("v").as("v"))
+          .groupBy("centroid_id")
+          .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+          .select(col("centroid_id"),
+            transform(col("pv"), x => x.getField("v").cast("float")).as("cvec"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+        centroids = centroids.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
+      }
+      centroids
+    } finally cached.unpersist(blocking = false)
   }
+
+  /** An IVF index: the trained centroid matrix. At cluster scale this is
+    * what an offline index-build job produces (and the vectors get
+    * written bucketed by `centroid_id`); queries then only consume it.
+    */
+  final case class IvfIndex(centroids: Seq[(Long, Seq[Float])]) {
+    def toDF(spark: SparkSession): DataFrame = centroidsDF(spark, centroids)
+  }
+
+  /** Explicit index-build step (seed → Lloyd refine). Queries take the
+    * returned index instead of re-training inside the query builder.
+    */
+  def buildIvfIndex(
+      embeddings: DataFrame,
+      nCentroids: Int = 16,
+      iterations: Int = 3): IvfIndex =
+    IvfIndex(kMeansCentroids(embeddings, nCentroids, iterations))
 
   /** Assign every vector to its nearest centroid in ONE narrow
     * projection: the tiny centroid set is folded into literal
@@ -137,19 +162,24 @@ object Similarity {
     * exchanges). The crossJoin+window alternative shuffles nCentroids×
     * the data just to pick an argmin.
     */
-  def ivfAssignTo(
-      embeddings: DataFrame,
-      centroids: Seq[(Long, Seq[Float])]): DataFrame = {
+  /** Literal-argmin nearest-centroid expression over `embedding`:
+    * array_min over struct(dist, centroid_id) = argmin with the same
+    * (dist asc, centroid_id asc) tie-break as an ORDER BY would give.
+    */
+  def nearestCentroid(centroids: Seq[(Long, Seq[Float])]): Column = {
     val scored = array(centroids.map { case (cid, v) =>
       val cvec = array(v.map(lit): _*)
       struct((-cosine(col("embedding"), cvec)).as("d"), lit(cid).as("cid"))
     }.toIndexedSeq: _*)
-    // array_min over struct(dist, centroid_id) = argmin with the same
-    // (dist asc, centroid_id asc) tie-break as an ORDER BY would give
-    embeddings
-      .withColumn("centroid_id", array_min(scored).getField("cid"))
-      .select("vec_id", "embedding", "label", "centroid_id")
+    array_min(scored).getField("cid")
   }
+
+  def ivfAssignTo(
+      embeddings: DataFrame,
+      centroids: Seq[(Long, Seq[Float])]): DataFrame =
+    embeddings
+      .withColumn("centroid_id", nearestCentroid(centroids))
+      .select("vec_id", "embedding", "label", "centroid_id")
 
   def ivfAssign(embeddings: DataFrame, nCentroids: Int = 16): DataFrame =
     ivfAssignTo(embeddings, seedCentroids(embeddings, nCentroids))

@@ -55,6 +55,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall") // deterministic given seeded planes
   }
 
+  test("buildIvfIndex scans the source once, regardless of iteration count") {
+    // the Lloyd loop pins its (vec_id, embedding) projection: every
+    // per-iteration query must read THROUGH the cache (InMemoryTableScan
+    // above the parquet leaf), never the bare file scan per iteration
+    val bareScans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val p = qe.executedPlan.toString
+        if (p.contains("Scan parquet") && !p.contains("InMemoryTableScan"))
+          bareScans.incrementAndGet()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val index = Similarity.buildIvfIndex(embs, nCentroids = 4, iterations = 6)
+      assert(index.centroids.size == 4)
+      Thread.sleep(700) // QueryExecutionListener delivery is async
+      assert(bareScans.get() <= 1,
+        s"${bareScans.get()} uncached parquet scans across 6 iterations — input not pinned")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("kMeans: recovers well-separated clusters; empty clusters keep centroids") {
     import spark.implicits._
     // 3 tight clusters around orthogonal-ish axes in 8-dim space
