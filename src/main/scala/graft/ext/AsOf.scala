@@ -36,6 +36,9 @@ object AsOf {
       rightTsCol: String,
       rightValueCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("_asof_"))
+    require(reserved.isEmpty,
+      s"column names starting with _asof_ are reserved by joinAsOf: ${reserved.mkString(",")}")
     val payload = struct(rightValueCols.map(col): _*)
     // side 0 = right, 1 = left: right first at equal ts → inclusive match
     val r = right.select(
@@ -47,8 +50,12 @@ object AsOf {
       .withColumn("_asof_ts", col(leftTsCol))
       .withColumn("_asof_side", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // the trailing payload sort key makes the order TOTAL when several
+    // right rows share (keys, ts): last() then deterministically picks
+    // the greatest payload struct instead of an arbitrary tied row
+    // (requires orderable right value types — arrays/doubles/strings ok)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_asof_ts"), col("_asof_side"))
+      .orderBy(col("_asof_ts"), col("_asof_side"), col("_asof_payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val enriched = unioned
       .withColumn("_asof_match", last(col("_asof_payload"), ignoreNulls = true).over(w))

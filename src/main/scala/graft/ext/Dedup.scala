@@ -98,10 +98,13 @@ object Dedup {
     // sides of the self-join); without materialization the expensive
     // signature expression re-evaluates per consumer. At cluster scale
     // the equivalent move is checkpointing signatures to storage once.
+    // band key = the SAME Hashing.bandKey the streaming state store
+    // uses, so batch and streaming bucket collision sets are identical
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until bands).map { i =>
-        struct(lit(i).as("band"), hash(slice(col("sig"), i * r + 1, r), lit(i)).as("bkey"))
+        struct(lit(i).as("band"),
+          graft.functions.GraftFunctions.bandKey(col("sig"), i, r).as("bkey"))
       }: _*)).as("b"))
       .select(col("doc_id"), col("sig"), col("b.band"), col("b.bkey"))
       .transform(graft.core.CacheScope.persist)

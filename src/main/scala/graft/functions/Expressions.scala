@@ -51,6 +51,29 @@ case class MinHashSigExpr(child: Expression, k: Int = Hashing.MinHashK)
     copy(child = newChild)
 }
 
+/** `band_key(sig, band, r)`: LSH band key over `r` consecutive entries
+  * of a signature array — the same [[Hashing.bandKey]] the streaming
+  * state store keys on, so batch and streaming bucket sets coincide
+  * exactly (ADVICE r2: `hash(slice(...))` differed at collision level).
+  */
+case class BandKeyExpr(child: Expression, band: Int, r: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_band_key"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.bandKey(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], band, r)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorOps.bandKey($c, $band, $r)")
+
+  override protected def withNewChildInternal(newChild: Expression): BandKeyExpr =
+    copy(child = newChild)
+}
+
 /** `cosine_sim(a, b)`: cosine similarity of two array<float> columns. */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {

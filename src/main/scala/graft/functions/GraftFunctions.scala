@@ -27,23 +27,55 @@ object GraftFunctions {
   def hyperplaneSketch(v: Column, dim: Int, planes: Int): Column =
     GraftBridge.column(HyperplaneSketchExpr(GraftBridge.expression(v), dim, planes))
 
-  /** Plan-time integer constant for SQL-facing builders (K, n, dim…). */
-  private def litInt(e: Expression): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"expected an integer literal argument, got $other")
-  }
+  def bandKey(sig: Column, band: Int, r: Int): Column =
+    GraftBridge.column(BandKeyExpr(GraftBridge.expression(sig), band, r))
+
+  /** Plan-time integer constant for SQL-facing builders (K, n, dim…):
+    * any foldable integral expression qualifies (`2`, `1+1`, …).
+    */
+  private def litInt(name: String, e: Expression): Int =
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$name expects a constant integer here, got non-constant $e")
+    else e.eval() match {
+      case i: Int  => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte  => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name expects a constant integer here, got $other")
+    }
+
+  /** SQL builder with arity validation: a wrong argument count raises a
+    * descriptive error naming the expected signature instead of a raw
+    * IndexOutOfBoundsException.
+    */
+  private def fn(name: String, signature: String, minArgs: Int, maxArgs: Int)(
+      build: Seq[Expression] => Expression): (String, Seq[Expression] => Expression) =
+    name -> { es =>
+      if (es.length < minArgs || es.length > maxArgs)
+        throw new IllegalArgumentException(
+          s"$name expects $signature (${if (minArgs == maxArgs) s"$minArgs"
+            else s"$minArgs to $maxArgs"} argument(s)), got ${es.length}")
+      build(es)
+    }
 
   private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_simhash64" -> (es => SimHash64Expr(es.head)),
-    "graft_minhash_sig" -> (es =>
-      if (es.length >= 2) MinHashSigExpr(es.head, litInt(es(1)))
+    fn("graft_simhash64", "(text)", 1, 1)(es => SimHash64Expr(es.head)),
+    fn("graft_minhash_sig", "(text[, k])", 1, 2)(es =>
+      if (es.length == 2) MinHashSigExpr(es.head, litInt("graft_minhash_sig", es(1)))
       else MinHashSigExpr(es.head)),
-    "graft_ngram_hashes" -> (es => NGramHashesExpr(es.head, litInt(es(1)))),
-    "graft_jaccard_sorted" -> (es => JaccardExpr(es.head, es(1))),
-    "graft_cosine_sim" -> (es => CosineSimExpr(es.head, es(1))),
-    "graft_hyperplane_sketch" -> (es =>
-      HyperplaneSketchExpr(es.head, litInt(es(1)), litInt(es(2)))),
+    fn("graft_ngram_hashes", "(text, n)", 2, 2)(es =>
+      NGramHashesExpr(es.head, litInt("graft_ngram_hashes", es(1)))),
+    fn("graft_jaccard_sorted", "(a, b)", 2, 2)(es => JaccardExpr(es.head, es(1))),
+    fn("graft_cosine_sim", "(a, b)", 2, 2)(es => CosineSimExpr(es.head, es(1))),
+    fn("graft_hyperplane_sketch", "(vec, dim, planes)", 3, 3)(es =>
+      HyperplaneSketchExpr(es.head,
+        litInt("graft_hyperplane_sketch", es(1)),
+        litInt("graft_hyperplane_sketch", es(2)))),
+    fn("graft_band_key", "(sig, band, r)", 3, 3)(es =>
+      BandKeyExpr(es.head,
+        litInt("graft_band_key", es(1)),
+        litInt("graft_band_key", es(2)))),
   )
 
   /** Register the functions for SQL use on an existing session

@@ -9,6 +9,22 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   */
 object VectorOps {
 
+  /** [[Hashing.bandKey]] over a catalyst long-array — the SAME band-key
+    * function for batch plans and streaming state keys, so their bucket
+    * collision sets are identical (not merely distribution-alike).
+    */
+  def bandKey(sig: ArrayData, band: Int, r: Int): Long = {
+    var h = 0xcbf29ce484222325L ^ band
+    var i = band * r
+    val end = i + r
+    while (i < end) {
+      h = (h ^ sig.getLong(i)) * 0x100000001b3L
+      h ^= h >>> 29
+      i += 1
+    }
+    h
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -7,8 +7,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Streaming near-duplicate detection — the streaming face of
   * `Dedup.minHashPairs`/`minHashDedup` (batch LSH), with the SAME
-  * banding, signature, and estimate so a replayed table gives the same
-  * drop set as the batch operator.
+  * banding (identical `Hashing.bandKey`), signature, and estimate.
+  * A replayed table gives the same drop set as the batch operator
+  * PROVIDED (a) docs arrive in doc_id order across micro-batches (the
+  * replay setting; see [[StreamNearDup.survivors]]) and (b) no bucket
+  * overflows `maxBucket` — batch excludes an oversized bucket entirely,
+  * while an append-mode stream cannot retract tags it emitted before
+  * the overflow was observable; on overflow this operator stops tagging
+  * that bucket (a prefix of what batch would have excluded).
   *
   * Shape: per-doc MinHash signature (narrow map) → explode to one row
   * per LSH band → `flatMapGroupsWithState` keyed by (band, bucket): the
@@ -40,7 +46,8 @@ private[streaming] case class BandedDoc(
     event_time: java.sql.Timestamp)
 
 private[streaming] case class BucketState(
-    docIds: Seq[Long], sigs: Seq[Seq[Long]], maxTsMicros: Long)
+    docIds: Seq[Long], sigs: Seq[Seq[Long]], maxTsMicros: Long,
+    overflowed: Boolean)
 
 object StreamNearDup {
 
@@ -101,35 +108,46 @@ object StreamNearDup {
             state.remove()
             Iterator.empty
           } else {
-            var s = state.getOption.getOrElse(BucketState(Nil, Nil, Long.MinValue))
+            var s = state.getOption.getOrElse(
+              BucketState(Nil, Nil, Long.MinValue, overflowed = false))
             var ids = s.docIds.toVector
             var sigs = s.sigs.toVector.map(_.toArray)
             var maxTs = s.maxTsMicros
+            var over = s.overflowed
             val out = Vector.newBuilder[NearDupTag]
             // doc_id order inside the batch = replay-stable "earlier"
             it.toSeq.sortBy(_.doc_id).foreach { bd =>
               if (bd.ts > maxTs) maxTs = bd.ts
-              val sig = bd.sig.toArray
-              var best = -1L
-              var bestEst = 0.0
-              var i = 0
-              while (i < sigs.length) {
-                var agree = 0
-                var j = 0
-                while (j < k) { if (sigs(i)(j) == sig(j)) agree += 1; j += 1 }
-                val est = agree.toDouble / k
-                if (est >= threshold && (best == -1L || ids(i) < best)) {
-                  best = ids(i); bestEst = est
+              if (over || ids.length >= maxBucket) {
+                // batch parity: an oversized bucket emits NO pairs (the
+                // batch guard excludes it entirely). Append mode cannot
+                // retract tags already emitted, so from the overflow
+                // point on the bucket goes silent and its state stops
+                // growing — never tag against a truncated bucket.
+                over = true
+              } else {
+                val sig = bd.sig.toArray
+                var best = -1L
+                var bestEst = 0.0
+                var i = 0
+                while (i < sigs.length) {
+                  var agree = 0
+                  var j = 0
+                  while (j < k) { if (sigs(i)(j) == sig(j)) agree += 1; j += 1 }
+                  val est = agree.toDouble / k
+                  if (est >= threshold && (best == -1L || ids(i) < best)) {
+                    best = ids(i); bestEst = est
+                  }
+                  i += 1
                 }
-                i += 1
+                if (best != -1L)
+                  out += NearDupTag(bd.doc_id, best, bd.band, bestEst)
+                // store tagged docs too: batch pair-drop compares every
+                // doc against ALL lower ids, losers included
+                ids :+= bd.doc_id; sigs :+= sig
               }
-              if (best != -1L)
-                out += NearDupTag(bd.doc_id, best, bd.band, bestEst)
-              // store tagged docs too: batch pair-drop compares every
-              // doc against ALL lower ids, losers included
-              if (ids.length < maxBucket) { ids :+= bd.doc_id; sigs :+= sig }
             }
-            s = BucketState(ids, sigs.map(_.toSeq), maxTs)
+            s = BucketState(ids, sigs.map(_.toSeq), maxTs, over)
             state.update(s)
             idleTimeout.foreach(state.setTimeoutDuration)
             if (eventTimeHorizon.isDefined && maxTs != Long.MinValue)

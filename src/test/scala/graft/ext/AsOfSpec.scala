@@ -27,6 +27,31 @@ class AsOfSpec extends SparkSpec {
       5L -> Some("y")))  // equal ts matches (inclusive)
   }
 
+  test("tied right timestamps resolve deterministically to the greatest payload") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 100L)).toDF("event_id", "user_id", "ts")
+    // three right rows share (user_id, ts): the orderBy's payload tie-
+    // break must pick the same one every run (greatest struct = "c")
+    val right = Seq((1L, 50L, "b"), (1L, 50L, "c"), (1L, 50L, "a"))
+      .toDF("user_id", "ts", "state")
+    (1 to 3).foreach { i =>
+      val out = AsOf.joinAsOf(
+        left.repartition(i), right.repartition(4 - i),
+        Seq("user_id"), "ts", "ts", Seq("state")).collect()
+      assert(out.length == 1 && out(0).getString(3) == "c", s"run $i")
+    }
+  }
+
+  test("_asof_ column names are reserved and rejected up front") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 100L)).toDF("_asof_x", "user_id", "ts")
+    val right = Seq((1L, 50L, "a")).toDF("user_id", "ts", "state")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(left, right, Seq("user_id"), "ts", "ts", Seq("state"))
+    }
+    assert(e.getMessage.contains("_asof_"))
+  }
+
   test("multi-key as-of join and column carry-through") {
     import spark.implicits._
     val left = Seq((1L, "A", 1L, 10L), (2L, "B", 1L, 10L))

@@ -30,12 +30,42 @@ class GraftFunctionsSpec extends SparkSpec {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(0.5f, -0.5f)), 2, 8))
   }
 
-  test("non-literal K is rejected with a clear error") {
+  test("foldable constants accepted for K/n; non-constant rejected clearly") {
     GraftFunctions.register(spark)
+    // 1+2 folds to 3 — accepted (ADVICE r2: foldable constants qualify)
+    val ok = spark.sql("SELECT graft_ngram_hashes('a b c', 1 + 2) AS g").collect()(0)
+    assert(ok.getAs[scala.collection.Seq[Long]]("g").toSeq ==
+      Hashing.ngramHashes("a b c", 3).toSeq)
+    // a column reference is not a plan-time constant → descriptive error
     val e = intercept[Exception] {
-      spark.sql("SELECT graft_ngram_hashes('a b c', 1 + 2)").collect()
+      spark.range(1).createOrReplaceTempView("arity_t")
+      spark.sql("SELECT graft_ngram_hashes('a b c', CAST(id AS INT)) FROM arity_t").collect()
     }
-    assert(e.getMessage.toLowerCase.contains("literal")
-      || e.getCause != null && e.getCause.getMessage.toLowerCase.contains("literal"))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + " " + msgs(t.getCause)
+    assert(msgs(e).contains("constant integer"), s"unexpected: ${msgs(e)}")
+  }
+
+  test("wrong arity raises an error naming the expected signature") {
+    GraftFunctions.register(spark)
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + " " + msgs(t.getCause)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_ngram_hashes('a b c')").collect()
+    }
+    assert(msgs(e1).contains("(text, n)"), s"unexpected: ${msgs(e1)}")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_cosine_sim(array(1.0F))").collect()
+    }
+    assert(msgs(e2).contains("(a, b)"), s"unexpected: ${msgs(e2)}")
+  }
+
+  test("band_key: SQL/Column/batch expression agree with the streaming helper") {
+    GraftFunctions.register(spark)
+    val sig = Hashing.minhashSig("hello world there friend again", 16)
+    val r = spark.sql(
+      "SELECT graft_band_key(graft_minhash_sig('hello world there friend again'), 2, 4) AS bk"
+    ).collect()(0)
+    assert(r.getAs[Long]("bk") == Hashing.bandKey(sig, 2, 4))
   }
 }

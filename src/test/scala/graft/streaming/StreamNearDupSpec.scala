@@ -67,6 +67,28 @@ class StreamNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucket overflow goes silent: no tagging against a truncated bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamDoc]
+    val q = StreamNearDup.nearDupTags(input.toDS(), threshold = 0.5, maxBucket = 2)
+      .writeStream.format("memory").queryName("neardup_overflow")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // docs 1,2 fill the bucket (doc 2 tagged pre-overflow); 3 and 4
+      // overflow it — batch would exclude the whole bucket, and append
+      // mode can at least stop tagging from the overflow point on
+      input.addData(StreamDoc(1L, 0L, base), StreamDoc(2L, 1L, base))
+      q.processAllAvailable()
+      input.addData(StreamDoc(3L, 2L, base), StreamDoc(4L, 3L, base))
+      q.processAllAvailable()
+      val tagged = spark.table("neardup_overflow").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(tagged == Set(2L),
+        s"docs past the overflow must not be tagged, got $tagged")
+    } finally q.stop()
+  }
+
   test("replayed table: streaming survivors equal batch minHashDedup") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
