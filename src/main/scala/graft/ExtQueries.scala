@@ -29,6 +29,34 @@ object ExtQueries {
     words.map(w => s"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
       .mkString(" + ")
 
+  /** DuckDB SQL for the seeded hyperplane sign-bit sketch over a 64-dim
+    * float-list column `c` — the plane matrix is the SAME
+    * [[graft.functions.VectorOps.planesFor]] constants the codegen'd
+    * kernel uses, emitted as double literals (Scala's shortest-roundtrip
+    * repr parses back to the identical double), so the two engines
+    * compute the identical bit pattern. Mirrors `VectorOps.sketch`:
+    * per-plane dot accumulated left-to-right in double, bit set iff
+    * strictly positive.
+    */
+  private def sketchSql(c: String, dim: Int, planes: Int): String = {
+    val ps = graft.functions.VectorOps.planesFor(dim, planes)
+    (0 until planes).map { p =>
+      val dot = (0 until dim)
+        .map(i => s"$c[${i + 1}]::DOUBLE * ${ps(p)(i)}").mkString(" + ")
+      s"(CASE WHEN ($dot) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Pairwise cosine fragments (DuckDB): dot/norms accumulated per
+    * element in double, mirroring `VectorOps.cosine`.
+    */
+  private def cosSql(a: String, b: String, dim: Int): String = {
+    val dp = s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+    val na = s"list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))"
+    val nb = s"list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))"
+    s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0 ELSE $dp / sqrt($na * $nb) END)"
+  }
+
   /** CTE chain producing `j(doc_id_a, doc_id_b, exact_jaccard)` — the
     * exact inverted-index n-gram pair set of [[Dedup.ngramJaccardPairsExact]]
     * (same ShingleN / MaxBucket constants). Shared by the pair query and
@@ -259,6 +287,40 @@ object ExtQueries {
          |  SELECT wk.doc_id, e2.b FROM walk wk JOIN edges e2 ON wk.reach = e2.a)
          |SELECT doc_id, min(reach)::BIGINT AS cluster_id
          |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // hyperplane-LSH near-dup pairs: the seeded plane matrix is emitted
+    // into the SQL as literals (same constants as the codegen'd kernel),
+    // so banding, candidates, and cosine verify all replicate exactly
+    "dedup_embedding_pairs_embeddings" -> {
+      val sk = sketchSql("embedding", 64, 32)
+      val bandKeys = (0 until 4).map(i => s"((sk >> ${i * 8}) & 255)")
+        .mkString("[", ", ", "]")
+      s"""WITH s AS (SELECT vec_id, $sk AS sk FROM embeddings),
+         |b AS (SELECT vec_id, unnest([0, 1, 2, 3]) AS band,
+         |             unnest($bandKeys) AS bkey FROM s),
+         |c AS (SELECT DISTINCT a.vec_id AS vec_id_a, b2.vec_id AS vec_id_b
+         |      FROM b a JOIN b b2 ON a.band = b2.band AND a.bkey = b2.bkey
+         |                        AND a.vec_id < b2.vec_id),
+         |j AS (SELECT vec_id_a, vec_id_b,
+         |        ${cosSql("ea.embedding", "eb.embedding", 64)} AS cos
+         |      FROM c JOIN embeddings ea ON ea.vec_id = c.vec_id_a
+         |             JOIN embeddings eb ON eb.vec_id = c.vec_id_b)
+         |SELECT vec_id_a, vec_id_b, round(cos, 6) AS cosine FROM j
+         |WHERE cos >= 0.3 ORDER BY vec_id_a, vec_id_b""".stripMargin
+    },
+    // LSH-bucketed ANN top-k: probe sketch + hamming prune + exact
+    // cosine, all replicated from the same plane constants
+    "similarity_ann_embeddings" -> {
+      val sk = sketchSql("embedding", 64, 16)
+      val psk = sketchSql("pe", 64, 16)
+      s"""WITH p AS (SELECT embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 1),
+         |pp AS (SELECT pe, $psk AS psk FROM p),
+         |s AS (SELECT vec_id, label, embedding, $sk AS sk FROM embeddings),
+         |j AS (SELECT s.vec_id, s.label,
+         |        ${cosSql("s.embedding", "pp.pe", 64)} AS cos
+         |      FROM s, pp WHERE bit_count(xor(s.sk, pp.psk)) <= 3)
+         |SELECT vec_id, label, round(cos, 6) AS cosine FROM j
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
     // brute-force cosine top-k against the min-vec_id probe: per-element
     // double accumulation mirrors the codegen'd kernel; 6-dp rounding on
     // both sides absorbs summation-order ulps (same recipe as quantize)
@@ -464,10 +526,12 @@ object ExtQueries {
         |  (frame_idx * 1000 + 1)::BIGINT AS frame_offset,
         |  least(1000, byte_len - frame_idx * 1000)::BIGINT AS frame_len
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
-    // no oracle (hash-seeded LSH, not SQL-expressible): dedup_minhash*,
-    // dedup_simhash_pairs, dedup_ngram_lsh_pairs, dedup_cluster (minhash
-    // variant; the exact variant IS oracle-checked above), dedup_embedding
-    // _pairs, similarity_ann/ivf, multimodal_features — covered by
-    // scalatest property/brute-force checks instead.
+    // no oracle (custom string-hash kernels, not SQL-replicable):
+    // dedup_minhash* (xxhash64 shingles), dedup_simhash_pairs,
+    // dedup_ngram_lsh_pairs (minhash candidates), dedup_cluster (minhash
+    // variant; the exact variant IS oracle-checked above),
+    // similarity_ivf (k-means argmin chains through float means),
+    // multimodal_features — covered by scalatest property/brute-force
+    // checks instead.
   )
 }

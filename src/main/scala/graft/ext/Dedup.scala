@@ -301,7 +301,9 @@ object Dedup {
       .withColumn("cosine",
         Similarity.cosine(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)
-      .select("vec_id_a", "vec_id_b", "cosine")
+      // 6-dp output rounding: engine-portable value (summation-order
+      // ulps don't survive into the driver's hash compare)
+      .select(col("vec_id_a"), col("vec_id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("vec_id_a", "vec_id_b")
   }
 }
