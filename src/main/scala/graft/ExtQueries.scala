@@ -62,9 +62,11 @@ object ExtQueries {
     * (same ShingleN / MaxBucket constants). Shared by the pair query and
     * the transitive-closure cluster oracle so they cannot drift.
     */
-  private val NgramPairCtes: String = {
+  /** Shared CTEs `d/w/g/e`: normalized text → word n-gram sets →
+    * exploded (doc_id, gram) postings.
+    */
+  private val NgramBaseCtes: String = {
     val n = graft.functions.Hashing.ShingleN
-    val cap = Dedup.MaxBucket
     s"""d AS (SELECT doc_id, $NormSql AS norm FROM documents),
        |w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM d),
        |g AS (SELECT doc_id,
@@ -72,18 +74,39 @@ object ExtQueries {
        |       ELSE list_distinct(list_transform(range(1, len(words) - ${n - 2}),
        |            i -> array_to_string(words[i:i+${n - 1}], ' '))) END AS grams
        |  FROM w),
-       |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |e AS (SELECT doc_id, unnest(grams) AS gram FROM g)""".stripMargin
+  }
+
+  /** Exact Jaccard over candidate CTE `c(doc_id_a, doc_id_b)` → `j`. */
+  private val NgramVerifyCte: String =
+    """j AS (SELECT doc_id_a, doc_id_b,
+      |  round(len(list_intersect(ga.grams, gb.grams))::DOUBLE /
+      |        (len(ga.grams) + len(gb.grams)
+      |         - len(list_intersect(ga.grams, gb.grams))), 6) AS exact_jaccard
+      |  FROM c JOIN g ga ON ga.doc_id = c.doc_id_a
+      |         JOIN g gb ON gb.doc_id = c.doc_id_b)""".stripMargin
+
+  private val NgramPairCtes: String = {
+    val cap = Dedup.MaxBucket
+    s"""$NgramBaseCtes,
        |big AS (SELECT gram FROM e GROUP BY gram HAVING count(*) > $cap),
        |ee AS (SELECT doc_id, gram FROM e WHERE gram NOT IN (SELECT gram FROM big)),
        |c AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
        |      FROM ee a JOIN ee b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-       |j AS (SELECT doc_id_a, doc_id_b,
-       |  round(len(list_intersect(ga.grams, gb.grams))::DOUBLE /
-       |        (len(ga.grams) + len(gb.grams)
-       |         - len(list_intersect(ga.grams, gb.grams))), 6) AS exact_jaccard
-       |  FROM c JOIN g ga ON ga.doc_id = c.doc_id_a
-       |         JOIN g gb ON gb.doc_id = c.doc_id_b)""".stripMargin
+       |$NgramVerifyCte""".stripMargin
   }
+
+  /** Oracle for the prefix-filtered operator: the prefix principle is
+    * recall-complete, so ground truth is simply ALL shared-gram pairs
+    * with exact J ≥ t — no cap, no prefix structure to replicate
+    * (whatever global order the engine prefixes by, the verified result
+    * is the same set).
+    */
+  private val NgramAllPairsCtes: String =
+    s"""$NgramBaseCtes,
+       |c AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+       |      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |$NgramVerifyCte""".stripMargin
 
   val queries: Map[String, Q] = Map(
     // -- text analysis --
@@ -120,6 +143,11 @@ object ExtQueries {
       // LSH-candidate variant (MinHash banding prunes the pair space)
       Dedup.ngramJaccardPairs(docs(s, dir),
         candidateThreshold = 0.1, threshold = 0.1)),
+    "dedup_ngram_prefix_pairs_documents" -> ((s: SparkSession, dir: String) =>
+      // ALL-PAIRS/PPJoin prefix filtering: recall-COMPLETE exact pairs
+      // at J ≥ 0.6 with a prefix-only inverted index (no frequency-cap
+      // recall loss, no sketch)
+      Dedup.ngramJaccardPairsPrefix(docs(s, dir), threshold = 0.6)),
     "dedup_cluster_documents" -> ((s: SparkSession, dir: String) =>
       // transitive near-dup clusters (GraphX connected components)
       DedupClusters.minHashClusters(docs(s, dir), threshold = 0.8)),
@@ -274,6 +302,10 @@ object ExtQueries {
       s"""WITH $NgramPairCtes
          |SELECT doc_id_a, doc_id_b, exact_jaccard FROM j
          |WHERE exact_jaccard >= 0.1 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "dedup_ngram_prefix_pairs_documents" ->
+      s"""WITH $NgramAllPairsCtes
+         |SELECT doc_id_a, doc_id_b, exact_jaccard FROM j
+         |WHERE exact_jaccard >= 0.6 ORDER BY doc_id_a, doc_id_b""".stripMargin,
     // transitive closure of the SAME exact pair set: min reachable
     // doc_id per doc ≡ GraphX connectedComponents' min-vertex label
     "dedup_cluster_exact_documents" ->

@@ -223,6 +223,61 @@ object Dedup {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
+  /** Prefix-filtered exact n-gram Jaccard pairs — the ALL-PAIRS/PPJoin
+    * prefix principle (Bayardo, Ma, Srikant, "Scaling Up All Pairs
+    * Similarity Search", WWW 2007): sort each doc's gram set by a global
+    * (document-frequency, gram) order and index ONLY the first
+    * `|g| − ⌈t·|g|⌉ + 1` grams. Any pair with `J ≥ t` shares ≥ ⌈t·|g|⌉
+    * grams per side, so by pigeonhole its smallest common gram falls in
+    * BOTH prefixes — the prefix-to-prefix join is recall-COMPLETE (no
+    * frequency-cap loss, unlike [[ngramJaccardPairsExact]]), and the
+    * result is order-invariant: ALL pairs with exact `J ≥ t`, whatever
+    * tie-break the global order uses.
+    *
+    * Scale shape: the inverted index shrinks to prefixes (≤ (1−t)·|g|+1
+    * postings per doc), and rare grams sort first, so hot stop-grams are
+    * systematically pushed OUT of prefixes — the candidate join's bucket
+    * sizes anti-correlate with gram frequency by construction. Cost:
+    * one gram-shuffle for frequencies, one doc-shuffle for prefix
+    * ranking, one gram-shuffle for candidates.
+    */
+  def ngramJaccardPairsPrefix(
+      documents: DataFrame,
+      threshold: Double = 0.6,
+      n: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    val sets = documents.select(
+      col("doc_id"),
+      graft.functions.GraftFunctions.ngramHashes(col("text"), n).as("grams"))
+      .transform(graft.core.CacheScope.persist) // index + both verify joins
+    val inv = sets.select(col("doc_id"), size(col("grams")).as("sz"),
+      explode(col("grams")).as("gram"))
+    val dfreq = inv.groupBy("gram").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("gram"))
+    val prefix = inv.join(dfreq, Seq("gram"))
+      .withColumn("pos", row_number().over(byRarity))
+      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("gram", "doc_id")
+      .transform(graft.core.CacheScope.persist) // both candidate sides
+    val cands = prefix.select(col("gram"), col("doc_id").as("doc_id_a"))
+      .join(prefix.select(col("gram"), col("doc_id").as("doc_id_b")), Seq("gram"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b")
+      .dropDuplicates("doc_id_a", "doc_id_b")
+    cands
+      .join(sets.select(col("doc_id").as("doc_id_a"), col("grams").as("grams_a")),
+        Seq("doc_id_a"))
+      .join(sets.select(col("doc_id").as("doc_id_b"), col("grams").as("grams_b")),
+        Seq("doc_id_b"))
+      .withColumn("exact_jaccard",
+        round(graft.functions.GraftFunctions.jaccardSorted(
+          col("grams_a"), col("grams_b")), 6))
+      .filter(col("exact_jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "exact_jaccard")
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash from word hashes: per-bit ±1 votes, sign → bit.

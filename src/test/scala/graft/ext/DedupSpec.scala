@@ -129,6 +129,51 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("prefix-filtered pairs (PPJoin): recall-complete vs brute force") {
+    // mixed corpus: near-identical pairs, a chain, shared stop-grams,
+    // and distinct docs — prefix filtering must find EXACTLY the pairs
+    // brute force finds at J >= 0.6 (the prefix principle is complete)
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " w21"),                       // J = 18/19 with 1
+      (3L, base + " w21 w22"),                   // chains to 2
+      (4L, (1 to 20).map(i => s"v$i").mkString(" ")),
+      (5L, (1 to 20).map(i => s"v$i").mkString(" ") + " v21"),
+      (6L, "the a of and " * 5 + "unique tail here"), // stop-gram heavy
+      (7L, "the a of and " * 5 + "other ending there"),
+      (8L, "completely standalone vocabulary nothing shared at all ever"))
+    val df = docsDF(docs)
+    val got = Dedup.ngramJaccardPairsPrefix(df, threshold = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("exact_jaccard")).toMap
+    // driver-side brute force on the same gram sets
+    val sets = docs.map { case (id, t) =>
+      id -> graft.functions.Hashing.ngramHashes(t, 3).toSet }
+    val want = (for {
+      (ia, ga) <- sets; (ib, gb) <- sets
+      if ia < ib
+      inter = (ga intersect gb).size
+      j = inter.toDouble / (ga.size + gb.size - inter)
+      if j >= 0.6
+    } yield (ia, ib) -> j).toMap
+    assert(got.keySet == want.keySet,
+      s"got ${got.keySet}, want ${want.keySet}")
+    want.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-5, s"$k") }
+  }
+
+  test("prefix index is strictly smaller than the full inverted index") {
+    import org.apache.spark.sql.functions._
+    val df = docsDF((1 to 30).map(i =>
+      (i.toLong, (1 to 25).map(w => s"w${(w + i) % 40}").mkString(" "))))
+    val sets = df.select(col("doc_id"),
+      graft.functions.GraftFunctions.ngramHashes(col("text"), 3).as("grams"))
+    val full = sets.select(explode(col("grams"))).count()
+    // at t=0.6 each doc posts at most ⌈0.4|g|⌉+1 prefix grams
+    val sizes = sets.select(size(col("grams"))).collect().map(_.getInt(0))
+    val prefixBound = sizes.map(s => math.ceil(0.4 * s) + 1).sum
+    assert(prefixBound < full, s"prefix bound $prefixBound !< full $full")
+  }
+
   test("embedding near-dup: identical vectors pair at cosine 1.0") {
     import spark.implicits._
     val v1 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
