@@ -191,6 +191,20 @@ object ExtQueries {
     "curate_documents" -> ((s: SparkSession, dir: String) =>
       // full pipeline: redact → quality-filter → dedup → sample
       Corpus.curate(docs(s, dir))),
+    "sample_stratified_documents" -> ((s: SparkSession, dir: String) =>
+      // per-lang proportional content-addressed sample
+      Corpus.sampleStratified(docs(s, dir), frac = 0.2)),
+    "cap_per_source_documents" -> ((s: SparkSession, dir: String) =>
+      // domain quota: at most 50 docs per source, lowest doc_ids win
+      Corpus.capPerSource(docs(s, dir), maxDocs = 50)),
+    "decontaminate_documents" -> ((s: SparkSession, dir: String) => {
+      // benchmark stand-in: every 97th doc; corpus = the rest, minus
+      // anything sharing an 8-gram with the benchmark
+      val d = docs(s, dir)
+      Corpus.decontaminate(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0))
+    }),
     "quantize_embeddings" -> ((s: SparkSession, dir: String) =>
       Similarity.quantizeInt8(embs(s, dir))),
     // -- sessionize --
@@ -416,6 +430,34 @@ object ExtQueries {
     "sample_hash_documents" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE md5(text) < '40' ORDER BY doc_id""".stripMargin,
+    "sample_stratified_documents" ->
+      """WITH r AS (SELECT d.*,
+        |  row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents d)
+        |SELECT doc_id, text, lang, source, n_chars FROM r
+        |WHERE rn <= ceil(n * 0.2) ORDER BY doc_id""".stripMargin,
+    "cap_per_source_documents" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT d.*, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents d)
+        |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
+    "decontaminate_documents" -> {
+      val n = 8
+      def grams(src: String) =
+        s"""SELECT doc_id, unnest(
+           |  CASE WHEN len(words) < $n THEN [array_to_string(words, ' ')]
+           |       ELSE list_distinct(list_transform(range(1, len(words) - ${n - 2}),
+           |            i -> array_to_string(words[i:i+${n - 1}], ' '))) END) AS gram
+           |FROM (SELECT doc_id, string_split($NormSql, ' ') AS words FROM $src)""".stripMargin
+      s"""WITH corp AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+         |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+         |bg AS (SELECT DISTINCT gram FROM (${grams("bench")})),
+         |cg AS (${grams("corp")}),
+         |hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram))
+         |SELECT doc_id, text, lang, source, n_chars FROM corp
+         |WHERE doc_id NOT IN (SELECT doc_id FROM hits) ORDER BY doc_id""".stripMargin
+    },
     "redact_pii_documents" ->
       s"""SELECT doc_id,
          |  regexp_replace(regexp_replace(text, '${Corpus.EmailRegex}', '<EMAIL>', 'g'),

@@ -97,6 +97,72 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Stratified content-addressed sample: within each stratum (default
+    * `lang`), keep the first `⌈frac·n⌉` documents by (md5(text), doc_id)
+    * order. Proportional representation per stratum regardless of how
+    * skewed the stratum sizes are — the balance-preserving sample a
+    * multilingual corpus needs (a flat hash split under-represents small
+    * languages by sampling noise). One window shuffle on the stratum key.
+    */
+  def sampleStratified(
+      documents: DataFrame,
+      frac: Double = 0.2,
+      strataCol: String = "lang"): DataFrame = {
+    require(frac > 0 && frac <= 1, "frac must be in (0,1]")
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(encode(col("text"), "UTF-8")), col("doc_id"))
+    documents
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(strataCol)))
+      .filter(col("_rn") <= ceil(col("_n") * frac))
+      .drop("_rn", "_n")
+      .orderBy("doc_id")
+  }
+
+  /** Per-source document quota: keep at most `maxDocs` documents per
+    * source (lowest doc_ids win — deterministic). The standard domain-cap
+    * step that stops one crawler domain from dominating a corpus. One
+    * window shuffle on the source key; at 100 TB the same plan shape
+    * partitions by (source) and never funnels.
+    */
+  def capPerSource(
+      documents: DataFrame,
+      maxDocs: Int = 50,
+      srcCol: String = "source"): DataFrame = {
+    val w = Window.partitionBy(srcCol).orderBy("doc_id")
+    documents
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxDocs)
+      .drop("_rn")
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: drop every corpus document sharing at
+    * least one word-`n`-gram with the benchmark corpus (the exact
+    * containment rule used to keep eval sets out of training data;
+    * n = 8 is the common published choice). Plan: the benchmark's
+    * distinct gram set (small by construction — eval sets are tiny next
+    * to the corpus) semi-joins the corpus posting list; AQE broadcasts
+    * it, so the corpus is ONE narrow pass + one anti-join, never
+    * shuffled by gram.
+    */
+  def decontaminate(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 8): DataFrame = {
+    val bGrams = benchmark
+      .select(explode(
+        graft.functions.GraftFunctions.ngramHashes(col("text"), n)).as("gram"))
+      .distinct()
+    val hits = documents
+      .select(col("doc_id"),
+        explode(
+          graft.functions.GraftFunctions.ngramHashes(col("text"), n)).as("gram"))
+      .join(bGrams, Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+    documents.join(hits, Seq("doc_id"), "left_anti").orderBy("doc_id")
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget packs by
     * cumulative whitespace-token count in doc_id order WITHIN each lang
     * shard. This is the standard distributed approximation of greedy

@@ -22,6 +22,49 @@ class CorpusSpec extends SparkSpec {
     assert(s1.subsetOf(s3))                // thresholds nest
   }
 
+  test("sampleStratified keeps ⌈frac·n⌉ docs per stratum, content-stable") {
+    import spark.implicits._
+    // skewed strata: 100 'en', 10 'fr' — a flat hash sample could
+    // easily take 0 or 3 'fr' docs; stratified takes exactly ⌈2⌉
+    val rows = (1L to 100L).map(i => (i, s"english document $i", "en")) ++
+      (101L to 110L).map(i => (i, s"french document $i", "fr"))
+    val df = rows.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src' AS source",
+        "length(text) AS n_chars")
+    val out = Corpus.sampleStratified(df, frac = 0.2).collect()
+    val byLang = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byLang == Map("en" -> 20, "fr" -> 2), s"got $byLang")
+    // content-addressed: stable under repartition
+    val out2 = Corpus.sampleStratified(df.repartition(7), frac = 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet == out2)
+  }
+
+  test("capPerSource keeps the lowest maxDocs ids per source") {
+    import spark.implicits._
+    val rows = (1L to 30L).map(i => (i, s"doc $i", if (i % 3 == 0) "big" else "small"))
+    val df = rows.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "length(text) AS n_chars")
+    val out = Corpus.capPerSource(df, maxDocs = 5).collect()
+    val bySrc = out.groupBy(_.getString(3)).view
+      .mapValues(_.map(_.getLong(0)).sorted.toSeq).toMap
+    assert(bySrc("big") == Seq(3L, 6L, 9L, 12L, 15L))      // lowest 5 of 10
+    assert(bySrc("small").size == 5 && bySrc("small").head == 1L)
+  }
+
+  test("decontaminate drops docs sharing an 8-gram with the benchmark, keeps the rest") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ") // one full 8-gram
+    val corpus = docsDF(Seq(
+      (1L, s"prefix words here $shared trailing bits"),  // contains the 8-gram
+      (2L, "completely clean document with its own eight word run here"),
+      (3L, shared),                                       // exactly the benchmark text
+      (4L, "short doc")))                                 // < 8 words, no match
+    val bench = docsDF(Seq((100L, s"unrelated lead in $shared and more")))
+    val out = Corpus.decontaminate(corpus, bench).collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 4L), s"got $out")
+  }
+
   test("redactPii scrubs emails and long digit runs, keeps short numbers") {
     val df = docsDF(Seq(
       (1L, "contact me at jane.doe+spam@example.co.uk or call 5551234567"),
