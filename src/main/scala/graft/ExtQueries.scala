@@ -235,6 +235,10 @@ object ExtQueries {
       Analytics.orderPriorityRank(s, dir)),
     "analytics_event_props" -> ((s: SparkSession, dir: String) =>
       Analytics.eventProps(s, dir)),
+    "analytics_supplier_volume" -> ((s: SparkSession, dir: String) =>
+      Analytics.supplierVolume(s, dir)),
+    "analytics_monthly_revenue" -> ((s: SparkSession, dir: String) =>
+      Analytics.monthlyRevenue(s, dir)),
     "winsorize_events" -> ((s: SparkSession, dir: String) =>
       Analytics.winsorize(s, dir)),
     // -- multimodal --
@@ -560,6 +564,22 @@ object ExtQueries {
         |  FROM orders)
         |WHERE price_rank <= 5
         |ORDER BY o_orderpriority, price_rank""".stripMargin,
+    "analytics_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS volume,
+        |  count(DISTINCT s_suppkey) AS n_suppliers,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "analytics_monthly_revenue" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
     "analytics_event_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -55,6 +55,40 @@ object Analytics {
       .orderBy("r_name")
   }
 
+  /** Per-nation supplier shipment volume: fact joined through the
+    * supplier dim chain (both dims broadcast — supplier is 10 k rows at
+    * sf1, nation is 25). The fact shuffles once, on the groupBy key.
+    */
+  def supplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Sources.table(spark, dir, "lineitem")
+    val supplier = Sources.table(spark, dir, "supplier")
+    val nation   = Sources.table(spark, dir, "nation")
+    lineitem
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("volume"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Monthly order revenue trend: time-bucketed aggregate over orders —
+    * the canonical reporting shape a date-partitioned layout serves with
+    * partition pruning at 100 TB. Month keyed as a portable string.
+    */
+  def monthlyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Sources.table(spark, dir, "orders")
+    orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("month")
+  }
+
   /** Top-10 customers by revenue — join + agg + TakeOrderedAndProject. */
   def topCustomers(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val lineitem = Sources.table(spark, dir, "lineitem")
