@@ -152,10 +152,11 @@ object ExtQueries {
       // transitive near-dup clusters (GraphX connected components)
       DedupClusters.minHashClusters(docs(s, dir), threshold = 0.8)),
     "dedup_cluster_exact_documents" -> ((s: SparkSession, dir: String) =>
-      // same GraphX CC, but over the exact (sketch-free) n-gram pair
-      // set → the component structure is DuckDB-oracle-checkable via
-      // WITH RECURSIVE transitive closure
-      DedupClusters.clusters(docs(s, dir),
+      // connected components over the exact (sketch-free) n-gram pair
+      // set → oracle-checkable via WITH RECURSIVE transitive closure.
+      // DataFrame-native hash-to-min CC (Tungsten-resident; the GraphX
+      // variant serves dedup_cluster_documents) — spec-proven equal
+      DedupClusters.clustersDF(docs(s, dir),
         Dedup.ngramJaccardPairsExact(docs(s, dir), threshold = 0.1))),
     "dedup_embedding_pairs_embeddings" -> ((s: SparkSession, dir: String) =>
       // synthetic embeddings have no true near-dups (max pairwise cosine

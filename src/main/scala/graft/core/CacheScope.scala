@@ -32,6 +32,15 @@ object CacheScope {
     p
   }
 
+  /** Register an ALREADY-persisted DataFrame for later release (for
+    * iterative operators that manage materialization themselves but
+    * want scope-level cleanup of their final state).
+    */
+  def track(df: DataFrame): DataFrame = {
+    tracked.add(df)
+    df
+  }
+
   /** Number of currently tracked (not yet released) handles. */
   def trackedCount: Int = tracked.size()
 

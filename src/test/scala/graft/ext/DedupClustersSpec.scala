@@ -32,6 +32,38 @@ class DedupClustersSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L))
   }
 
+  test("clustersDF (hash-to-min) equals GraphX CC on random graphs") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val docs = docsDF((1L to n))
+      val edges = (1 to 50).map { _ =>
+        val a = rnd.nextInt(n) + 1L
+        val b = rnd.nextInt(n) + 1L
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val pairs = pairsDF(edges)
+      val viaGraphX = DedupClusters.clusters(docs, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      val viaDF = DedupClusters.clustersDF(docs, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      assert(viaDF == viaGraphX, s"trial $trial")
+      graft.core.CacheScope.releaseAll()
+    }
+  }
+
+  test("clustersDF converges on a long chain (diameter-bound iterations)") {
+    // a 40-vertex path: worst diameter shape; hash-to-min still labels
+    // the whole chain with the minimum id
+    val n = 40L
+    val docs = docsDF(1L to n)
+    val pairs = pairsDF((1L until n).map(i => (i, i + 1)))
+    val got = DedupClusters.clustersDF(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(1L), s"chain not fully labeled: $got")
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("minhash clustering groups exact copies end-to-end") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
