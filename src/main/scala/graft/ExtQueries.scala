@@ -192,6 +192,14 @@ object ExtQueries {
     "curate_documents" -> ((s: SparkSession, dir: String) =>
       // full pipeline: redact → quality-filter → dedup → sample
       Corpus.curate(docs(s, dir))),
+    "curate_full_documents" -> ((s: SparkSession, dir: String) => {
+      // the complete pipeline: redact → quality → dedup → decontaminate
+      // (vs the every-97th-doc benchmark stand-in) → per-source cap
+      val d = docs(s, dir)
+      Corpus.curateFull(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0))
+    }),
     "sample_stratified_documents" -> ((s: SparkSession, dir: String) =>
       // per-lang proportional content-addressed sample
       Corpus.sampleStratified(docs(s, dir), frac = 0.2)),
@@ -512,6 +520,48 @@ object ExtQueries {
          |SELECT doc_id, lang, clean_text, quality_score FROM j
          |WHERE doc_id IN (SELECT doc_id FROM w) AND md5(clean_text) < '80'
          |ORDER BY doc_id""".stripMargin
+    },
+    "curate_full_documents" -> {
+      val stops = likeScoreSql(TextStats.LangMarkers.flatMap(_._2).distinct)
+      val normClean = """trim(regexp_replace(lower(clean_text), '\s+', ' ', 'g'))"""
+      val n = 8
+      def grams(src: String, c: String) =
+        s"""SELECT doc_id, unnest(
+           |  CASE WHEN len(words) < $n THEN [array_to_string(words, ' ')]
+           |       ELSE list_distinct(list_transform(range(1, len(words) - ${n - 2}),
+           |            i -> array_to_string(words[i:i+${n - 1}], ' '))) END) AS gram
+           |FROM (SELECT doc_id,
+           |      string_split(trim(regexp_replace(lower($c), '\\s+', ' ', 'g')), ' ') AS words
+           |      FROM $src)""".stripMargin
+      s"""WITH corp AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+         |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+         |r AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '${Corpus.EmailRegex}', '<EMAIL>', 'g'),
+         |                 '${Corpus.LongNumberRegex}', '<NUM>', 'g') AS clean_text
+         |  FROM corp),
+         |qb AS (SELECT doc_id,
+         |  GREATEST(length(text)::DOUBLE, 1.0) AS len,
+         |  GREATEST(($WsToksSql)::DOUBLE, 1.0) AS toks,
+         |  length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
+         |  ($stops)::DOUBLE AS stops FROM corp),
+         |q AS (SELECT doc_id, round(LEAST(1.0, GREATEST(0.0,
+         |    0.4 * LEAST(stops / toks * 10.0, 1.0) +
+         |    0.3 * (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |    0.3 * (CASE WHEN punct / len < 0.1 THEN 1.0 ELSE 0.0 END))), 4) AS quality_score
+         |  FROM qb),
+         |j AS (SELECT corp.doc_id, corp.lang, corp.source, r.clean_text, q.quality_score
+         |      FROM corp JOIN r USING (doc_id) JOIN q USING (doc_id)
+         |      WHERE q.quality_score >= 0.5),
+         |w AS (SELECT min(doc_id) AS doc_id FROM j GROUP BY md5($normClean)),
+         |dd AS (SELECT * FROM j WHERE doc_id IN (SELECT doc_id FROM w)),
+         |bg AS (SELECT DISTINCT gram FROM (${grams("bench", "text")})),
+         |cg AS (${grams("dd", "clean_text")}),
+         |hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)),
+         |dc AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+         |cap AS (SELECT dc.*, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |        FROM dc)
+         |SELECT doc_id, lang, source, clean_text, quality_score FROM cap
+         |WHERE rn <= 50 ORDER BY doc_id""".stripMargin
     },
     "sessionize_events" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),

@@ -97,6 +97,40 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** The COMPLETE curation pipeline: redact → quality-filter →
+    * exact-dedup (clean text) → benchmark decontamination → per-source
+    * quota. Every stage is one of this engine's oracle-verified
+    * operators and the composition itself is oracle-checked end-to-end
+    * — the strongest single correctness signal a pipeline can give
+    * (stage-local tests can't catch inter-stage contract breaks).
+    */
+  def curateFull(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      minQuality: Double = 0.5,
+      contaminationN: Int = 8,
+      maxPerSource: Int = 50): DataFrame = {
+    val redacted = redactPii(documents)
+    val quality = TextStats.qualityScore(documents)
+      .select(col("doc_id"), col("quality_score"))
+    val joined = documents.select(col("doc_id"), col("lang"), col("source"))
+      .join(redacted, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .filter(col("quality_score") >= minQuality)
+    val key = md5(TextStats.normText(col("clean_text")))
+    val winners = joined
+      .select(key.as("k"), col("doc_id"))
+      .groupBy("k").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val deduped = joined.join(winners, Seq("doc_id"), "left_semi")
+    val decontaminated = decontaminate(
+      deduped.withColumnRenamed("clean_text", "text"), benchmark, contaminationN)
+      .withColumnRenamed("text", "clean_text")
+    capPerSource(decontaminated, maxPerSource)
+      .select("doc_id", "lang", "source", "clean_text", "quality_score")
+      .orderBy("doc_id")
+  }
+
   /** Stratified content-addressed sample: within each stratum (default
     * `lang`), keep the first `⌈frac·n⌉` documents by (md5(text), doc_id)
     * order. Proportional representation per stratum regardless of how

@@ -65,6 +65,33 @@ class CorpusSpec extends SparkSpec {
     assert(out == Set(2L, 4L), s"got $out")
   }
 
+  test("curateFull: every stage fires - quality, dedup, decon, cap") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog, and then the dog " +
+      "sleeps in the warm sun. a second sentence keeps the prose natural."
+    val leak = (1 to 8).map(i => s"s$i").mkString(" ")
+    val rows =
+      Seq((1L, good, "a"), (2L, good, "a"),                // dup of 1
+        (3L, s"intro words then the $leak and a tail", "a"), // contaminated
+        (4L, "zzz 1 2 3 4 5 6 7 8 9 0", "a")) ++           // junk quality
+      (10L to 20L).map(i => (i, good + s" unique tail $i of the document", "b"))
+    val df = rows.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "length(text) AS n_chars")
+    val bench = Seq((100L, s"benchmark doc holding $leak inside", "x"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "length(text) AS n_chars")
+    val out = Corpus.curateFull(df, bench, maxPerSource = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(!out.contains(2L), "dup survived")
+    assert(!out.contains(3L), "contaminated doc survived")
+    assert(!out.contains(4L), "junk-quality doc survived")
+    assert(out.contains(1L))
+    // source b had 11 candidates, cap 5 keeps the lowest ids
+    assert(out.filter(_ >= 10L) == Set(10L, 11L, 12L, 13L, 14L))
+  }
+
   test("redactPii scrubs emails and long digit runs, keeps short numbers") {
     val df = docsDF(Seq(
       (1L, "contact me at jane.doe+spam@example.co.uk or call 5551234567"),
