@@ -172,13 +172,36 @@ object ExtQueries {
       Similarity.annTopK(e, Similarity.defaultProbe(e))
     }),
     "similarity_ivf_embeddings" -> ((s: SparkSession, dir: String) => {
+      // oracle-checkable variant: deterministic seed centroids, 6-dp
+      // portable argmin at every ranking step — same plan shape
+      // (literal-argmin assignment + broadcast probe-list semi-join) as
+      // the trained variant below
       val e = embs(s, dir)
-      // explicit index-build step (offline at cluster scale: train once,
-      // write vectors bucketed by centroid_id), then the query consumes
-      // the index — Lloyd's source scan happens once, pinned, released
+      Similarity.ivfSeedTopK(e, Similarity.defaultProbe(e))
+    }),
+    "similarity_ivf_trained_embeddings" -> ((s: SparkSession, dir: String) => {
+      val e = embs(s, dir)
+      // the production path: explicit index-build step (offline at
+      // cluster scale: train once, write vectors bucketed by
+      // centroid_id), then the query consumes the index — Lloyd's source
+      // scan happens once, pinned, released. No oracle (float centroid
+      // means are summation-order-sensitive); golden-fixture-checked.
       val index = Similarity.buildIvfIndex(e, nCentroids = 16, iterations = 3)
       val assigned = Similarity.ivfAssignTo(e, index.centroids)
       Similarity.ivfTopK(assigned, index.toDF(s), Similarity.defaultProbe(e))
+    }),
+    "similarity_ann_recall_embeddings" -> ((s: SparkSession, dir: String) => {
+      // recall@10 of the LSH-pruned ANN against oracle-green brute force:
+      // the approximation carries a MEASURED, regression-gated number
+      val e = embs(s, dir)
+      val probe = Similarity.defaultProbe(e)
+      val ann = Similarity.annTopK(e, probe).select("vec_id")
+      val brute = Similarity.topK(e, probe).select("vec_id")
+      ann.join(brute, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10).as("k"), col("n_hits"),
+          round(col("n_hits") / lit(10.0), 4).as("recall_at_10"))
+        .orderBy("k")
     }),
     // -- corpus preparation (sampling / scrubbing / chunking / packing) --
     "sample_hash_documents" -> ((s: SparkSession, dir: String) =>
@@ -353,12 +376,16 @@ object ExtQueries {
       val sk = sketchSql("embedding", 64, 32)
       val bandKeys = (0 until 4).map(i => s"((sk >> ${i * 8}) & 255)")
         .mkString("[", ", ", "]")
+      val cap = Dedup.MaxBucket
       s"""WITH s AS (SELECT vec_id, $sk AS sk FROM embeddings),
          |b AS (SELECT vec_id, unnest([0, 1, 2, 3]) AS band,
          |             unnest($bandKeys) AS bkey FROM s),
+         |big AS (SELECT band, bkey FROM b GROUP BY band, bkey HAVING count(*) > $cap),
+         |bb AS (SELECT b.* FROM b WHERE NOT EXISTS (
+         |       SELECT 1 FROM big WHERE big.band = b.band AND big.bkey = b.bkey)),
          |c AS (SELECT DISTINCT a.vec_id AS vec_id_a, b2.vec_id AS vec_id_b
-         |      FROM b a JOIN b b2 ON a.band = b2.band AND a.bkey = b2.bkey
-         |                        AND a.vec_id < b2.vec_id),
+         |      FROM bb a JOIN bb b2 ON a.band = b2.band AND a.bkey = b2.bkey
+         |                          AND a.vec_id < b2.vec_id),
          |j AS (SELECT vec_id_a, vec_id_b,
          |        ${cosSql("ea.embedding", "eb.embedding", 64)} AS cos
          |      FROM c JOIN embeddings ea ON ea.vec_id = c.vec_id_a
@@ -397,6 +424,50 @@ object ExtQueries {
         |    AS cosine
         |FROM s JOIN embeddings e USING (vec_id)
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // seed-centroid IVF: centroids = first 16 vectors by vec_id (pure
+    // SQL); assignment argmin, probe-list ranking and final ranking all
+    // at 6 dp with id tie-breaks, mirroring ivfSeedTopK step for step
+    "similarity_ivf_embeddings" ->
+      s"""WITH p AS (SELECT embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 1),
+         |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |         ORDER BY vec_id LIMIT 16),
+         |a AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |        round(${cosSql("e.embedding", "c.cvec", 64)}, 6) AS d
+         |      FROM embeddings e CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, label, embedding, cid FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+         |        FROM a) WHERE rn = 1),
+         |pr AS (SELECT cid FROM (
+         |        SELECT c.cid, round(${cosSql("c.cvec", "pp.pe", 64)}, 6) AS sim
+         |        FROM cent c, p pp)
+         |       ORDER BY sim DESC, cid LIMIT 4),
+         |cand AS (SELECT * FROM asg WHERE cid IN (SELECT cid FROM pr))
+         |SELECT vec_id, label, round(${cosSql("cand.embedding", "pp2.pe", 64)}, 6) AS cosine
+         |FROM cand, p pp2 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // recall@10: both sides (LSH-pruned ANN, brute-force) are already
+    // oracle-expressible — their join puts a hard number on the
+    // approximation and fails the gate if sketch pruning ever degrades
+    "similarity_ann_recall_embeddings" -> {
+      val sk = sketchSql("embedding", 64, 16)
+      val psk = sketchSql("pe", 64, 16)
+      s"""WITH p AS (SELECT embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 1),
+         |pp AS (SELECT pe, $psk AS psk FROM p),
+         |se AS (SELECT vec_id, embedding, $sk AS sk FROM embeddings),
+         |ann AS (SELECT vec_id FROM (
+         |        SELECT se.vec_id, round(${cosSql("se.embedding", "pp.pe", 64)}, 6) AS cos
+         |        FROM se, pp WHERE bit_count(xor(se.sk, pp.psk)) <= 3
+         |        ORDER BY cos DESC, vec_id LIMIT 10)),
+         |u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         |        unnest((SELECT pe FROM p))::DOUBLE AS pv FROM embeddings),
+         |sa AS (SELECT vec_id, sum(v * pv) AS dp, sum(v * v) AS na, sum(pv * pv) AS nb
+         |       FROM u GROUP BY vec_id),
+         |brute AS (SELECT vec_id FROM (
+         |        SELECT vec_id,
+         |          round(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE dp / sqrt(na * nb) END, 6) AS cosine
+         |        FROM sa ORDER BY cosine DESC, vec_id LIMIT 10))
+         |SELECT 10 AS k, count(*)::BIGINT AS n_hits, round(count(*) / 10.0, 4) AS recall_at_10
+         |FROM ann JOIN brute USING (vec_id) ORDER BY k""".stripMargin
+    },
     "dedup_exact_documents" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM (
          |  SELECT d.*, ROW_NUMBER() OVER (
@@ -675,8 +746,10 @@ object ExtQueries {
     // dedup_minhash* (xxhash64 shingles), dedup_simhash_pairs,
     // dedup_ngram_lsh_pairs (minhash candidates), dedup_cluster (minhash
     // variant; the exact variant IS oracle-checked above),
-    // similarity_ivf (k-means argmin chains through float means),
-    // multimodal_features — covered by scalatest property/brute-force
-    // checks instead.
+    // similarity_ivf_trained (Lloyd centroid float means are
+    // summation-order-sensitive; the seed variant IS oracle-checked
+    // above), multimodal_features — each covered by scalatest
+    // property/brute-force checks AND a committed sf0.001 golden
+    // fixture (GoldenFixtureSpec) as a hard re-run regression signal.
   )
 }

@@ -50,8 +50,12 @@ object CacheScope {
   def releaseAll(): Unit = {
     var d = tracked.poll()
     while (d != null) {
-      try d.unpersist(blocking = false)
-      catch { case _: Throwable => () }
+      try {
+        d.unpersist(blocking = false)
+        // localCheckpoint'd handles pin at RDD level, invisible to
+        // Dataset.unpersist — release those blocks too
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(d)
+      } catch { case _: Throwable => () }
       d = tracked.poll()
     }
   }

@@ -255,9 +255,14 @@ object Dedup {
     val dfreq = inv.groupBy("gram").agg(count(lit(1)).as("df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("gram"))
+    // minOverlap = ⌈t·|g|⌉ with EXACT rounding: the fp product can land
+    // a ulp above an integer (e.g. 100×0.57 → 57.000000000000004), and a
+    // bare ceil would then shorten the prefix by one and break the
+    // recall-complete guarantee. The epsilon absorbs the ulp; prefixes
+    // can only get longer (never lose recall) from it.
     val prefix = inv.join(dfreq, Seq("gram"))
       .withColumn("pos", row_number().over(byRarity))
-      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold - lit(1e-9)) + 1)
       .select("gram", "doc_id")
       .transform(graft.core.CacheScope.persist) // both candidate sides
     val cands = prefix.select(col("gram"), col("doc_id").as("doc_id_a"))
@@ -327,14 +332,26 @@ object Dedup {
 
   /** Embedding cosine near-dup pairs via random-hyperplane LSH (seeded):
     * sign-bit sketch of `planes` hyperplanes → banded buckets → exact
-    * cosine only on candidates. Same one-shuffle posture as simhash.
+    * cosine only on candidates. Same one-shuffle posture as simhash,
+    * and the same inverted skew guard: with 2^(planes/bands) buckets per
+    * band, bucket population grows ∝ n/buckets — and a degenerate input
+    * (many zero/constant vectors → one sketch) collapses into ONE bucket
+    * — so the self-join goes quadratic without a cap. Vectors in capped
+    * buckets are skipped for that band only (they can still pair via
+    * their other bands); recall on such saturated buckets is better
+    * recovered by widening the bands (planes=64 → 16-bit keys) than by
+    * joining an Ω(MaxBucket²)-pair bucket.
+    *
+    * `maxBucket = 0` disables the guard (used by the spec to measure the
+    * unguarded blowup; never the default).
     */
   def embeddingPairs(
       embeddings: DataFrame,
       dim: Int = 64,
       planes: Int = 32, // 8-bit bands: 256 buckets/band keeps candidate
       bands: Int = 4,   // sets ~linear as n grows (vs quadratic at 4-bit)
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95,
+      maxBucket: Int = MaxBucket): DataFrame = {
     val sketch = Similarity.hyperplaneSketch(col("embedding"), dim, planes)
     val sk = embeddings.select(col("vec_id"), col("embedding"), sketch.as("sk"))
     val bitsPer = planes / bands
@@ -345,10 +362,20 @@ object Dedup {
             .bitwiseAND(lit((1L << bitsPer) - 1)).as("bkey"))
       }: _*)).as("b"))
       .select(col("vec_id"), col("embedding"), col("b.band"), col("b.bkey"))
-      .transform(graft.core.CacheScope.persist) // both sides of the self-join
-    val a = banded.select(col("band"), col("bkey"),
+      .transform(graft.core.CacheScope.persist) // census + both sides of the self-join
+    // broadcast only the OVERSIZED buckets (≤ n·bands/maxBucket of them,
+    // tiny by construction), anti-join the corpus-sized side
+    val capped =
+      if (maxBucket <= 0) banded
+      else {
+        val oversized = banded.groupBy("band", "bkey").count()
+          .filter(col("count") > maxBucket)
+          .select("band", "bkey")
+        banded.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
+      }
+    val a = capped.select(col("band"), col("bkey"),
       col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
-    val b = banded.select(col("band"), col("bkey"),
+    val b = capped.select(col("band"), col("bkey"),
       col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"))
     a.join(b, Seq("band", "bkey"))
       .filter(col("vec_id_a") < col("vec_id_b"))

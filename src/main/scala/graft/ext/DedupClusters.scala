@@ -80,6 +80,11 @@ object DedupClusters {
     var labels = documents
       .select(col("doc_id").cast("long").as("v"),
         col("doc_id").cast("long").as("cluster_id"))
+    // previous round's checkpoint: released once the NEXT round has
+    // materialized (its blocks are unrecoverable after release — the
+    // lineage was truncated), so peak pinned storage is 2 rounds, not
+    // O(iterations)
+    var prevRound: DataFrame = null
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -109,10 +114,21 @@ object DedupClusters {
         // reliable checkpoint; local block storage is the local analogue)
         .localCheckpoint(true)
       val changed = next.filter(col("changed") === true).count()
+      if (prevRound != null)
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(prevRound)
+      prevRound = next
       labels = next.select("v", "cluster_id")
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIterations rounds " +
+          "(component diameter > 2^rounds — raise maxIterations); refusing " +
+          "to return partially-propagated cluster labels")
+    // the FINAL round's checkpoint backs the returned plan: register it
+    // for scope-level release after the caller's action
+    if (prevRound != null) graft.core.CacheScope.track(prevRound)
     documents.select(col("doc_id"))
       .join(labels.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))

@@ -184,6 +184,53 @@ object Similarity {
   def ivfAssign(embeddings: DataFrame, nCentroids: Int = 16): DataFrame =
     ivfAssignTo(embeddings, seedCentroids(embeddings, nCentroids))
 
+  /** [[nearestCentroid]] with the distance compared at 6 dp: the argmin
+    * becomes engine-portable (summation-order ulps cannot flip it;
+    * near-ties resolve by centroid_id), which is what lets the
+    * seed-centroid IVF query be oracle-checked in SQL.
+    */
+  def nearestCentroidPortable(centroids: Seq[(Long, Seq[Float])]): Column = {
+    val scored = array(centroids.map { case (cid, v) =>
+      val cvec = array(v.map(lit): _*)
+      struct(round(-cosine(col("embedding"), cvec), 6).as("d"), lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+    array_min(scored).getField("cid")
+  }
+
+  /** Oracle-checkable IVF top-k over DETERMINISTIC seed centroids (the
+    * first `nCentroids` vectors by vec_id): every step — assignment
+    * argmin, probe-list ranking, final ranking — compares cosines at
+    * 6 dp with id tie-breaks, so a SQL oracle reproduces it exactly.
+    * The Lloyd-trained index ([[buildIvfIndex]]) is the production
+    * variant (float means chain through summation order, so its
+    * centroids are not portably SQL-expressible); this variant shares
+    * its entire plan shape — literal-argmin narrow assignment,
+    * broadcast probe-list semi-join — so the oracle's verdict covers
+    * the execution path, not just a toy.
+    */
+  def ivfSeedTopK(
+      embeddings: DataFrame,
+      probe: Seq[Float],
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val cents = seedCentroids(embeddings, nCentroids)
+    val probeCol = array(probe.map(lit): _*)
+    val assigned = embeddings
+      .withColumn("centroid_id", nearestCentroidPortable(cents))
+    val near = centroidsDF(embeddings.sparkSession, cents)
+      .withColumn("sim", round(cosine(col("cvec"), probeCol), 6))
+      .orderBy(col("sim").desc, col("centroid_id"))
+      .limit(nProbe)
+      .select("centroid_id")
+    assigned
+      .join(broadcast(near), Seq("centroid_id"), "left_semi")
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), probeCol), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Per-vector int8 (0–255) min–max quantization — the storage path
     * for vector corpora at scale (4× smaller than float32 before
     * compression; IVF/LSH recall is barely affected at 8 bits). Pure

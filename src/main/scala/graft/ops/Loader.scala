@@ -96,18 +96,21 @@ object Loader {
     require(keys.nonEmpty, "MERGE requires at least one on_condition column")
     val alignedStaging = staging.select(target.columns.map(col).toIndexedSeq: _*)
     // Uniqueness rides the merge job (assert at action time) — zero eager
-    // jobs at plan-construction time. The guard sits on the anti-join
-    // PROBE branch, where its window's keys-exchange doubles as the
-    // shuffle the join needs anyway: in the non-broadcast (bucketed-
-    // target) case the plan still has exactly one staging exchange and
-    // the target never moves. The anti-join consumes every probe row, so
-    // every duplicate key trips the assert.
+    // jobs at plan-construction time. The guard wraps the staging subplan
+    // feeding BOTH the union branch and the anti-join probe: output rows
+    // cannot bypass it even when the optimizer eliminates the anti-join
+    // entirely (PropagateEmptyRelation on an empty target, AQE
+    // empty-stage propagation). The two consumers share the guarded
+    // subplan, so its window's keys-exchange is computed once (exchange
+    // reuse) and doubles as the shuffle the join needs in the
+    // non-broadcast (bucketed-target) case — one staging exchange, and
+    // the target never moves.
     val guarded =
       if (checkUniqueKeys) withUniqueKeyGuard(alignedStaging, keys) else alignedStaging
     val doBroadcast = broadcastStaging.getOrElse(shouldBroadcastStaging(target, staging))
     val probe = if (doBroadcast) broadcast(guarded) else guarded
     val untouched = target.join(probe, keys, "left_anti")
-    alignedStaging.unionByName(untouched)
+    guarded.unionByName(untouched)
   }
 
   /** 'Update'-branch no-op on empty staging (gcp_function.py:156,166). */
@@ -140,6 +143,32 @@ object Loader {
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+
+  /** Materialize preserving a reference layout (provider, partition
+    * columns, bucket spec — as captured by `GraftBridge.tableInfo`):
+    * rewrite paths (the dispatcher's swap-rename, the streaming sink's
+    * snapshot fallback) must not silently flatten a bucketed or
+    * partitioned target into a plain managed table.
+    */
+  def writeTableLike(
+      df: DataFrame,
+      table: String,
+      info: org.apache.spark.sql.GraftBridge.TableInfo): Unit = {
+    val base = df.write.mode("overwrite").format(info.provider.getOrElse("parquet"))
+    val part =
+      if (info.partitionColumnNames.nonEmpty)
+        base.partitionBy(info.partitionColumnNames: _*)
+      else base
+    val bucketed = (info.bucketColumnNames, info.numBuckets) match {
+      case (bcols, Some(n)) if bcols.nonEmpty =>
+        val b = part.bucketBy(n, bcols.head, bcols.tail: _*)
+        if (info.sortColumnNames.nonEmpty)
+          b.sortBy(info.sortColumnNames.head, info.sortColumnNames.tail: _*)
+        else b
+      case _ => part
+    }
+    bucketed.saveAsTable(table)
+  }
 
   /** Drop a staging table if present (gcp_function.py:112's
     * delete_table(not_found_ok-less) — we tolerate absence).
@@ -178,12 +207,15 @@ object Loader {
         if (!aligned.isEmpty) {
           val stagingName = s"${table}_temp"
           writeTable(aligned, stagingName) // land staging (WRITE_TRUNCATE)
+          val info = org.apache.spark.sql.GraftBridge.tableInfo(spark, table)
           val merged = upsert(
             spark.table(table), spark.table(stagingName), entry.keyColumns)
           // cannot overwrite the table the plan reads from: materialize
-          // to a swap table, then rename — fully distributed, no collect
+          // to a swap table (same provider/partitioning/bucketing as the
+          // target — the rename must not flatten its layout), then
+          // rename — fully distributed, no collect
           val swap = s"${table}_merged_swap"
-          writeTable(merged, swap)
+          writeTableLike(merged, swap, info)
           dropTable(spark, table)
           spark.sql(s"ALTER TABLE `$swap` RENAME TO `$table`")
           dropTable(spark, stagingName)

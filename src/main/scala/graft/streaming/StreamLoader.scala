@@ -1,7 +1,8 @@
 package graft.streaming
 
 import graft.ops.Loader
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 
 /** Streaming MERGE sink: continuous upsert of a changelog stream into a
@@ -17,10 +18,16 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   * order), mirroring how a CDC consumer compacts before merging; the
   * batch uniqueness guard then rides the merge job as usual.
   *
-  * At 100 TB the target would be a bucketed table ([[Loader
-  * .writeTableBucketed]]) so each micro-batch merge shuffles only the
-  * batch itself; the swap-rename here mirrors the batch loader's
-  * distributed materialization (no Delta dependency).
+  * Write-back cost is BOUNDED BY THE BATCH, not the table, when the
+  * target is partitioned: the merge runs against only the partitions the
+  * batch touches (partition-pruned scan) and dynamic partition overwrite
+  * replaces only those partitions' files — a 1-row batch into a 100 TB
+  * date-partitioned target rewrites one day's partition, never the
+  * table. Unpartitioned targets fall back to a full snapshot rewrite
+  * (inherently O(|target|) without a transactional table format), made
+  * crash-recoverable: the snapshot lands in the checkpoint dir BEFORE
+  * the catalog table is replaced, and a restart that finds the table
+  * missing restores it from the last complete snapshot before merging.
   */
 object StreamLoader {
 
@@ -35,6 +42,86 @@ object StreamLoader {
         struct(batch.columns.filterNot(keys.contains).map(col).toIndexedSeq: _*).desc)
     batch.withColumn("_sl_rn", row_number().over(w))
       .filter(col("_sl_rn") === 1).drop("_sl_rn")
+  }
+
+  private def snapshotDir(checkpointDir: String) = s"$checkpointDir/merge-tmp"
+
+  private def snapshotComplete(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+
+  /** Recovery half of the unpartitioned rewrite: if a crash landed
+    * between "target dropped" and "target rewritten", the last COMPLETE
+    * snapshot (parquet `_SUCCESS` marker) still sits in the checkpoint
+    * dir — restore the table from it so the checkpoint replay can
+    * resolve `spark.table(table)` and re-merge idempotently (the merge
+    * upserts the same compacted keys, so replay over the snapshot that
+    * already contains them is a no-op rewrite, not a duplication).
+    */
+  def recoverIfMissing(spark: SparkSession, table: String, checkpointDir: String): Boolean = {
+    val dir = snapshotDir(checkpointDir)
+    if (!spark.catalog.tableExists(table) && snapshotComplete(spark, dir)) {
+      spark.read.parquet(dir).write.mode("overwrite").saveAsTable(table)
+      true
+    } else false
+  }
+
+  /** One micro-batch merge: partition-bounded when the target is
+    * partitioned, snapshot-then-swap otherwise. Factored out of the
+    * sink so batch-shaped specs can exercise it directly.
+    */
+  def mergeBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      table: String,
+      keys: Seq[String],
+      seqCol: String,
+      checkpointDir: String): Unit = {
+    recoverIfMissing(spark, table, checkpointDir)
+    val target = spark.table(table)
+    val staging = compactLatest(batch, keys, seqCol)
+      .select(target.columns.map(col).toIndexedSeq: _*)
+    val info = GraftBridge.tableInfo(spark, table)
+    if (info.partitionColumnNames.nonEmpty) {
+      // ---- bounded rewrite: touch only the partitions the batch hits.
+      // The touched-partition list is a collect over the COMPACTED batch
+      // (tiny by construction); its literal predicates partition-prune
+      // the target scan, so the merge reads |touched partitions|, and
+      // dynamic partition overwrite swaps only those directories.
+      // Caveat (standard for partitioned CDC): a key's partition value
+      // must be immutable — a "moved" row would leave its old copy in
+      // the old partition, exactly as in Hive-style MERGEs.
+      val pcols = info.partitionColumnNames
+      val touched = staging.select(pcols.map(col): _*).distinct().collect()
+      val cond = touched.toSeq
+        .map(r => pcols.zipWithIndex
+          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+          .reduce(_ && _))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val slice = target.filter(cond)
+      val merged = Loader.upsert(slice, staging, keys,
+        broadcastStaging = Some(true)) // a micro-batch is always small
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .insertInto(table)
+    } else {
+      val merged = Loader.upsert(target, staging, keys,
+        broadcastStaging = Some(true))
+      // full-snapshot fallback: spill the merge to a checkpoint-scoped
+      // parquet dir FIRST (the overwrite never reads the table it
+      // writes, and the completed snapshot doubles as the crash-recovery
+      // source above), then rewrite the catalog table from it,
+      // preserving the declared provider and bucket layout — a bucketed
+      // 100 TB target must not silently degrade to an unbucketed one on
+      // the first micro-batch. A transactional table format would
+      // replace this two-step at production scale; the MERGE plan itself
+      // is format-agnostic.
+      val tmp = snapshotDir(checkpointDir)
+      merged.write.mode("overwrite").parquet(tmp)
+      Loader.writeTableLike(spark.read.parquet(tmp), table, info)
+    }
   }
 
   /** Attach the merge sink to a streaming DataFrame: every micro-batch
@@ -52,23 +139,8 @@ object StreamLoader {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val target = spark.table(table)
-          val staging = compactLatest(batch, keys, seqCol)
-            .select(target.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-          val merged = Loader.upsert(target, staging, keys,
-            broadcastStaging = Some(true)) // a micro-batch is always small
-          // spill the merge to a checkpoint-scoped parquet dir, then
-          // overwrite the target from it: the overwrite never reads the
-          // table it writes, and (unlike a drop+rename dance) leaves no
-          // stale file-index entries in the streaming clone session.
-          // A transactional table format would replace this two-step at
-          // production scale; the MERGE plan itself is format-agnostic.
-          val tmp = s"$checkpointDir/merge-tmp"
-          merged.write.mode("overwrite").parquet(tmp)
-          spark.read.parquet(tmp).write.mode("overwrite").saveAsTable(table)
-        }
+        if (!batch.isEmpty)
+          mergeBatch(batch.sparkSession, batch, table, keys, seqCol, checkpointDir)
         () // foreachBatch requires a Unit-typed closure
       }
 

@@ -20,10 +20,10 @@ class QueryContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles missing ORDER BY: $missing")
   }
 
-  test("declared surface matches the documented round-3 inventory") {
-    assert(SparkEntry.queries.size == 58,
+  test("declared surface matches the documented round-4 inventory") {
+    assert(SparkEntry.queries.size == 60,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.7 if intentional)")
-    assert(SparkEntry.oracleSql.size == 50,
+    assert(SparkEntry.oracleSql.size == 52,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} (update SURVEY §2.7 if intentional)")
   }
 

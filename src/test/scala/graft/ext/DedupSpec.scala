@@ -185,4 +185,37 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
     assert(math.abs(pairs.head.getDouble(2) - 1.0) < 1e-9)
   }
+
+  test("embedding near-dup: oversized-bucket guard bounds degenerate inputs") {
+    import spark.implicits._
+    // 5 000 constant vectors all sketch identically → every band
+    // collapses into ONE bucket; unguarded, the self-join is n²/2 pairs
+    val n = 5000
+    val degen = (0 until n).map(i => (i.toLong, Seq.fill(64)(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Dedup.embeddingPairs(degen, threshold = 0.0).count() == 0,
+      "saturated buckets must be capped out, not self-joined")
+    // the unguarded path on a SMALL degenerate input shows the blowup
+    // the guard prevents: exactly n·(n−1)/2 pairs
+    val m = 200
+    val small = (0 until m).map(i => (i.toLong, Seq.fill(64)(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Dedup.embeddingPairs(small, threshold = 0.0, maxBucket = 0).count()
+      == m.toLong * (m - 1) / 2)
+    // the guard is surgical: pairs among well-spread vectors survive a
+    // co-resident degenerate block (never gain pairs, never pair INTO it)
+    val rnd = new scala.util.Random(7)
+    val spread = (0 until 50).map(i =>
+      (1000000L + i, Seq.fill(64)(rnd.nextFloat() - 0.5f), 1))
+    val mixed = (spread ++ (0 until 300).map(i => (i.toLong, Seq.fill(64)(1.0f), 0)))
+      .toDF("vec_id", "embedding", "label")
+    val base = Dedup.embeddingPairs(spread.toDF("vec_id", "embedding", "label"),
+      threshold = 0.3, maxBucket = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Dedup.embeddingPairs(mixed, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.forall { case (a, b) => a >= 1000000L && b >= 1000000L },
+      "no pair may involve the capped degenerate block")
+    assert(out.toSet.subsetOf(base), "guard must never invent pairs")
+  }
 }

@@ -134,6 +134,83 @@ class LoaderSpec extends SparkSpec {
     assert(out.last.getLong(0) == 9L && out.last.getString(1) == "z")
   }
 
+  test("duplicate staging keys trip the guard even on an EMPTY target") {
+    import spark.implicits._
+    // PropagateEmptyRelation can eliminate the anti-join entirely when
+    // the target is an empty LocalRelation — the guard must not ride
+    // only that branch, or duplicates would silently pass here
+    val empty = Seq.empty[(Long, String, Double)].toDF("k", "name", "v")
+    val staging = Seq((2L, "x", 0.0), (2L, "y", 1.0)).toDF("k", "name", "v")
+    val plan = Loader.upsert(empty, staging, Seq("k"))
+    val e = intercept[Exception] { plan.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("duplicate merge keys")),
+      s"unexpected error: $e")
+  }
+
+  test("dispatcher Update path: bucketed layout survives, staging-only shuffle") {
+    import spark.implicits._
+    dropWithLocation("disp_bucketed_target")
+    dropWithLocation("disp_bucketed_target_temp")
+    dropWithLocation("disp_bucketed_target_merged_swap")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val regPath = java.nio.file.Files.createTempFile("disp_reg", ".json").toString
+    val registry = new graft.core.SchemaRegistry(regPath)
+    registry.save("disp_bucketed_target", schema, Seq("k"))
+    val big = spark.range(0, 5000)
+      .select(col("id").as("k"), concat(lit("n"), col("id")).as("name"),
+        col("id").cast("double").as("v"))
+    Loader.writeTableBucketed(big, "disp_bucketed_target", Seq("k"), buckets = 4)
+    // capture the merge-write plan the dispatcher executes (listener API)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.listenerManager.register(listener)
+    try {
+      val staging = Seq((5L, "b2", 22.0), (9999999L, "new", 1.0)).toDF("k", "name", "v")
+      Loader.load(spark, Loader.Update, staging, "disp_bucketed_target", registry)
+      spark.sparkContext.listenerBus.waitUntilEmpty()
+      // layout preserved through the swap-rename
+      val info = org.apache.spark.sql.GraftBridge.tableInfo(spark, "disp_bucketed_target")
+      assert(info.numBuckets.contains(4) && info.bucketColumnNames == Seq("k"),
+        s"dispatcher flattened the bucketed target: $info")
+      // merged content correct
+      val out = spark.table("disp_bucketed_target").orderBy("k").collect()
+      assert(out.length == 5001)
+      assert(out(5).getString(1) == "b2")
+      assert(out.last.getLong(0) == 9999999L)
+      // the merge job that wrote the swap shuffled ONLY the staging side
+      // (target read pre-bucketed on k); bucket-spec writes add no
+      // exchange, so exactly one non-broadcast hash exchange in the plan
+      import scala.jdk.CollectionConverters._
+      val mergePlan = plans.asScala.find(p =>
+        p.contains("disp_bucketed_target_merged_swap") ||
+          (p.contains("disp_bucketed_target_temp") && p.contains("LeftAnti")))
+      assert(mergePlan.isDefined,
+        s"no merge-write plan captured (got ${plans.size()} plans)")
+      val exchanges = "(?<!Broadcast)Exchange hashpartitioning".r
+        .findAllIn(mergePlan.get).length
+      assert(exchanges == 1,
+        s"expected 1 exchange (staging only) through the dispatcher, plan:\n${mergePlan.get}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.listenerManager.unregister(listener)
+      spark.sql("DROP TABLE IF EXISTS disp_bucketed_target")
+    }
+  }
+
   test("multi-column merge keys (gcp_function.py:73 conjunctive ON)") {
     import spark.implicits._
     val t2 = Seq((1L, 1, "a"), (1L, 2, "b")).toDF("k1", "k2", "v")
