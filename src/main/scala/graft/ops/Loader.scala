@@ -100,11 +100,14 @@ object Loader {
     // feeding BOTH the union branch and the anti-join probe: output rows
     // cannot bypass it even when the optimizer eliminates the anti-join
     // entirely (PropagateEmptyRelation on an empty target, AQE
-    // empty-stage propagation). The two consumers share the guarded
-    // subplan, so its window's keys-exchange is computed once (exchange
-    // reuse) and doubles as the shuffle the join needs in the
-    // non-broadcast (bucketed-target) case — one staging exchange, and
-    // the target never moves.
+    // empty-stage propagation). Plan cost of the both-branch guard:
+    // column pruning narrows the probe copy to the key columns, so the
+    // two staging subtrees canonicalize differently and each carries its
+    // own exchange — TWO staging-bounded shuffles (one full-width, one
+    // keys-only), both O(|staging|). The invariant that matters at
+    // 100 TB is unchanged: the TARGET side never moves (bucketed targets
+    // are read pre-partitioned; broadcast staging streams the target
+    // in place) — spec-enforced by LoaderSpec's exchange traversals.
     val guarded =
       if (checkUniqueKeys) withUniqueKeyGuard(alignedStaging, keys) else alignedStaging
     val doBroadcast = broadcastStaging.getOrElse(shouldBroadcastStaging(target, staging))
@@ -208,8 +211,15 @@ object Loader {
           val stagingName = s"${table}_temp"
           writeTable(aligned, stagingName) // land staging (WRITE_TRUNCATE)
           val info = org.apache.spark.sql.GraftBridge.tableInfo(spark, table)
+          // a target bucketed on the merge keys is the declared 100 TB
+          // layout: the shuffle anti-join reads it pre-partitioned (zero
+          // target movement) and staging's guard-window exchange doubles
+          // as the join shuffle — broadcasting staging would only nest a
+          // SECOND staging exchange inside the broadcast build
+          val bucketedOnKeys = entry.keyColumns.forall(info.bucketColumnNames.contains)
           val merged = upsert(
-            spark.table(table), spark.table(stagingName), entry.keyColumns)
+            spark.table(table), spark.table(stagingName), entry.keyColumns,
+            broadcastStaging = if (bucketedOnKeys) Some(false) else None)
           // cannot overwrite the table the plan reads from: materialize
           // to a swap table (same provider/partitioning/bucketing as the
           // target — the rename must not flatten its layout), then

@@ -103,9 +103,24 @@ object StreamLoader {
       val slice = target.filter(cond)
       val merged = Loader.upsert(slice, staging, keys,
         broadcastStaging = Some(true)) // a micro-batch is always small
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .insertInto(table)
+      // Spark refuses INSERT OVERWRITE on a table the plan also reads
+      // (UNSUPPORTED_OVERWRITE): spill the merged slice — bounded by the
+      // touched partitions, not the table — to a checkpoint-scoped tmp
+      // dir first, then overwrite from the tmp read
+      val tmp = s"${snapshotDir(checkpointDir)}-slice"
+      merged.write.mode("overwrite").parquet(tmp)
+      // dynamic mode via session conf: the writer-option spelling is not
+      // honored through insertInto on catalog tables, and static mode
+      // would TRUNCATE the untouched partitions
+      val confKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(confKey)
+      spark.conf.set(confKey, "dynamic")
+      try
+        spark.read.parquet(tmp)
+          .select(target.columns.map(col).toIndexedSeq: _*)
+          .write.mode("overwrite")
+          .insertInto(table)
+      finally spark.conf.set(confKey, prev)
     } else {
       val merged = Loader.upsert(target, staging, keys,
         broadcastStaging = Some(true))

@@ -35,6 +35,13 @@ object GraftBridge {
       m.bucketSpec.map(_.numBuckets))
   }
 
+  /** Drain the async listener bus so `QueryExecutionListener` callbacks
+    * registered by specs have fired before assertions read them.
+    * `SparkContext.listenerBus` is `private[spark]`, hence the accessor.
+    */
+  def waitListeners(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Release the block-storage pinned by `df.localCheckpoint(true)`.
     * `Dataset.unpersist` only clears CacheManager entries; the
     * checkpoint's data lives at RDD level inside the plan's

@@ -1,0 +1,45 @@
+package graft
+
+/** Enforces SCALE.md's join-strategy claims as invariants instead of
+  * prose: every declared query's physical plan must be free of
+  * `CartesianProduct`, and `BroadcastNestedLoopJoin` may appear only
+  * where a broadcast-bounded cross join IS the declared design (1-row
+  * probe / ≤2^16-row sketch census in the similarity family). A future
+  * refactor that silently regresses a join to a quadratic strategy
+  * fails here at sf0.001 instead of at 100 TB.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+    * the probe side is a broadcast relation bounded by construction
+    * (one probe row, or the centroid/sketch census capped at 2^16
+    * rows), so the "nested loop" is a constant-size inner loop per
+    * stream row — the declared design, not a regression.
+    */
+  private val bnljAllowed: Set[String] = Set(
+    "similarity_ann_embeddings",
+    "similarity_ann_recall_embeddings",
+    "similarity_topk_embeddings",
+    "similarity_ivf_embeddings",
+    "similarity_ivf_trained_embeddings",
+    // RangeJoin's long-interval guard: the build side is the broadcast
+    // of intervals spanning > maxBinsPerInterval bins — rare by
+    // construction (RangeJoin.scala long path), and exactly the rows
+    // the bin-bucketed equi-join must NOT see
+    "range_join_sessions")
+
+  for ((key, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"plan shape: $key") {
+      val df = fn(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      graft.core.CacheScope.releaseAll()
+      assert(!plan.contains("CartesianProduct"),
+        s"$key plans a CartesianProduct:\n$plan")
+      if (!bnljAllowed(key))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$key plans a BroadcastNestedLoopJoin (not in the declared allowlist):\n$plan")
+    }
+  }
+}

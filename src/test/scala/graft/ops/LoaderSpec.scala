@@ -5,6 +5,37 @@ import org.apache.spark.sql.functions._
 
 class LoaderSpec extends SparkSpec {
   import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+
+  /** Physical tree incl. AQE stage/reuse wrappers (the plan STRING
+    * prints Final AND Initial plans under AQE — string-counting double
+    * counts every node).
+    */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  private def shuffles(root: SparkPlan): Seq[ShuffleExchangeExec] =
+    flatten(root).collect { case s: ShuffleExchangeExec => s }.distinct
+
+  /** Shuffle exchanges whose subtree scans the given table dir: at scale
+    * these move the whole table — the merge invariant is that none of
+    * them touch the (bucketed) target.
+    */
+  private def shufflesReading(root: SparkPlan, tableDir: String): Seq[ShuffleExchangeExec] =
+    shuffles(root).filter(e => flatten(e).exists {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.endsWith(s"/$tableDir"))
+      case _ => false
+    })
 
   private def target: DataFrame = {
     import spark.implicits._
@@ -53,10 +84,15 @@ class LoaderSpec extends SparkSpec {
     try {
       val merged = Loader.upsert(spark.table("bucketed_target_spec"), staging,
         Seq("k"), broadcastStaging = Some(false))
-      val plan = merged.queryExecution.executedPlan.toString
-      val exchanges = "(?<!Broadcast)Exchange hashpartitioning".r
-        .findAllIn(plan).length
-      assert(exchanges == 1, s"expected 1 exchange (staging only), plan:\n$plan")
+      val root = merged.queryExecution.executedPlan
+      // two staging-bounded exchanges (the both-branch uniqueness guard:
+      // full-width union copy + keys-only pruned probe copy), and the
+      // bucketed TARGET scan is never under an exchange — the side that
+      // is 100 TB stays put
+      assert(shuffles(root).size == 2,
+        s"expected 2 staging exchanges, plan:\n$root")
+      assert(shufflesReading(root, "bucketed_target_spec").isEmpty,
+        s"target side shuffled, plan:\n$root")
       // and the merge is still correct
       val out = merged.orderBy("k").collect()
       assert(out.length == 10001)
@@ -167,11 +203,12 @@ class LoaderSpec extends SparkSpec {
         col("id").cast("double").as("v"))
     Loader.writeTableBucketed(big, "disp_bucketed_target", Seq("k"), buckets = 4)
     // capture the merge-write plan the dispatcher executes (listener API)
-    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(fn: String,
           qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
-        plans.add(qe.executedPlan.toString)
+        plans.add(qe)
       override def onFailure(fn: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     }
@@ -181,7 +218,7 @@ class LoaderSpec extends SparkSpec {
     try {
       val staging = Seq((5L, "b2", 22.0), (9999999L, "new", 1.0)).toDF("k", "name", "v")
       Loader.load(spark, Loader.Update, staging, "disp_bucketed_target", registry)
-      spark.sparkContext.listenerBus.waitUntilEmpty()
+      org.apache.spark.sql.GraftBridge.waitListeners(spark)
       // layout preserved through the swap-rename
       val info = org.apache.spark.sql.GraftBridge.tableInfo(spark, "disp_bucketed_target")
       assert(info.numBuckets.contains(4) && info.bucketColumnNames == Seq("k"),
@@ -193,17 +230,26 @@ class LoaderSpec extends SparkSpec {
       assert(out.last.getLong(0) == 9999999L)
       // the merge job that wrote the swap shuffled ONLY the staging side
       // (target read pre-bucketed on k); bucket-spec writes add no
-      // exchange, so exactly one non-broadcast hash exchange in the plan
+      // exchange. Traverse the FINAL physical tree (the plan STRING
+      // prints AQE's Final AND Initial plans — string-counting double
+      // counts every exchange).
       import scala.jdk.CollectionConverters._
-      val mergePlan = plans.asScala.find(p =>
-        p.contains("disp_bucketed_target_merged_swap") ||
-          (p.contains("disp_bucketed_target_temp") && p.contains("LeftAnti")))
-      assert(mergePlan.isDefined,
+      val mergeQe = plans.asScala.find { qe =>
+        val s = qe.analyzed.toString
+        s.contains("disp_bucketed_target_merged_swap") ||
+          (s.contains("disp_bucketed_target_temp") && s.contains("LeftAnti"))
+      }
+      assert(mergeQe.isDefined,
         s"no merge-write plan captured (got ${plans.size()} plans)")
-      val exchanges = "(?<!Broadcast)Exchange hashpartitioning".r
-        .findAllIn(mergePlan.get).length
-      assert(exchanges == 1,
-        s"expected 1 exchange (staging only) through the dispatcher, plan:\n${mergePlan.get}")
+      val root = mergeQe.get.executedPlan
+      // the bucketed target must never move: no shuffle subtree reads it
+      assert(shufflesReading(root, "disp_bucketed_target").isEmpty,
+        s"bucketed target was shuffled through the dispatcher:\n$root")
+      // same shape as the direct-upsert plan: two staging-bounded
+      // exchanges (guard union copy + pruned probe copy), nothing else
+      assert(shuffles(root).size == 2,
+        s"expected 2 staging exchanges through the dispatcher, got " +
+          s"${shuffles(root).size}:\n$root")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.listenerManager.unregister(listener)
