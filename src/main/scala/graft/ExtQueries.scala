@@ -22,6 +22,19 @@ object ExtQueries {
   // Shared SQL fragments (DuckDB dialect; 'g' flag = replace-all, which
   // is Spark's regexp_replace default)
   private val NormSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  /** BM25 demo query — terms present in the synthetic corpus at
+    * distinct frequencies; shared verbatim by the oracle SQL.
+    */
+  val Bm25QueryTerms: Seq[String] = Seq("merge", "window", "scan")
+
+  /** DuckDB mirror of [[Relevance]]'s tokenizer: one row per non-empty
+    * lowercase letter-run token, with the given extra columns carried.
+    */
+  private def tokSql(carry: String) =
+    s"""SELECT $carry, term FROM (
+       |  SELECT $carry, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+       |  FROM documents) WHERE term <> ''""".stripMargin
   private val WsToksSql =
     """CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"""
 
@@ -120,6 +133,15 @@ object ExtQueries {
       TextStats.qualityScore(docs(s, dir))),
     "fingerprint_documents" -> ((s: SparkSession, dir: String) =>
       TextStats.fingerprint(docs(s, dir))),
+    "token_freq_documents" -> ((s: SparkSession, dir: String) =>
+      TextStats.tokenFreq(docs(s, dir))),
+    "corpus_summary_documents" -> ((s: SparkSession, dir: String) =>
+      TextStats.corpusSummary(docs(s, dir))),
+    // -- term relevance (TF-IDF / BM25) --
+    "tfidf_top_terms_documents" -> ((s: SparkSession, dir: String) =>
+      Relevance.tfidfTopTerms(docs(s, dir))),
+    "bm25_search_documents" -> ((s: SparkSession, dir: String) =>
+      Relevance.bm25Search(docs(s, dir), Bm25QueryTerms)),
     // -- dedup --
     "dedup_exact_documents" -> ((s: SparkSession, dir: String) =>
       Dedup.exact(docs(s, dir))),
@@ -344,6 +366,51 @@ object ExtQueries {
     },
     "fingerprint_documents" ->
       s"SELECT doc_id, md5($NormSql) AS fingerprint FROM documents ORDER BY doc_id",
+    "token_freq_documents" ->
+      s"""WITH tk AS (${tokSql("doc_id")})
+         |SELECT term AS token, count(*)::BIGINT AS n FROM tk
+         |GROUP BY term ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "corpus_summary_documents" ->
+      s"""SELECT count(*)::BIGINT AS n_docs,
+         |  count(DISTINCT source)::BIGINT AS n_sources,
+         |  count(DISTINCT lang)::BIGINT AS n_langs,
+         |  sum(n_chars)::BIGINT AS sum_chars,
+         |  count(DISTINCT md5($NormSql))::BIGINT AS n_unique_texts,
+         |  round(1.0 - count(DISTINCT md5($NormSql))::DOUBLE / count(*), 4) AS dup_rate
+         |FROM documents ORDER BY n_docs""".stripMargin,
+    // TF-IDF: every intermediate (tf, df, N) is an exact integer; the
+    // score is one multiply of one ln() rounded at 4 dp — cross-engine
+    // deterministic like the cosine/jaccard families
+    "tfidf_top_terms_documents" ->
+      s"""WITH tk AS (${tokSql("doc_id, lang")}),
+         |tf AS (SELECT lang, term, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tk GROUP BY 1),
+         |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         |s AS (SELECT tf.lang, tf.term, tf.tf, df.df,
+         |        round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 4) AS score
+         |      FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY lang ORDER BY score DESC, term) AS rank FROM s)
+         |SELECT lang, rank, term, tf, df, score FROM r
+         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "bm25_search_documents" -> {
+      val terms = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+      val k1p1 = Relevance.K1 + 1.0
+      val oneMinusB = 1.0 - Relevance.B
+      s"""WITH tk AS (${tokSql("doc_id")}),
+         |hits AS (SELECT * FROM tk WHERE term IN ($terms)),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM hits GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM hits GROUP BY 1),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tk GROUP BY 1),
+         |c AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         |             (SELECT sum(dl)::DOUBLE / count(*) FROM dl) AS avgdl)
+         |SELECT doc_id,
+         |  round(sum(ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+         |    tf.tf * $k1p1 / (tf.tf + ${Relevance.K1} *
+         |      ($oneMinusB + ${Relevance.B} * dl.dl / c.avgdl))), 4) AS bm25
+         |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN c
+         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+    },
     // exact n-gram Jaccard: same normalization, shingling (ShingleN),
     // frequency cap (MaxBucket) and threshold as the Spark plan. The
     // Spark side compares 64-bit gram hashes, the oracle the gram

@@ -135,4 +135,37 @@ object TextStats {
   /** Normalization shared by fingerprint + exact dedup. */
   def normText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Zipf head: the `topN` most frequent letter-run tokens across the
+    * corpus. Explode → map-side-combined count keyed by token (one
+    * shuffle of vocabulary-sized partials) → global top-N.
+    */
+  def tokenFreq(documents: DataFrame, topN: Int = 20): DataFrame =
+    documents
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
+
+  /** One-row corpus health report: sizes, exact distinct sources /
+    * langs / fingerprints, and the exact-duplicate rate those
+    * fingerprints imply. Multi-distinct expands to a handful of
+    * corpus-keyed aggregations — a report query, not a hot path.
+    */
+  def corpusSummary(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        md5(normText(col("text"))).as("fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("fp")).as("n_unique_texts"))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"), col("sum_chars"),
+        col("n_unique_texts"),
+        round(lit(1.0) - col("n_unique_texts").cast("double") / col("n_docs"), 4)
+          .as("dup_rate"))
+      .orderBy("n_docs")
 }

@@ -24,6 +24,10 @@ class PlanShapeSpec extends SparkSpec {
     "similarity_topk_embeddings",
     "similarity_ivf_embeddings",
     "similarity_ivf_trained_embeddings",
+    // TF-IDF/BM25 join in ONE corpus-constant row (N, avgdl) via an
+    // explicit broadcast cross join — a constant-time inner loop
+    "tfidf_top_terms_documents",
+    "bm25_search_documents",
     // RangeJoin's long-interval guard: the build side is the broadcast
     // of intervals spanning > maxBinsPerInterval bins — rare by
     // construction (RangeJoin.scala long path), and exactly the rows

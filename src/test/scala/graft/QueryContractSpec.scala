@@ -20,10 +20,10 @@ class QueryContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles missing ORDER BY: $missing")
   }
 
-  test("declared surface matches the documented round-4 inventory") {
-    assert(SparkEntry.queries.size == 60,
+  test("declared surface matches the documented round-5 inventory") {
+    assert(SparkEntry.queries.size == 64,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.7 if intentional)")
-    assert(SparkEntry.oracleSql.size == 52,
+    assert(SparkEntry.oracleSql.size == 56,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} (update SURVEY §2.7 if intentional)")
   }
 

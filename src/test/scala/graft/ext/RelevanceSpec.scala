@@ -1,0 +1,73 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RelevanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 docs, 2 langs; token counts chosen hand-checkable
+  private def docs = Seq(
+    (1L, "alpha alpha beta", "en", "s1", 16L),
+    (2L, "alpha gamma", "en", "s1", 11L),
+    (3L, "beta beta beta delta", "fr", "s2", 20L),
+    (4L, "gamma gamma", "fr", "s2", 11L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("tfidf: corpus-wide df, per-lang tf, exact ranking") {
+    val out = Relevance.tfidfTopTerms(docs, topPerLang = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // df: alpha 2 docs, beta 2, gamma 2, delta 1; N=4 → ln(2)=0.6931, ln(4)=1.3863
+    // en: alpha tf=3 → 3·ln(2)=2.0794 ; gamma tf=1 → 0.6931 ; beta tf=1 → 0.6931
+    //   rank1 alpha, rank2 beta (tie 0.6931, 'beta' < 'gamma')
+    // fr: beta tf=3 → 2.0794 ; delta tf=1 → ln(4)=1.3863 ; gamma tf=2 → 1.3863
+    //   rank1 beta, rank2 delta ('delta' < 'gamma')
+    assert(out.toSeq == Seq(
+      ("en", 1, "alpha", 3L, 2L, 2.0794),
+      ("en", 2, "beta", 1L, 2L, 0.6931),
+      ("fr", 1, "beta", 3L, 2L, 2.0794),
+      ("fr", 2, "delta", 1L, 1L, 1.3863)))
+  }
+
+  test("bm25: exact score for a single-term query, ranking sane") {
+    // query = beta: df=2, N=4 → idf = ln(1 + 2.5/2.5) = ln 2
+    // dl: 3,2,4,2 → avgdl = 11/4 = 2.75
+    // doc3: tf=3 → ln2 · 3·2.2/(3 + 1.2·(0.25 + 0.75·4/2.75))
+    val out = Relevance.bm25Search(docs, Seq("beta"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val idf = math.log(2.0)
+    def norm(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.75))
+    def exp(tf: Double, dl: Double) =
+      BigDecimal(idf * norm(tf, dl)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq((3L, exp(3, 4)), (1L, exp(1, 3))))
+    assert(out(0)._2 > out(1)._2)
+  }
+
+  test("bm25: multi-term scores sum per doc; absent terms contribute 0") {
+    val out = Relevance.bm25Search(docs, Seq("alpha", "delta"), k = 10)
+      .collect().map(_.getLong(0))
+    // docs 1,2 (alpha) and 3 (delta) retrieved; doc 4 matches nothing
+    assert(out.toSet == Set(1L, 2L, 3L))
+  }
+
+  test("tokenFreq: global counts, deterministic tie order") {
+    val out = TextStats.tokenFreq(docs, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(
+      ("beta", 4L), ("alpha", 3L), ("gamma", 3L), ("delta", 1L)))
+  }
+
+  test("corpusSummary: exact distincts and dup rate") {
+    val withDup = docs.unionByName(
+      Seq((5L, "alpha  ALPHA beta", "en", "s3", 16L)) // normalizes to doc 1
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = TextStats.corpusSummary(withDup).collect()(0)
+    assert(r.getLong(0) == 5L)      // n_docs
+    assert(r.getLong(1) == 3L)      // sources
+    assert(r.getLong(2) == 2L)      // langs
+    assert(r.getLong(4) == 4L)      // unique texts (doc5 dups doc1)
+    assert(r.getDouble(5) == 0.2)   // dup_rate
+  }
+}
