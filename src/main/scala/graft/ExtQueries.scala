@@ -316,6 +316,13 @@ object ExtQueries {
           concat_ws(",",
             transform(col("features"), f => format_number(f, 6))).as("features_csv"))
         .orderBy("media_id")),
+    "media_decode_documents" -> ((s: SparkSession, dir: String) =>
+      // REAL header decode: payloads are valid BMP/WAV/AVI containers
+      // and the decoder parses magic + little-endian fields from the
+      // bytes; the oracle recomputes the fields from the generator
+      // formulas — a differential test of the parser
+      Multimodal.decodeContainers(
+        Multimodal.asContainerTable(docs(s, dir)))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -809,6 +816,27 @@ object ExtQueries {
         |  (frame_idx * 1000 + 1)::BIGINT AS frame_offset,
         |  least(1000, byte_len - frame_idx * 1000)::BIGINT AS frame_len
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "media_decode_documents" -> {
+      import Multimodal.Gen._
+      val width = s"($WBase + doc_id % $WMod)"
+      val height = s"($HBase + doc_id % $HMod)"
+      val rate = s"($RateBase + (doc_id % $RateMod) * $RateStep)"
+      val ch = s"(1 + doc_id % 2)"
+      val usec = s"($UsecBase + (doc_id % $UsecMod) * $UsecStep)"
+      val frames = s"($FrBase + doc_id % $FrMod)"
+      s"""SELECT doc_id AS media_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'avi' END AS container,
+         |  (CASE WHEN doc_id % 3 IN (0, 2) THEN $width END)::BIGINT AS width,
+         |  (CASE WHEN doc_id % 3 IN (0, 2) THEN $height END)::BIGINT AS height,
+         |  (CASE WHEN doc_id % 3 = 1 THEN $rate END)::BIGINT AS sample_rate,
+         |  (CASE WHEN doc_id % 3 = 1 THEN $ch END)::BIGINT AS channels,
+         |  (CASE WHEN doc_id % 3 = 1
+         |        THEN (1000 * octet_length(encode(text))) // ($rate * $ch * 2)
+         |        WHEN doc_id % 3 = 2 THEN ($usec * $frames) // 1000
+         |   END)::BIGINT AS duration_ms,
+         |  (CASE WHEN doc_id % 3 = 2 THEN $frames END)::BIGINT AS n_frames
+         |FROM documents ORDER BY media_id""".stripMargin
+    },
     // no oracle (custom string-hash kernels, not SQL-replicable):
     // dedup_minhash* (xxhash64 shingles), dedup_simhash_pairs,
     // dedup_ngram_lsh_pairs (minhash candidates), dedup_cluster (minhash

@@ -132,6 +132,138 @@ object Multimodal {
       .orderBy("media_id", "frame_idx")
   }
 
+  // --------------------------------------------------------------------
+  // Real container decode (BMP / WAV / AVI): self-describing formats
+  // carry their dimensions/timing in fixed-offset little-endian header
+  // fields, so decoding them needs ONLY byte arithmetic — no codec
+  // library. Payloads below are synthesized as VALID containers and the
+  // decoder genuinely parses the bytes (magic check + LE field reads);
+  // the DuckDB oracle recomputes the fields from the generator formulas,
+  // making the query a differential test of the parser. Only pixel/
+  // sample decode (which needs a codec/model runtime even in
+  // production) remains out of scope.
+  // --------------------------------------------------------------------
+
+  /** Deterministic container parameters per media id — shared between
+    * the payload generator and the oracle SQL (never let them drift).
+    */
+  object Gen {
+    val WBase = 16; val WMod = 240
+    val HBase = 16; val HMod = 180
+    val RateBase = 8000; val RateStep = 8000; val RateMod = 5
+    val UsecBase = 33333; val UsecStep = 1000; val UsecMod = 7
+    val FrBase = 24; val FrMod = 240
+    def bmpWidth(id: Long): Int = (WBase + id % WMod).toInt
+    def bmpHeight(id: Long): Int = (HBase + id % HMod).toInt
+    def wavRate(id: Long): Int = (RateBase + (id % RateMod) * RateStep).toInt
+    def wavChannels(id: Long): Int = (1 + id % 2).toInt
+    def aviUsecPerFrame(id: Long): Int = (UsecBase + (id % UsecMod) * UsecStep).toInt
+    def aviFrames(id: Long): Int = (FrBase + id % FrMod).toInt
+  }
+
+  private def le(n: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(n)
+    b.array()
+  }
+  private def le16(n: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(n.toShort)
+    b.array()
+  }
+
+  /** Valid (if minimal) container bytes around an opaque body. */
+  private[ext] def buildContainer(id: Long, body: Array[Byte]): Array[Byte] = {
+    (id % 3) match {
+      case 0 => // BMP: BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40) + body
+        "BM".getBytes ++ le(54 + body.length) ++ le(0) ++ le(54) ++
+          le(40) ++ le(Gen.bmpWidth(id)) ++ le(Gen.bmpHeight(id)) ++
+          le16(1) ++ le16(24) ++ le(0) ++ le(body.length) ++
+          le(2835) ++ le(2835) ++ le(0) ++ le(0) ++ body
+      case 1 => // WAV: RIFF/WAVE + fmt(16) + data
+        val rate = Gen.wavRate(id); val ch = Gen.wavChannels(id)
+        "RIFF".getBytes ++ le(36 + body.length) ++ "WAVE".getBytes ++
+          "fmt ".getBytes ++ le(16) ++ le16(1) ++ le16(ch) ++ le(rate) ++
+          le(rate * ch * 2) ++ le16(ch * 2) ++ le16(16) ++
+          "data".getBytes ++ le(body.length) ++ body
+      case _ => // AVI: RIFF/'AVI ' + LIST hdrl + avih(56) main header
+        "RIFF".getBytes ++ le(64 + body.length) ++ "AVI ".getBytes ++
+          "LIST".getBytes ++ le(52) ++ "hdrl".getBytes ++
+          "avih".getBytes ++ le(56) ++
+          le(Gen.aviUsecPerFrame(id)) ++ le(0) ++ le(0) ++ le(0) ++
+          le(Gen.aviFrames(id)) ++ le(0) ++ le(1) ++ le(0) ++
+          le(Gen.bmpWidth(id)) ++ le(Gen.bmpHeight(id)) ++ body
+    }
+  }
+
+  /** Documents wrapped as REAL container payloads (text bytes as the
+    * opaque body) — the input shape for [[decodeContainers]].
+    */
+  def asContainerTable(documents: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val input = documents.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("body"))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, buildContainer(id, r.getAs[Array[Byte]](1)))
+      }
+    }
+  }
+
+  private def leAt(p: Array[Byte], off: Int): Long =
+    ((p(off) & 0xffL)) | ((p(off + 1) & 0xffL) << 8) |
+      ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+  private def le16At(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+  private def ascii(p: Array[Byte], off: Int, s: String): Boolean =
+    p.length >= off + s.length &&
+      s.indices.forall(i => p(off + i) == s.charAt(i).toByte)
+
+  /** REAL header decode: branch on magic bytes, read the fixed-offset
+    * little-endian fields of each container. Unknown/truncated payloads
+    * yield `container = "unknown"` with null fields instead of failing
+    * the batch (per-file fault tolerance, like Ingest). mapPartitions ≙
+    * the vectorized-UDF batching a native decoder would use.
+    */
+  def decodeContainers(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("container", StringType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("sample_rate", LongType),
+      StructField("channels", LongType),
+      StructField("duration_ms", LongType),
+      StructField("n_frames", LongType)))
+    val input = media.select(col("media_id"), col("payload"))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        // positional: pipelined mapPartitions rows carry no field schema
+        val p = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (p != null && ascii(p, 0, "BM") && p.length >= 54)
+          Row(id, "bmp", leAt(p, 18), leAt(p, 22), null, null, null, null)
+        else if (p != null && ascii(p, 0, "RIFF") && ascii(p, 8, "WAVE") && p.length >= 44) {
+          val ch = le16At(p, 22).toLong
+          val rate = leAt(p, 24)
+          val bytes = leAt(p, 40)
+          val durMs = 1000L * bytes / (rate * ch * (le16At(p, 34) / 8))
+          Row(id, "wav", null, null, rate, ch, durMs, null)
+        } else if (p != null && ascii(p, 0, "RIFF") && ascii(p, 8, "AVI ") && p.length >= 72) {
+          val usec = leAt(p, 32)
+          val frames = leAt(p, 48)
+          Row(id, "avi", leAt(p, 64), leAt(p, 68), null, null,
+            usec * frames / 1000L, frames)
+        } else Row(id, "unknown", null, null, null, null, null, null)
+      }
+    }.orderBy("media_id")
+  }
+
   /** Batch feature extraction over partitions: the Scala analogue of a
     * pandas-batch UDF — per-partition (≙ per-batch) setup happens once,
     * rows stream through without materializing the partition.

@@ -76,6 +76,48 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.frameSample(big, 1000, 8).count() == 8L)
   }
 
+  test("container decode: parser recovers exactly the generator's fields") {
+    val docs = docsDF(Seq(
+      (0L, "bmp body"), (1L, "wav body bytes"), (2L, "avi body"),
+      (33L, "bmp again"), (7L, "another wav")))
+    val out = Multimodal.decodeContainers(Multimodal.asContainerTable(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // bmp: width/height from the LE header fields
+    assert(out(0L).getString(1) == "bmp")
+    assert(out(0L).getLong(2) == Multimodal.Gen.bmpWidth(0))
+    assert(out(0L).getLong(3) == Multimodal.Gen.bmpHeight(0))
+    assert(out(0L).isNullAt(4) && out(0L).isNullAt(7))
+    assert(out(33L).getLong(2) == Multimodal.Gen.bmpWidth(33))
+    // wav: rate/channels parsed; duration = 1000·bytes/(rate·ch·2)
+    assert(out(1L).getString(1) == "wav")
+    assert(out(1L).getLong(4) == Multimodal.Gen.wavRate(1))
+    assert(out(1L).getLong(5) == Multimodal.Gen.wavChannels(1))
+    assert(out(1L).getLong(6) ==
+      1000L * "wav body bytes".length /
+        (Multimodal.Gen.wavRate(1) * Multimodal.Gen.wavChannels(1) * 2))
+    assert(out(7L).getLong(4) == Multimodal.Gen.wavRate(7))
+    // avi: frames + usec-per-frame → duration; width/height carried
+    assert(out(2L).getString(1) == "avi")
+    assert(out(2L).getLong(7) == Multimodal.Gen.aviFrames(2))
+    assert(out(2L).getLong(6) ==
+      Multimodal.Gen.aviUsecPerFrame(2).toLong * Multimodal.Gen.aviFrames(2) / 1000L)
+    assert(out(2L).getLong(2) == Multimodal.Gen.bmpWidth(2))
+  }
+
+  test("container decode: truncated/garbage payloads degrade to unknown, never throw") {
+    import spark.implicits._
+    val bad = Seq(
+      (1L, "BM".getBytes),                       // truncated bmp
+      (2L, "RIFFxxxxWAVE".getBytes),             // truncated wav
+      (3L, "not a container at all".getBytes),
+      (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeContainers(bad).collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getString(1) == "unknown"))
+    assert(out.forall(r => r.isNullAt(2) && r.isNullAt(6)))
+  }
+
   test("mediaStats aggregates by media_type with exact byte sums") {
     val stats = Multimodal.mediaStats(media).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
