@@ -33,14 +33,21 @@ object Relevance {
 
   /** Top `topPerLang` terms per language by corpus TF-IDF:
     * `tf(lang, term) · ln(N / df(term))` with N = total docs, df =
-    * docs containing the term. Two aggregation shuffles (term-keyed)
-    * plus a window over the per-language survivors.
+    * docs containing the term.
+    *
+    * One explode pass aggregated by (doc_id, lang, term) — the shuffle
+    * moves per-doc-DISTINCT tokens, not every token, and map-side
+    * combine collapses within-doc repeats before the wire. Both `tf`
+    * (sum per lang) and `df` (row count per term) derive from that one
+    * shared frame: the two consumers canonicalize to the same exchange,
+    * so Spark's ReuseExchange computes the heavy pass once. The
+    * follow-up aggregations are vocabulary-sized.
     */
   def tfidfTopTerms(documents: DataFrame, topPerLang: Int = 5): DataFrame = {
-    val toks = exploded(documents)
-    val tf = toks.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
-    val df = toks.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    val perDoc = exploded(documents)
+      .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("doc_tf"))
+    val tf = perDoc.groupBy("lang", "term").agg(sum("doc_tf").as("tf"))
+    val df = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang")
@@ -59,37 +66,53 @@ object Relevance {
   val K1 = 1.2
   val B = 0.75
 
+  /** Per-row occurrence count of the literal lowercase term under the
+    * `[a-z]+` tokenizer: lookarounds forbid letter neighbors, so
+    * "scan" never matches inside "scanner" — exactly the
+    * explode-then-equals count, without the explode.
+    */
+  private def termCount(term: String): Column =
+    regexp_count(lower(col("text")), lit(s"(?<![a-z])$term(?![a-z])"))
+      .cast("bigint")
+
   /** Top-`k` documents for literal `queryTerms` under BM25 with the
     * `+1` idf form (always positive):
     * `Σ_t ln(1 + (N - df + 0.5)/(df + 0.5)) · tf(k1+1)/(tf + k1(1-b+b·dl/avgdl))`.
     *
-    * The per-(doc, term) tf aggregation sees ONLY the query terms
-    * (filter directly above the explode), so its cost is bounded by
-    * matching postings, not the corpus token count; dl/avgdl ride the
-    * corpus-wide doc-length aggregation that token stats need anyway.
+    * 100 TB shape: because the query terms are literals, per-doc `tf`
+    * is a codegen'd `regexp_count` with token-boundary lookarounds and
+    * `dl` a `regexp_count` of the tokenizer itself — both NARROW, so
+    * the corpus is never exploded and no per-token rows ever shuffle.
+    * All corpus statistics (N, avgdl, df per term) collapse into ONE
+    * partial/final aggregate producing a single row, broadcast back
+    * over a second narrow scoring pass that ends in
+    * TakeOrderedAndProject (per-partition top-k, k-row driver merge).
+    * avgdl stays one division of two exact integers — a running double
+    * avg would be partition-order-sensitive cross-engine.
     */
   def bm25Search(documents: DataFrame, queryTerms: Seq[String], k: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "BM25 needs at least one query term")
-    val toks = exploded(documents)
-    val hits = toks.filter(col("term").isin(queryTerms: _*))
-    val tf = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = hits.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    // avgdl as one exact-integer sum over one exact count — a running
-    // double `avg` would be partition-order-sensitive cross-engine
-    val consts = documents.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(dl.agg(
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))))
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val norm = col("tf") * lit(K1 + 1.0) /
-      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
-    tf.join(df, "term")
-      .join(dl, "doc_id")
+    def tfc(t: String) = s"tf_$t"
+    val perDoc = documents.select(
+      col("doc_id") +:
+        regexp_count(lower(col("text")), lit("[a-z]+")).cast("bigint").as("dl") +:
+        queryTerms.map(t => termCount(t).as(tfc(t))): _*)
+    val statsCols =
+      count(lit(1)).as("n_docs") +:
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+        queryTerms.map(t => sum(when(col(tfc(t)) > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val consts = perDoc.agg(statsCols.head, statsCols.tail: _*)
+    def idf(t: String) = log(lit(1.0) +
+      (col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+    def norm(t: String) = col(tfc(t)) * lit(K1 + 1.0) /
+      (col(tfc(t)) + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+    val score = queryTerms
+      .map(t => when(col(tfc(t)) > 0, idf(t) * norm(t)).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    perDoc
+      .filter(queryTerms.map(t => col(tfc(t)) > 0).reduce(_ || _))
       .crossJoin(broadcast(consts)) // one corpus-constant row
-      .groupBy("doc_id")
-      .agg(round(sum(idf * norm), 4).as("bm25"))
+      .select(col("doc_id"), round(score, 4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }
