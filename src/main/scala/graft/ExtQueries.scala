@@ -135,6 +135,8 @@ object ExtQueries {
       TextStats.fingerprint(docs(s, dir))),
     "token_freq_documents" -> ((s: SparkSession, dir: String) =>
       TextStats.tokenFreq(docs(s, dir))),
+    "repetition_score_documents" -> ((s: SparkSession, dir: String) =>
+      TextStats.repetitionScore(docs(s, dir))),
     "corpus_summary_documents" -> ((s: SparkSession, dir: String) =>
       TextStats.corpusSummary(docs(s, dir))),
     // -- term relevance (TF-IDF / BM25) --
@@ -377,6 +379,22 @@ object ExtQueries {
       s"""WITH tk AS (${tokSql("doc_id")})
          |SELECT term AS token, count(*)::BIGINT AS n FROM tk
          |GROUP BY term ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "repetition_score_documents" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ws
+        |  FROM documents)
+        |SELECT doc_id, len(ws)::BIGINT AS n_words,
+        |  (CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 0 END)::BIGINT AS n_grams,
+        |  (CASE WHEN len(ws) >= 3 THEN
+        |    len(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                       for i in range(1, len(ws) - 1)]))
+        |   ELSE 0 END)::BIGINT AS n_distinct,
+        |  CASE WHEN len(ws) >= 3 THEN
+        |    round(1.0 - len(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                                   for i in range(1, len(ws) - 1)]))::DOUBLE
+        |                / (len(ws) - 2), 4)
+        |  ELSE 0.0 END AS repetition
+        |FROM w ORDER BY doc_id""".stripMargin,
     "corpus_summary_documents" ->
       s"""SELECT count(*)::BIGINT AS n_docs,
          |  count(DISTINCT source)::BIGINT AS n_sources,

@@ -136,6 +136,34 @@ object TextStats {
   def normText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Within-document word-3-gram repetition (the classic repetitive-
+    * text filter signal from large-corpus curation, e.g. Rae et al.'s
+    * Gopher/MassiveText rules): fraction of a doc's word trigrams that
+    * are duplicates of an earlier one. Narrow single pass — the gram
+    * list never leaves its row, so there is no shuffle at any corpus
+    * size (the higher-order array ops are interpreted, not codegen'd,
+    * but stay O(doc length) per row).
+    */
+  def repetitionScore(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n_words"))
+      .select(col("doc_id"), col("n_words"),
+        when(col("n_words") >= 3,
+          transform(sequence(lit(1), col("n_words") - 2), i =>
+            concat_ws(" ", element_at(col("ws"), i),
+              element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+          .otherwise(array()).as("grams"))
+      .select(col("doc_id"), col("n_words").cast("bigint").as("n_words"),
+        size(col("grams")).cast("bigint").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("bigint").as("n_distinct"))
+      .select(col("doc_id"), col("n_words"), col("n_grams"), col("n_distinct"),
+        when(col("n_grams") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 4))
+          .otherwise(lit(0.0)).as("repetition"))
+      .orderBy("doc_id")
+
   /** Zipf head: the `topN` most frequent letter-run tokens across the
     * corpus. Explode → map-side-combined count keyed by token (one
     * shuffle of vocabulary-sized partials) → global top-N.

@@ -59,6 +59,24 @@ class RelevanceSpec extends SparkSpec {
       ("beta", 4L), ("alpha", 3L), ("gamma", 3L), ("delta", 1L)))
   }
 
+  test("repetitionScore: exact trigram duplicate fraction; short docs score 0") {
+    val d = Seq(
+      (1L, "the cat sat on the cat sat on the mat", "en", "s", 1L),
+      (2L, "a b", "en", "s", 1L),
+      (3L, "x y z", "en", "s", 1L),
+      (4L, "", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.repetitionScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    // doc1: 10 words, 8 trigrams, 5 distinct ("the cat sat"/"cat sat on"/
+    // "sat on the" repeat) → 1 - 5/8 = 0.375
+    assert(out(1L) == ((10L, 8L, 5L, 0.375)))
+    assert(out(2L) == ((2L, 0L, 0L, 0.0)))  // too short for a trigram
+    assert(out(3L) == ((3L, 1L, 1L, 0.0)))  // one gram, no repeats
+    assert(out(4L) == ((0L, 0L, 0L, 0.0)))  // empty text
+  }
+
   test("corpusSummary: exact distincts and dup rate") {
     val withDup = docs.unionByName(
       Seq((5L, "alpha  ALPHA beta", "en", "s3", 16L)) // normalizes to doc 1
