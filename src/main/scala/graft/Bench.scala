@@ -43,8 +43,8 @@ object Bench {
     // enough to overflow the driver's output-tail capture (front of the
     // line cut off -> unparseable), and sub-ms digits carry no signal
     def fmt(s: Double): String = (math.rint(s * 1000) / 1000).toString
-    val qs = results.map { case (k, _, _) => k }.zip(results)
-      .map { case (k, (_, s1, s2)) => s"\"" + k + "\":" + fmt(math.min(s1, s2)) }
+    val qs = results
+      .map { case (k, s1, s2) => s"\"" + k + "\":" + fmt(math.min(s1, s2)) }
       .mkString("{", ",", "}")
     // both raw samples per query: a contaminated run (co-tenant load) is
     // then self-evident from the artifact (large s1/s2 spread) without
@@ -56,8 +56,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total =
       if (results.nonEmpty) results.map(r => math.min(r._2, r._3)).sum else 0.0
+    // 1-min load average at exit: a contaminated artifact (co-tenant
+    // CPU) then carries its own explanation
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     println(s"""{"raw_timings":$raw,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","load1":${fmt(load)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

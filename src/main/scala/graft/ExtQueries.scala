@@ -428,7 +428,10 @@ object ExtQueries {
          |df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM hits GROUP BY 1),
          |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tk GROUP BY 1),
          |c AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
-         |             (SELECT sum(dl)::DOUBLE / count(*) FROM dl) AS avgdl)
+         |             -- avgdl over ALL docs (letterless docs count with
+         |             -- dl 0), matching the Spark side's denominator
+         |             (SELECT COALESCE((SELECT sum(dl) FROM dl), 0)::DOUBLE /
+         |              (SELECT count(*) FROM documents)) AS avgdl)
          |SELECT doc_id,
          |  round(sum(ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5)) *
          |    tf.tf * $k1p1 / (tf.tf + ${Relevance.K1} *

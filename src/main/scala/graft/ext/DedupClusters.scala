@@ -121,11 +121,16 @@ object DedupClusters {
       converged = changed == 0
       i += 1
     }
-    if (!converged)
+    if (!converged) {
+      // release the final round's checkpoint blocks before failing —
+      // repeated failures in a long-lived session must not pin storage
+      if (prevRound != null)
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(prevRound)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIterations rounds " +
           "(component diameter > 2^rounds — raise maxIterations); refusing " +
           "to return partially-propagated cluster labels")
+    }
     // the FINAL round's checkpoint backs the returned plan: register it
     // for scope-level release after the caller's action
     if (prevRound != null) graft.core.CacheScope.track(prevRound)

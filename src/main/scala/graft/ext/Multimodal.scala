@@ -252,8 +252,13 @@ object Multimodal {
           val ch = le16At(p, 22).toLong
           val rate = leAt(p, 24)
           val bytes = leAt(p, 40)
-          val durMs = 1000L * bytes / (rate * ch * (le16At(p, 34) / 8))
-          Row(id, "wav", null, null, rate, ch, durMs, null)
+          val bytesPerSec = rate * ch * (le16At(p, 34) / 8)
+          // a well-magic'd header with zeroed rate/channels/bits must
+          // degrade like any other malformed payload, never divide by 0
+          if (bytesPerSec <= 0)
+            Row(id, "unknown", null, null, null, null, null, null)
+          else
+            Row(id, "wav", null, null, rate, ch, 1000L * bytes / bytesPerSec, null)
         } else if (p != null && ascii(p, 0, "RIFF") && ascii(p, 8, "AVI ") && p.length >= 72) {
           val usec = leAt(p, 32)
           val frames = leAt(p, 48)

@@ -92,6 +92,13 @@ object Relevance {
     */
   def bm25Search(documents: DataFrame, queryTerms: Seq[String], k: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    // terms are interpolated into a regex and into column names: only
+    // tokenizer-domain terms are meaningful (anything else could never
+    // match a [a-z]+ token anyway), and duplicates would double-count
+    require(queryTerms.forall(_.matches("[a-z]+")),
+      s"query terms must be lowercase letter runs (the tokenizer domain): $queryTerms")
+    require(queryTerms.distinct == queryTerms,
+      s"duplicate query terms would double-count: $queryTerms")
     def tfc(t: String) = s"tf_$t"
     val perDoc = documents.select(
       col("doc_id") +:

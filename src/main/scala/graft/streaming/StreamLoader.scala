@@ -46,16 +46,64 @@ object StreamLoader {
 
   private def snapshotDir(checkpointDir: String) = s"$checkpointDir/merge-tmp"
 
+  /** Above this many touched partitions a micro-batch falls back to the
+    * full snapshot rewrite: the per-partition OR predicate would grow
+    * unbounded on the driver, and a batch touching thousands of
+    * partitions is rewriting most of the table regardless.
+    */
+  val MaxTouchedPartitions = 256
+
   private def snapshotComplete(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p)
   }
 
-  /** Recovery half of the unpartitioned rewrite: if a crash landed
-    * between "target dropped" and "target rewritten", the last COMPLETE
+  /** The target's physical layout, persisted NEXT TO the snapshot: once
+    * the table is dropped mid-rewrite its catalog metadata is gone, so
+    * recovery could otherwise only recreate a default-layout table —
+    * silently flattening a bucketed target.
+    */
+  private def layoutPath(checkpointDir: String) =
+    new org.apache.hadoop.fs.Path(s"${snapshotDir(checkpointDir)}.layout")
+
+  private def saveLayout(
+      spark: SparkSession, checkpointDir: String, info: GraftBridge.TableInfo): Unit = {
+    val p = layoutPath(checkpointDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      (Seq(info.provider.getOrElse(""), info.numBuckets.map(_.toString).getOrElse("")) ++
+        Seq(info.partitionColumnNames, info.bucketColumnNames, info.sortColumnNames)
+          .map(_.mkString(",")))
+        .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def loadLayout(
+      spark: SparkSession, checkpointDir: String): Option[GraftBridge.TableInfo] = {
+    val p = layoutPath(checkpointDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.split("\n", -1).padTo(5, "")
+      def cols(s: String) = if (s.isEmpty) Nil else s.split(",").toSeq
+      Some(GraftBridge.TableInfo(
+        Option(lines(0)).filter(_.nonEmpty),
+        cols(lines(2)), cols(lines(3)), cols(lines(4)),
+        Option(lines(1)).filter(_.nonEmpty).map(_.toInt)))
+    }
+  }
+
+  /** Recovery half of the snapshot rewrite: if a crash landed between
+    * "target dropped" and "target rewritten", the last COMPLETE
     * snapshot (parquet `_SUCCESS` marker) still sits in the checkpoint
-    * dir — restore the table from it so the checkpoint replay can
+    * dir — restore the table from it (with its persisted layout, so a
+    * bucketed target comes back bucketed) so the checkpoint replay can
     * resolve `spark.table(table)` and re-merge idempotently (the merge
     * upserts the same compacted keys, so replay over the snapshot that
     * already contains them is a no-op rewrite, not a duplication).
@@ -63,7 +111,11 @@ object StreamLoader {
   def recoverIfMissing(spark: SparkSession, table: String, checkpointDir: String): Boolean = {
     val dir = snapshotDir(checkpointDir)
     if (!spark.catalog.tableExists(table) && snapshotComplete(spark, dir)) {
-      spark.read.parquet(dir).write.mode("overwrite").saveAsTable(table)
+      val snap = spark.read.parquet(dir)
+      loadLayout(spark, checkpointDir) match {
+        case Some(info) => Loader.writeTableLike(snap, table, info)
+        case None => snap.write.mode("overwrite").saveAsTable(table)
+      }
       true
     } else false
   }
@@ -84,7 +136,15 @@ object StreamLoader {
     val staging = compactLatest(batch, keys, seqCol)
       .select(target.columns.map(col).toIndexedSeq: _*)
     val info = GraftBridge.tableInfo(spark, table)
-    if (info.partitionColumnNames.nonEmpty) {
+    // a backfill batch touching thousands of partitions would build an
+    // unbounded OR predicate on the driver AND rewrite most of the table
+    // anyway — past this bound the full snapshot rewrite is the cheaper,
+    // safer plan
+    val touched =
+      if (info.partitionColumnNames.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else staging.select(info.partitionColumnNames.map(col): _*)
+        .distinct().limit(MaxTouchedPartitions + 1).collect()
+    if (info.partitionColumnNames.nonEmpty && touched.length <= MaxTouchedPartitions) {
       // ---- bounded rewrite: touch only the partitions the batch hits.
       // The touched-partition list is a collect over the COMPACTED batch
       // (tiny by construction); its literal predicates partition-prune
@@ -94,7 +154,6 @@ object StreamLoader {
       // must be immutable — a "moved" row would leave its old copy in
       // the old partition, exactly as in Hive-style MERGEs.
       val pcols = info.partitionColumnNames
-      val touched = staging.select(pcols.map(col): _*).distinct().collect()
       val cond = touched.toSeq
         .map(r => pcols.zipWithIndex
           .map { case (c, i) => col(c) <=> lit(r.get(i)) }
@@ -135,6 +194,9 @@ object StreamLoader {
       // is format-agnostic.
       val tmp = snapshotDir(checkpointDir)
       merged.write.mode("overwrite").parquet(tmp)
+      // layout persisted BEFORE the drop-and-rewrite inside saveAsTable:
+      // recovery can then restore a bucketed target AS bucketed
+      saveLayout(spark, checkpointDir, info)
       Loader.writeTableLike(spark.read.parquet(tmp), table, info)
     }
   }

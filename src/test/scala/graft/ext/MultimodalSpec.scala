@@ -106,14 +106,19 @@ class MultimodalSpec extends SparkSpec {
 
   test("container decode: truncated/garbage payloads degrade to unknown, never throw") {
     import spark.implicits._
+    // well-magic'd WAV whose rate/channels/bits are all zero: the
+    // duration divisor is 0 — must degrade, not throw
+    val zeroWav = "RIFF".getBytes ++ Array.fill[Byte](4)(0) ++ "WAVE".getBytes ++
+      Array.fill[Byte](44)(0)
     val bad = Seq(
       (1L, "BM".getBytes),                       // truncated bmp
       (2L, "RIFFxxxxWAVE".getBytes),             // truncated wav
       (3L, "not a container at all".getBytes),
-      (4L, null.asInstanceOf[Array[Byte]]))
+      (4L, null.asInstanceOf[Array[Byte]]),
+      (5L, zeroWav))
       .toDF("media_id", "payload")
     val out = Multimodal.decodeContainers(bad).collect()
-    assert(out.length == 4)
+    assert(out.length == 5)
     assert(out.forall(_.getString(1) == "unknown"))
     assert(out.forall(r => r.isNullAt(2) && r.isNullAt(6)))
   }

@@ -142,6 +142,29 @@ class StreamLoaderSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS stream_merge_crash")
   }
 
+  test("crash recovery restores a BUCKETED target as bucketed (layout persisted)") {
+    import spark.implicits._
+    dropWithLocation("stream_merge_crash_bkt")
+    graft.ops.Loader.writeTableBucketed(
+      Seq((1L, "a", 1.0)).toDF("k", "name", "v"),
+      "stream_merge_crash_bkt", Seq("k"), buckets = 4)
+    val ckpt = Files.createTempDirectory("sl_crash_bkt_ckpt").toString
+    val b1 = Seq((2L, "b", 2.0, 1L)).toDF("k", "name", "v", "seq")
+    StreamLoader.mergeBatch(spark, b1, "stream_merge_crash_bkt", Seq("k"), "seq", ckpt)
+    dropWithLocation("stream_merge_crash_bkt")
+    assert(StreamLoader.recoverIfMissing(spark, "stream_merge_crash_bkt", ckpt))
+    // the recovered table carries the ORIGINAL bucket spec, not a
+    // default flattened layout (the scale invariant: recovery must not
+    // silently degrade a bucketed 100 TB target)
+    val info = org.apache.spark.sql.GraftBridge.tableInfo(spark, "stream_merge_crash_bkt")
+    assert(info.numBuckets.contains(4) && info.bucketColumnNames == Seq("k"),
+      s"recovery flattened the bucketed target: $info")
+    val rows = spark.table("stream_merge_crash_bkt").orderBy("k").collect()
+      .map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L, 2L))
+    spark.sql("DROP TABLE IF EXISTS stream_merge_crash_bkt")
+  }
+
   test("bucketed unpartitioned target keeps its bucket layout through the sink") {
     import spark.implicits._
     dropWithLocation("stream_merge_bucketed")
