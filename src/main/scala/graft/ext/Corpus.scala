@@ -31,15 +31,20 @@ object Corpus {
   val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val LongNumberRegex = "[0-9]{6,}"
 
+  /** The redaction as a single Column — shared by the batch projection
+    * and the streaming curation face so the patterns can never drift.
+    */
+  def redactPiiColumn(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(text, EmailRegex, "<EMAIL>"),
+      LongNumberRegex, "<NUM>")
+
   /** Redact emails and long digit runs; keeps everything else intact.
     * One narrow projection.
     */
   def redactPii(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"),
-        regexp_replace(
-          regexp_replace(col("text"), EmailRegex, "<EMAIL>"),
-          LongNumberRegex, "<NUM>").as("clean_text"))
+      .select(col("doc_id"), redactPiiColumn(col("text")).as("clean_text"))
       .orderBy("doc_id")
 
   /** Fixed-size word-window chunking with overlap: one output row per

@@ -93,6 +93,25 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** The [0,1] quality score as a single Column over `text` — shared by
+    * the batch projection below and the streaming curation face
+    * ([[graft.streaming.StreamCurate]]), so the two can never drift.
+    */
+  def qualityScoreColumn(text: Column): Column = {
+    val len = greatest(length(text).cast("double"), lit(1.0))
+    val toks = greatest(wsTokenCount(text).cast("double"), lit(1.0))
+    val punct = punctCount(text).cast("double")
+    val stops = markerHits(concat(lit(" "), lower(text), lit(" ")),
+      LangMarkers.flatMap(_._2).distinct).cast("double")
+    // heuristic score: reward stopword presence + sane word length,
+    // penalize punctuation soup and extreme lengths
+    round(
+      least(lit(1.0), greatest(lit(0.0),
+        lit(0.4) * least(stops / toks * lit(10.0), lit(1.0)) +
+          lit(0.3) * when((len / toks).between(3.0, 12.0), 1.0).otherwise(0.0) +
+          lit(0.3) * when(punct / len < 0.1, 1.0).otherwise(0.0))), 4)
+  }
+
   /** Quality scoring: length/punctuation/stopword/word-length signals →
     * [0,1] score. Single narrow projection; each ratio is one division
     * rounded at the end (oracle-exact).
@@ -103,22 +122,12 @@ object TextStats {
     val punct = punctCount(col("text")).cast("double")
     val stops = markerHits(concat(lit(" "), lower(col("text")), lit(" ")),
       LangMarkers.flatMap(_._2).distinct).cast("double")
-    val punctRatio = punct / len
-    val stopRatio = stops / toks
-    val avgWordLen = len / toks
-    // heuristic score: reward stopword presence + sane word length,
-    // penalize punctuation soup and extreme lengths
-    val score =
-      least(lit(1.0), greatest(lit(0.0),
-        lit(0.4) * least(stopRatio * lit(10.0), lit(1.0)) +
-          lit(0.3) * when(avgWordLen.between(3.0, 12.0), 1.0).otherwise(0.0) +
-          lit(0.3) * when(punctRatio < 0.1, 1.0).otherwise(0.0)))
     documents.select(
       col("doc_id"),
-      round(punctRatio, 4).as("punct_ratio"),
-      round(stopRatio, 4).as("stopword_ratio"),
-      round(avgWordLen, 4).as("avg_word_len"),
-      round(score, 4).as("quality_score"))
+      round(punct / len, 4).as("punct_ratio"),
+      round(stops / toks, 4).as("stopword_ratio"),
+      round(len / toks, 4).as("avg_word_len"),
+      qualityScoreColumn(col("text")).as("quality_score"))
       .orderBy("doc_id")
   }
 

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.ext.{Corpus, TextStats}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming face of the corpus-curation pipeline: the STATELESS stages
+  * — PII redaction, quality scoring + threshold, benchmark
+  * decontamination — applied per micro-batch to a document stream.
+  * Every transform is a narrow projection/filter, so the stream needs
+  * no state store, no watermark, and works in append mode with any
+  * sink; throughput is scan-bound exactly like the batch operators.
+  *
+  * Cross-row stages keep their dedicated faces: exact/near dedup is
+  * [[StreamNearDup]] (stateful bucket store), content sampling and
+  * per-source quotas are batch post-passes (they need corpus-global
+  * ordering the streaming model deliberately doesn't provide).
+  *
+  * Decontamination contract matches batch [[Corpus.decontaminate]]: the
+  * benchmark is broadcast-sized (an eval set, not a second corpus). Its
+  * distinct word-n-gram hashes are resolved ONCE at stream setup and
+  * shipped as a literal array — a per-row `arrays_overlap` against a
+  * constant, rather than a join, because deriving per-doc gram hits
+  * from the stream side would need a stateful self-aggregation.
+  */
+object StreamCurate {
+
+  /** Curate a (streaming or batch) documents frame: emit
+    * `doc_id, lang, clean_text, quality_score` for docs at or above
+    * `minQuality` that share no word-`n`-gram with `benchmark`.
+    * `benchmark` must be a batch frame (resolved at setup time).
+    */
+  def curateStream(
+      stream: DataFrame,
+      benchmark: DataFrame,
+      minQuality: Double = 0.5,
+      n: Int = 8): DataFrame = {
+    val benchGrams: Array[Long] = benchmark
+      .select(explode(
+        graft.functions.GraftFunctions.ngramHashes(col("text"), n)).as("gram"))
+      .distinct()
+      .collect().map(_.getLong(0))
+    val contaminated = arrays_overlap(
+      graft.functions.GraftFunctions.ngramHashes(col("text"), n),
+      typedLit(benchGrams.toSeq))
+    // quality expression inlined from TextStats.qualityScore (same
+    // constants — the spec asserts batch agreement) so the stream stays
+    // a single narrow projection with no join
+    val redacted = Corpus.redactPiiColumn(col("text"))
+    stream
+      .filter(!contaminated)
+      .select(col("doc_id"), col("lang"), redacted.as("clean_text"),
+        TextStats.qualityScoreColumn(col("text")).as("quality_score"))
+      .filter(col("quality_score") >= minQuality)
+  }
+}
