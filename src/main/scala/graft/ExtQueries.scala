@@ -28,6 +28,13 @@ object ExtQueries {
     */
   val Bm25QueryTerms: Seq[String] = Seq("merge", "window", "scan")
 
+  /** Mixture weights for the declared epoch-weighting query: an
+    * upsample (2.5×), a fractional upsample, a downsample, a full drop;
+    * every other source rides the default 1.0. Shared by the oracle.
+    */
+  val MixtureWeights: Seq[(String, Double)] =
+    Seq("src0" -> 2.5, "src1" -> 1.25, "src2" -> 0.5, "src3" -> 0.0)
+
   /** DuckDB mirror of [[Relevance]]'s tokenizer: one row per non-empty
     * lowercase letter-run token, with the given extra columns carried.
     */
@@ -250,6 +257,8 @@ object ExtQueries {
     "sample_stratified_documents" -> ((s: SparkSession, dir: String) =>
       // per-lang proportional content-addressed sample
       Corpus.sampleStratified(docs(s, dir), frac = 0.2)),
+    "mixture_sample_documents" -> ((s: SparkSession, dir: String) =>
+      Corpus.sampleMixture(docs(s, dir), MixtureWeights)),
     "cap_per_source_documents" -> ((s: SparkSession, dir: String) =>
       // domain quota: at most 50 docs per source, lowest doc_ids win
       Corpus.capPerSource(docs(s, dir), maxDocs = 50)),
@@ -379,6 +388,25 @@ object ExtQueries {
       s"""WITH tk AS (${tokSql("doc_id")})
          |SELECT term AS token, count(*)::BIGINT AS n FROM tk
          |GROUP BY term ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "mixture_sample_documents" -> {
+      // generated from the SAME weights + threshold encoding as the plan
+      val baseCase = MixtureWeights
+        .map { case (s, w) => s"WHEN '$s' THEN ${math.floor(w).toInt}" }
+        .mkString(" ")
+      val thrCase = MixtureWeights
+        .map { case (s, w) =>
+          s"WHEN '$s' THEN '${Corpus.fracThresholdHex(w - math.floor(w))}'" }
+        .mkString(" ")
+      s"""WITH w AS (SELECT doc_id, source, text,
+         |  CASE source $baseCase ELSE 1 END AS base,
+         |  CASE source $thrCase ELSE '${Corpus.fracThresholdHex(0.0)}' END AS thr
+         |  FROM documents),
+         |c AS (SELECT doc_id, source,
+         |        base + CASE WHEN substr(md5(text), 1, 8) < thr THEN 1 ELSE 0 END AS copies
+         |      FROM w)
+         |SELECT doc_id, source, unnest(range(0, copies))::BIGINT AS copy_idx
+         |FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx""".stripMargin
+    },
     "repetition_score_documents" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ws

@@ -202,6 +202,46 @@ object Corpus {
     documents.join(hits, Seq("doc_id"), "left_anti").orderBy("doc_id")
   }
 
+  /** 8-hex-digit threshold encoding the fractional part of a mixture
+    * weight: a doc gets the extra copy iff the first 8 hex chars of
+    * md5(text) sort below it — content-addressed, so the decision is
+    * engine-portable and stable under reshuffling/re-partitioning.
+    */
+  def fracThresholdHex(frac: Double): String =
+    f"${math.min((frac * 4294967296L).toLong, 0xffffffffL)}%08x"
+
+  /** Mixture sampling — the per-source "epoch weights" step of LLM data
+    * curation: weight w means every doc of that source appears
+    * ⌊w⌋ times plus one more with probability frac(w) (deterministic,
+    * content-addressed); w = 0 drops the source, unlisted sources get
+    * `defaultWeight`. Output carries `copy_idx` (0-based) so downstream
+    * packing sees distinct rows.
+    *
+    * Narrow plan: a literal per-source cascade + explode — no shuffle
+    * at any corpus size; upsampling multiplies rows by design.
+    */
+  def sampleMixture(
+      documents: DataFrame,
+      weights: Seq[(String, Double)],
+      defaultWeight: Double = 1.0): DataFrame = {
+    require(weights.map(_._2).forall(_ >= 0), s"negative mixture weight: $weights")
+    def cascade[T](f: Double => T, lift: T => org.apache.spark.sql.Column) =
+      weights.foldLeft(lift(f(defaultWeight))) { case (acc, (s, w)) =>
+        when(col("source") === s, lift(f(w))).otherwise(acc)
+      }
+    val base = cascade[Int](w => math.floor(w).toInt, lit(_))
+    val thr = cascade[String](w => fracThresholdHex(w - math.floor(w)), lit(_))
+    val copies = base +
+      when(substring(md5(col("text")), 1, 8) < thr, 1).otherwise(0)
+    documents
+      .select(col("doc_id"), col("source"), copies.as("copies"))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0), col("copies") - 1)).as("ci"))
+      .select(col("doc_id"), col("source"), col("ci").cast("bigint").as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget packs by
     * cumulative whitespace-token count in doc_id order WITHIN each lang
     * shard. This is the standard distributed approximation of greedy

@@ -153,4 +153,32 @@ class CorpusSpec extends SparkSpec {
     // every doc appears exactly once
     assert(Corpus.packGreedy(df).count() == 5)
   }
+
+  test("sampleMixture: integer copies exact, fractional content-addressed, 0 drops") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, s"document body number $i with some words", s"s${i % 4}", "en", 30L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val out = Corpus.sampleMixture(docs,
+      Seq("s0" -> 2.0, "s1" -> 0.5, "s2" -> 0.0), defaultWeight = 1.0)
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("s0") == 20L)          // exactly 2 copies each
+    assert(!bySource.contains("s2"))       // weight 0 drops the source
+    assert(bySource("s3") == 10L)          // default weight: 1 copy each
+    assert(bySource.getOrElse("s1", 0L) < 10L) // strict downsample
+    // copy_idx enumerates copies 0..k-1 per doc
+    val s0 = out.filter($"source" === "s0").groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.collect_set("copy_idx").as("idx"))
+      .collect()
+    assert(s0.forall(
+      _.getAs[scala.collection.Seq[Long]]("idx").toSet == Set(0L, 1L)))
+    // deterministic: two runs produce identical rows
+    val again = Corpus.sampleMixture(docs,
+      Seq("s0" -> 2.0, "s1" -> 0.5, "s2" -> 0.0)).collect()
+    assert(again.sameElements(out.collect()))
+    // fractional threshold encoding is exact at the boundaries
+    assert(Corpus.fracThresholdHex(0.0) == "00000000")
+    assert(Corpus.fracThresholdHex(0.5) == "80000000")
+  }
 }
