@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+/** Enforces SCALE.md's scan-pruning claims as invariants: a projection
+  * that only needs 3 columns must reach the parquet scan as a 3-column
+  * `ReadSchema`, and metadata-only media queries must never read the
+  * binary payload. A refactor that silently widens a scan fails here at
+  * sf0.001 instead of multiplying IO by the table width at 100 TB.
+  */
+class PruningSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  /** Column names read by each parquet scan, keyed by a path fragment. */
+  private def scans(df: DataFrame): Seq[(String, Seq[String])] =
+    flatten(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec =>
+        (f.relation.location.rootPaths.mkString(","),
+          f.requiredSchema.fieldNames.toSeq)
+    }
+
+  test("flagship: lineitem scan reads only the 3 referenced columns of 11") {
+    val s = scans(SparkEntry.entry(spark))
+      .filter(_._1.contains("lineitem"))
+    graft.core.CacheScope.releaseAll()
+    assert(s.nonEmpty)
+    assert(s.forall(_._2.toSet == Set("l_orderkey", "l_extendedprice", "l_discount")),
+      s"lineitem scan widened: $s")
+  }
+
+  test("media_stats on a persisted media table never reads the binary payload") {
+    import graft.ext.Multimodal
+    val path = java.nio.file.Files.createTempDirectory("media_prune").toString
+    Multimodal.asMediaTable(graft.io.Sources.table(spark, sfDir, "documents"))
+      .write.mode("overwrite").parquet(path)
+    val stats = Multimodal.mediaStats(spark.read.parquet(path))
+    val s = scans(stats)
+    assert(s.nonEmpty)
+    assert(s.forall(!_._2.contains("payload")),
+      s"metadata-only query reads the payload column: $s")
+    assert(stats.count() == 3) // and it still computes
+  }
+
+  test("sessionize: events scan skips the unused value/props columns") {
+    val s = scans(SparkEntry.queries("sessionize_events")(spark, sfDir))
+    graft.core.CacheScope.releaseAll()
+    val ev = s.filter(_._1.contains("events"))
+    assert(ev.nonEmpty)
+    assert(ev.forall(c => !c._2.contains("props") && !c._2.contains("value")),
+      s"sessionize reads unused wide columns: $ev")
+  }
+
+  test("token_count: documents scan reads only doc_id and text") {
+    val s = scans(SparkEntry.queries("token_count_documents")(spark, sfDir))
+    graft.core.CacheScope.releaseAll()
+    val d = s.filter(_._1.contains("documents"))
+    assert(d.nonEmpty)
+    assert(d.forall(_._2.toSet == Set("doc_id", "text")),
+      s"token_count scan widened: $d")
+  }
+}
