@@ -221,6 +221,20 @@ object ExtQueries {
       val assigned = Similarity.ivfAssignTo(e, index.centroids)
       Similarity.ivfTopK(assigned, index.toDF(s), Similarity.defaultProbe(e))
     }),
+    "similarity_ivf_recall_embeddings" -> ((s: SparkSession, dir: String) => {
+      // recall@10 of the (oracle-green) seed-centroid IVF vs brute
+      // force: a hash-checked number on what nProbe/nCentroids pruning
+      // costs — the IVF analogue of similarity_ann_recall
+      val e = embs(s, dir)
+      val probe = Similarity.defaultProbe(e)
+      val ivf = Similarity.ivfSeedTopK(e, probe).select("vec_id")
+      val brute = Similarity.topK(e, probe).select("vec_id")
+      ivf.join(brute, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10).as("k"), col("n_hits"),
+          round(col("n_hits") / lit(10.0), 4).as("recall_at_10"))
+        .orderBy("k")
+    }),
     "similarity_ann_recall_embeddings" -> ((s: SparkSession, dir: String) => {
       // recall@10 of the LSH-pruned ANN against oracle-green brute force:
       // the approximation carries a MEASURED, regression-gated number
@@ -570,6 +584,36 @@ object ExtQueries {
     // recall@10: both sides (LSH-pruned ANN, brute-force) are already
     // oracle-expressible — their join puts a hard number on the
     // approximation and fails the gate if sketch pruning ever degrades
+    // seed-IVF recall: the IVF top-10 CTE chain (identical to
+    // similarity_ivf's oracle) joined against exact brute-force top-10
+    "similarity_ivf_recall_embeddings" ->
+      s"""WITH p AS (SELECT embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 1),
+         |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |         ORDER BY vec_id LIMIT 16),
+         |a AS (SELECT e.vec_id, e.embedding, c.cid,
+         |        round(${cosSql("e.embedding", "c.cvec", 64)}, 6) AS d
+         |      FROM embeddings e CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, embedding, cid FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+         |        FROM a) WHERE rn = 1),
+         |pr AS (SELECT cid FROM (
+         |        SELECT c.cid, round(${cosSql("c.cvec", "pp.pe", 64)}, 6) AS sim
+         |        FROM cent c, p pp)
+         |       ORDER BY sim DESC, cid LIMIT 4),
+         |cand AS (SELECT * FROM asg WHERE cid IN (SELECT cid FROM pr)),
+         |ivf AS (SELECT vec_id FROM (
+         |        SELECT vec_id, round(${cosSql("cand.embedding", "pp2.pe", 64)}, 6) AS cosine
+         |        FROM cand, p pp2 ORDER BY cosine DESC, vec_id LIMIT 10)),
+         |u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         |        unnest((SELECT pe FROM p))::DOUBLE AS pv FROM embeddings),
+         |sa AS (SELECT vec_id, sum(v * pv) AS dp, sum(v * v) AS na, sum(pv * pv) AS nb
+         |       FROM u GROUP BY vec_id),
+         |brute AS (SELECT vec_id FROM (
+         |        SELECT vec_id,
+         |          round(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE dp / sqrt(na * nb) END, 6) AS cosine
+         |        FROM sa ORDER BY cosine DESC, vec_id LIMIT 10))
+         |SELECT 10 AS k, count(*)::BIGINT AS n_hits, round(count(*) / 10.0, 4) AS recall_at_10
+         |FROM ivf JOIN brute USING (vec_id) ORDER BY k""".stripMargin,
     "similarity_ann_recall_embeddings" -> {
       val sk = sketchSql("embedding", 64, 16)
       val psk = sketchSql("pe", 64, 16)

@@ -23,6 +23,7 @@ class PlanShapeSpec extends SparkSpec {
     "similarity_ann_recall_embeddings",
     "similarity_topk_embeddings",
     "similarity_ivf_embeddings",
+    "similarity_ivf_recall_embeddings",
     "similarity_ivf_trained_embeddings",
     // TF-IDF/BM25 join in ONE corpus-constant row (N, avgdl) via an
     // explicit broadcast cross join — a constant-time inner loop

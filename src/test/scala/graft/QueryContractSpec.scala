@@ -21,9 +21,9 @@ class QueryContractSpec extends AnyFunSuite {
   }
 
   test("declared surface matches the documented round-5 inventory") {
-    assert(SparkEntry.queries.size == 67,
+    assert(SparkEntry.queries.size == 68,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.7 if intentional)")
-    assert(SparkEntry.oracleSql.size == 59,
+    assert(SparkEntry.oracleSql.size == 60,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} (update SURVEY §2.7 if intentional)")
   }
 
