@@ -40,6 +40,14 @@ object StreamCurate {
         graft.functions.GraftFunctions.ngramHashes(col("text"), n)).as("gram"))
       .distinct()
       .collect().map(_.getLong(0))
+    // explicit contract instead of a silent plan-size cliff: the gram
+    // set rides every micro-batch's plan as a literal. 2^20 longs = 8 MB
+    // — ample for eval benchmarks; a corpus-sized "benchmark" belongs in
+    // batch Corpus.decontaminate (semi-join), not a stream constant.
+    require(benchGrams.length <= (1 << 20),
+      s"benchmark has ${benchGrams.length} distinct $n-grams — too large for " +
+        "a streaming constant; decontaminate corpus-sized sets in batch " +
+        "(Corpus.decontaminate) instead")
     val contaminated = arrays_overlap(
       graft.functions.GraftFunctions.ngramHashes(col("text"), n),
       typedLit(benchGrams.toSeq))

@@ -46,11 +46,13 @@ class GoldenFixtureSpec extends SparkSpec {
 
   test("no-oracle key set matches the committed fixture set") {
     val fixtures =
-      if (Files.exists(goldenDir))
-        Files.list(goldenDir).toArray.toSeq
+      if (Files.exists(goldenDir)) {
+        val s = Files.list(goldenDir)
+        try s.toArray.toSeq
           .map(_.toString.split('/').last.stripSuffix(".txt"))
           .sorted
-      else Seq.empty
+        finally s.close()
+      } else Seq.empty
     if (!regen)
       assert(fixtures == noOracleKeys,
         s"fixture set drifted: fixtures=$fixtures vs no-oracle=$noOracleKeys " +
