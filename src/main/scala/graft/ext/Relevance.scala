@@ -38,14 +38,16 @@ object Relevance {
     * One explode pass aggregated by (doc_id, lang, term) — the shuffle
     * moves per-doc-DISTINCT tokens, not every token, and map-side
     * combine collapses within-doc repeats before the wire. Both `tf`
-    * (sum per lang) and `df` (row count per term) derive from that one
-    * shared frame: the two consumers canonicalize to the same exchange,
-    * so Spark's ReuseExchange computes the heavy pass once. The
-    * follow-up aggregations are vocabulary-sized.
+    * (sum per lang) and `df` (row count per term) consume that frame;
+    * it is PERSISTED through CacheScope because column pruning narrows
+    * the df copy and defeats ReuseExchange (verified in the plan) — the
+    * same one-producer-many-consumers pattern as the LSH banded tables.
+    * The follow-up aggregations are vocabulary-sized.
     */
   def tfidfTopTerms(documents: DataFrame, topPerLang: Int = 5): DataFrame = {
     val perDoc = exploded(documents)
       .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("doc_tf"))
+      .transform(graft.core.CacheScope.persist)
     val tf = perDoc.groupBy("lang", "term").agg(sum("doc_tf").as("tf"))
     val df = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n_docs"))
