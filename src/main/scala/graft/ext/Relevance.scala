@@ -125,4 +125,38 @@ object Relevance {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** BM25 for DYNAMIC query terms (a `term` column, e.g. from query
+    * logs) — the inverted-index join shape: explode the corpus once,
+    * semi-filter to query-term postings for tf/df, derive dl narrowly
+    * (no explode, no corpus shuffle), broadcast the (tiny) term stats.
+    * Same formula and rounding as [[bm25Search]]; the spec asserts the
+    * two agree term-for-term. Use the literal variant when the query is
+    * known at plan time — it is fully narrow.
+    */
+  def bm25SearchTerms(documents: DataFrame, queryTerms: DataFrame, k: Int = 10): DataFrame = {
+    val terms = broadcast(queryTerms.select(col("term")).distinct())
+    val hits = exploded(documents)
+      .join(terms, Seq("term"), "left_semi")
+    val tf = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = hits.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = documents.select(col("doc_id"),
+      regexp_count(lower(col("text")), lit("[a-z]+")).cast("bigint").as("dl"))
+    val consts = documents.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(regexp_count(lower(col("text")), lit("[a-z]+")).cast("bigint"))
+        .cast("double") / count(lit(1))).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") * lit(K1 + 1.0) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(consts)) // one corpus-constant row
+      .groupBy("doc_id")
+      .agg(round(sum(idf * norm), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -45,6 +45,16 @@ class RelevanceSpec extends SparkSpec {
     assert(out(0)._2 > out(1)._2)
   }
 
+  test("bm25: dynamic-terms variant agrees with the literal variant exactly") {
+    val terms = Seq("alpha", "beta", "gamma")
+    val lit_ = Relevance.bm25Search(docs, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dyn = Relevance.bm25SearchTerms(docs, terms.toDF("term"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(lit_ == dyn)
+    assert(lit_.nonEmpty)
+  }
+
   test("bm25: multi-term scores sum per doc; absent terms contribute 0") {
     val out = Relevance.bm25Search(docs, Seq("alpha", "delta"), k = 10)
       .collect().map(_.getLong(0))
