@@ -34,6 +34,7 @@ object ExtQueries {
     */
   val MixtureWeights: Seq[(String, Double)] =
     Seq("src0" -> 2.5, "src1" -> 1.25, "src2" -> 0.5, "src3" -> 0.0)
+  val MixtureDefaultWeight: Double = 1.0
 
   /** DuckDB mirror of [[Relevance]]'s tokenizer: one row per non-empty
     * lowercase letter-run token, with the given extra columns carried.
@@ -272,7 +273,7 @@ object ExtQueries {
       // per-lang proportional content-addressed sample
       Corpus.sampleStratified(docs(s, dir), frac = 0.2)),
     "mixture_sample_documents" -> ((s: SparkSession, dir: String) =>
-      Corpus.sampleMixture(docs(s, dir), MixtureWeights)),
+      Corpus.sampleMixture(docs(s, dir), MixtureWeights, MixtureDefaultWeight)),
     "cap_per_source_documents" -> ((s: SparkSession, dir: String) =>
       // domain quota: at most 50 docs per source, lowest doc_ids win
       Corpus.capPerSource(docs(s, dir), maxDocs = 50)),
@@ -411,9 +412,10 @@ object ExtQueries {
         .map { case (s, w) =>
           s"WHEN '$s' THEN '${Corpus.fracThresholdHex(w - math.floor(w))}'" }
         .mkString(" ")
+      val d = MixtureDefaultWeight
       s"""WITH w AS (SELECT doc_id, source, text,
-         |  CASE source $baseCase ELSE 1 END AS base,
-         |  CASE source $thrCase ELSE '${Corpus.fracThresholdHex(0.0)}' END AS thr
+         |  CASE source $baseCase ELSE ${math.floor(d).toInt} END AS base,
+         |  CASE source $thrCase ELSE '${Corpus.fracThresholdHex(d - math.floor(d))}' END AS thr
          |  FROM documents),
          |c AS (SELECT doc_id, source,
          |        base + CASE WHEN substr(md5(text), 1, 8) < thr THEN 1 ELSE 0 END AS copies

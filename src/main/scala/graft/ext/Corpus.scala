@@ -225,6 +225,11 @@ object Corpus {
       weights: Seq[(String, Double)],
       defaultWeight: Double = 1.0): DataFrame = {
     require(weights.map(_._2).forall(_ >= 0), s"negative mixture weight: $weights")
+    require(defaultWeight >= 0, s"negative default mixture weight: $defaultWeight")
+    // a duplicated source would resolve last-wins here but first-wins in
+    // a generated SQL CASE — reject instead of silently diverging
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate sources in mixture weights: ${weights.map(_._1)}")
     def cascade[T](f: Double => T, lift: T => org.apache.spark.sql.Column) =
       weights.foldLeft(lift(f(defaultWeight))) { case (acc, (s, w)) =>
         when(col("source") === s, lift(f(w))).otherwise(acc)

@@ -115,7 +115,10 @@ object Relevance {
       (col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
     def norm(t: String) = col(tfc(t)) * lit(K1 + 1.0) /
       (col(tfc(t)) + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
-    val score = queryTerms
+    // fixed ASCENDING-term summation order: the dynamic-terms variant
+    // sums in the same order (sorted collect_list fold), so the two
+    // agree to the last ulp and neither depends on partition order
+    val score = queryTerms.sorted
       .map(t => when(col(tfc(t)) > 0, idf(t) * norm(t)).otherwise(lit(0.0)))
       .reduce(_ + _)
     perDoc
@@ -127,26 +130,37 @@ object Relevance {
   }
 
   /** BM25 for DYNAMIC query terms (a `term` column, e.g. from query
-    * logs) — the inverted-index join shape: explode the corpus once,
-    * semi-filter to query-term postings for tf/df, derive dl narrowly
-    * (no explode, no corpus shuffle), broadcast the (tiny) term stats.
-    * Same formula and rounding as [[bm25Search]]; the spec asserts the
-    * two agree term-for-term. Use the literal variant when the query is
-    * known at plan time — it is fully narrow.
+    * logs) — the inverted-index join shape: explode the corpus once
+    * (persisted: tf and df consume it — pruning would otherwise defeat
+    * exchange reuse and run the explode twice), semi-filter to
+    * query-term postings, derive dl narrowly (no explode, no corpus
+    * shuffle), broadcast the (tiny) term stats.
+    *
+    * Query-log hygiene happens here rather than erroring per-row: terms
+    * are lowercased, restricted to the `[a-z]+` tokenizer domain, and
+    * deduplicated (the literal [[bm25Search]] rejects such input with
+    * `require` because literals are programmer intent, not data).
+    * Per-doc scores fold a term-SORTED array, matching the literal
+    * variant's ascending-term summation order exactly — the spec
+    * asserts score-for-score agreement.
     */
   def bm25SearchTerms(documents: DataFrame, queryTerms: DataFrame, k: Int = 10): DataFrame = {
-    val terms = broadcast(queryTerms.select(col("term")).distinct())
+    val terms = broadcast(
+      queryTerms.select(lower(col("term")).as("term"))
+        .filter(col("term").rlike("^[a-z]+$")).distinct())
     val hits = exploded(documents)
       .join(terms, Seq("term"), "left_semi")
+      .transform(graft.core.CacheScope.persist) // tf AND df consume it
     val tf = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = hits.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     val dl = documents.select(col("doc_id"),
       regexp_count(lower(col("text")), lit("[a-z]+")).cast("bigint").as("dl"))
-    val consts = documents.agg(
+    // corpus constants from the dl frame — the tokenizer regex must not
+    // run a second full pass over the text
+    val consts = dl.agg(
       count(lit(1)).as("n_docs"),
-      (sum(regexp_count(lower(col("text")), lit("[a-z]+")).cast("bigint"))
-        .cast("double") / count(lit(1))).as("avgdl"))
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm = col("tf") * lit(K1 + 1.0) /
@@ -155,7 +169,11 @@ object Relevance {
       .join(dl, "doc_id")
       .crossJoin(broadcast(consts)) // one corpus-constant row
       .groupBy("doc_id")
-      .agg(round(sum(idf * norm), 4).as("bm25"))
+      .agg(sort_array(collect_list(struct(col("term"), (idf * norm).as("s"))))
+        .as("scores"))
+      .select(col("doc_id"),
+        round(aggregate(col("scores"), lit(0.0), (acc, x) => acc + x.getField("s")), 4)
+          .as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }

@@ -51,9 +51,8 @@ object StreamCurate {
     val contaminated = arrays_overlap(
       graft.functions.GraftFunctions.ngramHashes(col("text"), n),
       typedLit(benchGrams.toSeq))
-    // quality expression inlined from TextStats.qualityScore (same
-    // constants — the spec asserts batch agreement) so the stream stays
-    // a single narrow projection with no join
+    // the SHARED redaction/quality Column expressions (no copies to
+    // drift; the spec additionally asserts row-for-row batch agreement)
     val redacted = Corpus.redactPiiColumn(col("text"))
     stream
       .filter(!contaminated)

@@ -44,15 +44,24 @@ class PruningSpec extends SparkSpec {
 
   test("media_stats on a persisted media table never reads the binary payload") {
     import graft.ext.Multimodal
-    val path = java.nio.file.Files.createTempDirectory("media_prune").toString
-    Multimodal.asMediaTable(graft.io.Sources.table(spark, sfDir, "documents"))
-      .write.mode("overwrite").parquet(path)
-    val stats = Multimodal.mediaStats(spark.read.parquet(path))
-    val s = scans(stats)
-    assert(s.nonEmpty)
-    assert(s.forall(!_._2.contains("payload")),
-      s"metadata-only query reads the payload column: $s")
-    assert(stats.count() == 3) // and it still computes
+    val dir = java.nio.file.Files.createTempDirectory("media_prune")
+    try {
+      val path = dir.toString
+      Multimodal.asMediaTable(graft.io.Sources.table(spark, sfDir, "documents"))
+        .write.mode("overwrite").parquet(path)
+      val stats = Multimodal.mediaStats(spark.read.parquet(path))
+      val s = scans(stats)
+      assert(s.nonEmpty)
+      assert(s.forall(!_._2.contains("payload")),
+        s"metadata-only query reads the payload column: $s")
+      assert(stats.count() == 3) // and it still computes
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
   }
 
   test("sessionize: events scan skips the unused value/props columns") {

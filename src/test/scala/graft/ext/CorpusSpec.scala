@@ -180,5 +180,14 @@ class CorpusSpec extends SparkSpec {
     // fractional threshold encoding is exact at the boundaries
     assert(Corpus.fracThresholdHex(0.0) == "00000000")
     assert(Corpus.fracThresholdHex(0.5) == "80000000")
+    // duplicate sources would resolve last-wins in the cascade but
+    // first-wins in a SQL CASE — rejected up front; so is a negative
+    // default (it would silently drop every unlisted source)
+    intercept[IllegalArgumentException] {
+      Corpus.sampleMixture(docs, Seq("s0" -> 1.0, "s0" -> 2.0))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.sampleMixture(docs, Seq("s0" -> 1.0), defaultWeight = -1.0)
+    }
   }
 }

@@ -53,6 +53,14 @@ class RelevanceSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(lit_ == dyn)
     assert(lit_.nonEmpty)
+    // query-log hygiene: case-folded, deduped, out-of-domain dropped —
+    // dirty dynamic input scores like the cleaned literal query
+    val dirty = Relevance.bm25SearchTerms(docs,
+      Seq("Alpha", "beta", "beta", "c++", "").toDF("term"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val cleaned = Relevance.bm25Search(docs, Seq("alpha", "beta"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(dirty == cleaned)
   }
 
   test("bm25: multi-term scores sum per doc; absent terms contribute 0") {
