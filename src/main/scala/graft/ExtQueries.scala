@@ -729,12 +729,14 @@ object ExtQueries {
          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
     },
     "pack_greedy_documents" ->
-      s"""WITH t AS (SELECT doc_id, lang, ($WsToksSql)::BIGINT AS n_tokens FROM documents),
-         |c AS (SELECT doc_id, lang, n_tokens,
-         |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      s"""WITH t AS (SELECT doc_id, lang, ($WsToksSql)::BIGINT AS n_tokens,
+         |  doc_id % 8 AS shard FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens, shard,
+         |  SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
          |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
          |SELECT doc_id, lang, n_tokens,
-         |  lang || '#' || CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT)::VARCHAR AS pack_id
+         |  lang || '#' || shard::VARCHAR || '#' ||
+         |    CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT)::VARCHAR AS pack_id
          |FROM c ORDER BY doc_id""".stripMargin,
     "curate_documents" -> {
       val stops = likeScoreSql(TextStats.LangMarkers.flatMap(_._2).distinct)

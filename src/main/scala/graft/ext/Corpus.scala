@@ -141,20 +141,71 @@ object Corpus {
     * order. Proportional representation per stratum regardless of how
     * skewed the stratum sizes are — the balance-preserving sample a
     * multilingual corpus needs (a flat hash split under-represents small
-    * languages by sampling noise). One window shuffle on the stratum key.
+    * languages by sampling noise).
+    *
+    * Scale shape: a stratum column with ~5 values would funnel ~1/5 of
+    * the corpus through ONE window task if ranked directly (and a
+    * non-constant rank bound defeats Spark's WindowGroupLimit pushdown).
+    * Instead the ⌈frac·n⌉-th (md5, doc_id) order statistic per stratum is
+    * found by bucket refinement — exact, and no task ever owns a stratum:
+    *
+    *   1. histogram pass: counts per (stratum, first-`bucketHexLen`-hex
+    *      md5 prefix) — ≤ 16^len rows per stratum, a map-side-combined
+    *      aggregate whose output is corpus-size-independent;
+    *   2. cumulative counts over that TINY frame (triangular self-join,
+    *      not a corpus window) locate the single bucket containing the
+    *      target rank, and the residual rank within it;
+    *   3. rank pass: row_number over ONLY the picked bucket's rows
+    *      (≈ stratum/16^len of the data), partitioned by
+    *      (stratum, bucket) — never the stratum alone — yields the
+    *      per-stratum threshold pair;
+    *   4. one narrow broadcast-join filter `(md5, doc_id) ≤ threshold`
+    *      over the corpus emits exactly the first ⌈frac·n⌉ rows.
+    *
+    * Same result as the direct window rank (the DuckDB oracle keeps the
+    * straightforward SQL), different physics: three narrow corpus passes,
+    * zero corpus-wide shuffles, and the only window's partition count
+    * grows 16^len× faster than the stratum cardinality.
     */
   def sampleStratified(
       documents: DataFrame,
       frac: Double = 0.2,
-      strataCol: String = "lang"): DataFrame = {
+      strataCol: String = "lang",
+      bucketHexLen: Int = 2): DataFrame = {
     require(frac > 0 && frac <= 1, "frac must be in (0,1]")
-    val w = Window.partitionBy(strataCol)
-      .orderBy(md5(encode(col("text"), "UTF-8")), col("doc_id"))
+    require(bucketHexLen >= 1 && bucketHexLen <= 8,
+      s"bucket prefix must be 1-8 hex chars, got $bucketHexLen")
+    val key = md5(encode(col("text"), "UTF-8"))
+    val keyed = documents.select(
+      col(strataCol).as("_s"), key.as("_k"), col("doc_id").as("_id"),
+      substring(key, 1, bucketHexLen).as("_b"))
+    val hist = graft.core.CacheScope.persist(
+      keyed.groupBy("_s", "_b").agg(count(lit(1)).as("_c")))
+    // target rank k = ⌈n·frac⌉ — the same double product the oracle's
+    // ceil(n * frac) computes, so the boundary row agrees bit-for-bit
+    val targets = hist.groupBy("_s")
+      .agg(ceil(sum("_c") * lit(frac)).cast("long").as("_target"))
+    val h2 = hist.select(
+      col("_s").as("_s2"), col("_b").as("_b2"), col("_c").as("_c2"))
+    val cum = hist.join(h2, col("_s") === col("_s2") && col("_b2") <= col("_b"))
+      .groupBy(col("_s"), col("_b"))
+      .agg(sum("_c2").as("_cum"),
+        sum(when(col("_b2") < col("_b"), col("_c2")).otherwise(lit(0L)))
+          .as("_before"))
+    val pick = cum.join(targets, "_s")
+      .filter(col("_before") < col("_target") && col("_cum") >= col("_target"))
+      .select(col("_s"), col("_b"),
+        (col("_target") - col("_before")).as("_residual"))
+    val wb = Window.partitionBy("_s", "_b").orderBy(col("_k"), col("_id"))
+    val thresholds = keyed
+      .join(broadcast(pick), Seq("_s", "_b"))
+      .withColumn("_rn", row_number().over(wb))
+      .filter(col("_rn") === col("_residual"))
+      .select(col("_s"), col("_k").as("_tk"), col("_id").as("_tid"))
     documents
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(strataCol)))
-      .filter(col("_rn") <= ceil(col("_n") * frac))
-      .drop("_rn", "_n")
+      .join(broadcast(thresholds), documents(strataCol) === col("_s"))
+      .filter(key < col("_tk") || (key === col("_tk") && col("doc_id") <= col("_tid")))
+      .select(documents.columns.map(documents(_)).toSeq: _*)
       .orderBy("doc_id")
   }
 
@@ -248,24 +299,34 @@ object Corpus {
   }
 
   /** Sequence packing: assign documents to fixed-token-budget packs by
-    * cumulative whitespace-token count in doc_id order WITHIN each lang
-    * shard. This is the standard distributed approximation of greedy
-    * packing — contiguous fill per shard, one window shuffle, no
-    * sequential driver loop. `pack_id = lang#bin`.
+    * cumulative whitespace-token count in doc_id order WITHIN each
+    * (lang, shard) slice, where `shard = doc_id mod shardsPerStratum`.
+    * This is the standard distributed approximation of greedy packing —
+    * contiguous fill per shard, one window shuffle, no sequential
+    * driver loop. `pack_id = lang#shard#bin`.
     *
-    * Scale note: the window partitions by the shard key (lang here), so
-    * the plan never funnels the corpus through one task; production
-    * pipelines shard by (source, date) the same way.
+    * Scale note: sequential fill is inherent to packing, so the ONLY
+    * scale lever is the shard key. A lang-only key (~5 values) would
+    * funnel ~1/5 of the corpus through one window task; the composite
+    * key bounds every task at corpus/(|lang|·shardsPerStratum) and the
+    * shard count is a free parameter — raise it with the data instead
+    * of hitting a metadata-cardinality ceiling. The cost is at most one
+    * partial tail pack per extra shard, the usual trade.
     */
-  def packGreedy(documents: DataFrame, budgetTokens: Int = 512): DataFrame = {
+  def packGreedy(
+      documents: DataFrame,
+      budgetTokens: Int = 512,
+      shardsPerStratum: Int = 8): DataFrame = {
+    require(shardsPerStratum >= 1, "need at least one shard per stratum")
     val toks = TextStats.wsTokenCount(col("text"))
-    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val w = Window.partitionBy("lang", "_shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     documents
-      .select(col("doc_id"), col("lang"), toks.cast("bigint").as("n_tokens"))
+      .select(col("doc_id"), col("lang"), toks.cast("bigint").as("n_tokens"),
+        pmod(col("doc_id"), lit(shardsPerStratum.toLong)).as("_shard"))
       .withColumn("cum", sum("n_tokens").over(w))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        concat(col("lang"), lit("#"),
+        concat(col("lang"), lit("#"), col("_shard").cast("string"), lit("#"),
           floor((col("cum") - col("n_tokens")) / budgetTokens).cast("string"))
           .as("pack_id"))
       .orderBy("doc_id")

@@ -40,6 +40,53 @@ class CorpusSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSet == out2)
   }
 
+  test("sampleStratified: bucket refinement agrees with the direct window rank") {
+    import spark.implicits._
+    // duplicate texts across ids exercise md5 ties (broken by doc_id);
+    // a 1-doc stratum exercises the ceil ≥ 1 floor
+    val rows = (1L to 100L).map(i => (i, s"english doc ${i % 40}", "en")) ++
+      (101L to 110L).map(i => (i, s"french doc $i", "fr")) ++
+      Seq((200L, "lone doc", "xx"))
+    val df = rows.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src' AS source",
+        "length(text) AS n_chars")
+    df.createOrReplaceTempView("strat_t")
+    for (frac <- Seq(0.2, 1.0)) {
+      val ref = spark.sql(
+        s"""SELECT doc_id FROM (
+           |  SELECT doc_id,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY md5(encode(text, 'UTF-8')), doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY lang) AS n
+           |  FROM strat_t)
+           |WHERE rn <= ceil(n * $frac)""".stripMargin)
+        .collect().map(_.getLong(0)).toSet
+      val got = Corpus.sampleStratified(df, frac = frac)
+        .collect().map(_.getLong(0)).toSet
+      graft.core.CacheScope.releaseAll()
+      assert(got == ref, s"frac=$frac: diff=${(got diff ref) ++ (ref diff got)}")
+    }
+  }
+
+  test("sampleStratified plans no window partitioned by the stratum alone") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, s"doc $i", s"l${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src' AS source",
+        "length(text) AS n_chars")
+    val out = Corpus.sampleStratified(df, frac = 0.3)
+    val winParts = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.size
+    }
+    graft.core.CacheScope.releaseAll()
+    // the only window is the residual rank over (stratum, bucket) — a
+    // stratum-only partition would funnel ~1/|strata| of the corpus
+    // through one task at scale
+    assert(winParts.nonEmpty && winParts.forall(_ >= 2),
+      s"window partition arities: $winParts")
+  }
+
   test("capPerSource keeps the lowest maxDocs ids per source") {
     import spark.implicits._
     val rows = (1L to 30L).map(i => (i, s"doc $i", if (i % 3 == 0) "big" else "small"))
@@ -140,18 +187,45 @@ class CorpusSpec extends SparkSpec {
 
   test("packGreedy: packs fill to budget in doc_id order per shard") {
     import spark.implicits._
-    // 5 docs of 200 tokens each → budget 512 → packs 0,0,0(?),1,1 by cum
+    // 5 docs of 200 tokens each → budget 512 → packs 0,0,0,1,1 by cum
     val text200 = (1 to 200).map(i => s"t$i").mkString(" ")
     val df = (1L to 5L).map(i => (i, text200)).toDF("doc_id", "text")
       .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
         "length(text) AS n_chars")
-    val out = Corpus.packGreedy(df, budgetTokens = 512).collect()
-      .map(r => r.getLong(0) -> r.getString(3)).toMap
-    // cum-before: 0,200,400,600,800 → bins 0,0,0,1,1
-    assert(out == Map(1L -> "en#0", 2L -> "en#0", 3L -> "en#0",
-      4L -> "en#1", 5L -> "en#1"))
+    val out = Corpus.packGreedy(df, budgetTokens = 512, shardsPerStratum = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // cum-before: 0,200,400,600,800 → bins 0,0,0,1,1 (single shard 0)
+    assert(out == Map(1L -> "en#0#0", 2L -> "en#0#0", 3L -> "en#0#0",
+      4L -> "en#0#1", 5L -> "en#0#1"))
     // every doc appears exactly once
     assert(Corpus.packGreedy(df).count() == 5)
+  }
+
+  test("packGreedy: shard count scales with shardsPerStratum, not |lang|") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, "a few short words here"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "length(text) AS n_chars")
+    val out = Corpus.packGreedy(df, budgetTokens = 16, shardsPerStratum = 8)
+    // pack_id = lang#shard#bin → 8 distinct shards for ONE lang: no
+    // metadata-cardinality ceiling on window parallelism
+    val shards = out.collect()
+      .map(_.getString(3).split("#")(1)).distinct
+    assert(shards.length == 8, s"got ${shards.length} shards")
+    // window partitions by (lang, shard), never lang alone
+    val winParts = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.size
+    }
+    assert(winParts.nonEmpty && winParts.forall(_ >= 2),
+      s"window partition arities: $winParts")
+    // packing stays contiguous within a shard: doc 9 follows doc 1 in
+    // shard 1 (both 5 tokens, budget 16 → same first pack), doc 25 opens
+    // pack 1 of that shard (cum-before 15 → bin 0... cum 20 → next doc 33 bin 1)
+    val byDoc = out.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(byDoc(1L) == "en#1#0" && byDoc(9L) == "en#1#0")
+    assert(byDoc(33L) == "en#1#1") // cum-before 20 ≥ budget 16
   }
 
   test("sampleMixture: integer copies exact, fractional content-addressed, 0 drops") {
