@@ -28,6 +28,16 @@ object ExtQueries {
     */
   val Bm25QueryTerms: Seq[String] = Seq("merge", "window", "scan")
 
+  /** Raw "query log" rows for the dynamic-terms BM25 variant —
+    * deliberately dirty (mixed case, a duplicate after folding, a term
+    * outside the `[a-z]+` tokenizer domain) so the declared query
+    * exercises [[graft.ext.Relevance.bm25SearchTerms]]'s hygiene path;
+    * effective terms after fold/filter/dedup: spark, query, scan.
+    * Shared verbatim by the oracle's VALUES CTE.
+    */
+  val Bm25DynamicRawTerms: Seq[String] =
+    Seq("Spark", "query", "QUERY", "scan", "stream-7")
+
   /** Mixture weights for the declared epoch-weighting query: an
     * upsample (2.5×), a fractional upsample, a downsample, a full drop;
     * every other source rides the default 1.0. Shared by the oracle.
@@ -152,6 +162,12 @@ object ExtQueries {
       Relevance.tfidfTopTerms(docs(s, dir))),
     "bm25_search_documents" -> ((s: SparkSession, dir: String) =>
       Relevance.bm25Search(docs(s, dir), Bm25QueryTerms)),
+    "bm25_search_terms_documents" -> ((s: SparkSession, dir: String) => {
+      // dynamic-terms variant: the query terms arrive as DATA (a term
+      // column), not literals — inverted-index join shape
+      import s.implicits._
+      Relevance.bm25SearchTerms(docs(s, dir), Bm25DynamicRawTerms.toDF("term"))
+    }),
     // -- dedup --
     "dedup_exact_documents" -> ((s: SparkSession, dir: String) =>
       Dedup.exact(docs(s, dir))),
@@ -220,7 +236,14 @@ object ExtQueries {
       // means are summation-order-sensitive); golden-fixture-checked.
       val index = Similarity.buildIvfIndex(e, nCentroids = 16, iterations = 3)
       val assigned = Similarity.ivfAssignTo(e, index.centroids)
-      Similarity.ivfTopK(assigned, index.toDF(s), Similarity.defaultProbe(e))
+      // physical layout step: vectors persisted PARTITIONED by
+      // centroid_id; the probe then prunes FILES (PartitionFilters),
+      // not just compute — same rows as the semi-join plan
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_clustered"
+      Similarity.writeClustered(assigned, path)
+      val probe = Similarity.defaultProbe(e)
+      val ids = Similarity.probeCentroidIds(index.toDF(s), probe, nProbe = 4)
+      Similarity.ivfTopKClustered(s.read.parquet(path), ids, probe)
     }),
     "similarity_ivf_recall_embeddings" -> ((s: SparkSession, dir: String) => {
       // recall@10 of the (oracle-green) seed-centroid IVF vs brute
@@ -482,6 +505,33 @@ object ExtQueries {
          |      ($oneMinusB + ${Relevance.B} * dl.dl / c.avgdl))), 4) AS bm25
          |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN c
          |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+    },
+    // dynamic-terms BM25: the VALUES CTE replicates the Spark side's
+    // query-log hygiene (lower, tokenizer-domain filter, dedup); the
+    // per-doc score folds a term-ORDERED list so the summation order
+    // matches the Spark sorted-array fold exactly
+    "bm25_search_terms_documents" -> {
+      val vals = Bm25DynamicRawTerms.map(t => s"('$t')").mkString(", ")
+      val k1p1 = Relevance.K1 + 1.0
+      val oneMinusB = 1.0 - Relevance.B
+      s"""WITH rawq(term) AS (VALUES $vals),
+         |q AS (SELECT DISTINCT lower(term) AS term FROM rawq
+         |      WHERE regexp_full_match(lower(term), '[a-z]+')),
+         |tk AS (${tokSql("doc_id")}),
+         |hits AS (SELECT tk.doc_id, tk.term FROM tk JOIN q USING (term)),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM hits GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM hits GROUP BY 1),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tk GROUP BY 1),
+         |c AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         |             (SELECT COALESCE((SELECT sum(dl) FROM dl), 0)::DOUBLE /
+         |              (SELECT count(*) FROM documents)) AS avgdl),
+         |s AS (SELECT tf.doc_id, tf.term,
+         |        ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+         |        tf.tf * $k1p1 / (tf.tf + ${Relevance.K1} *
+         |          ($oneMinusB + ${Relevance.B} * dl.dl / c.avgdl)) AS s
+         |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN c)
+         |SELECT doc_id, round(list_sum(list(s ORDER BY term)), 4) AS bm25
+         |FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
     },
     // exact n-gram Jaccard: same normalization, shingling (ShingleN),
     // frequency cap (MaxBucket) and threshold as the Spark plan. The

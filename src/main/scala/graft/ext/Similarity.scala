@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale path: IVF — vectors pre-assigned to their nearest centroid
   * (one narrow pass given broadcast centroids); a probe scans only the
-  * `nProbe` closest partitions, i.e. nProbe/C of the data. The bucketed
-  * layout is exactly what you'd persist bucketed-by-cluster at 100 TB so
-  * queries prune partitions at the parquet level.
+  * `nProbe` closest partitions, i.e. nProbe/C of the data. The physical
+  * half is [[writeClustered]]: the assigned table persisted PARTITIONED
+  * by centroid_id, so a probe's id list prunes parquet files at listing
+  * time ([[ivfTopKClustered]]) instead of scanning everything and
+  * discarding rows the way the post-scan semi-join does.
   */
 object Similarity {
 
@@ -259,6 +261,55 @@ object Similarity {
   def centroidsDF(spark: SparkSession, centroids: Seq[(Long, Seq[Float])]): DataFrame = {
     import spark.implicits._
     centroids.toDF("centroid_id", "cvec")
+  }
+
+  /** Persist an IVF-assigned vector table PARTITIONED by `centroid_id` —
+    * the physical index layout: at 100 TB an offline build job trains
+    * the centroids, assigns, and writes exactly this; probes then prune
+    * at the FILE level (`PartitionFilters` in the scan — only
+    * nProbe/nCentroids of the files are ever listed or read), not just
+    * at the compute level the way a post-scan semi-join does.
+    * PruningSpec proves the file-count claim.
+    */
+  def writeClustered(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** The `nProbe` centroid ids nearest the probe, ranked exactly as
+    * [[ivfTopK]]'s broadcast probe list (cosine desc, centroid_id
+    * tie-break). The centroid frame is driver-resident (k×dim), so the
+    * collect moves `nProbe` longs — not data.
+    */
+  def probeCentroidIds(
+      centroidsOf: DataFrame,
+      probe: Seq[Float],
+      nProbe: Int = 4): Seq[Long] = {
+    val probeCol = array(probe.map(lit): _*)
+    centroidsOf
+      .withColumn("sim", cosine(col("cvec"), probeCol))
+      .orderBy(col("sim").desc, col("centroid_id"))
+      .limit(nProbe)
+      .select("centroid_id")
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  /** IVF top-k over a [[writeClustered]] layout: the probe-list literals
+    * reach the scan as `PartitionFilters`, so file listing and IO are
+    * bounded by nProbe/nCentroids BEFORE any row is read — the missing
+    * half of IVF pruning (the semi-join variant prunes compute only).
+    * Row-for-row identical to [[ivfTopK]] on the same assignment.
+    */
+  def ivfTopKClustered(
+      clustered: DataFrame,
+      probeIds: Seq[Long],
+      probe: Seq[Float],
+      k: Int = 10): DataFrame = {
+    val probeCol = array(probe.map(lit): _*)
+    clustered
+      .filter(col("centroid_id").isin(probeIds: _*))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), probeCol), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** IVF probe: search only the `nProbe` centroids closest to the probe

@@ -29,6 +29,7 @@ class PlanShapeSpec extends SparkSpec {
     // explicit broadcast cross join — a constant-time inner loop
     "tfidf_top_terms_documents",
     "bm25_search_documents",
+    "bm25_search_terms_documents",
     // RangeJoin's long-interval guard: the build side is the broadcast
     // of intervals spanning > maxBinsPerInterval bins — rare by
     // construction (RangeJoin.scala long path), and exactly the rows

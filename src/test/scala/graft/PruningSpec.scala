@@ -73,6 +73,43 @@ class PruningSpec extends SparkSpec {
       s"sessionize reads unused wide columns: $ev")
   }
 
+  test("IVF clustered layout: nProbe=4 probe prunes FILES, not just compute") {
+    import graft.ext.Similarity
+    val e = graft.io.Sources.table(spark, sfDir, "embeddings")
+    val index = Similarity.buildIvfIndex(e, nCentroids = 16, iterations = 1)
+    val assigned = Similarity.ivfAssignTo(e, index.centroids)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_prune")
+    try {
+      Similarity.writeClustered(assigned, dir.toString)
+      val probe = Similarity.defaultProbe(e)
+      val ids = Similarity.probeCentroidIds(index.toDF(spark), probe, nProbe = 4)
+      val q = Similarity.ivfTopKClustered(spark.read.parquet(dir.toString), ids, probe)
+      val scan = flatten(q.queryExecution.executedPlan)
+        .collectFirst { case f: FileSourceScanExec => f }
+        .getOrElse(fail("no parquet scan in the clustered plan"))
+      // the probe-id literals must reach the scan as PartitionFilters —
+      // that is what bounds file listing/IO at nProbe/nCentroids
+      assert(scan.partitionFilters.nonEmpty,
+        "probe ids did not become PartitionFilters")
+      val selected = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+      val all = scan.relation.location.listFiles(Nil, Nil)
+      assert(all.size >= 12, s"degenerate layout: ${all.size} partitions")
+      assert(selected.size <= 4,
+        s"probe lists ${selected.size} partitions, expected <= 4")
+      val selFiles = selected.map(_.files.size).sum
+      val allFiles = all.map(_.files.size).sum
+      assert(selFiles * 2 <= allFiles,
+        s"file pruning ineffective: $selFiles of $allFiles files read")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
   test("token_count: documents scan reads only doc_id and text") {
     val s = scans(SparkEntry.queries("token_count_documents")(spark, sfDir))
     graft.core.CacheScope.releaseAll()

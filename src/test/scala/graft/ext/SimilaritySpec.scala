@@ -113,6 +113,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("ivfTopKClustered over the partitioned layout matches ivfTopK row-for-row") {
+    val index = Similarity.buildIvfIndex(embs, nCentroids = 16, iterations = 1)
+    val assigned = Similarity.ivfAssignTo(embs, index.centroids)
+    val probe = Similarity.defaultProbe(embs)
+    val want = Similarity.ivfTopK(assigned, index.toDF(spark), probe)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ivf_clustered")
+    try {
+      Similarity.writeClustered(assigned, dir.toString)
+      val ids = Similarity.probeCentroidIds(index.toDF(spark), probe, nProbe = 4)
+      val got = Similarity
+        .ivfTopKClustered(spark.read.parquet(dir.toString), ids, probe)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(got == want, s"clustered layout diverged:\n$got\nvs\n$want")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
   test("quantizeInt8: bins in [0,255], min→0, max→255, constant vector→0s") {
     import spark.implicits._
     val df = Seq(
