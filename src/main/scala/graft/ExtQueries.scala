@@ -358,13 +358,11 @@ object ExtQueries {
       Multimodal.frameSample(Multimodal.asMediaTable(docs(s, dir)))
         .drop("frame_payload")),
     "multimodal_features_documents" -> ((s: SparkSession, dir: String) =>
-      // features serialized to a deterministic CSV string: the driver's
-      // pandas sort/hash compare can't factorize ndarray cells
-      Multimodal.extractFeatures(Multimodal.asMediaTable(docs(s, dir)))
-        .select(col("media_id"), col("media_type"),
-          concat_ws(",",
-            transform(col("features"), f => format_number(f, 6))).as("features_csv"))
-        .orderBy("media_id")),
+      // REAL features over genuinely parsed container headers (the
+      // former byte-hash stub is gone): one double column per feature,
+      // so the oracle recomputes every value from the generator
+      // formulas — no fixture needed anymore
+      Multimodal.headerFeatures(Multimodal.asContainerTable(docs(s, dir)))),
     "media_decode_documents" -> ((s: SparkSession, dir: String) =>
       // REAL header decode: payloads are valid BMP/WAV/AVI containers
       // and the decoder parses magic + little-endian fields from the
@@ -984,14 +982,44 @@ object ExtQueries {
          |  (CASE WHEN doc_id % 3 = 2 THEN $frames END)::BIGINT AS n_frames
          |FROM documents ORDER BY media_id""".stripMargin
     },
+    // header-derived features: every value recomputed from the shared
+    // generator formulas — same differential-test posture as
+    // media_decode, plus the payload length (container header size +
+    // UTF-8 body bytes) and the normalizing divisions at 4 dp
+    "multimodal_features_documents" -> {
+      import Multimodal.Gen._
+      val width = s"($WBase + doc_id % $WMod)"
+      val height = s"($HBase + doc_id % $HMod)"
+      val rate = s"($RateBase + (doc_id % $RateMod) * $RateStep)"
+      val ch = s"(1 + doc_id % 2)"
+      val usec = s"($UsecBase + (doc_id % $UsecMod) * $UsecStep)"
+      val frames = s"($FrBase + doc_id % $FrMod)"
+      val blen =
+        "(CASE doc_id % 3 WHEN 0 THEN 54 WHEN 1 THEN 44 ELSE 88 END " +
+          "+ octet_length(encode(text)))"
+      s"""SELECT doc_id AS media_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'avi' END AS container,
+         |  round((CASE WHEN doc_id % 3 IN (0, 2) THEN $width ELSE 0 END) / 1000.0, 4) AS f_width,
+         |  round((CASE WHEN doc_id % 3 IN (0, 2) THEN $height ELSE 0 END) / 1000.0, 4) AS f_height,
+         |  round((CASE WHEN doc_id % 3 = 1 THEN $rate ELSE 0 END) / 48000.0, 4) AS f_rate,
+         |  round((CASE WHEN doc_id % 3 = 1 THEN $ch ELSE 0 END) / 1.0, 4) AS f_channels,
+         |  round((CASE WHEN doc_id % 3 = 1
+         |              THEN (1000 * octet_length(encode(text))) // ($rate * $ch * 2)
+         |              WHEN doc_id % 3 = 2 THEN ($usec * $frames) // 1000
+         |              ELSE 0 END) / 1000.0, 4) AS f_duration,
+         |  round((CASE WHEN doc_id % 3 = 2 THEN $frames ELSE 0 END) / 100.0, 4) AS f_frames,
+         |  round($blen / 4096.0, 4) AS f_bytes,
+         |  (doc_id % 3)::DOUBLE AS f_kind
+         |FROM documents ORDER BY media_id""".stripMargin
+    },
     // no oracle (custom string-hash kernels, not SQL-replicable):
     // dedup_minhash* (xxhash64 shingles), dedup_simhash_pairs,
     // dedup_ngram_lsh_pairs (minhash candidates), dedup_cluster (minhash
     // variant; the exact variant IS oracle-checked above),
     // similarity_ivf_trained (Lloyd centroid float means are
     // summation-order-sensitive; the seed variant IS oracle-checked
-    // above), multimodal_features — each covered by scalatest
-    // property/brute-force checks AND a committed sf0.001 golden
-    // fixture (GoldenFixtureSpec) as a hard re-run regression signal.
+    // above) — each covered by scalatest property/brute-force checks
+    // AND a committed sf0.001 golden fixture (GoldenFixtureSpec) as a
+    // hard re-run regression signal.
   )
 }

@@ -17,20 +17,49 @@ import java.util.concurrent.ConcurrentLinkedQueue
   *
   * Contract: builders call [[persist]] instead of `df.persist()`; the
   * consumer runs its action, then calls [[releaseAll]] (as `graft.Bench`
-  * and `graft.Verify` do between queries). At cluster scale the
-  * equivalent move is checkpointing the intermediate to storage once
-  * and reading it back — same lifecycle, durable medium.
+  * and `graft.Verify` do between queries). At cluster scale, where the
+  * pinned frame exceeds the cache tier, set [[StorageDirConf]]:
+  * [[persist]] then checkpoints to storage once and consumers read the
+  * files back — same lifecycle (releaseAll deletes them), durable
+  * medium, zero executor-memory pressure.
   */
 object CacheScope {
 
   private val tracked = new ConcurrentLinkedQueue[DataFrame]()
+  private val trackedPaths =
+    new ConcurrentLinkedQueue[(org.apache.spark.sql.SparkSession, String)]()
+  private val pathCounter = new java.util.concurrent.atomic.AtomicLong()
 
-  /** MEMORY_AND_DISK-persist `df` and register it for later release. */
-  def persist(df: DataFrame): DataFrame = {
-    val p = df.persist()
-    tracked.add(p)
-    p
-  }
+  /** Session conf key enabling the STORAGE escape: when set to a
+    * directory, [[persist]] materializes the frame to parquet under it
+    * once and returns a reader over the files, instead of pinning
+    * executor memory/disk cache. At 100 TB an LSH banded table or gram
+    * index does not fit the cache tier — checkpoint-to-storage is the
+    * standard escape, with the SAME lifecycle (one producer, many
+    * consumers, released by [[releaseAll]], which deletes the files).
+    * The trade is documented checkpoint semantics: materialization is
+    * EAGER (a write job runs at persist time) and consumers re-read
+    * from storage — exactly what a cluster job wants for a frame larger
+    * than the cache tier, and why it is opt-in per session.
+    */
+  val StorageDirConf = "spark.graft.cacheScope.storageDir"
+
+  /** Persist `df` for multi-consumer reuse and register it for later
+    * release: MEMORY_AND_DISK cache by default, or a storage checkpoint
+    * (parquet round-trip) when [[StorageDirConf]] is set.
+    */
+  def persist(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(StorageDirConf) match {
+      case Some(dir) =>
+        val path = s"$dir/scope-${pathCounter.incrementAndGet()}"
+        df.write.mode("overwrite").parquet(path)
+        trackedPaths.add((df.sparkSession, path))
+        df.sparkSession.read.parquet(path)
+      case None =>
+        val p = df.persist()
+        tracked.add(p)
+        p
+    }
 
   /** Register an ALREADY-persisted DataFrame for later release (for
     * iterative operators that manage materialization themselves but
@@ -42,7 +71,7 @@ object CacheScope {
   }
 
   /** Number of currently tracked (not yet released) handles. */
-  def trackedCount: Int = tracked.size()
+  def trackedCount: Int = tracked.size() + trackedPaths.size()
 
   /** Unpersist every tracked DataFrame (idempotent; safe if a handle
     * was never materialized or was already dropped by `clearCache`).
@@ -57,6 +86,15 @@ object CacheScope {
         org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(d)
       } catch { case _: Throwable => () }
       d = tracked.poll()
+    }
+    // storage-mode scopes: the files ARE the cache — release = delete
+    var e = trackedPaths.poll()
+    while (e != null) {
+      try {
+        val p = new org.apache.hadoop.fs.Path(e._2)
+        p.getFileSystem(e._1.sparkContext.hadoopConfiguration).delete(p, true)
+      } catch { case _: Throwable => () }
+      e = trackedPaths.poll()
     }
   }
 

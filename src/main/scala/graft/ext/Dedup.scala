@@ -96,8 +96,10 @@ object Dedup {
       .select(col("doc_id"), minHashSignature(col("text"), k).as("sig"))
     // The banded table feeds three consumers (bucket-size census + both
     // sides of the self-join); without materialization the expensive
-    // signature expression re-evaluates per consumer. At cluster scale
-    // the equivalent move is checkpointing signatures to storage once.
+    // signature expression re-evaluates per consumer. At cluster scale,
+    // where the banded table exceeds the cache tier, set
+    // CacheScope.StorageDirConf: the SAME persist call then checkpoints
+    // to storage once and reads it back (spec-verified equivalence).
     // band key = the SAME Hashing.bandKey the streaming state store
     // uses, so batch and streaming bucket collision sets are identical
     val banded = sigs.select(

@@ -215,8 +215,14 @@ object Loader {
           // layout: the shuffle anti-join reads it pre-partitioned (zero
           // target movement) and staging's guard-window exchange doubles
           // as the join shuffle — broadcasting staging would only nest a
-          // SECOND staging exchange inside the broadcast build
-          val bucketedOnKeys = entry.keyColumns.forall(info.bucketColumnNames.contains)
+          // SECOND staging exchange inside the broadcast build.
+          // Direction matters: HashPartitioning(bucketCols) satisfies the
+          // join's ClusteredDistribution(keys) only when bucketCols ⊆
+          // keys — a target bucketed on a SUPERSET of the keys would
+          // still shuffle under the sort-merge path, so it must keep the
+          // auto (broadcast-capable) decision instead
+          val bucketedOnKeys = info.bucketColumnNames.nonEmpty &&
+            info.bucketColumnNames.forall(entry.keyColumns.contains)
           val merged = upsert(
             spark.table(table), spark.table(stagingName), entry.keyColumns,
             broadcastStaging = if (bucketedOnKeys) Some(false) else None)

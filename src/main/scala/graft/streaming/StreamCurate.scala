@@ -35,17 +35,22 @@ object StreamCurate {
       benchmark: DataFrame,
       minQuality: Double = 0.5,
       n: Int = 8): DataFrame = {
-    val benchGrams: Array[Long] = benchmark
-      .select(explode(
-        graft.functions.GraftFunctions.ngramHashes(col("text"), n)).as("gram"))
-      .distinct()
-      .collect().map(_.getLong(0))
     // explicit contract instead of a silent plan-size cliff: the gram
     // set rides every micro-batch's plan as a literal. 2^20 longs = 8 MB
     // — ample for eval benchmarks; a corpus-sized "benchmark" belongs in
     // batch Corpus.decontaminate (semi-join), not a stream constant.
+    // The guard itself must be cheap: LIMIT the collect to one past the
+    // bound so an accidentally corpus-sized "benchmark" costs ~8 MB of
+    // driver memory to reject, instead of OOMing the driver before the
+    // size check can fire.
+    val benchGrams: Array[Long] = benchmark
+      .select(explode(
+        graft.functions.GraftFunctions.ngramHashes(col("text"), n)).as("gram"))
+      .distinct()
+      .limit((1 << 20) + 1)
+      .collect().map(_.getLong(0))
     require(benchGrams.length <= (1 << 20),
-      s"benchmark has ${benchGrams.length} distinct $n-grams — too large for " +
+      s"benchmark has over ${1 << 20} distinct $n-grams — too large for " +
         "a streaming constant; decontaminate corpus-sized sets in batch " +
         "(Corpus.decontaminate) instead")
     val contaminated = arrays_overlap(

@@ -179,7 +179,16 @@ object StreamLoader {
           .select(target.columns.map(col).toIndexedSeq: _*)
           .write.mode("overwrite")
           .insertInto(table)
-      finally spark.conf.set(confKey, prev)
+      finally {
+        spark.conf.set(confKey, prev)
+        // the slice is consumed the moment insertInto returns — delete
+        // it rather than leaving the last micro-batch's spill on disk
+        // for the lifetime of the checkpoint dir
+        val slicePath = new org.apache.hadoop.fs.Path(tmp)
+        slicePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(slicePath, true)
+        ()
+      }
     } else {
       val merged = Loader.upsert(target, staging, keys,
         broadcastStaging = Some(true))

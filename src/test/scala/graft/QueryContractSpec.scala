@@ -20,11 +20,11 @@ class QueryContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles missing ORDER BY: $missing")
   }
 
-  test("declared surface matches the documented round-5 inventory") {
-    assert(SparkEntry.queries.size == 68,
-      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.7 if intentional)")
-    assert(SparkEntry.oracleSql.size == 60,
-      s"oracle count drifted: ${SparkEntry.oracleSql.size} (update SURVEY §2.7 if intentional)")
+  test("declared surface matches the documented round-6 inventory") {
+    assert(SparkEntry.queries.size == 69,
+      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.9 if intentional)")
+    assert(SparkEntry.oracleSql.size == 62,
+      s"oracle count drifted: ${SparkEntry.oracleSql.size} (update SURVEY §2.9 if intentional)")
   }
 
   test("no query key collides across catalog sections") {

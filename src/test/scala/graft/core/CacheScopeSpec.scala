@@ -49,6 +49,42 @@ class CacheScopeSpec extends SparkSpec {
     assert(leaked.isEmpty, s"cached RDDs leaked: $leaked")
   }
 
+  test("storage escape: persist checkpoints to files, releaseAll deletes them") {
+    CacheScope.releaseAll()
+    val dir = java.nio.file.Files.createTempDirectory("cache_storage").toString
+    spark.conf.set(CacheScope.StorageDirConf, dir)
+    try {
+      import spark.implicits._
+      val df = (1 to 100).toDF("n").transform(CacheScope.persist)
+      // no executor-memory pinning: the frame is a plain file reader
+      assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      assert(df.count() == 100)
+      assert(CacheScope.trackedCount == 1)
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      val nScopes = try files.count() finally files.close()
+      assert(nScopes == 1, "no storage checkpoint written")
+      // an operator that pins through CacheScope is value-identical in
+      // storage mode (the escape is a medium change, not a semantics one)
+      val docs = (1 to 40).map(i => (i.toLong, s"shared text body $i words " * 2))
+        .toDF("doc_id", "text")
+      val storagePairs = graft.ext.Dedup.minHashPairs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      CacheScope.releaseAll()
+      spark.conf.unset(CacheScope.StorageDirConf)
+      val cachePairs = graft.ext.Dedup.minHashPairs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      CacheScope.releaseAll()
+      assert(storagePairs == cachePairs, "storage mode changed results")
+      // release deleted every scope dir
+      val after = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      val left = try after.count() finally after.close()
+      assert(left == 0, s"$left storage-scope dirs leaked after release")
+    } finally {
+      spark.conf.unset(CacheScope.StorageDirConf)
+      CacheScope.releaseAll()
+    }
+  }
+
   test("scoped releases on exit even when body throws") {
     import spark.implicits._
     intercept[RuntimeException] {

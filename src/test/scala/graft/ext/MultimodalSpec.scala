@@ -29,24 +29,48 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0).getStruct(2).getLong(1) == "image payload".length.toLong)
   }
 
-  test("extractFeatures: deterministic, fixed dim, batch-streamed") {
-    val f1 = Multimodal.extractFeatures(media, dim = 8).orderBy("media_id").collect()
-    val f2 = Multimodal.extractFeatures(media, dim = 8).orderBy("media_id").collect()
-    assert(f1.length == 4)
-    f1.zip(f2).foreach { case (a, b) =>
-      assert(a.getSeq[Float](2) == b.getSeq[Float](2))
-    }
-    assert(f1.head.getSeq[Float](2).length == 8)
-    // different payloads → different features (stub is payload-derived)
-    assert(f1(0).getSeq[Float](2) != f1(1).getSeq[Float](2))
+  test("headerFeatures: real decoded fields, nulls as 0, container kind code") {
+    val docs = docsDF(Seq(
+      (0L, "bmp body"), (1L, "wav body bytes"), (2L, "avi body")))
+    val out = Multimodal.headerFeatures(Multimodal.asContainerTable(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // bmp: dimensions scaled, audio/video features zero, kind 0
+    val bmp = out(0L)
+    assert(bmp.getString(1) == "bmp")
+    assert(bmp.getDouble(2) == Multimodal.Gen.bmpWidth(0) / 1000.0)
+    assert(bmp.getDouble(4) == 0.0 && bmp.getDouble(5) == 0.0) // no rate/ch
+    assert(bmp.getDouble(9) == 0.0)
+    // wav: rate/channels/duration populated, dims zero, kind 1
+    val wav = out(1L)
+    assert(wav.getString(1) == "wav")
+    assert(wav.getDouble(4) ==
+      math.rint(Multimodal.Gen.wavRate(1) / 48000.0 * 10000) / 10000)
+    assert(wav.getDouble(5) == Multimodal.Gen.wavChannels(1).toDouble)
+    assert(wav.getDouble(2) == 0.0 && wav.getDouble(9) == 1.0)
+    // avi: frames + payload length real, kind 2
+    val avi = out(2L)
+    assert(avi.getString(1) == "avi")
+    assert(avi.getDouble(7) == Multimodal.Gen.aviFrames(2) / 100.0)
+    assert(avi.getDouble(8) ==
+      math.rint((88.0 + "avi body".length) / 4096.0 * 10000) / 10000)
+    assert(avi.getDouble(9) == 2.0)
+    // deterministic across runs
+    val again = Multimodal.headerFeatures(Multimodal.asContainerTable(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).toSeq == again(1L).toSeq)
   }
 
-  test("fakeDecode is pure and payload-sensitive") {
-    val a = Multimodal.fakeDecode("abc".getBytes, 8)
-    val b = Multimodal.fakeDecode("abc".getBytes, 8)
-    val c = Multimodal.fakeDecode("abd".getBytes, 8)
-    assert(a.toSeq == b.toSeq)
-    assert(a.toSeq != c.toSeq)
+  test("headerFeatures: unknown/null payloads yield the zero vector with kind -1") {
+    import spark.implicits._
+    val bad = Seq(
+      (1L, "not a container".getBytes),
+      (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    val out = Multimodal.headerFeatures(bad).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getString(1) == "unknown"))
+    assert(out.forall(_.getDouble(9) == -1.0))
+    assert(out.forall(r => (2 to 7).forall(r.getDouble(_) == 0.0)))
   }
 
   test("resize truncates to target, keeps short payloads, exact metadata") {

@@ -186,6 +186,59 @@ class LoaderSpec extends SparkSpec {
       s"unexpected error: $e")
   }
 
+  test("superset-bucketed target: dispatcher keeps the auto (broadcast) path") {
+    import spark.implicits._
+    // buckets (k, name) ⊃ keys (k): HashPartitioning(k, name) does NOT
+    // satisfy ClusteredDistribution(k), so forcing the sort-merge path
+    // would shuffle the full target — the dispatcher must treat this as
+    // NOT bucketed-on-keys and let the tiny staging broadcast instead
+    dropWithLocation("superset_bucketed_target")
+    dropWithLocation("superset_bucketed_target_temp")
+    dropWithLocation("superset_bucketed_target_merged_swap")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val regPath = java.nio.file.Files.createTempFile("sup_reg", ".json").toString
+    val registry = new graft.core.SchemaRegistry(regPath)
+    registry.save("superset_bucketed_target", schema, Seq("k"))
+    val big = spark.range(0, 5000)
+      .select(col("id").as("k"), concat(lit("n"), col("id")).as("name"),
+        col("id").cast("double").as("v"))
+    Loader.writeTableBucketed(big, "superset_bucketed_target",
+      Seq("k", "name"), buckets = 4)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe)
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val staging = Seq((5L, "b2", 22.0), (9999999L, "new", 1.0)).toDF("k", "name", "v")
+      Loader.load(spark, Loader.Update, staging, "superset_bucketed_target", registry)
+      org.apache.spark.sql.GraftBridge.waitListeners(spark)
+      val out = spark.table("superset_bucketed_target").orderBy("k").collect()
+      assert(out.length == 5001)
+      assert(out(5).getString(1) == "b2")
+      import scala.jdk.CollectionConverters._
+      val mergeQe = plans.asScala.find { qe =>
+        val s = qe.analyzed.toString
+        s.contains("superset_bucketed_target_merged_swap") ||
+          (s.contains("superset_bucketed_target_temp") && s.contains("LeftAnti"))
+      }
+      assert(mergeQe.isDefined,
+        s"no merge-write plan captured (got ${plans.size()} plans)")
+      // the 'target never moves' invariant must hold HERE too — via the
+      // broadcast path, since the bucket layout can't serve the join
+      assert(shufflesReading(mergeQe.get.executedPlan, "superset_bucketed_target").isEmpty,
+        s"superset-bucketed target was shuffled:\n${mergeQe.get.executedPlan}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("dispatcher Update path: bucketed layout survives, staging-only shuffle") {
     import spark.implicits._
     dropWithLocation("disp_bucketed_target")

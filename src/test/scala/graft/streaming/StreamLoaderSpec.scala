@@ -119,6 +119,77 @@ class StreamLoaderSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS stream_merge_part_e2e")
   }
 
+  test("touched-partition cap: 256 stays bounded (slice cleaned), 257 falls back") {
+    import spark.implicits._
+    dropWithLocation("stream_merge_cap")
+    // 258 single-row partitions d000..d257
+    (0 until 258).map(i => (i.toLong, "a", 1.0, f"d$i%03d"))
+      .toDF("k", "name", "v", "dt")
+      .write.partitionBy("dt").saveAsTable("stream_merge_cap")
+    val untouched = partFiles("stream_merge_cap", "dt=d257")
+    assert(untouched.nonEmpty)
+
+    // exactly AT the cap (256 partitions): bounded path — the untouched
+    // partition's files survive byte-for-byte and the spilled slice is
+    // deleted after the insert
+    val ckpt1 = Files.createTempDirectory("sl_cap1_ckpt").toString
+    val batchAt = (0 until 256).map(i => (i.toLong, "u", 2.0, f"d$i%03d", 10L))
+      .toDF("k", "name", "v", "dt", "seq")
+    StreamLoader.mergeBatch(spark, batchAt, "stream_merge_cap", Seq("k"), "seq", ckpt1)
+    spark.catalog.refreshTable("stream_merge_cap")
+    assert(partFiles("stream_merge_cap", "dt=d257") == untouched,
+      "bounded path rewrote an untouched partition at the cap boundary")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ckpt1, "merge-tmp-slice")),
+      "bounded-rewrite slice spill was not cleaned up")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt1, "merge-tmp")),
+      "bounded path must not produce a full snapshot")
+
+    // ONE past the cap (257 partitions): predicate growth stops — the
+    // fallback full-snapshot rewrite runs instead (snapshot + _SUCCESS
+    // in the checkpoint dir) and the merge is still correct
+    val ckpt2 = Files.createTempDirectory("sl_cap2_ckpt").toString
+    val batchOver = (0 until 257).map(i => (i.toLong, "w", 3.0, f"d$i%03d", 20L))
+      .toDF("k", "name", "v", "dt", "seq")
+    StreamLoader.mergeBatch(spark, batchOver, "stream_merge_cap", Seq("k"), "seq", ckpt2)
+    spark.catalog.refreshTable("stream_merge_cap")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ckpt2, "merge-tmp", "_SUCCESS")),
+      "over-cap batch did not take the snapshot fallback")
+    val rows = spark.table("stream_merge_cap").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.size == 258)
+    assert((0 until 257).forall(i => rows(i.toLong) == "w"))
+    assert(rows(257L) == "a")
+    spark.sql("DROP TABLE IF EXISTS stream_merge_cap")
+  }
+
+  test("null partition value: <=> predicates match it; other partitions untouched") {
+    import spark.implicits._
+    dropWithLocation("stream_merge_nullpart")
+    Seq((1L, "a", 1.0, "d1"), (2L, "b", 2.0, null.asInstanceOf[String]))
+      .toDF("k", "name", "v", "dt")
+      .write.partitionBy("dt").saveAsTable("stream_merge_nullpart")
+    val d1Before = partFiles("stream_merge_nullpart", "dt=d1")
+    assert(d1Before.nonEmpty)
+    val ckpt = Files.createTempDirectory("sl_null_ckpt").toString
+    // the batch touches ONLY the null partition — an = predicate would
+    // evaluate to NULL and prune everything (silently dropping the
+    // target rows); the null-safe <=> must match them
+    val batch = Seq((2L, "b2", 2.2, null.asInstanceOf[String], 10L),
+      (3L, "c", 3.0, null.asInstanceOf[String], 11L))
+      .toDF("k", "name", "v", "dt", "seq")
+    StreamLoader.mergeBatch(spark, batch, "stream_merge_nullpart", Seq("k"), "seq", ckpt)
+    spark.catalog.refreshTable("stream_merge_nullpart")
+    assert(partFiles("stream_merge_nullpart", "dt=d1") == d1Before,
+      "null-partition batch rewrote the d1 partition")
+    val rows = spark.table("stream_merge_nullpart").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(3)))).toSeq
+    assert(rows == Seq((1L, "a", Some("d1")), (2L, "b2", None), (3L, "c", None)),
+      s"got $rows")
+    spark.sql("DROP TABLE IF EXISTS stream_merge_nullpart")
+  }
+
   test("crash between drop and rewrite: target restored from the snapshot") {
     import spark.implicits._
     dropWithLocation("stream_merge_crash")
