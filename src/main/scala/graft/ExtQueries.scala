@@ -217,7 +217,15 @@ object ExtQueries {
     }),
     "similarity_ann_embeddings" -> ((s: SparkSession, dir: String) => {
       val e = embs(s, dir)
-      Similarity.annTopK(e, Similarity.defaultProbe(e))
+      // physical layout step, like the trained IVF: vectors persisted
+      // PARTITIONED by sketch; the probe's hamming-3 neighborhood
+      // prunes FILES at listing time. Same rows as the semi-join plan
+      // (oracle unchanged)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ann_buckets"
+      Similarity.writeSketchBuckets(e, path)
+      val probe = Similarity.defaultProbe(e)
+      val ids = Similarity.probeSketchIds(s, probe)
+      Similarity.annTopKBucketed(s.read.parquet(path), ids, probe)
     }),
     "similarity_ivf_embeddings" -> ((s: SparkSession, dir: String) => {
       // oracle-checkable variant: deterministic seed centroids, 6-dp

@@ -90,6 +90,64 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist a sketched vector table PARTITIONED by its hyperplane
+    * sketch — the ANN twin of [[writeClustered]]. With `planes = 16`
+    * the layout has ≤ 2^16 partitions; at 100 TB that is ~1.5 GB of
+    * parquet per bucket (the right file granularity), and a probe
+    * enumerates its ≤ maxHamming neighborhood as id literals that prune
+    * FILES at listing time, instead of the post-scan semi-join that
+    * prunes only compute.
+    */
+  def writeSketchBuckets(
+      embeddings: DataFrame,
+      path: String,
+      dim: Int = 64,
+      planes: Int = 16): Unit =
+    embeddings
+      .withColumn("sk", hyperplaneSketch(col("embedding"), dim, planes))
+      .write.mode("overwrite").partitionBy("sk").parquet(path)
+
+  /** All sketch values within `maxHamming` bits of the probe's sketch —
+    * pure driver-side bit enumeration (Σ C(planes,i), i ≤ maxHamming:
+    * 697 values for planes=16, h≤3), no cluster work. The probe sketch
+    * itself comes from a 1-row local evaluation of the SAME codegen
+    * kernel the table was written with.
+    */
+  def probeSketchIds(
+      spark: SparkSession,
+      probe: Seq[Float],
+      dim: Int = 64,
+      planes: Int = 16,
+      maxHamming: Int = 3): Seq[Long] = {
+    val psk = spark.range(1)
+      .select(hyperplaneSketch(array(probe.map(lit): _*), dim, planes).as("psk"))
+      .collect()(0).getLong(0)
+    def flips(bits: Seq[Int]): Long = bits.foldLeft(psk)((s, b) => s ^ (1L << b))
+    (0 to maxHamming).flatMap(h =>
+      (0 until planes).combinations(h).map(flips)).distinct
+  }
+
+  /** ANN top-k over a [[writeSketchBuckets]] layout: the neighborhood's
+    * sketch literals reach the scan as `PartitionFilters` — file listing
+    * and IO are bounded by the bucket neighborhood before any row is
+    * read. Row-for-row identical to [[annTopK]] on the same data
+    * (the semi-join over distinct sketches and the isin over the full
+    * neighborhood keep exactly the same rows).
+    */
+  def annTopKBucketed(
+      bucketed: DataFrame,
+      probeIds: Seq[Long],
+      probe: Seq[Float],
+      k: Int = 10): DataFrame = {
+    val probeCol = array(probe.map(lit): _*)
+    bucketed
+      .filter(col("sk").isin(probeIds: _*))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), probeCol), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** IVF index: deterministic centroids (the first `nCentroids` vectors

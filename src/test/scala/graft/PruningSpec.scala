@@ -110,6 +110,37 @@ class PruningSpec extends SparkSpec {
     }
   }
 
+  test("ANN sketch layout: the hamming neighborhood prunes FILES") {
+    import graft.ext.Similarity
+    val e = graft.io.Sources.table(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ann_prune")
+    try {
+      Similarity.writeSketchBuckets(e, dir.toString)
+      val probe = Similarity.defaultProbe(e)
+      val ids = Similarity.probeSketchIds(spark, probe)
+      val q = Similarity.annTopKBucketed(spark.read.parquet(dir.toString), ids, probe)
+      val scan = flatten(q.queryExecution.executedPlan)
+        .collectFirst { case f: FileSourceScanExec => f }
+        .getOrElse(fail("no parquet scan in the bucketed ANN plan"))
+      assert(scan.partitionFilters.nonEmpty,
+        "sketch neighborhood did not become PartitionFilters")
+      val selected = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+      val all = scan.relation.location.listFiles(Nil, Nil)
+      // the h≤3 neighborhood intersected with the buckets that exist
+      // must be a strict minority of the layout's partitions
+      assert(all.size >= 20, s"degenerate layout: ${all.size} buckets")
+      assert(selected.size * 2 < all.size,
+        s"file pruning ineffective: ${selected.size} of ${all.size} buckets read")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
   test("token_count: documents scan reads only doc_id and text") {
     val s = scans(SparkEntry.queries("token_count_documents")(spark, sfDir))
     graft.core.CacheScope.releaseAll()

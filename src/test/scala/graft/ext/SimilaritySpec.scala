@@ -136,6 +136,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annTopKBucketed over the sketch-partitioned layout matches annTopK") {
+    val probe = Similarity.defaultProbe(embs)
+    val want = Similarity.annTopK(embs, probe, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ann_buckets")
+    try {
+      Similarity.writeSketchBuckets(embs, dir.toString)
+      val ids = Similarity.probeSketchIds(spark, probe)
+      // Σ C(16,i), i ≤ 3 — the full hamming-3 neighborhood
+      assert(ids.length == 1 + 16 + 120 + 560)
+      val got = Similarity
+        .annTopKBucketed(spark.read.parquet(dir.toString), ids, probe)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(got == want, s"bucketed ANN diverged:\n$got\nvs\n$want")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
   test("quantizeInt8: bins in [0,255], min→0, max→255, constant vector→0s") {
     import spark.implicits._
     val df = Seq(
