@@ -39,8 +39,19 @@ for k in sorted(oracle):
         print(f"ERR   {k}: {e}")
         n_fail += 1
         continue
-    sdf = sdf.reindex(sorted(sdf.columns), axis=1).reset_index(drop=True)
-    odf = odf.reindex(sorted(odf.columns), axis=1).reset_index(drop=True)
+    # sort columns by name AND rows by all columns — the driver's
+    # compare is order-insensitive after its own canonical sort, and
+    # queries pin row order with a total ORDER BY anyway; sorting here
+    # keeps a multi-part or glob-enumeration reorder from reporting a
+    # spurious FAIL
+    sdf = sdf.reindex(sorted(sdf.columns), axis=1)
+    odf = odf.reindex(sorted(odf.columns), axis=1)
+    cols = list(sdf.columns)
+    if cols:
+        sdf = sdf.sort_values(cols, kind="mergesort")
+        odf = odf.sort_values(cols, kind="mergesort")
+    sdf = sdf.reset_index(drop=True)
+    odf = odf.reset_index(drop=True)
     if list(sdf.columns) != list(odf.columns):
         print(f"FAIL  {k}: columns {list(sdf.columns)} vs {list(odf.columns)}")
         n_fail += 1

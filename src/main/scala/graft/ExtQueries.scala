@@ -38,6 +38,11 @@ object ExtQueries {
   val Bm25DynamicRawTerms: Seq[String] =
     Seq("Spark", "query", "QUERY", "scan", "stream-7")
 
+  /** Shard count for the declared packing query — shared by the Spark
+    * call site and the oracle SQL so they can never drift.
+    */
+  val PackShards: Int = 8
+
   /** Mixture weights for the declared epoch-weighting query: an
     * upsample (2.5×), a fractional upsample, a downsample, a full drop;
     * every other source rides the default 1.0. Shared by the oracle.
@@ -220,8 +225,9 @@ object ExtQueries {
       // physical layout step, like the trained IVF: vectors persisted
       // PARTITIONED by sketch; the probe's hamming-3 neighborhood
       // prunes FILES at listing time. Same rows as the semi-join plan
-      // (oracle unchanged)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ann_buckets"
+      // (oracle unchanged); applicationId-scoped against cross-process
+      // clobbering
+      val path = s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}/ann_buckets"
       Similarity.writeSketchBuckets(e, path)
       val probe = Similarity.defaultProbe(e)
       val ids = Similarity.probeSketchIds(s, probe)
@@ -246,8 +252,10 @@ object ExtQueries {
       val assigned = Similarity.ivfAssignTo(e, index.centroids)
       // physical layout step: vectors persisted PARTITIONED by
       // centroid_id; the probe then prunes FILES (PartitionFilters),
-      // not just compute — same rows as the semi-join plan
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_clustered"
+      // not just compute — same rows as the semi-join plan. The path is
+      // applicationId-scoped: two concurrent processes (a bench beside
+      // a verify) must never overwrite each other's layout mid-scan
+      val path = s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}/ivf_clustered"
       Similarity.writeClustered(assigned, path)
       val probe = Similarity.defaultProbe(e)
       val ids = Similarity.probeCentroidIds(index.toDF(s), probe, nProbe = 4)
@@ -288,7 +296,7 @@ object ExtQueries {
     "chunk_documents" -> ((s: SparkSession, dir: String) =>
       Corpus.chunkDocuments(docs(s, dir))),
     "pack_greedy_documents" -> ((s: SparkSession, dir: String) =>
-      Corpus.packGreedy(docs(s, dir))),
+      Corpus.packGreedy(docs(s, dir), shardsPerStratum = PackShards)),
     "curate_documents" -> ((s: SparkSession, dir: String) =>
       // full pipeline: redact → quality-filter → dedup → sample
       Corpus.curate(docs(s, dir))),
@@ -786,7 +794,7 @@ object ExtQueries {
     },
     "pack_greedy_documents" ->
       s"""WITH t AS (SELECT doc_id, lang, ($WsToksSql)::BIGINT AS n_tokens,
-         |  doc_id % 8 AS shard FROM documents),
+         |  doc_id % $PackShards AS shard FROM documents),
          |c AS (SELECT doc_id, lang, n_tokens, shard,
          |  SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
          |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)

@@ -104,4 +104,26 @@ object CacheScope {
     */
   def scoped[T](body: => T): T =
     try body finally releaseAll()
+
+  /** Crash recovery for the storage escape: delete every `scope-*` dir
+    * under the configured storage dir. [[releaseAll]]'s path queue is
+    * in-memory, so checkpoints written by a session that died before
+    * releasing would otherwise persist forever — call this once at
+    * job startup (before any [[persist]]) to reclaim them. No-op when
+    * [[StorageDirConf]] is unset.
+    */
+  def sweepStorage(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption(StorageDirConf) match {
+      case None => 0
+      case Some(dir) =>
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(base)) 0
+        else {
+          val stale = fs.listStatus(base)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("scope-"))
+          stale.foreach(s => fs.delete(s.getPath, true))
+          stale.length
+        }
+    }
 }

@@ -175,7 +175,11 @@ object Corpus {
     require(frac > 0 && frac <= 1, "frac must be in (0,1]")
     require(bucketHexLen >= 1 && bucketHexLen <= 8,
       s"bucket prefix must be 1-8 hex chars, got $bucketHexLen")
-    val key = md5(encode(col("text"), "UTF-8"))
+    // NULL handling must not silently drop rows the window version
+    // sampled: a NULL text keys as '' (sorts before any hex digest —
+    // the nulls-first order of the replaced window), and NULL strata
+    // flow through null-safe joins below as their own stratum
+    val key = coalesce(md5(encode(col("text"), "UTF-8")), lit(""))
     val keyed = documents.select(
       col(strataCol).as("_s"), key.as("_k"), col("doc_id").as("_id"),
       substring(key, 1, bucketHexLen).as("_b"))
@@ -187,23 +191,27 @@ object Corpus {
       .agg(ceil(sum("_c") * lit(frac)).cast("long").as("_target"))
     val h2 = hist.select(
       col("_s").as("_s2"), col("_b").as("_b2"), col("_c").as("_c2"))
-    val cum = hist.join(h2, col("_s") === col("_s2") && col("_b2") <= col("_b"))
+    val cum = hist.join(h2, col("_s") <=> col("_s2") && col("_b2") <= col("_b"))
       .groupBy(col("_s"), col("_b"))
       .agg(sum("_c2").as("_cum"),
         sum(when(col("_b2") < col("_b"), col("_c2")).otherwise(lit(0L)))
           .as("_before"))
-    val pick = cum.join(targets, "_s")
+    val tjoin = targets.select(col("_s").as("_st"), col("_target"))
+    val pick = cum.join(tjoin, col("_s") <=> col("_st"))
       .filter(col("_before") < col("_target") && col("_cum") >= col("_target"))
       .select(col("_s"), col("_b"),
         (col("_target") - col("_before")).as("_residual"))
     val wb = Window.partitionBy("_s", "_b").orderBy(col("_k"), col("_id"))
+    val pickJ = pick.select(
+      col("_s").as("_ps"), col("_b").as("_pb"), col("_residual"))
     val thresholds = keyed
-      .join(broadcast(pick), Seq("_s", "_b"))
+      .join(broadcast(pickJ),
+        col("_s") <=> col("_ps") && col("_b") <=> col("_pb"))
       .withColumn("_rn", row_number().over(wb))
       .filter(col("_rn") === col("_residual"))
       .select(col("_s"), col("_k").as("_tk"), col("_id").as("_tid"))
     documents
-      .join(broadcast(thresholds), documents(strataCol) === col("_s"))
+      .join(broadcast(thresholds), documents(strataCol) <=> col("_s"))
       .filter(key < col("_tk") || (key === col("_tk") && col("doc_id") <= col("_tid")))
       .select(documents.columns.map(documents(_)).toSeq: _*)
       .orderBy("doc_id")

@@ -79,6 +79,15 @@ class CacheScopeSpec extends SparkSpec {
       val after = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
       val left = try after.count() finally after.close()
       assert(left == 0, s"$left storage-scope dirs leaked after release")
+      // crash recovery: a scope dir orphaned by a dead session (nothing
+      // in the in-memory queue) is reclaimed by the startup sweep
+      spark.conf.set(CacheScope.StorageDirConf, dir)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dir, "scope-9999"))
+      assert(CacheScope.sweepStorage(spark) == 1)
+      val swept = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      val leftAfterSweep = try swept.count() finally swept.close()
+      assert(leftAfterSweep == 0)
     } finally {
       spark.conf.unset(CacheScope.StorageDirConf)
       CacheScope.releaseAll()

@@ -68,6 +68,22 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("sampleStratified: NULL stratum is its own stratum, not silently dropped") {
+    import spark.implicits._
+    val rows = (1L to 50L).map(i => (i, s"doc body $i", "en")) ++
+      (51L to 60L).map(i => (i, s"orphan doc $i", null.asInstanceOf[String]))
+    val df = rows.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src' AS source",
+        "length(text) AS n_chars")
+    val out = Corpus.sampleStratified(df, frac = 0.2).collect()
+    graft.core.CacheScope.releaseAll()
+    val byLang = out.groupBy(r => Option(r.getString(2)))
+      .view.mapValues(_.length).toMap
+    // ceil(50·0.2)=10 en, ceil(10·0.2)=2 from the NULL stratum — the
+    // null-unsafe-join failure mode would sample 0 of the orphans
+    assert(byLang == Map(Some("en") -> 10, None -> 2), s"got $byLang")
+  }
+
   test("sampleStratified plans no window partitioned by the stratum alone") {
     import spark.implicits._
     val df = (1L to 50L).map(i => (i, s"doc $i", s"l${i % 3}"))
