@@ -222,16 +222,14 @@ object ExtQueries {
     }),
     "similarity_ann_embeddings" -> ((s: SparkSession, dir: String) => {
       val e = embs(s, dir)
-      // physical layout step, like the trained IVF: vectors persisted
-      // PARTITIONED by sketch; the probe's hamming-3 neighborhood
-      // prunes FILES at listing time. Same rows as the semi-join plan
-      // (oracle unchanged); applicationId-scoped against cross-process
-      // clobbering
-      val path = s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}/ann_buckets"
-      Similarity.writeSketchBuckets(e, path)
-      val probe = Similarity.defaultProbe(e)
-      val ids = Similarity.probeSketchIds(s, probe)
-      Similarity.annTopKBucketed(s.read.parquet(path), ids, probe)
+      // the query-time plan: sketch semi-join pruning. The FILE-pruned
+      // variant (writeSketchBuckets → annTopKBucketed, spec-proven
+      // row-identical) consumes an OFFLINE index build — rebuilding a
+      // ~2^16-directory layout inside every query evaluation is an
+      // index build's cost, not a query's, so the declared query
+      // measures retrieval only (unlike IVF's 16-partition layout,
+      // which is cheap enough to build in-query)
+      Similarity.annTopK(e, Similarity.defaultProbe(e))
     }),
     "similarity_ivf_embeddings" -> ((s: SparkSession, dir: String) => {
       // oracle-checkable variant: deterministic seed centroids, 6-dp

@@ -105,6 +105,11 @@ object Similarity {
       planes: Int = 16): Unit =
     embeddings
       .withColumn("sk", hyperplaneSketch(col("embedding"), dim, planes))
+      // co-locate each bucket before writing: without this, every input
+      // task emits a file for every sketch it encounters (tasks ×
+      // buckets tiny files); with it the layout is one file per bucket
+      // — the shuffle IS the index-build cost, paid offline, once
+      .repartition(col("sk"))
       .write.mode("overwrite").partitionBy("sk").parquet(path)
 
   /** All sketch values within `maxHamming` bits of the probe's sketch —
