@@ -43,6 +43,14 @@ object ExtQueries {
     */
   val PackShards: Int = 8
 
+  /** Split fractions for the declared train/val/test assignment — the
+    * oracle's CASE cascade is generated from the same Seq (and the same
+    * [[Corpus.fracThresholdHex]] thresholds), so the two sides cannot
+    * drift.
+    */
+  val SplitFracs: Seq[(String, Double)] =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
   /** Mixture weights for the declared epoch-weighting query: an
     * upsample (2.5×), a fractional upsample, a downsample, a full drop;
     * every other source rides the default 1.0. Shared by the oracle.
@@ -162,6 +170,9 @@ object ExtQueries {
       TextStats.repetitionScore(docs(s, dir))),
     "corpus_summary_documents" -> ((s: SparkSession, dir: String) =>
       TextStats.corpusSummary(docs(s, dir))),
+    "length_histogram_documents" -> ((s: SparkSession, dir: String) =>
+      // sequence-length planning view: 32-token buckets, overflow at 15
+      TextStats.lengthHistogram(docs(s, dir))),
     // -- term relevance (TF-IDF / BM25) --
     "tfidf_top_terms_documents" -> ((s: SparkSession, dir: String) =>
       Relevance.tfidfTopTerms(docs(s, dir))),
@@ -178,6 +189,19 @@ object ExtQueries {
       Dedup.exact(docs(s, dir))),
     "dedup_exact_keep_longest_documents" -> ((s: SparkSession, dir: String) =>
       Dedup.exactKeepLongest(docs(s, dir))),
+    "dedup_incremental_documents" -> ((s: SparkSession, dir: String) => {
+      // recurring-crawl scenario, derived deterministically: the corpus
+      // already holds the even doc_ids; the new snapshot re-crawls every
+      // 3rd doc and fetches every 9th one TWICE (second copy under a
+      // synthetic id ≥ 10^9, same content). Survivors must lose the
+      // re-fetched copies within the batch AND everything the corpus
+      // already has — both by content fingerprint, not id.
+      val d = docs(s, dir)
+      val batch = d.filter(col("doc_id") % 3 === 0)
+        .unionByName(d.filter(col("doc_id") % 9 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L)))
+      Dedup.incrementalExact(batch, d.filter(col("doc_id") % 2 === 0))
+    }),
     "dedup_minhash_documents" -> ((s: SparkSession, dir: String) =>
       Dedup.minHashDedup(docs(s, dir))),
     "dedup_minhash_pairs_documents" -> ((s: SparkSession, dir: String) =>
@@ -309,6 +333,9 @@ object ExtQueries {
     "sample_stratified_documents" -> ((s: SparkSession, dir: String) =>
       // per-lang proportional content-addressed sample
       Corpus.sampleStratified(docs(s, dir), frac = 0.2)),
+    "split_assign_documents" -> ((s: SparkSession, dir: String) =>
+      // deterministic content-addressed train/val/test assignment
+      Corpus.assignSplits(docs(s, dir), SplitFracs)),
     "mixture_sample_documents" -> ((s: SparkSession, dir: String) =>
       Corpus.sampleMixture(docs(s, dir), MixtureWeights, MixtureDefaultWeight)),
     "cap_per_source_documents" -> ((s: SparkSession, dir: String) =>
@@ -324,6 +351,8 @@ object ExtQueries {
     }),
     "quantize_embeddings" -> ((s: SparkSession, dir: String) =>
       Similarity.quantizeInt8(embs(s, dir))),
+    "label_centroids_embeddings" -> ((s: SparkSession, dir: String) =>
+      Similarity.labelCentroids(embs(s, dir))),
     // -- sessionize --
     "sessionize_events" -> ((s: SparkSession, dir: String) =>
       Sessionize.sessionize(Sources.table(s, dir, "events"))),
@@ -482,6 +511,13 @@ object ExtQueries {
          |  count(DISTINCT md5($NormSql))::BIGINT AS n_unique_texts,
          |  round(1.0 - count(DISTINCT md5($NormSql))::DOUBLE / count(*), 4) AS dup_rate
          |FROM documents ORDER BY n_docs""".stripMargin,
+    "length_histogram_documents" ->
+      s"""WITH t AS (SELECT ($WsToksSql)::BIGINT AS toks FROM documents)
+         |SELECT LEAST(CAST(floor(toks / 32) AS BIGINT), 15) AS bucket,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(toks)::BIGINT AS total_tokens,
+         |  round(avg(toks::DOUBLE), 4) AS avg_tokens
+         |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
     // TF-IDF: every intermediate (tf, df, N) is an exact integer; the
     // score is one multiply of one ln() rounded at 4 dp — cross-engine
     // deterministic like the cosine/jaccard families
@@ -709,6 +745,27 @@ object ExtQueries {
          |  SELECT d.*, ROW_NUMBER() OVER (
          |    PARTITION BY md5($NormSql) ORDER BY n_chars DESC, doc_id) AS rn
          |  FROM documents d) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_incremental_documents" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text, lang, source, n_chars
+         |    FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000 AS doc_id, text, lang, source, n_chars
+         |    FROM documents WHERE doc_id % 9 = 0),
+         |f AS (SELECT *, md5($NormSql) AS fp FROM b),
+         |k AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp),
+         |c AS (SELECT DISTINCT md5($NormSql) AS fp
+         |      FROM documents WHERE doc_id % 2 = 0)
+         |SELECT f.doc_id, f.text, f.lang, f.source, f.n_chars
+         |FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.doc_id
+         |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.fp = f.fp)
+         |ORDER BY f.doc_id""".stripMargin,
+    "label_centroids_embeddings" ->
+      """SELECT label, i - 1 AS dim_idx,
+        |  round(avg(embedding[i]::DOUBLE), 6) AS centroid,
+        |  count(*)::BIGINT AS n_vectors
+        |FROM embeddings CROSS JOIN range(1, 65) t(i)
+        |GROUP BY label, i ORDER BY label, dim_idx""".stripMargin,
     "quantize_embeddings" ->
       """WITH b AS (SELECT vec_id,
         |  list_aggregate(embedding, 'min')::DOUBLE AS mn,
@@ -752,6 +809,17 @@ object ExtQueries {
         |  FROM documents d)
         |SELECT doc_id, text, lang, source, n_chars FROM r
         |WHERE rn <= ceil(n * 0.2) ORDER BY doc_id""".stripMargin,
+    "split_assign_documents" -> {
+      // CASE cascade generated from the SAME SplitFracs constants and
+      // fracThresholdHex conversion as the Spark cascade
+      val cums = SplitFracs.map(_._2).scanLeft(0.0)(_ + _).tail
+      val arms = SplitFracs.init.zip(cums).map { case ((name, _), cum) =>
+        s"WHEN substr(md5(text), 1, 8) < '${Corpus.fracThresholdHex(cum)}' THEN '$name'"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang, source,
+         |  CASE $arms ELSE '${SplitFracs.last._1}' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "cap_per_source_documents" ->
       """SELECT doc_id, text, lang, source, n_chars FROM (
         |  SELECT d.*, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn

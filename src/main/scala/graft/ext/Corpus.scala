@@ -25,6 +25,36 @@ object Corpus {
       .filter(md5(encode(col("text"), "UTF-8")) < lit(hexThreshold))
       .orderBy("doc_id")
 
+  /** Deterministic train/val/test assignment: every document gets a
+    * split label from cumulative thresholds over the first 8 hex chars
+    * of md5(text). Content-addressed like [[sampleByHash]] — a document
+    * keeps its split across re-runs, re-partitioning, AND corpus growth
+    * (appending new data never flips an old document between train and
+    * test, the property that keeps eval sets uncontaminated over time).
+    * The last split is the catch-all so threshold rounding can never
+    * leave a document unassigned. One narrow projection, zero shuffle
+    * at any scale.
+    */
+  def assignSplits(
+      documents: DataFrame,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, s"need at least two splits: $splits")
+    require(splits.map(_._2).forall(_ > 0), s"non-positive split fraction: $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"duplicate split names: ${splits.map(_._1)}")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    val h = substring(md5(col("text")), 1, 8)
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    // thresholds for all but the last split; the last is the otherwise-arm
+    val assign = splits.init.zip(cums).foldRight(lit(splits.last._1)) {
+      case (((name, _), cum), rest) => when(h < lit(fracThresholdHex(cum)), name).otherwise(rest)
+    }
+    documents
+      .select(col("doc_id"), col("lang"), col("source"), assign.as("split"))
+      .orderBy("doc_id")
+  }
+
   /** PII scrub patterns — dialect-portable regexes (no lookaround: Java
     * regex on the Spark side, RE2 in DuckDB).
     */

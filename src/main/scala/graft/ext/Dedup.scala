@@ -51,6 +51,37 @@ object Dedup {
     documents.join(winners, Seq("doc_id"), "left_semi").orderBy("doc_id")
   }
 
+  /** Incremental exact dedup: the "new snapshot vs existing corpus" step
+    * every recurring crawl ingestion runs. Keeps the batch rows that are
+    * (a) the lowest-doc_id representative of their normalized text
+    * WITHIN the batch (re-fetched copies of one page collapse first) and
+    * (b) not already present in the existing corpus by the same
+    * content fingerprint.
+    *
+    * Plan: one (key, doc_id) aggregation for the within-batch winners
+    * (same tiny-shuffle shape as [[exact]]) + one anti-join against the
+    * corpus fingerprint set, hash-shuffled on the 128-bit key. At 100 TB
+    * the corpus side is a PERSISTED fingerprint index — one md5 column,
+    * ~3% of corpus bytes, bucketed by fingerprint so the anti-join
+    * co-locates without moving the index; only the (much smaller) batch
+    * shuffles. Passing `corpus` as the raw document table (as the
+    * declared query does at test SF) computes the same thing with an
+    * extra scan — the semantics don't change, only where the index
+    * materializes.
+    */
+  def incrementalExact(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val key = md5(TextStats.normText(col("text")))
+    val b = batch.withColumn("_fp", key)
+    val winners = b
+      .select(col("_fp").as("k"), col("doc_id"))
+      .groupBy("k").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    b.join(winners, Seq("doc_id"), "left_semi")
+      .join(corpus.select(key.as("_fp")), Seq("_fp"), "left_anti")
+      .drop("_fp")
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- minhash
 
   val MinHashK: Int = graft.functions.Hashing.MinHashK // default signature length

@@ -303,6 +303,29 @@ object Similarity {
     * bit-identical across engines, and the vector is serialized to CSV
     * for the driver's hash compare. Constant vectors quantize to 0s.
     */
+  /** Per-label centroid, one row per (label, dimension): the class-mean
+    * step behind k-NN classifiers, cluster seeding, and per-source
+    * embedding drift monitoring. Output is kept EXPLODED (label,
+    * dim_idx, centroid) rather than re-assembled into arrays — the
+    * flat shape is oracle-comparable and join-ready.
+    *
+    * Plan: posexplode (narrow, ×dim) then one hash aggregate on
+    * (label, dim_idx). Partial aggregation collapses every map
+    * partition to ≤ |labels|·dim rows before the exchange, so the
+    * shuffle volume is O(partitions · labels · dim) — independent of
+    * row count; at 100 TB this is the cheapest possible reduction
+    * shape (no window, no sort, no driver collect). Means are
+    * accumulated in double and rounded to 6 dp, the engine-portability
+    * convention the similarity family already uses.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "v")))
+      .groupBy(col("label"), col("dim_idx").cast("bigint").as("dim_idx"))
+      .agg(round(avg(col("v").cast("double")), 6).as("centroid"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy("label", "dim_idx")
+
   def quantizeInt8(embeddings: DataFrame): DataFrame = {
     val mn = array_min(col("embedding")).cast("double")
     val mx = array_max(col("embedding")).cast("double")

@@ -190,6 +190,31 @@ object TextStats {
     * fingerprints imply. Multi-distinct expands to a handful of
     * corpus-keyed aggregations — a report query, not a hot path.
     */
+  /** Sequence-length histogram over whitespace token counts: fixed-width
+    * buckets with an overflow tail (`bucket = min(⌊toks/width⌋, max)`),
+    * per-bucket doc count, token mass, and mean length. The batch-size /
+    * packing-budget planning view every training pipeline reads before
+    * choosing a sequence length. One narrow projection + one tiny hash
+    * aggregate (≤ maxBucket+1 groups survive map-side combine) — shuffle
+    * volume independent of corpus size.
+    */
+  def lengthHistogram(
+      documents: DataFrame,
+      bucketWidth: Int = 32,
+      maxBucket: Int = 15): DataFrame = {
+    require(bucketWidth >= 1 && maxBucket >= 1, "bucketWidth and maxBucket must be positive")
+    val toks = wsTokenCount(col("text"))
+    documents
+      .select(least(floor(toks / lit(bucketWidth)), lit(maxBucket))
+        .cast("bigint").as("bucket"), toks.as("toks"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        round(avg(col("toks").cast("double")), 4).as("avg_tokens"))
+      .orderBy("bucket")
+  }
+
   def corpusSummary(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),

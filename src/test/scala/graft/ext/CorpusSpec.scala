@@ -22,6 +22,40 @@ class CorpusSpec extends SparkSpec {
     assert(s1.subsetOf(s3))                // thresholds nest
   }
 
+  test("assignSplits: total, content-addressed, and stable under corpus growth") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val df = docsDF((1L to 300L).map(i => (i, s"document body number $i")))
+    val out = Corpus.assignSplits(df, splits).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out.size == 300)                       // every doc assigned
+    val byName = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > byName("val") && byName("train") > byName("test"))
+    // stable under repartition (content-addressed, not row-order)
+    val out2 = Corpus.assignSplits(df.repartition(7), splits).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == out2)
+    // appending new documents never flips an existing assignment — the
+    // eval-set-stability property row-number splits lack
+    val grown = docsDF((1L to 400L).map(i => (i, s"document body number $i")))
+    val out3 = Corpus.assignSplits(grown, splits).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out.forall { case (id, s) => out3(id) == s })
+  }
+
+  test("assignSplits rejects malformed split specs") {
+    val df = docsDF(Seq((1L, "a doc")))
+    intercept[IllegalArgumentException] {
+      Corpus.assignSplits(df, Seq("train" -> 0.9, "val" -> 0.2))   // sum > 1
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.assignSplits(df, Seq("train" -> 0.5, "train" -> 0.5)) // dup name
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.assignSplits(df, Seq("all" -> 1.0))                   // one split
+    }
+  }
+
   test("sampleStratified keeps ⌈frac·n⌉ docs per stratum, content-stable") {
     import spark.implicits._
     // skewed strata: 100 'en', 10 'fr' — a flat hash sample could

@@ -20,6 +20,28 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 4L, 5L))
   }
 
+  test("incrementalExact: drops within-batch re-fetches and corpus-known content") {
+    val corpus = docsDF(Seq(
+      (10L, "already ingested page"), (12L, "another known page")))
+    val batch = docsDF(Seq(
+      (20L, "ALREADY   ingested page"),  // known to the corpus (normalized)
+      (21L, "fresh page one"),
+      (22L, "Fresh  Page One"),          // within-batch dup of 21 → loses
+      (23L, "fresh page two")))
+    val out = Dedup.incrementalExact(batch, corpus).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(21L, 23L))
+    // columns pass through unchanged (fingerprint never leaks)
+    assert(out.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  test("incrementalExact: empty corpus reduces to plain within-batch exact dedup") {
+    val batch = docsDF(Seq(
+      (1L, "a doc"), (2L, "A  DOC"), (3L, "b doc")))
+    val out = Dedup.incrementalExact(batch, docsDF(Nil)).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
   test("exactKeepLongest keeps the longest copy, ties to lowest doc_id") {
     import spark.implicits._
     // same normalized text, different raw lengths (trailing whitespace)

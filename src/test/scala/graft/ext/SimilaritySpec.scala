@@ -23,6 +23,27 @@ class SimilaritySpec extends SparkSpec {
       .sortBy { case (id, c) => (-c, id) }.take(k).toSeq
   }
 
+  test("labelCentroids: per-label per-dimension means, exploded shape") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), 0),
+      (2L, Seq(3.0f, 6.0f), 0),
+      (3L, Seq(10.0f, 20.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(out == Map(
+      (0, 0L) -> (2.0, 2L), (0, 1L) -> (4.0, 2L),
+      (1, 0L) -> (10.0, 1L), (1, 1L) -> (20.0, 1L)))
+  }
+
+  test("labelCentroids on testdata: |labels|·dim rows, means bounded by observed range") {
+    val out = Similarity.labelCentroids(embs).collect()
+    val labels = embs.select("label").distinct().count()
+    assert(out.length == labels * 64)
+    assert(out.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-6))
+  }
+
   test("brute-force topK matches driver-side reference exactly") {
     val probe = Similarity.defaultProbe(embs)
     val got = Similarity.topK(embs, probe, 10).collect()

@@ -21,6 +21,24 @@ class TextStatsSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 3L))
   }
 
+  test("lengthHistogram: fixed-width buckets with overflow tail") {
+    val doc = (n: Int) => (1 to n).map(_ => "w").mkString(" ")
+    val df = docsDF(Seq(
+      (1L, "", "en"),            // 0 tokens → bucket 0
+      (2L, doc(3), "en"),        // 3 tokens → bucket 0
+      (3L, doc(4), "en"),        // 4 tokens → bucket 1 (width 4)
+      (4L, doc(9), "en"),        // 9 tokens → capped at maxBucket 2
+      (5L, doc(40), "en")))      // 40 tokens → capped at 2
+    val out = TextStats.lengthHistogram(df, bucketWidth = 4, maxBucket = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      0L -> (2L, 3L),    // docs {1,2}: 0+3 tokens
+      1L -> (1L, 4L),
+      2L -> (2L, 49L)))  // overflow tail: 9+40
+    // bucket masses partition the corpus
+    assert(out.values.map(_._1).sum == 5L)
+  }
+
   test("bpe token count: words, digits, punctuation split") {
     val df = docsDF(Seq((1L, "hello world42, ok!", "en")))
     val got = df.select(TextStats.bpeTokenCount(col("text"))).collect().head.getLong(0)
