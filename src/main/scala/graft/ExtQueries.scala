@@ -383,6 +383,9 @@ object ExtQueries {
       Analytics.eventProps(s, dir)),
     "analytics_supplier_volume" -> ((s: SparkSession, dir: String) =>
       Analytics.supplierVolume(s, dir)),
+    "analytics_rollup_revenue" -> ((s: SparkSession, dir: String) =>
+      // grouping-sets surface: detail + subtotal + total in ONE aggregate
+      Analytics.rollupRevenue(s, dir)),
     "analytics_monthly_revenue" -> ((s: SparkSession, dir: String) =>
       Analytics.monthlyRevenue(s, dir)),
     "winsorize_events" -> ((s: SparkSession, dir: String) =>
@@ -971,6 +974,21 @@ object ExtQueries {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "analytics_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |  GROUPING(r_name)::INT AS g_region,
+        |  GROUPING(n_name)::INT AS g_nation,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin,
     "analytics_top_customers" ->
       """SELECT c_custkey, c_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
