@@ -43,6 +43,13 @@ object ExtQueries {
     */
   val PackShards: Int = 8
 
+  /** Vocabulary size for the declared unigram-LM query — shared by the
+    * Spark call site and the oracle SQL. Deliberately BELOW the
+    * synthetic corpus's 31 distinct terms so the out-of-vocab floor
+    * path carries real weight in the oracle comparison.
+    */
+  val UnigramVocabSize: Int = 24
+
   /** Split fractions for the declared train/val/test assignment — the
     * oracle's CASE cascade is generated from the same Seq (and the same
     * [[Corpus.fracThresholdHex]] thresholds), so the two sides cannot
@@ -173,6 +180,10 @@ object ExtQueries {
     "length_histogram_documents" -> ((s: SparkSession, dir: String) =>
       // sequence-length planning view: 32-token buckets, overflow at 15
       TextStats.lengthHistogram(docs(s, dir))),
+    "length_quantiles_documents" -> ((s: SparkSession, dir: String) =>
+      // exact per-lang discrete length percentiles off a (lang, n_chars)
+      // histogram — no raw-row stratum window
+      TextStats.lengthQuantiles(docs(s, dir))),
     // -- term relevance (TF-IDF / BM25) --
     "tfidf_top_terms_documents" -> ((s: SparkSession, dir: String) =>
       Relevance.tfidfTopTerms(docs(s, dir))),
@@ -184,6 +195,11 @@ object ExtQueries {
       import s.implicits._
       Relevance.bm25SearchTerms(docs(s, dir), Bm25DynamicRawTerms.toDF("term"))
     }),
+    "unigram_logprob_documents" -> ((s: SparkSession, dir: String) =>
+      // unigram-LM quality proxy: corpus-trained top-24 vocab (the
+      // synthetic corpus has 31 distinct terms, so the OOV floor path
+      // carries real weight in the oracle check), mean log-prob per doc
+      Relevance.unigramLogProb(docs(s, dir), vocabSize = UnigramVocabSize)),
     // -- dedup --
     "dedup_exact_documents" -> ((s: SparkSession, dir: String) =>
       Dedup.exact(docs(s, dir))),
@@ -333,6 +349,10 @@ object ExtQueries {
     "sample_stratified_documents" -> ((s: SparkSession, dir: String) =>
       // per-lang proportional content-addressed sample
       Corpus.sampleStratified(docs(s, dir), frac = 0.2)),
+    "segment_dedup_documents" -> ((s: SparkSession, dir: String) =>
+      // C4-style global duplicate-segment removal (keep-first) with
+      // document reassembly from the surviving segments
+      Corpus.segmentDedup(docs(s, dir))),
     "split_assign_documents" -> ((s: SparkSession, dir: String) =>
       // deterministic content-addressed train/val/test assignment
       Corpus.assignSplits(docs(s, dir), SplitFracs)),
@@ -521,6 +541,38 @@ object ExtQueries {
          |  sum(toks)::BIGINT AS total_tokens,
          |  round(avg(toks::DOUBLE), 4) AS avg_tokens
          |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "length_quantiles_documents" ->
+      """WITH h AS (SELECT lang, n_chars, count(*)::BIGINT AS c FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT lang, n_chars, c,
+        |          sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |        FROM h),
+        |n AS (SELECT lang, sum(c)::BIGINT AS n_docs FROM h GROUP BY 1)
+        |SELECT lang, max(n_docs)::BIGINT AS n_docs,
+        |  min(CASE WHEN cm >= ceil(n_docs * 0.25) THEN n_chars END)::BIGINT AS p25,
+        |  min(CASE WHEN cm >= ceil(n_docs * 0.5) THEN n_chars END)::BIGINT AS p50,
+        |  min(CASE WHEN cm >= ceil(n_docs * 0.75) THEN n_chars END)::BIGINT AS p75,
+        |  min(CASE WHEN cm >= ceil(n_docs * 0.95) THEN n_chars END)::BIGINT AS p95
+        |FROM cum JOIN n USING (lang) GROUP BY lang ORDER BY lang""".stripMargin,
+    // unigram LM: vocab membership and counts are exact integers; the
+    // score is a 4-dp-rounded mean of ln(exact ratio) — the same
+    // cross-engine float contract as tfidf/avg_tokens
+    "unigram_logprob_documents" ->
+      s"""WITH tk AS (${tokSql("doc_id")}),
+         |cnt AS (SELECT term, count(*)::BIGINT AS cnt FROM tk GROUP BY 1),
+         |tot AS (SELECT sum(cnt)::BIGINT AS total FROM cnt),
+         |voc AS (SELECT term, cnt FROM (
+         |    SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rn
+         |    FROM cnt)
+         |  WHERE rn <= $UnigramVocabSize),
+         |sc AS (SELECT tk.doc_id,
+         |         ln(COALESCE(voc.cnt, 1)::DOUBLE / tot.total) AS lp,
+         |         CASE WHEN voc.cnt IS NULL THEN 1 ELSE 0 END AS oov
+         |       FROM tk LEFT JOIN voc ON tk.term = voc.term CROSS JOIN tot)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  sum(oov)::BIGINT AS n_oov,
+         |  round(avg(lp), 4) AS logprob
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // TF-IDF: every intermediate (tf, df, N) is an exact integer; the
     // score is one multiply of one ln() rounded at 4 dp — cross-engine
     // deterministic like the cosine/jaccard families
@@ -812,6 +864,24 @@ object ExtQueries {
         |  FROM documents d)
         |SELECT doc_id, text, lang, source, n_chars FROM r
         |WHERE rn <= ceil(n * 0.2) ORDER BY doc_id""".stripMargin,
+    // segment dedup: the oracle keeps the straightforward window-rank
+    // keep-first (the Spark side's min(struct) aggregation is the
+    // scale shape, not different semantics)
+    "segment_dedup_documents" ->
+      s"""WITH w AS (SELECT doc_id, lang, source, string_split($NormSql, ' ') AS words
+         |           FROM documents),
+         |s0 AS (SELECT doc_id, lang, source, words,
+         |         unnest(range(0, CAST(ceil(GREATEST(len(words), 1) / 10.0) AS BIGINT))) AS seg_idx
+         |       FROM w),
+         |seg AS (SELECT doc_id, lang, source, seg_idx,
+         |          array_to_string(words[CAST(seg_idx*10+1 AS BIGINT):CAST(seg_idx*10+10 AS BIGINT)], ' ') AS seg
+         |        FROM s0),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+         |      FROM seg)
+         |SELECT doc_id, any_value(lang) AS lang, any_value(source) AS source,
+         |       string_agg(seg, ' ' ORDER BY seg_idx) AS text,
+         |       count(*)::BIGINT AS n_segs_kept
+         |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "split_assign_documents" -> {
       // CASE cascade generated from the SAME SplitFracs constants and
       // fracThresholdHex conversion as the Spark cascade

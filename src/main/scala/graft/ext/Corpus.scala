@@ -247,6 +247,53 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Global segment-level deduplication — the C4-style "remove
+    * duplicated lines across the corpus" rule (Raffel et al., JMLR
+    * 2020), adapted to fixed-width word segments because this corpus
+    * has no line structure: the text is cut into consecutive
+    * `segWords`-word segments, every segment that occurs anywhere else
+    * in the corpus keeps only its FIRST occurrence (lowest
+    * `(doc_id, seg_idx)`), and documents are reassembled from their
+    * surviving segments in order. A document whose every segment is
+    * seen earlier disappears entirely — exact-duplicate docs collapse
+    * to the first copy as a special case.
+    *
+    * Scale shape: keep-first is a `min(struct(doc_id, seg_idx))`
+    * aggregation per segment — partial aggregation collapses the
+    * copies of a viral boilerplate segment map-side, so a
+    * billion-copy segment never funnels one reducer (a window rank
+    * over the segment key would). The survivors join back by segment
+    * (AQE skew-safe), and reassembly is a per-doc aggregate whose
+    * groups are bounded by document length.
+    */
+  def segmentDedup(documents: DataFrame, segWords: Int = 10): DataFrame = {
+    require(segWords >= 1, "segment width must be positive")
+    val words = split(TextStats.normText(col("text")), " ")
+    val starts = sequence(lit(1), greatest(size(words), lit(1)), lit(segWords))
+    val segs = documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(starts).as("_start"), words.as("_w"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        ((col("_start") - 1) / segWords).cast("bigint").as("seg_idx"),
+        concat_ws(" ", slice(col("_w"), col("_start"), lit(segWords))).as("seg"))
+      .transform(graft.core.CacheScope.persist) // first-occurrence agg + join-back
+    val firsts = segs
+      .groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("_f"))
+      .select(col("seg"), col("_f.doc_id").as("_fd"), col("_f.seg_idx").as("_fi"))
+    segs
+      .join(firsts, Seq("seg"))
+      .filter(col("doc_id") === col("_fd") && col("seg_idx") === col("_fi"))
+      .groupBy("doc_id")
+      .agg(
+        first("lang").as("lang"), first("source").as("source"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            x => x.getField("seg"))).as("text"),
+        count(lit(1)).as("n_segs_kept"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source document quota: keep at most `maxDocs` documents per
     * source (lowest doc_ids win — deterministic). The standard domain-cap
     * step that stops one crawler domain from dominating a corpus. One

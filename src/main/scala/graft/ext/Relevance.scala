@@ -129,6 +129,46 @@ object Relevance {
       .limit(k)
   }
 
+  /** Unigram language-model quality score — the classic cheap
+    * perplexity proxy for corpus filtering: train a unigram LM on the
+    * corpus itself (top-`vocabSize` terms by frequency; out-of-vocab
+    * tokens get the floor probability 1/total), then score each
+    * document by its mean token log-probability. Low scores flag
+    * gibberish / rare-token soup; suspiciously high scores flag
+    * boilerplate — both standard cut points in LLM data curation
+    * (same role as the KenLM pass in CCNet, Wenzek et al. 2020, with
+    * the n-gram order dropped to 1 so the model IS the corpus term
+    * frequency table this engine already computes).
+    *
+    * Scale shape: one corpus explode aggregated by term (map-side
+    * combine collapses repeats before the wire), vocabulary truncated
+    * by a distributed top-k (never collected), then a BROADCAST join
+    * back to the exploded tokens — the corpus itself is never
+    * shuffled by term for scoring — and one per-doc aggregate. The
+    * mean-of-logs is rounded to 4 dp (every input to each `ln` is an
+    * exact integer ratio, the label_centroids precedent for
+    * cross-engine float agreement).
+    */
+  def unigramLogProb(documents: DataFrame, vocabSize: Int = 1024): DataFrame = {
+    require(vocabSize >= 1, "vocabulary must be non-empty")
+    val tk = exploded(documents).select("doc_id", "term")
+      .transform(graft.core.CacheScope.persist) // term counts AND scoring consume it
+    val counts = tk.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .transform(graft.core.CacheScope.persist) // total AND vocab consume it
+    val total = counts.agg(sum("cnt").as("total"))
+    val vocab = counts.orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+    tk.join(broadcast(vocab), Seq("term"), "left")
+      .crossJoin(broadcast(total)) // one corpus-constant row
+      .select(col("doc_id"), col("cnt"),
+        log(coalesce(col("cnt"), lit(1L)).cast("double") / col("total")).as("_lp"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(avg(col("_lp")), 4).as("logprob"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 for DYNAMIC query terms (a `term` column, e.g. from query
     * logs) — the inverted-index join shape: explode the corpus once
     * (persisted: tf and df consume it — pruning would otherwise defeat

@@ -215,6 +215,45 @@ object TextStats {
       .orderBy("bucket")
   }
 
+  /** Exact per-stratum length quantiles (discrete: the smallest value
+    * whose cumulative count reaches `⌈p·n⌉`) — the length-cutoff
+    * planning view (truncation budgets, outlier fences) that pairs
+    * with [[lengthHistogram]]'s fixed buckets when exact percentiles
+    * are needed.
+    *
+    * Scale shape: quantiles over raw rows would rank each stratum in
+    * one window task (the stratum-funnel shape this engine rejects).
+    * Instead the corpus collapses to a `(lang, n_chars)` histogram
+    * first — a map-side-combined aggregate whose output is bounded by
+    * the VALUE DOMAIN, not the corpus — and the only window runs over
+    * that tiny frame. Every output is an integer: hash-exact across
+    * engines, no float quantile interpolation.
+    */
+  def lengthQuantiles(
+      documents: DataFrame,
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"quantile probs must be in (0,1]: $probs")
+    val names = probs.map(p => s"p${math.round(p * 100)}")
+    require(names.distinct == names,
+      s"quantile probs collide at integer-percent names: $probs -> $names")
+    val hist = documents.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("n_chars")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.withColumn("_cum", sum("_c").over(w))
+    val n = hist.groupBy("lang").agg(sum("_c").as("_n"))
+    val qs = probs.zip(names).map { case (p, nm) =>
+      min(when(col("_cum") >= ceil(col("_n") * lit(p)), col("n_chars"))).as(nm)
+    }
+    cum.join(broadcast(n), Seq("lang"))
+      .groupBy("lang")
+      .agg(max(col("_n")).as("n_docs"), qs: _*)
+      .orderBy("lang")
+  }
+
   def corpusSummary(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),

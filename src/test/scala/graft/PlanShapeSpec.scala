@@ -30,6 +30,9 @@ class PlanShapeSpec extends SparkSpec {
     "tfidf_top_terms_documents",
     "bm25_search_documents",
     "bm25_search_terms_documents",
+    // unigram LM joins in ONE corpus-constant row (total token count)
+    // the same way
+    "unigram_logprob_documents",
     // RangeJoin's long-interval guard: the build side is the broadcast
     // of intervals spanning > maxBinsPerInterval bins — rare by
     // construction (RangeJoin.scala long path), and exactly the rows

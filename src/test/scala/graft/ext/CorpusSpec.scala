@@ -12,6 +12,34 @@ class CorpusSpec extends SparkSpec {
         "length(text) AS n_chars")
   }
 
+  test("segmentDedup: keep-first across corpus, reassembly in order, empty drops") {
+    val df = docsDF(Seq(
+      (1L, "a b c d e"),         // seg0 "a b c", seg1 "d e" — all first
+      (2L, "a b c x y z"),       // seg0 dups d1 → only "x y z" survives
+      (3L, "a b c"),             // fully duplicated → doc disappears
+      (4L, "d e"),               // dups d1's tail segment → disappears
+      (5L, "p q r p q r"),       // within-doc dup → one copy kept
+      (6L, "m m m a b c q q q")  // middle segment dups d1 → edges rejoin
+    ))
+    val out = Corpus.segmentDedup(df, segWords = 3)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, "a b c d e", 2L),
+      (2L, "x y z", 1L),
+      (5L, "p q r", 1L),
+      (6L, "m m m q q q", 2L)))
+    // lang/source survive reassembly
+    val cols = Corpus.segmentDedup(df, segWords = 3).columns.toSeq
+    assert(cols == Seq("doc_id", "lang", "source", "text", "n_segs_kept"))
+    // keep-first is a min(struct) aggregation, not a window rank over
+    // the segment key — a viral segment must never funnel one task
+    val plan = Corpus.segmentDedup(df, segWords = 3).queryExecution.optimizedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, "segmentDedup must not rank segments through a window")
+    intercept[IllegalArgumentException] { Corpus.segmentDedup(df, segWords = 0) }
+  }
+
   test("sampleByHash: deterministic, content-addressed, monotone in threshold") {
     val df = docsDF((1L to 200L).map(i => (i, s"document number $i with words")))
     val s1 = Corpus.sampleByHash(df, "40").collect().map(_.getLong(0)).toSet

@@ -95,6 +95,28 @@ class RelevanceSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0L, 0.0)))  // empty text
   }
 
+  test("unigramLogProb: exact counts, OOV floor, hand-checked means") {
+    // counts: beta 4, alpha 3, gamma 3, delta 1; total 11
+    // vocabSize=3 → vocab {beta, alpha, gamma} (cnt desc, term asc);
+    // delta is OOV → floor p = 1/11
+    val out = Relevance.unigramLogProb(docs, vocabSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    def r4(x: Double) = math.round(x * 1e4) / 1e4
+    val d1 = r4((2 * math.log(3.0 / 11) + math.log(4.0 / 11)) / 3)
+    val d2 = r4((math.log(3.0 / 11) + math.log(3.0 / 11)) / 2)
+    val d3 = r4((3 * math.log(4.0 / 11) + math.log(1.0 / 11)) / 4)
+    val d4 = r4(math.log(3.0 / 11))
+    assert(out == Seq((1L, 3L, 0L, d1), (2L, 2L, 0L, d2),
+      (3L, 4L, 1L, d3), (4L, 2L, 0L, d4)))
+    // full-vocab run: nothing OOV
+    val full = Relevance.unigramLogProb(docs, vocabSize = 100)
+    assert(full.agg(sum("n_oov")).collect()(0).getLong(0) == 0L)
+    intercept[IllegalArgumentException] {
+      Relevance.unigramLogProb(docs, vocabSize = 0)
+    }
+  }
+
   test("corpusSummary: exact distincts and dup rate") {
     val withDup = docs.unionByName(
       Seq((5L, "alpha  ALPHA beta", "en", "s3", 16L)) // normalizes to doc 1

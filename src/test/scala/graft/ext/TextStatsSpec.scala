@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, sum}
 
 class TextStatsSpec extends SparkSpec {
 
@@ -77,6 +77,42 @@ class TextStatsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L))
+  }
+
+  test("lengthQuantiles: exact discrete order statistics per lang") {
+    import spark.implicits._
+    // en: n_chars 10,20,30,40 (n=4): k(.25)=1→10, k(.5)=2→20,
+    //   k(.75)=3→30, k(.95)=⌈3.8⌉=4→40
+    // fr: 5,5,7 (n=3): k(.25)=⌈0.75⌉=1→5, k(.5)=⌈1.5⌉=2→5,
+    //   k(.75)=⌈2.25⌉=3→7, k(.95)=⌈2.85⌉=3→7 (duplicate values fold
+    //   into one histogram row — the cumulative count must still rank them)
+    val df = Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L), (4L, "en", 40L),
+      (5L, "fr", 5L), (6L, "fr", 5L), (7L, "fr", 7L)
+    ).toDF("doc_id", "lang", "n_chars").withColumn("text", lit("x"))
+      .withColumn("source", lit("s"))
+    val out = TextStats.lengthQuantiles(df)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      ("en", 4L, 10L, 20L, 30L, 40L),
+      ("fr", 3L, 5L, 5L, 7L, 7L)))
+    // the plan must contain no window over raw rows: the only window
+    // runs over the (lang, n_chars) histogram — assert the window's
+    // child is an aggregate, not the scan (stratum-funnel regression)
+    val plan = TextStats.lengthQuantiles(df).queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty), "quantile window must rank the histogram, not raw rows")
+    intercept[IllegalArgumentException] {
+      TextStats.lengthQuantiles(df, probs = Seq(0.5, 1.5))
+    }
+    intercept[IllegalArgumentException] { // 0.051 and 0.053 both name p5
+      TextStats.lengthQuantiles(df, probs = Seq(0.051, 0.053))
+    }
   }
 
   test("textStats aggregates exact sums per lang") {
