@@ -43,6 +43,12 @@ object ExtQueries {
     */
   val PackShards: Int = 8
 
+  /** Order-price threshold for the dormant-customer anti-join — shared
+    * by the Spark call site and the oracle SQL (at sf0.01 it leaves
+    * ~200 of 1500 customers dormant, so both join paths carry weight).
+    */
+  val DormantMinPrice: Double = 400000.0
+
   /** Vocabulary size for the declared unigram-LM query — shared by the
     * Spark call site and the oracle SQL. Deliberately BELOW the
     * synthetic corpus's 31 distinct terms so the out-of-vocab floor
@@ -175,6 +181,12 @@ object ExtQueries {
       TextStats.tokenFreq(docs(s, dir))),
     "repetition_score_documents" -> ((s: SparkSession, dir: String) =>
       TextStats.repetitionScore(docs(s, dir))),
+    "bigram_freq_documents" -> ((s: SparkSession, dir: String) =>
+      // BPE-style first merge: top adjacent-token pairs, built per-row
+      TextStats.bigramFreq(docs(s, dir))),
+    "source_dup_stats_documents" -> ((s: SparkSession, dir: String) =>
+      // per-source duplicate-rate report (which domains need dedup)
+      TextStats.sourceDupStats(docs(s, dir))),
     "corpus_summary_documents" -> ((s: SparkSession, dir: String) =>
       TextStats.corpusSummary(docs(s, dir))),
     "length_histogram_documents" -> ((s: SparkSession, dir: String) =>
@@ -369,10 +381,21 @@ object ExtQueries {
         d.filter(col("doc_id") % 97 =!= 0),
         d.filter(col("doc_id") % 97 === 0))
     }),
+    "contamination_score_documents" -> ((s: SparkSession, dir: String) => {
+      // graded leakage: per-doc fraction of 8-grams present in the
+      // benchmark (same corpus/benchmark split as decontaminate)
+      val d = docs(s, dir)
+      Corpus.contaminationScore(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0))
+    }),
     "quantize_embeddings" -> ((s: SparkSession, dir: String) =>
       Similarity.quantizeInt8(embs(s, dir))),
     "label_centroids_embeddings" -> ((s: SparkSession, dir: String) =>
       Similarity.labelCentroids(embs(s, dir))),
+    "ivf_cell_stats_embeddings" -> ((s: SparkSession, dir: String) =>
+      // index-balance diagnostics: per-cell size + member similarity
+      Similarity.ivfCellStats(embs(s, dir))),
     // -- sessionize --
     "sessionize_events" -> ((s: SparkSession, dir: String) =>
       Sessionize.sessionize(Sources.table(s, dir, "events"))),
@@ -408,6 +431,18 @@ object ExtQueries {
       Analytics.rollupRevenue(s, dir)),
     "analytics_monthly_revenue" -> ((s: SparkSession, dir: String) =>
       Analytics.monthlyRevenue(s, dir)),
+    "analytics_event_pivot" -> ((s: SparkSession, dir: String) =>
+      // wide-format daily activity: explicit-values pivot, ONE aggregate
+      Analytics.eventPivot(s, dir)),
+    "analytics_dormant_customers" -> ((s: SparkSession, dir: String) =>
+      // anti-join surface: customers with no order above the threshold
+      Analytics.dormantCustomers(s, dir, DormantMinPrice)),
+    "analytics_revenue_trend" -> ((s: SparkSession, dir: String) =>
+      // frame-bounded window over the aggregated month domain
+      Analytics.revenueTrend(s, dir)),
+    "analytics_revenue_forecast" -> ((s: SparkSession, dir: String) =>
+      // TPC-H Q6 shape: the pure pushdown probe (3 scan predicates)
+      Analytics.revenueForecast(s, dir)),
     "winsorize_events" -> ((s: SparkSession, dir: String) =>
       Analytics.winsorize(s, dir)),
     // -- multimodal --
@@ -526,6 +561,43 @@ object ExtQueries {
         |                / (len(ws) - 2), 4)
         |  ELSE 0.0 END AS repetition
         |FROM w ORDER BY doc_id""".stripMargin,
+    "bigram_freq_documents" ->
+      """WITH w AS (SELECT
+        |  list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |b AS (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bigram
+        |      FROM w WHERE len(ws) >= 2)
+        |SELECT bigram, count(*)::BIGINT AS n FROM b
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "source_dup_stats_documents" ->
+      s"""SELECT source, count(*)::BIGINT AS n_docs,
+         |  count(DISTINCT md5($NormSql))::BIGINT AS n_unique,
+         |  sum(n_chars)::BIGINT AS sum_chars,
+         |  round(1.0 - count(DISTINCT md5($NormSql))::DOUBLE / count(*), 4) AS dup_rate
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // contamination score: the same gram CTEs as decontaminate (the
+    // Spark side counts distinct gram HASHES, the oracle the gram
+    // strings — identical short of 2^-64 collisions), LEFT-joined so
+    // every corpus doc keeps a row with its hit count
+    "contamination_score_documents" -> {
+      val n = 8
+      def grams(src: String) =
+        s"""SELECT doc_id, unnest(
+           |  CASE WHEN len(words) < $n THEN [array_to_string(words, ' ')]
+           |       ELSE list_distinct(list_transform(range(1, len(words) - ${n - 2}),
+           |            i -> array_to_string(words[i:i+${n - 1}], ' '))) END) AS gram
+           |FROM (SELECT doc_id, string_split($NormSql, ' ') AS words FROM $src)""".stripMargin
+      s"""WITH corp AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+         |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+         |bg AS (SELECT DISTINCT gram FROM (${grams("bench")})),
+         |cg AS (${grams("corp")})
+         |SELECT cg.doc_id, count(*)::BIGINT AS n_grams,
+         |  sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+         |  round(sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |        / count(*), 4) AS contamination
+         |FROM cg LEFT JOIN bg ON cg.gram = bg.gram
+         |GROUP BY cg.doc_id ORDER BY doc_id""".stripMargin
+    },
     "corpus_summary_documents" ->
       s"""SELECT count(*)::BIGINT AS n_docs,
          |  count(DISTINCT source)::BIGINT AS n_sources,
@@ -815,6 +887,23 @@ object ExtQueries {
          |FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.doc_id
          |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.fp = f.fp)
          |ORDER BY f.doc_id""".stripMargin,
+    // IVF cell diagnostics over the same seed-centroid assignment CTEs
+    // as similarity_ivf; min/max are exact picks of 6-dp values, the
+    // similarity mass a DECIMAL(10,6) sum (exact, no round-half knife
+    // edge — a rounded MEAN of doubles split engines on a boundary)
+    "ivf_cell_stats_embeddings" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |         ORDER BY vec_id LIMIT 16),
+         |a AS (SELECT e.vec_id, c.cid,
+         |        round(${cosSql("e.embedding", "c.cvec", 64)}, 6) AS d
+         |      FROM embeddings e CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, cid, d FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+         |        FROM a) WHERE rn = 1)
+         |SELECT cid AS centroid_id, count(*)::BIGINT AS n_vectors,
+         |  min(d) AS min_sim, sum(CAST(d AS DECIMAL(10,6)))::DOUBLE AS sum_sim,
+         |  max(d) AS max_sim
+         |FROM asg GROUP BY cid ORDER BY centroid_id""".stripMargin,
     "label_centroids_embeddings" ->
       """SELECT label, i - 1 AS dim_idx,
         |  round(avg(embedding[i]::DOUBLE), 6) AS centroid,
@@ -1091,6 +1180,45 @@ object ExtQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  count(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "analytics_revenue_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY revenue""".stripMargin,
+    // day bucket via integral µs arithmetic on BOTH engines — no
+    // session-timezone dependence in the hash compare
+    "analytics_event_pivot" -> {
+      val cols = Analytics.EventTypes.map(t =>
+        s"  sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)::BIGINT AS n_$t")
+        .mkString(",\n")
+      s"""WITH e AS (SELECT
+         |  (DATE '1970-01-01' + ((epoch_us(ts) // 86400000000)::INT))::VARCHAR AS day,
+         |  event_type FROM events)
+         |SELECT day,
+         |$cols
+         |FROM e GROUP BY day ORDER BY day""".stripMargin
+    },
+    "analytics_dormant_customers" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+         |FROM customer c
+         |WHERE NOT EXISTS (SELECT 1 FROM orders o
+         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > $DormantMinPrice)
+         |ORDER BY c_custkey""".stripMargin,
+    // trailing sum / lag delta in DECIMAL end-to-end (exact, order-
+    // independent), one double cast at the end — same money contract
+    // as the other analytics oracles
+    "analytics_revenue_trend" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev, count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT month, CAST(rev AS DOUBLE) AS revenue, n_orders,
+        |  CAST(SUM(rev) OVER (ORDER BY month
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS revenue_trailing,
+        |  CAST(rev - COALESCE(lag(rev) OVER (ORDER BY month), rev) AS DOUBLE) AS mom_delta
+        |FROM m ORDER BY month""".stripMargin,
     "analytics_event_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

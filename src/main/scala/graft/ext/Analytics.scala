@@ -121,6 +121,87 @@ object Analytics {
       .orderBy("month")
   }
 
+  /** Event types pivoted to columns per day — the wide-format activity
+    * report. The pivot value list is EXPLICIT (the closed event-type
+    * vocabulary), so Spark plans ONE conditional-count aggregate over
+    * one scan; an unlisted pivot would first run a distinct-values job
+    * — a second full scan just to learn the columns, which at 100 TB
+    * doubles the query. Day is derived arithmetically from the µs epoch
+    * (no session-timezone dependence — a TZ-sensitive date bucket
+    * hashes differently across engines/configs).
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  def eventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val events = Sources.table(spark, dir, "events")
+    // integral DIV, not double `/`+floor: a double quotient one ulp shy
+    // of an integer would mis-bucket the µs exactly on midnight
+    val day = date_add(
+      to_date(lit("1970-01-01")),
+      expr("ts DIV 86400000000").cast("int"))
+    events
+      .select(day.cast("string").as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select(col("day") +: EventTypes.map(t =>
+        coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("day")
+  }
+
+  /** Customers with NO order above `minPrice` — the anti-join surface
+    * (left_anti: one shuffle of the customer keys against the FILTERED
+    * order keys). The price predicate reaches the orders parquet scan
+    * (PushedFilters), so the right side of the anti-join is the
+    * high-value minority, not the fact table — at scale AQE turns the
+    * post-filter side into a broadcast and the customer table never
+    * shuffles at all.
+    */
+  def dormantCustomers(
+      spark: SparkSession, dir: String, minPrice: Double = 400000.0): DataFrame = {
+    val customer = Sources.table(spark, dir, "customer")
+    val bigOrders = Sources.table(spark, dir, "orders")
+      .filter(col("o_totalprice") > minPrice)
+      .select(col("o_custkey"))
+    customer
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** Monthly revenue with a trailing `window`-month sum and
+    * month-over-month delta — the frame-bounded window surface. The
+    * window runs over the PRE-AGGREGATED month domain (bounded by the
+    * calendar, ~1200 rows for a century), never raw orders, so the
+    * single-partition global window Spark warns about is a constant-
+    * size frame at any corpus scale — the same histogram-first shape
+    * as [[graft.ext.TextStats.lengthQuantiles]]. All window arithmetic
+    * stays in DECIMAL (exact, order-independent); one double cast at
+    * the end. First month's delta is 0 by the COALESCE-to-self rule
+    * (portable: no engine-specific null-arithmetic).
+    */
+  def revenueTrend(spark: SparkSession, dir: String, window: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1, s"trailing window must be >= 1: $window")
+    val orders = Sources.table(spark, dir, "orders")
+    val monthly = orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(dec(col("o_totalprice"))).as("_rev"), count(lit(1)).as("n_orders"))
+    val wTrail = Window.orderBy("month").rowsBetween(-(window - 1), 0)
+    val wLag = Window.orderBy("month")
+    monthly
+      .withColumn("_trail", sum(col("_rev")).over(wTrail))
+      .withColumn("_prev", lag(col("_rev"), 1).over(wLag))
+      .select(
+        col("month"),
+        col("_rev").cast("double").as("revenue"),
+        col("n_orders"),
+        col("_trail").cast("double").as("revenue_trailing"),
+        (col("_rev") - coalesce(col("_prev"), col("_rev")))
+          .cast("double").as("mom_delta"))
+      .orderBy("month")
+  }
+
   /** Top-10 customers by revenue — join + agg + TakeOrderedAndProject. */
   def topCustomers(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val lineitem = Sources.table(spark, dir, "lineitem")
@@ -146,6 +227,31 @@ object Analytics {
       .filter(col("price_rank") <= topN)
       .select("o_orderpriority", "price_rank", "o_orderkey", "o_totalprice")
       .orderBy("o_orderpriority", "price_rank")
+  }
+
+  /** TPC-H Q6-shaped revenue forecast: a pure scan-filter-aggregate
+    * whose three predicates (date range, discount band, quantity cap)
+    * ALL reach the parquet scan as PushedFilters — at 100 TB with a
+    * date-partitioned layout the range predicate prunes partitions
+    * before any row is read, and the one-row DECIMAL aggregate ships
+    * a single partial per task. The canonical "is pushdown working"
+    * probe: if this query's scan shows no PushedFilters, the engine
+    * is reading 100 TB to sum a sliver.
+    */
+  def revenueForecast(
+      spark: SparkSession, dir: String,
+      yearStart: String = "1995-01-01", yearEnd: String = "1996-01-01",
+      discLo: Double = 0.05, discHi: Double = 0.07,
+      maxQty: Double = 24.0): DataFrame = {
+    val l = Sources.table(spark, dir, "lineitem")
+    l.filter(col("l_shipdate") >= lit(yearStart) && col("l_shipdate") < lit(yearEnd)
+        && col("l_discount").between(discLo, discHi)
+        && col("l_quantity") < maxQty)
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("revenue")
   }
 
   /** JSON-typed column extraction from events.props + rollup. */

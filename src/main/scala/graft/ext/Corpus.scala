@@ -338,6 +338,45 @@ object Corpus {
     documents.join(hits, Seq("doc_id"), "left_anti").orderBy("doc_id")
   }
 
+  /** Per-document contamination SCORE — the graded companion to
+    * [[decontaminate]]'s hard filter: for each doc, how many of its
+    * distinct word-`n`-grams appear anywhere in the benchmark, and the
+    * fraction they represent. Pipelines that tier their response to
+    * leakage (drop above one threshold, down-weight above another,
+    * audit the tail) need the number, not just the verdict.
+    *
+    * Plan: benchmark grams are tiny by definition (eval sets, not
+    * corpora) → built once, deduped, BROADCAST; the corpus's exploded
+    * grams take the hit-flag from a broadcast left join (never
+    * shuffled by gram), and the per-doc rollup ships one partial row
+    * per doc. Same gram construction as [[decontaminate]] (distinct
+    * 64-bit hashes via [[graft.functions.GraftFunctions.ngramHashes]];
+    * short docs collapse to one whole-text gram).
+    */
+  def contaminationScore(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 8): DataFrame = {
+    val bGrams = benchmark
+      .select(explode(
+        graft.functions.GraftFunctions.ngramHashes(col("text"), n)).as("gram"))
+      .distinct()
+      .withColumn("_hit", lit(1L))
+    documents
+      .select(col("doc_id"),
+        explode(
+          graft.functions.GraftFunctions.ngramHashes(col("text"), n)).as("gram"))
+      .join(broadcast(bGrams), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_grams"), 4)
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
+
   /** 8-hex-digit threshold encoding the fractional part of a mixture
     * weight: a doc gets the extra copy iff the first 8 hex chars of
     * md5(text) sort below it — content-addressed, so the decision is

@@ -255,11 +255,52 @@ object Similarity {
     * seed-centroid IVF query be oracle-checked in SQL.
     */
   def nearestCentroidPortable(centroids: Seq[(Long, Seq[Float])]): Column = {
+    nearestCentroidScoredPortable(centroids).getField("cid")
+  }
+
+  /** The full argmin struct of [[nearestCentroidPortable]] —
+    * `(d = -cosine@6dp, cid)` — for callers that need the winning
+    * similarity as well as the id (cell diagnostics).
+    */
+  def nearestCentroidScoredPortable(centroids: Seq[(Long, Seq[Float])]): Column = {
     val scored = array(centroids.map { case (cid, v) =>
       val cvec = array(v.map(lit): _*)
       struct(round(-cosine(col("embedding"), cvec), 6).as("d"), lit(cid).as("cid"))
     }.toIndexedSeq: _*)
-    array_min(scored).getField("cid")
+    array_min(scored)
+  }
+
+  /** Per-cell IVF index diagnostics over the deterministic seed
+    * centroids: vector count and the min/mean/max similarity of each
+    * cell's members to their centroid. THE index-quality report a
+    * vector-search operator reads before trusting recall numbers —
+    * skewed cell sizes mean hot probes scan most of the data (the
+    * 100 TB failure mode of a badly-seeded IVF), and low member
+    * similarity means the partitioning is effectively random.
+    *
+    * Plan: one narrow literal-argmin pass (same kernel as the IVF
+    * queries — no crossJoin, no shuffle of the vectors) into a
+    * ≤nCentroids-group map-side-combined aggregate. Min/max are
+    * order-insensitive picks of 6-dp values; the similarity MASS is
+    * summed in DECIMAL(10,6) — exact and order-independent, so no
+    * round-half knife edge can split engines the way a rounded mean
+    * of doubles can (observed: a 26-member cell whose mean landed
+    * exactly on a 0.5e-6 boundary). Mean = sum_sim / n_vectors,
+    * derivable by the reader.
+    */
+  def ivfCellStats(embeddings: DataFrame, nCentroids: Int = 16): DataFrame = {
+    val cents = seedCentroids(embeddings, nCentroids)
+    embeddings
+      .withColumn("_m", nearestCentroidScoredPortable(cents))
+      .select(col("_m").getField("cid").as("centroid_id"),
+        (-col("_m").getField("d")).as("_sim"))
+      .groupBy("centroid_id")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        min(col("_sim")).as("min_sim"),
+        sum(col("_sim").cast("decimal(10,6)")).cast("double").as("sum_sim"),
+        max(col("_sim")).as("max_sim"))
+      .orderBy("centroid_id")
   }
 
   /** Oracle-checkable IVF top-k over DETERMINISTIC seed centroids (the

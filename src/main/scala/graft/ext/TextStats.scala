@@ -185,6 +185,50 @@ object TextStats {
       .orderBy(col("n").desc, col("token"))
       .limit(topN)
 
+  /** Top-`topN` adjacent-token pairs — the first iteration of BPE-style
+    * vocabulary induction (count every adjacent symbol pair, merge the
+    * most frequent) lifted to word level. Same physics as [[tokenFreq]]:
+    * the pair list is built per-row with `transform` (no self-join on
+    * token position — a join would shuffle the exploded corpus TWICE on
+    * (doc, idx) keys), then explode → map-side-combined count →
+    * TakeOrderedAndProject. Shuffle volume is bounded by the distinct
+    * bigram vocabulary, not the corpus.
+    */
+  def bigramFreq(documents: DataFrame, topN: Int = 20): DataFrame =
+    documents
+      .select(filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(
+        transform(sequence(lit(1), size(col("ws")) - 1), i =>
+          concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(topN)
+
+  /** Per-source duplication report: doc count, exact-fingerprint
+    * distinct count, character mass, and the implied duplicate rate —
+    * the per-domain view a curation run reads to decide which sources
+    * need aggressive dedup (crawl dumps routinely exceed 30% exact
+    * dups; curated sources near 0%). One map-side-combined aggregate
+    * keyed by source; the countDistinct expands to a two-phase
+    * aggregation on (source, fp) — partials bounded by distinct
+    * fingerprints per source, never raw rows.
+    */
+  def sourceDupStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), col("n_chars"),
+        md5(normText(col("text"))).as("fp"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("source"), col("n_docs"), col("n_unique"), col("sum_chars"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 4)
+          .as("dup_rate"))
+      .orderBy("source")
+
   /** One-row corpus health report: sizes, exact distinct sources /
     * langs / fingerprints, and the exact-duplicate rate those
     * fingerprints imply. Multi-distinct expands to a handful of

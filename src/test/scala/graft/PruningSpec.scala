@@ -73,6 +73,20 @@ class PruningSpec extends SparkSpec {
       s"sessionize reads unused wide columns: $ev")
   }
 
+  test("revenue forecast: all three predicates reach the scan as PushedFilters") {
+    val df = SparkEntry.queries("analytics_revenue_forecast")(spark, sfDir)
+    val pushed = flatten(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.mkString(",").contains("lineitem") =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }
+    graft.core.CacheScope.releaseAll()
+    assert(pushed.nonEmpty, "no lineitem scan found")
+    val p = pushed.mkString
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(p.contains(c), s"predicate on $c not pushed to the scan: $p"))
+  }
+
   test("IVF clustered layout: nProbe=4 probe prunes FILES, not just compute") {
     import graft.ext.Similarity
     val e = graft.io.Sources.table(spark, sfDir, "embeddings")

@@ -25,6 +25,69 @@ class AnalyticsSpec extends SparkSpec {
     assert(regional.forall(_._2.isEmpty) && total.head._1.isEmpty)
   }
 
+  test("eventPivot: per-type columns partition the event count, days complete") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Analytics.eventPivot(spark, dir).collect()
+    assert(out.nonEmpty)
+    val typeCols = Analytics.EventTypes.indices.map(_ + 1)
+    val pivotTotal = out.map(r => typeCols.map(r.getLong).sum).sum
+    val nEvents = graft.io.Sources.table(spark, dir, "events").count()
+    assert(pivotTotal == nEvents, "pivot cells must partition the event count")
+    // explicit-values pivot: no day lost, no negative or null cell
+    assert(out.forall(r => typeCols.forall(i => r.getLong(i) >= 0L)))
+    val days = out.map(_.getString(0))
+    assert(days.distinct.length == days.length && days.sorted.sameElements(days))
+  }
+
+  test("dormantCustomers: exact complement of customers holding a big order") {
+    val dir = "/root/testdata/sf0.001"
+    val minPrice = 400000.0
+    val dormant = Analytics.dormantCustomers(spark, dir, minPrice)
+      .collect().map(_.getLong(0)).toSet
+    val orders = graft.io.Sources.table(spark, dir, "orders").collect()
+    val active = orders.filter(_.getAs[Double]("o_totalprice") > minPrice)
+      .map(_.getAs[Long]("o_custkey")).toSet
+    val all = graft.io.Sources.table(spark, dir, "customer")
+      .collect().map(_.getAs[Long]("c_custkey")).toSet
+    assert(dormant == all -- active)
+    assert(dormant.nonEmpty && dormant != all,
+      "threshold must leave both join paths populated")
+  }
+
+  test("revenueTrend: trailing sum and MoM delta recompute from the rows") {
+    val out = Analytics.revenueTrend(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.length > 3)
+    assert(out.map(_._1).sorted.sameElements(out.map(_._1)))
+    def close(a: Double, b: Double) = math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b))
+    out.zipWithIndex.foreach { case ((_, rev, _, trail, delta), i) =>
+      val want = out.slice(math.max(0, i - 2), i + 1).map(_._2).sum
+      assert(close(trail, want), s"row $i trailing")
+      val wantDelta = if (i == 0) 0.0 else rev - out(i - 1)._2
+      assert(close(delta, wantDelta), s"row $i delta")
+    }
+  }
+
+  test("revenueForecast: recomputes exactly from the filtered rows") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Analytics.revenueForecast(spark, dir).collect()
+    assert(out.length == 1)
+    val rows = graft.io.Sources.table(spark, dir, "lineitem")
+      .selectExpr("CAST(l_shipdate AS STRING) AS d", "l_discount", "l_quantity",
+        "l_extendedprice").collect()
+      .filter { r =>
+        val d = r.getString(0)
+        d >= "1995-01-01" && d < "1996-01-01" &&
+          r.getDouble(1) >= 0.05 && r.getDouble(1) <= 0.07 && r.getDouble(2) < 24.0
+      }
+    assert(out.head.getLong(1) == rows.length && rows.nonEmpty)
+    val want = rows.map(r =>
+      BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert(math.abs(out.head.getDouble(0) - want.toDouble) < 1e-9)
+  }
+
   test("winsorize clips to discrete per-group order statistics") {
     val out = Analytics.winsorize(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)

@@ -190,6 +190,28 @@ class CorpusSpec extends SparkSpec {
     assert(out == Set(2L, 4L), s"got $out")
   }
 
+  test("contaminationScore: exact gram fractions, zero rows kept, filter agreement") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val corpus = docsDF(Seq(
+      // 11 words → 4 distinct 8-grams, exactly 1 of them benchmark-shared
+      (1L, s"p1 p2 p3 $shared"),
+      (2L, "completely clean document with its own eight word run here"),
+      (3L, shared),                                       // 1 gram, 1 hit
+      (4L, "short doc")))                                 // whole-text gram, no hit
+    val bench = docsDF(Seq((100L, s"unrelated lead in $shared and more")))
+    val got = Corpus.contaminationScore(corpus, bench)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 1L, 0.25)))
+    assert(got(2L)._2 == 0L && got(2L)._3 == 0.0)
+    assert(got(3L) == ((1L, 1L, 1.0)))
+    assert(got(4L) == ((1L, 0L, 0.0)))
+    // the score grades exactly what decontaminate filters: hits > 0 ⇔ dropped
+    val dropped = got.filter(_._2._2 > 0).keySet
+    val kept = Corpus.decontaminate(corpus, bench).collect().map(_.getLong(0)).toSet
+    assert(dropped == got.keySet -- kept)
+  }
+
   test("curateFull: every stage fires - quality, dedup, decon, cap") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy dog, and then the dog " +

@@ -44,6 +44,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-6))
   }
 
+  test("ivfCellStats: cells partition the corpus, sims bounded and consistent") {
+    val out = Similarity.ivfCellStats(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.map(_._2).sum == embs.count(), "cell sizes must partition the corpus")
+    assert(out.nonEmpty && out.length <= 16)
+    out.foreach { case (cid, n, mn, sum, mx) =>
+      assert(n > 0)
+      val mean = sum / n
+      assert(mn <= mean + 1e-9 && mean <= mx + 1e-9, s"cell $cid: $mn/$mean/$mx")
+      assert(mn >= -1.0 - 1e-6 && mx <= 1.0 + 1e-6)
+    }
+    // each seed centroid's own vector sits in its cell at sim 1.0
+    val ownIds = embs.orderBy("vec_id").limit(16).collect().map(_.getLong(0))
+    val assigned = Similarity.ivfAssign(embs)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    ownIds.foreach(id => assert(assigned(id) == id, s"seed $id not in its own cell"))
+    assert(out.filter(o => ownIds.contains(o._1)).forall(_._5 >= 1.0 - 1e-6))
+  }
+
   test("brute-force topK matches driver-side reference exactly") {
     val probe = Similarity.defaultProbe(embs)
     val got = Similarity.topK(embs, probe, 10).collect()

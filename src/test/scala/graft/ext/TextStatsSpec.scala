@@ -21,6 +21,38 @@ class TextStatsSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 3L))
   }
 
+  test("bigramFreq: adjacent pairs counted across docs, short docs drop out") {
+    val df = docsDF(Seq(
+      (1L, "the cat sat", "en"),        // "the cat", "cat sat"
+      (2L, "the cat ran", "en"),        // "the cat", "cat ran"
+      (3L, "word", "en"),               // 1 token → no bigrams
+      (4L, "", "en"),                   // empty → no bigrams
+      (5L, "The  CAT sat", "en")))      // case/space-normalized: same as doc 1
+    val got = TextStats.bigramFreq(df, topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.head == ("the cat", 3L))
+    assert(got.toMap == Map(
+      "the cat" -> 3L, "cat sat" -> 2L, "cat ran" -> 1L))
+    // ties order lexicographically after count
+    assert(got.map(_._2).sameElements(got.map(_._2).sorted(Ordering[Long].reverse)))
+  }
+
+  test("sourceDupStats: per-source dup rate from normalized fingerprints") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "same text", "en", "dirty", 9L),
+      (2L, "Same   TEXT", "en", "dirty", 11L),   // normalizes equal to doc 1
+      (3L, "other", "en", "dirty", 5L),
+      (4L, "a", "en", "clean", 1L),
+      (5L, "b", "en", "clean", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextStats.sourceDupStats(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(got("dirty") == ((3L, 2L, 25L, 0.3333)))
+    assert(got("clean") == ((2L, 2L, 2L, 0.0)))
+  }
+
   test("lengthHistogram: fixed-width buckets with overflow tail") {
     val doc = (n: Int) => (1 to n).map(_ => "w").mkString(" ")
     val df = docsDF(Seq(
