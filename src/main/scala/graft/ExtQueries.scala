@@ -443,6 +443,12 @@ object ExtQueries {
     "analytics_revenue_forecast" -> ((s: SparkSession, dir: String) =>
       // TPC-H Q6 shape: the pure pushdown probe (3 scan predicates)
       Analytics.revenueForecast(s, dir)),
+    "analytics_brand_leaders" -> ((s: SparkSession, dir: String) =>
+      // constant-bound per-group top-k over the aggregated part domain
+      Analytics.brandLeaders(s, dir)),
+    "analytics_user_retention" -> ((s: SparkSession, dir: String) =>
+      // day-over-day retention off one (day,user) distinct + self semi-join
+      Analytics.userRetention(s, dir)),
     "winsorize_events" -> ((s: SparkSession, dir: String) =>
       Analytics.winsorize(s, dir)),
     // -- multimodal --
@@ -1188,6 +1194,29 @@ object ExtQueries {
         |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
         |ORDER BY revenue""".stripMargin,
+    // rank over the exact DECIMAL revenue (portable ordering; the
+    // double cast is output-only, mirroring the Spark plan)
+    "analytics_brand_leaders" ->
+      """WITH s AS (SELECT p_brand, p.p_partkey, p_name,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |  FROM lineitem JOIN part p ON l_partkey = p.p_partkey
+        |  GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY p_brand ORDER BY rev DESC, p_partkey) AS brand_rank
+        |      FROM s)
+        |SELECT p_brand, brand_rank, p_partkey, p_name, CAST(rev AS DOUBLE) AS revenue
+        |FROM r WHERE brand_rank <= 3 ORDER BY p_brand, brand_rank""".stripMargin,
+    "analytics_user_retention" ->
+      """WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_idx, user_id
+        |           FROM events),
+        |dau AS (SELECT day_idx, count(*)::BIGINT AS n_users FROM d GROUP BY 1),
+        |ret AS (SELECT a.day_idx, count(*)::BIGINT AS n_retained
+        |        FROM d a JOIN d b ON b.day_idx = a.day_idx - 1 AND b.user_id = a.user_id
+        |        GROUP BY 1)
+        |SELECT dau.day_idx, n_users, COALESCE(n_retained, 0) AS n_retained,
+        |  round(COALESCE(n_retained, 0)::DOUBLE / n_users, 4) AS retention
+        |FROM dau LEFT JOIN ret USING (day_idx) ORDER BY day_idx""".stripMargin,
     // day bucket via integral µs arithmetic on BOTH engines — no
     // session-timezone dependence in the hash compare
     "analytics_event_pivot" -> {

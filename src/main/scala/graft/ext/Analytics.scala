@@ -216,6 +216,60 @@ object Analytics {
       .limit(k)
   }
 
+  /** Top-`topN` parts per brand by lineitem revenue. The window ranks
+    * the PRE-AGGREGATED part domain (bounded by |part|, not the fact
+    * table) and the rank bound is a CONSTANT, so Spark's
+    * WindowGroupLimit pushdown keeps only topN rows per brand on the
+    * map side before the window's shuffle — the two properties that
+    * keep a per-group top-k from funneling raw fact rows through
+    * per-brand reducer tasks at 100 TB (spec-asserted).
+    */
+  def brandLeaders(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = Sources.table(spark, dir, "lineitem")
+    val p = Sources.table(spark, dir, "part")
+    val perPart = l
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey", "p_name")
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("_rev"))
+    // rank on the exact DECIMAL (engine-portable ordering); the double
+    // cast happens only in the projected output
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("_rev").desc, col("p_partkey"))
+    perPart
+      .withColumn("brand_rank", row_number().over(w))
+      .filter(col("brand_rank") <= topN)
+      .select(col("p_brand"), col("brand_rank"), col("p_partkey"), col("p_name"),
+        col("_rev").cast("double").as("revenue"))
+      .orderBy("p_brand", "brand_rank")
+  }
+
+  /** Day-over-day user retention: per day, the distinct active users
+    * and how many were also active the previous day. The product-
+    * analytics companion to sessionize. Shape: one (day, user)
+    * de-duplication (map-side partial distinct), then a SELF semi-join
+    * co-partitioned on the same (day, user) key — day arithmetic on
+    * the µs epoch keeps both engines timezone-free, and every
+    * aggregate's output is bounded by the day domain.
+    */
+  def userRetention(spark: SparkSession, dir: String): DataFrame = {
+    val events = Sources.table(spark, dir, "events")
+    val daily = events
+      .select(expr("ts DIV 86400000000").as("day_idx"), col("user_id"))
+      .distinct()
+    val dau = daily.groupBy("day_idx").agg(count(lit(1)).as("n_users"))
+    val prev = daily.select((col("day_idx") + 1).as("day_idx"), col("user_id"))
+    val retained = daily.join(prev, Seq("day_idx", "user_id"), "left_semi")
+      .groupBy("day_idx").agg(count(lit(1)).as("n_retained"))
+    dau.join(retained, Seq("day_idx"), "left")
+      .select(col("day_idx"), col("n_users"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        round(coalesce(col("n_retained"), lit(0L)).cast("double") / col("n_users"), 4)
+          .as("retention"))
+      .orderBy("day_idx")
+  }
+
   /** Rank orders inside each priority class by price — window surface. */
   def orderPriorityRank(spark: SparkSession, dir: String, topN: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -88,6 +88,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out.head.getDouble(0) - want.toDouble) < 1e-9)
   }
 
+  test("brandLeaders: per-brand top-3 recomputes; WindowGroupLimit in the plan") {
+    val dir = "/root/testdata/sf0.001"
+    val df = Analytics.brandLeaders(spark, dir)
+    val out = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (brand, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.sortBy(_._2).map(_._2).sameElements(1 to rows.length))
+      // revenue non-increasing within the brand
+      val revs = rows.sortBy(_._2).map(_._4)
+      assert(revs.zip(revs.tail).forall { case (a, b) => a >= b - 1e-9 }, s"$brand")
+    }
+    // the constant rank bound must reach the window as a group limit —
+    // the map-side pruning that keeps per-group top-k scale-safe
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "constant rank bound did not trigger WindowGroupLimit pushdown")
+  }
+
+  test("userRetention: recomputes from the raw (day,user) sets") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Analytics.userRetention(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val daily = graft.io.Sources.table(spark, dir, "events")
+      .selectExpr("ts DIV 86400000000 AS d", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byDay = daily.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    out.foreach { case (day, nUsers, nRet, ratio) =>
+      val users = byDay(day)
+      assert(nUsers == users.size)
+      val want = byDay.get(day - 1).map(prev => users.count(prev.contains)).getOrElse(0)
+      assert(nRet == want, s"day $day")
+      assert(math.abs(ratio - (want.toDouble / users.size)) < 1e-4 + 1e-9)
+    }
+    assert(out.map(_._1).toSet == byDay.keySet, "every active day reported")
+  }
+
   test("winsorize clips to discrete per-group order statistics") {
     val out = Analytics.winsorize(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
