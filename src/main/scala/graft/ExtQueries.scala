@@ -449,6 +449,12 @@ object ExtQueries {
     "analytics_user_retention" -> ((s: SparkSession, dir: String) =>
       // day-over-day retention off one (day,user) distinct + self semi-join
       Analytics.userRetention(s, dir)),
+    "analytics_event_funnel" -> ((s: SparkSession, dir: String) =>
+      // strict-order signup→view→purchase conversion, one fact shuffle
+      Analytics.eventFunnel(s, dir)),
+    "pack_efficiency_documents" -> ((s: SparkSession, dir: String) =>
+      // bin-fill report over the declared packing (bins → strata rollup)
+      Corpus.packEfficiency(docs(s, dir), shardsPerStratum = PackShards)),
     "winsorize_events" -> ((s: SparkSession, dir: String) =>
       Analytics.winsorize(s, dir)),
     // -- multimodal --
@@ -1217,6 +1223,40 @@ object ExtQueries {
         |SELECT dau.day_idx, n_users, COALESCE(n_retained, 0) AS n_retained,
         |  round(COALESCE(n_retained, 0)::DOUBLE / n_users, 4) AS retention
         |FROM dau LEFT JOIN ret USING (day_idx) ORDER BY day_idx""".stripMargin,
+    "analytics_event_funnel" ->
+      """WITH f AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_users,
+        |  sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+        |  sum(CASE WHEN t_signup < t_view THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_signup_then_view,
+        |  sum(CASE WHEN t_signup < t_view AND t_view < t_purchase THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_full_funnel,
+        |  CASE WHEN sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) > 0
+        |       THEN round(
+        |         sum(CASE WHEN t_signup < t_view AND t_view < t_purchase THEN 1 ELSE 0 END)::DOUBLE
+        |         / sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END), 4)
+        |       ELSE 0.0 END AS conversion
+        |FROM f ORDER BY n_users""".stripMargin,
+    "pack_efficiency_documents" ->
+      s"""WITH t AS (SELECT doc_id, lang, ($WsToksSql)::BIGINT AS n_tokens,
+         |  doc_id % $PackShards AS shard FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens, shard,
+         |  SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+         |p AS (SELECT lang,
+         |  lang || '#' || shard::VARCHAR || '#' ||
+         |    CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT)::VARCHAR AS pack_id,
+         |  n_tokens FROM c),
+         |b AS (SELECT lang, pack_id, sum(n_tokens) AS bt, count(*) AS bd
+         |      FROM p GROUP BY 1, 2)
+         |SELECT lang, count(*)::BIGINT AS n_bins, sum(bd)::BIGINT AS n_docs,
+         |  sum(bt)::BIGINT AS total_tokens, max(bt)::BIGINT AS max_bin_tokens,
+         |  round(sum(bt)::DOUBLE / (count(*) * 512), 4) AS fill_rate
+         |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
     // day bucket via integral µs arithmetic on BOTH engines — no
     // session-timezone dependence in the hash compare
     "analytics_event_pivot" -> {

@@ -308,6 +308,37 @@ object Analytics {
       .orderBy("revenue")
   }
 
+  /** Signup → view → purchase funnel off each user's FIRST event of
+    * each type: one conditional-min aggregate keyed by user (single
+    * fact shuffle, map-side combined), then a one-row rollup — the
+    * strict-order conversion report. NULL first-times fall out of the
+    * strict `<` comparisons on both engines identically (NULL → no
+    * credit), so no explicit null plumbing is needed.
+    */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val events = Sources.table(spark, dir, "events")
+    val firsts = events
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    firsts
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t_signup").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("t_signup") < col("t_view"), 1L).otherwise(0L))
+          .as("n_signup_then_view"),
+        sum(when(col("t_signup") < col("t_view") && col("t_view") < col("t_purchase"),
+          1L).otherwise(0L)).as("n_full_funnel"))
+      .select(col("n_users"), col("n_signup"), col("n_signup_then_view"),
+        col("n_full_funnel"),
+        when(col("n_signup") > 0,
+          round(col("n_full_funnel").cast("double") / col("n_signup"), 4))
+          .otherwise(lit(0.0)).as("conversion"))
+      .orderBy("n_users")
+  }
+
   /** JSON-typed column extraction from events.props + rollup. */
   def eventProps(spark: SparkSession, dir: String): DataFrame = {
     val events = Sources.table(spark, dir, "events")

@@ -377,6 +377,39 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Packing-efficiency report over [[packGreedy]]'s output: per
+    * stratum, how many bins the packing produced, the token mass, and
+    * the fill rate against the bin budget — the number a training run
+    * reads to decide whether the sequence budget wastes compute
+    * (fill < ~90% means padding dominates; > 1.0 in a stratum means
+    * single docs overflow the budget and need chunking first).
+    *
+    * Plan: the packing's window output collapses through TWO bounded
+    * aggregates — (lang, pack_id) partials, then the per-lang rollup —
+    * so the report's shuffle volume is bins, then strata, never docs.
+    */
+  def packEfficiency(
+      documents: DataFrame,
+      budgetTokens: Int = 512,
+      shardsPerStratum: Int = 8): DataFrame = {
+    val packed = packGreedy(documents, budgetTokens, shardsPerStratum)
+    packed
+      .groupBy("lang", "pack_id")
+      .agg(sum("n_tokens").as("_bin_tokens"), count(lit(1)).as("_bin_docs"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("_bin_docs")).as("n_docs"),
+        sum(col("_bin_tokens")).as("total_tokens"),
+        max(col("_bin_tokens")).as("max_bin_tokens"))
+      .select(col("lang"), col("n_bins"), col("n_docs"), col("total_tokens"),
+        col("max_bin_tokens"),
+        round(col("total_tokens").cast("double") /
+          (col("n_bins") * lit(budgetTokens.toLong)).cast("double"), 4)
+          .as("fill_rate"))
+      .orderBy("lang")
+  }
+
   /** 8-hex-digit threshold encoding the fractional part of a mixture
     * weight: a doc gets the extra copy iff the first 8 hex chars of
     * md5(text) sort below it — content-addressed, so the decision is

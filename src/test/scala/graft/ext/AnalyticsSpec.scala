@@ -126,6 +126,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(_._1).toSet == byDay.keySet, "every active day reported")
   }
 
+  test("eventFunnel: strict-order counts recompute from per-user first events") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Analytics.eventFunnel(spark, dir).collect().head
+    val events = graft.io.Sources.table(spark, dir, "events")
+      .selectExpr("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = events.groupBy(_._1)
+    def firstOf(rows: Array[(Long, String, Long)], t: String): Option[Long] = {
+      val ts = rows.filter(_._2 == t).map(_._3)
+      if (ts.isEmpty) None else Some(ts.min)
+    }
+    val funnel = byUser.values.map { rows =>
+      val s = firstOf(rows, "signup"); val v = firstOf(rows, "view")
+      val p = firstOf(rows, "purchase")
+      val sv = s.isDefined && v.isDefined && s.get < v.get
+      (s.isDefined, sv, sv && p.isDefined && v.get < p.get)
+    }
+    assert(out.getLong(0) == byUser.size)
+    assert(out.getLong(1) == funnel.count(_._1))
+    assert(out.getLong(2) == funnel.count(_._2))
+    assert(out.getLong(3) == funnel.count(_._3))
+    assert(out.getLong(1) > 0 && out.getLong(3) < out.getLong(1),
+      "funnel stages must discriminate on this data")
+  }
+
   test("winsorize clips to discrete per-group order statistics") {
     val out = Analytics.winsorize(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)

@@ -212,6 +212,34 @@ class CorpusSpec extends SparkSpec {
     assert(dropped == got.keySet -- kept)
   }
 
+  test("packEfficiency: rollup agrees with the packing it reports on") {
+    val doc = (id: Long, n: Int) => (id, (1 to n).map(_ => "w").mkString(" "))
+    // two langs via alternating ids is not available from docsDF (fixed
+    // lang); a small real-shaped frame:
+    import spark.implicits._
+    val df = Seq(
+      (1L, doc(1L, 300)._2, "en"), (2L, doc(2L, 300)._2, "en"),
+      (3L, doc(3L, 700)._2, "en"),                       // overflows one bin alone
+      (4L, doc(4L, 100)._2, "fr"))
+      .toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src' AS source",
+        "length(text) AS n_chars")
+    val packed = Corpus.packGreedy(df, budgetTokens = 512, shardsPerStratum = 2)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getString(3)))
+    val out = Corpus.packEfficiency(df, budgetTokens = 512, shardsPerStratum = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    val enBins = packed.filter(_._1 == "en").map(_._3).distinct.length
+    val enToks = packed.filter(_._1 == "en").map(_._2).sum
+    assert(out("en")._1 == enBins && out("en")._3 == enToks)
+    assert(out("en")._2 == 3L && out("fr")._2 == 1L)
+    // the 700-token doc overflows its bin: max_bin_tokens > budget
+    assert(out("en")._4 >= 700L)
+    val fill = out("en")._5
+    assert(math.abs(fill - enToks.toDouble / (enBins * 512L)) < 1e-4 + 1e-9)
+  }
+
   test("curateFull: every stage fires - quality, dedup, decon, cap") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy dog, and then the dog " +
