@@ -452,6 +452,12 @@ object ExtQueries {
     "analytics_event_funnel" -> ((s: SparkSession, dir: String) =>
       // strict-order signup→view→purchase conversion, one fact shuffle
       Analytics.eventFunnel(s, dir)),
+    "analytics_trade_flows" -> ((s: SparkSession, dir: String) =>
+      // Q7 shape: both dim chains resolved in one fact pass, dims broadcast
+      Analytics.tradeFlows(s, dir)),
+    "lang_confusion_documents" -> ((s: SparkSession, dir: String) =>
+      // language-metadata QA: declared vs predicted confusion matrix
+      TextStats.langConfusion(docs(s, dir))),
     "pack_efficiency_documents" -> ((s: SparkSession, dir: String) =>
       // bin-fill report over the declared packing (bins → strata rollup)
       Corpus.packEfficiency(docs(s, dir), shardsPerStratum = PackShards)),
@@ -1223,6 +1229,37 @@ object ExtQueries {
         |SELECT dau.day_idx, n_users, COALESCE(n_retained, 0) AS n_retained,
         |  round(COALESCE(n_retained, 0)::DOUBLE / n_users, 4) AS retention
         |FROM dau LEFT JOIN ret USING (day_idx) ORDER BY day_idx""".stripMargin,
+    "analytics_trade_flows" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE cn.n_name <> sn.n_name
+        |GROUP BY 1, 2 ORDER BY cust_nation, supp_nation""".stripMargin,
+    // confusion matrix over the SAME marker scoring as lang_id (both
+    // generated from TextStats.LangMarkers — no drift possible)
+    "lang_confusion_documents" -> {
+      val scores = TextStats.LangMarkers
+        .map { case (l, ws) => s"(${likeScoreSql(ws)}) AS score_$l" }
+        .mkString(", ")
+      val maxExpr = TextStats.LangMarkers.map { case (l, _) => s"score_$l" }
+        .mkString("GREATEST(", ", ", ")")
+      val pick = TextStats.LangMarkers
+        .map { case (l, _) => s"WHEN score_$l = m THEN '$l'" }.mkString(" ")
+      s"""WITH s AS (SELECT doc_id, lang AS lang_declared, $scores FROM documents),
+         |m AS (SELECT *, $maxExpr AS m FROM s),
+         |p AS (SELECT lang_declared,
+         |        CASE WHEN m = 0 THEN 'und' $pick END AS lang_pred FROM m)
+         |SELECT lang_declared, lang_pred, count(*)::BIGINT AS n_docs
+         |FROM p GROUP BY 1, 2 ORDER BY lang_declared, lang_pred""".stripMargin
+    },
     "analytics_event_funnel" ->
       """WITH f AS (SELECT user_id,
         |  min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,

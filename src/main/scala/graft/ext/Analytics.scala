@@ -308,6 +308,40 @@ object Analytics {
       .orderBy("revenue")
   }
 
+  /** Cross-nation trade flows (TPC-H Q7 shape): revenue by (customer
+    * nation → supplier nation) pair, excluding domestic trade. The
+    * fact table resolves BOTH dimension chains — customer-side and
+    * supplier-side — in one pass with every dim broadcast, so the only
+    * fact shuffle is the final groupBy on the 2-nation key (≤ |n|²
+    * groups survive map-side combine). The join-graph shape (one fact,
+    * two independent dim chains meeting in the same row) is the one
+    * the earlier analytics queries don't cover.
+    */
+  def tradeFlows(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Sources.table(spark, dir, "lineitem")
+    val orders   = Sources.table(spark, dir, "orders")
+    val customer = Sources.table(spark, dir, "customer")
+    val supplier = Sources.table(spark, dir, "supplier")
+    val nation   = Sources.table(spark, dir, "nation")
+    val custNation = nation.select(col("n_nationkey").as("_cnk"),
+      col("n_name").as("cust_nation"))
+    val suppNation = nation.select(col("n_nationkey").as("_snk"),
+      col("n_name").as("supp_nation"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("_cnk"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("_snk"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy("cust_nation", "supp_nation")
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("cust_nation", "supp_nation")
+  }
+
   /** Signup → view → purchase funnel off each user's FIRST event of
     * each type: one conditional-min aggregate keyed by user (single
     * fact shuffle, map-side combined), then a one-row rollup — the

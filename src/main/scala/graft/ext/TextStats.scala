@@ -93,6 +93,20 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Language-metadata QA: the confusion matrix of declared `lang`
+    * against [[langId]]'s prediction — the report that tells a corpus
+    * owner whether the `lang` column can be trusted before stratifying
+    * by it (sampling, quantiles, packing all key on it). Rolls the
+    * per-doc scoring straight into a ≤|langs|²-group aggregate:
+    * the narrow marker projection never materializes per-doc rows past
+    * the map-side combine.
+    */
+  def langConfusion(documents: DataFrame): DataFrame =
+    langId(documents)
+      .groupBy("lang_declared", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang_declared", "lang_pred")
+
   /** The [0,1] quality score as a single Column over `text` — shared by
     * the batch projection below and the streaming curation face
     * ([[graft.streaming.StreamCurate]]), so the two can never drift.

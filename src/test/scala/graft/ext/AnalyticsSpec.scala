@@ -151,6 +151,30 @@ class AnalyticsSpec extends SparkSpec {
       "funnel stages must discriminate on this data")
   }
 
+  test("tradeFlows: pairs partition the non-domestic lineitems, no diagonal") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Analytics.tradeFlows(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (c, s, _, _) => c != s }, "domestic trade must be excluded")
+    assert(out.map(p => (p._1, p._2)).distinct.length == out.length)
+    // totals: flows + domestic items = every lineitem (each resolves to
+    // exactly one nation pair through the two dim chains)
+    import org.apache.spark.sql.functions.col
+    val l = graft.io.Sources.table(spark, dir, "lineitem")
+    val o = graft.io.Sources.table(spark, dir, "orders")
+    val c = graft.io.Sources.table(spark, dir, "customer")
+    val s = graft.io.Sources.table(spark, dir, "supplier")
+    val domestic = l
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s.withColumnRenamed("s_nationkey", "_sn"),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("_sn"))
+      .count()
+    assert(out.map(_._4).sum + domestic == l.count())
+  }
+
   test("winsorize clips to discrete per-group order statistics") {
     val out = Analytics.winsorize(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)

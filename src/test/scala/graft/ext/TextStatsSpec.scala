@@ -53,6 +53,18 @@ class TextStatsSpec extends SparkSpec {
     assert(got("clean") == ((2L, 2L, 2L, 0.0)))
   }
 
+  test("langConfusion: matrix cells partition the corpus and match langId") {
+    val docs = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val matrix = TextStats.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(matrix.values.sum == docs.count(), "cells must partition the corpus")
+    val perDoc = TextStats.langId(docs).collect()
+      .groupBy(r => (r.getString(1), r.getString(2))).view.mapValues(_.length.toLong)
+    assert(matrix == perDoc.toMap)
+    // declared langs all present as rows
+    assert(matrix.keySet.map(_._1).size > 1)
+  }
+
   test("lengthHistogram: fixed-width buckets with overflow tail") {
     val doc = (n: Int) => (1 to n).map(_ => "w").mkString(" ")
     val df = docsDF(Seq(
