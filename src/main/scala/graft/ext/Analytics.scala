@@ -255,9 +255,13 @@ object Analytics {
     */
   def userRetention(spark: SparkSession, dir: String): DataFrame = {
     val events = Sources.table(spark, dir, "events")
-    val daily = events
+    // the (day,user) distinct feeds THREE consumers (DAU, the shifted
+    // side, and the semi-join probe); without pinning, each re-scans
+    // the fact table — plan-audited: Spark does not exchange-reuse
+    // across the differing parent projections
+    val daily = graft.core.CacheScope.persist(events
       .select(expr("ts DIV 86400000000").as("day_idx"), col("user_id"))
-      .distinct()
+      .distinct())
     val dau = daily.groupBy("day_idx").agg(count(lit(1)).as("n_users"))
     val prev = daily.select((col("day_idx") + 1).as("day_idx"), col("user_id"))
     val retained = daily.join(prev, Seq("day_idx", "user_id"), "left_semi")
