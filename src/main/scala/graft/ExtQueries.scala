@@ -253,6 +253,12 @@ object ExtQueries {
       // at J ≥ 0.6 with a prefix-only inverted index (no frequency-cap
       // recall loss, no sketch)
       Dedup.ngramJaccardPairsPrefix(docs(s, dir), threshold = 0.6)),
+    "dup_size_histogram_documents" -> ((s: SparkSession, dir: String) =>
+      // exact-dup cluster-size distribution (keep-one vs drop-all view)
+      Dedup.dupSizeHistogram(docs(s, dir))),
+    "doc_vector_join_documents" -> ((s: SparkSession, dir: String) =>
+      // cross-modal enrichment: text quality + vector health in one row
+      Similarity.docVectorJoin(docs(s, dir), embs(s, dir))),
     "dedup_cluster_documents" -> ((s: SparkSession, dir: String) =>
       // transitive near-dup clusters (GraphX connected components)
       DedupClusters.minHashClusters(docs(s, dir), threshold = 0.8)),
@@ -879,6 +885,34 @@ object ExtQueries {
          |        FROM sa ORDER BY cosine DESC, vec_id LIMIT 10))
          |SELECT 10 AS k, count(*)::BIGINT AS n_hits, round(count(*) / 10.0, 4) AS recall_at_10
          |FROM ann JOIN brute USING (vec_id) ORDER BY k""".stripMargin
+    },
+    "dup_size_histogram_documents" ->
+      s"""WITH g AS (SELECT md5($NormSql) AS fp, count(*)::BIGINT AS group_size
+         |           FROM documents GROUP BY 1)
+         |SELECT group_size, count(*)::BIGINT AS n_groups,
+         |  (group_size * count(*))::BIGINT AS n_docs
+         |FROM g GROUP BY group_size ORDER BY group_size""".stripMargin,
+    // quality fragment duplicated from the quality_score oracle (both
+    // generated from the same constants); norm folds per element in
+    // double, 6-dp round — the cosine family's cross-engine contract
+    "doc_vector_join_documents" -> {
+      val stops = likeScoreSql(TextStats.LangMarkers.flatMap(_._2).distinct)
+      s"""WITH qb AS (SELECT doc_id,
+         |  GREATEST(length(text)::DOUBLE, 1.0) AS len,
+         |  GREATEST(($WsToksSql)::DOUBLE, 1.0) AS toks,
+         |  length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
+         |  ($stops)::DOUBLE AS stops FROM documents),
+         |q AS (SELECT doc_id, round(LEAST(1.0, GREATEST(0.0,
+         |    0.4 * LEAST(stops / toks * 10.0, 1.0) +
+         |    0.3 * (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |    0.3 * (CASE WHEN punct / len < 0.1 THEN 1.0 ELSE 0.0 END))), 4) AS quality_score
+         |  FROM qb)
+         |SELECT d.doc_id, d.lang, e.label, q.quality_score,
+         |  round(sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))), 6)
+         |    AS vec_norm
+         |FROM documents d JOIN q USING (doc_id)
+         |JOIN embeddings e ON e.vec_id = d.doc_id
+         |ORDER BY doc_id""".stripMargin
     },
     "dedup_exact_documents" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM (

@@ -51,6 +51,23 @@ object Dedup {
     documents.join(winners, Seq("doc_id"), "left_semi").orderBy("doc_id")
   }
 
+  /** Exact-duplicate cluster-size histogram: how many fingerprint
+    * groups exist at each multiplicity, and the doc mass they carry —
+    * the distribution a curation run reads to pick keep-one vs
+    * drop-all policies (a fat tail of large groups = boilerplate/spam;
+    * mostly size-1 = already-clean corpus). Two bounded aggregates:
+    * (fp) partials, then a value-domain-bounded (size) rollup — the
+    * output is as long as the largest multiplicity, never the corpus.
+    */
+  def dupSizeHistogram(documents: DataFrame): DataFrame =
+    documents
+      .select(md5(TextStats.normText(col("text"))).as("_fp"))
+      .groupBy("_fp").agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+      .select(col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_docs"))
+      .orderBy("group_size")
+
   /** Incremental exact dedup: the "new snapshot vs existing corpus" step
     * every recurring crawl ingestion runs. Keeps the batch rows that are
     * (a) the lowest-doc_id representative of their normalized text

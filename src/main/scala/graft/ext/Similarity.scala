@@ -359,6 +359,27 @@ object Similarity {
     * accumulated in double and rounded to 6 dp, the engine-portability
     * convention the similarity family already uses.
     */
+  /** Cross-modal enrichment: each document joined to its embedding row
+    * (`doc_id = vec_id`), carrying the text-side quality score and the
+    * vector-side L2 norm + label — the retrieval-augmented curation
+    * view (filter by text quality AND vector health in one pass; a
+    * near-zero norm flags a failed embedding job). Plain equi-join:
+    * co-partitioned hash join at scale, no special machinery; the norm
+    * folds left-to-right in double and rounds at 6 dp (the cosine
+    * family's portability contract).
+    */
+  def docVectorJoin(documents: DataFrame, embeddings: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"),
+        graft.ext.TextStats.qualityScoreColumn(col("text")).as("quality_score"))
+      .join(embeddings.select(col("vec_id").as("doc_id"), col("label"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 6)
+          .as("vec_norm")),
+        Seq("doc_id"))
+      .select("doc_id", "lang", "label", "quality_score", "vec_norm")
+      .orderBy("doc_id")
+
   def labelCentroids(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "v")))

@@ -12,6 +12,17 @@ class DedupSpec extends SparkSpec {
         "length(text) AS n_chars")
   }
 
+  test("dupSizeHistogram: multiplicities partition the corpus exactly") {
+    val df = docsDF(Seq(
+      (1L, "aaa"), (2L, "AAA"), (3L, "aaa "),      // one group of 3
+      (4L, "bbb"), (5L, "bbb"),                    // one group of 2
+      (6L, "ccc"), (7L, "ddd")))                   // two singletons
+    val out = Dedup.dupSizeHistogram(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((2L, 2L)), 2L -> ((1L, 2L)), 3L -> ((1L, 3L))))
+    assert(out.values.map(_._2).sum == 7L, "doc mass must partition the corpus")
+  }
+
   test("exact dedup keeps lowest doc_id per normalized text") {
     val df = docsDF(Seq(
       (1L, "Hello  World"), (2L, "hello world"), (3L, "HELLO\tWORLD"),

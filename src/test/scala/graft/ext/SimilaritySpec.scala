@@ -64,6 +64,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(o => ownIds.contains(o._1)).forall(_._5 >= 1.0 - 1e-6))
   }
 
+  test("docVectorJoin: one row per aligned pair, norms recompute exactly") {
+    val docs = Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val out = Similarity.docVectorJoin(docs, embs).collect()
+    assert(out.length == docs.join(
+      embs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id")).count())
+    val byId = embs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    out.take(50).foreach { r =>
+      val want = math.sqrt(byId(r.getLong(0)).map(x => x * x).sum)
+      assert(math.abs(r.getDouble(4) - want) < 1e-6 + 1e-9, s"norm ${r.getLong(0)}")
+      val q = r.getDouble(3)
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
   test("brute-force topK matches driver-side reference exactly") {
     val probe = Similarity.defaultProbe(embs)
     val got = Similarity.topK(embs, probe, 10).collect()
