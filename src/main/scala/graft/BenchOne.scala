@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time individual declared queries in isolation (N repeats,
   * noop sink, same session config as [[Bench]]) — for chasing a single
-  * query's regression without paying the full 77-query sweep.
+  * query's regression without paying the full declared-query sweep.
   *
   * Usage: `sbt "runMain graft.BenchOne <sfDir> <repeats> <key ...>"`
   */
