@@ -461,6 +461,9 @@ object ExtQueries {
     "analytics_trade_flows" -> ((s: SparkSession, dir: String) =>
       // Q7 shape: both dim chains resolved in one fact pass, dims broadcast
       Analytics.tradeFlows(s, dir)),
+    "analytics_daily_anomaly" -> ((s: SparkSession, dir: String) =>
+      // ingest drift monitor: z-scores from exact integer sums
+      Analytics.dailyAnomaly(s, dir)),
     "lang_confusion_documents" -> ((s: SparkSession, dir: String) =>
       // language-metadata QA: declared vs predicted confusion matrix
       TextStats.langConfusion(docs(s, dir))),
@@ -1294,6 +1297,23 @@ object ExtQueries {
          |SELECT lang_declared, lang_pred, count(*)::BIGINT AS n_docs
          |FROM p GROUP BY 1, 2 ORDER BY lang_declared, lang_pred""".stripMargin
     },
+    // z-scores from exact integer sums (Σn, Σn²) with the SAME
+    // expression order as the Spark plan: identical IEEE double ops on
+    // identical integers → identical result, no variance-merge drift
+    "analytics_daily_anomaly" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type,
+        |                count(*)::BIGINT AS n
+        |              FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*)::BIGINT AS days,
+        |         sum(n)::BIGINT AS s, sum(n * n)::BIGINT AS sq
+        |       FROM daily GROUP BY 1)
+        |SELECT day_idx, daily.event_type, n,
+        |  CASE WHEN sq::DOUBLE / days - (s::DOUBLE / days) * (s::DOUBLE / days) > 0
+        |       THEN round((n::DOUBLE - s::DOUBLE / days) /
+        |            sqrt(sq::DOUBLE / days - (s::DOUBLE / days) * (s::DOUBLE / days)), 4)
+        |       ELSE 0.0 END AS z_score
+        |FROM daily JOIN st USING (event_type)
+        |ORDER BY day_idx, event_type""".stripMargin,
     "analytics_event_funnel" ->
       """WITH f AS (SELECT user_id,
         |  min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,

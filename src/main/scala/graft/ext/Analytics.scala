@@ -312,6 +312,36 @@ object Analytics {
       .orderBy("revenue")
   }
 
+  /** Daily ingest-volume anomaly scores: per (day, event_type) count
+    * with its z-score against that type's daily distribution — the
+    * drift monitor an ingestion pipeline alarms on (a collapsed or
+    * doubled feed shows as |z| spikes). Portability: mean/variance are
+    * derived from EXACT integer sums (Σn, Σn²) in a fixed expression
+    * order, so both engines run the identical IEEE double ops —
+    * no streaming-variance accumulator whose merge order could drift.
+    * Shape: one fact aggregate to the (day, type) domain, a per-type
+    * 3-number stats broadcast back over it; nothing after the first
+    * aggregate scales with the corpus.
+    */
+  def dailyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val events = Sources.table(spark, dir, "events")
+    val daily = events
+      .select(expr("ts DIV 86400000000").as("day_idx"), col("event_type"))
+      .groupBy("day_idx", "event_type").agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).as("_days"),
+      sum("n").as("_sum"),
+      sum(col("n") * col("n")).as("_sumsq"))
+    val mean = col("_sum").cast("double") / col("_days")
+    val variance = col("_sumsq").cast("double") / col("_days") - mean * mean
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("day_idx"), col("event_type"), col("n"),
+        when(variance > 0,
+          round((col("n").cast("double") - mean) / sqrt(variance), 4))
+          .otherwise(lit(0.0)).as("z_score"))
+      .orderBy("day_idx", "event_type")
+  }
+
   /** Cross-nation trade flows (TPC-H Q7 shape): revenue by (customer
     * nation → supplier nation) pair, excluding domestic trade. The
     * fact table resolves BOTH dimension chains — customer-side and

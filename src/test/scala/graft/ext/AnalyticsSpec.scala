@@ -175,6 +175,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(_._4).sum + domestic == l.count())
   }
 
+  test("dailyAnomaly: z-scores recompute from exact sums; per-type mean z ~ 0") {
+    val out = Analytics.dailyAnomaly(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (t, rows) =>
+      val ns = rows.map(_._3.toDouble)
+      val mean = ns.sum / ns.length
+      val varr = ns.map(x => x * x).sum / ns.length - mean * mean
+      rows.foreach { case (d, _, n, z) =>
+        val want = if (varr > 0) (n - mean) / math.sqrt(varr) else 0.0
+        assert(math.abs(z - want) < 1e-4 + 1e-9, s"$t day $d")
+      }
+      // z-scores of a population against its own stats average to ~0
+      assert(math.abs(rows.map(_._4).sum / rows.length) < 1e-3, t)
+    }
+  }
+
   test("winsorize clips to discrete per-group order statistics") {
     val out = Analytics.winsorize(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
