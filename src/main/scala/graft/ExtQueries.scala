@@ -1351,8 +1351,10 @@ object ExtQueries {
     // day bucket via integral µs arithmetic on BOTH engines — no
     // session-timezone dependence in the hash compare
     "analytics_event_pivot" -> {
-      val cols = Analytics.EventTypes.map(t =>
-        s"  sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)::BIGINT AS n_$t")
+      val known = Analytics.EventTypes.map(t => s"'$t'").mkString(", ")
+      val cols = (Analytics.EventTypes.map(t =>
+        s"  sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)::BIGINT AS n_$t") :+
+        s"  sum(CASE WHEN event_type NOT IN ($known) THEN 1 ELSE 0 END)::BIGINT AS n_${Analytics.PivotOther}")
         .mkString(",\n")
       s"""WITH e AS (SELECT
          |  (DATE '1970-01-01' + ((epoch_us(ts) // 86400000000)::INT))::VARCHAR AS day,

@@ -126,11 +126,16 @@ object Analytics {
     * vocabulary), so Spark plans ONE conditional-count aggregate over
     * one scan; an unlisted pivot would first run a distinct-values job
     * — a second full scan just to learn the columns, which at 100 TB
-    * doubles the query. Day is derived arithmetically from the µs epoch
-    * (no session-timezone dependence — a TZ-sensitive date bucket
-    * hashes differently across engines/configs).
+    * doubles the query. Types OUTSIDE the declared vocabulary land in
+    * an `n_other` column instead of being silently dropped (an
+    * explicit-values pivot alone eats drifted feeds without a trace —
+    * the partition invariant Σcells = Σevents must hold on ANY data).
+    * Day is derived arithmetically from the µs epoch (no
+    * session-timezone dependence — a TZ-sensitive date bucket hashes
+    * differently across engines/configs).
     */
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+  val PivotOther: String = "other"
 
   def eventPivot(spark: SparkSession, dir: String): DataFrame = {
     val events = Sources.table(spark, dir, "events")
@@ -139,12 +144,15 @@ object Analytics {
     val day = date_add(
       to_date(lit("1970-01-01")),
       expr("ts DIV 86400000000").cast("int"))
+    val bucketed = when(col("event_type").isin(EventTypes: _*), col("event_type"))
+      .otherwise(lit(PivotOther))
+    val cols = EventTypes :+ PivotOther
     events
-      .select(day.cast("string").as("day"), col("event_type"))
+      .select(day.cast("string").as("day"), bucketed.as("event_type"))
       .groupBy("day")
-      .pivot("event_type", EventTypes)
+      .pivot("event_type", cols)
       .agg(count(lit(1)))
-      .select(col("day") +: EventTypes.map(t =>
+      .select(col("day") +: cols.map(t =>
         coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
       .orderBy("day")
   }

@@ -29,12 +29,15 @@ class AnalyticsSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val out = Analytics.eventPivot(spark, dir).collect()
     assert(out.nonEmpty)
-    val typeCols = Analytics.EventTypes.indices.map(_ + 1)
+    val typeCols = (Analytics.EventTypes :+ Analytics.PivotOther).indices.map(_ + 1)
     val pivotTotal = out.map(r => typeCols.map(r.getLong).sum).sum
     val nEvents = graft.io.Sources.table(spark, dir, "events").count()
     assert(pivotTotal == nEvents, "pivot cells must partition the event count")
-    // explicit-values pivot: no day lost, no negative or null cell
+    // explicit-values pivot: no day lost, no negative or null cell; the
+    // drift bucket exists and is empty on the clean synthetic feed
     assert(out.forall(r => typeCols.forall(i => r.getLong(i) >= 0L)))
+    assert(out.map(_.getLong(typeCols.last)).sum == 0L,
+      "n_other must be 0 on a vocabulary-clean feed")
     val days = out.map(_.getString(0))
     assert(days.distinct.length == days.length && days.sorted.sameElements(days))
   }
