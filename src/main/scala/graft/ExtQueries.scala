@@ -405,6 +405,12 @@ object ExtQueries {
     // -- sessionize --
     "sessionize_events" -> ((s: SparkSession, dir: String) =>
       Sessionize.sessionize(Sources.table(s, dir, "events"))),
+    "session_stats_events" -> ((s: SparkSession, dir: String) =>
+      // engagement rollup: sessions → one-row summary, exact µs durations
+      Sessionize.sessionStats(Sources.table(s, dir, "events"))),
+    "analytics_small_lot_revenue" -> ((s: SparkSession, dir: String) =>
+      // Q17 shape: decorrelated per-part average joined back on the key
+      Analytics.smallLotRevenue(s, dir)),
     // -- range join: concurrent-session pairs (interval overlap) --
     "range_join_sessions" -> ((s: SparkSession, dir: String) =>
       RangeJoin.sessionOverlaps(Sources.table(s, dir, "events"))),
@@ -1152,6 +1158,39 @@ object ExtQueries {
          |SELECT doc_id, lang, source, clean_text, quality_score FROM cap
          |WHERE rn <= 50 ORDER BY doc_id""".stripMargin
     },
+    "session_stats_events" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),
+         |s AS (SELECT event_id, user_id, ts,
+         |  CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         |       WHEN ts - lag(ts) OVER w > ${Sessionize.DefaultGapMicros} THEN 1
+         |       ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sz AS (SELECT user_id, ts,
+         |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM s),
+         |g AS (SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+         |        max(ts) - min(ts) AS duration_us
+         |      FROM sz GROUP BY 1, 2)
+         |SELECT count(*)::BIGINT AS n_sessions,
+         |  count(DISTINCT user_id)::BIGINT AS n_users,
+         |  sum(n_events)::BIGINT AS n_events,
+         |  round(sum(n_events)::DOUBLE / count(*), 4) AS avg_events_per_session,
+         |  sum(duration_us)::BIGINT AS total_duration_us,
+         |  max(duration_us)::BIGINT AS max_duration_us
+         |FROM g ORDER BY n_sessions""".stripMargin,
+    // decorrelated Q17: the per-part average is computed once and
+    // joined back by key — the oracle mirrors the same rewrite (and the
+    // same exact-decimal-sum → one portable 6-dp division per part)
+    "analytics_small_lot_revenue" ->
+      """WITH a AS (SELECT l_partkey,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+        |    AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l JOIN a USING (l_partkey)
+        |WHERE l.l_quantity < a.avg_qty * 0.2
+        |ORDER BY revenue""".stripMargin,
     "sessionize_events" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),
          |s AS (SELECT event_id, user_id, ts,

@@ -320,6 +320,31 @@ object Analytics {
       .orderBy("revenue")
   }
 
+  /** Small-lot revenue (TPC-H Q17 shape): total revenue from lineitems
+    * whose quantity is below 20% of their part's average quantity —
+    * the canonical CORRELATED-SUBQUERY pattern, decorrelated the way
+    * Catalyst (or a careful author) rewrites it: compute the per-part
+    * average ONCE as an aggregate, join it back by part key, filter,
+    * sum. Both sides of the join are keyed on l_partkey (the aggregate
+    * reuses the fact's own key), so the join co-partitions with the
+    * aggregate's shuffle; no per-row subquery ever executes. The avg
+    * is exact-decimal (sum/count both exact; one portable division
+    * per part at 6 dp).
+    */
+  def smallLotRevenue(spark: SparkSession, dir: String, frac: Double = 0.2): DataFrame = {
+    val l = Sources.table(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val avgQty = l.groupBy("l_partkey")
+      .agg(round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6)
+        .as("_avg_qty"))
+    l.join(avgQty, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("_avg_qty") * lit(frac))
+      .agg(
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("revenue")
+  }
+
   /** Daily ingest-volume anomaly scores: per (day, event_type) count
     * with its z-score against that type's daily distribution — the
     * drift monitor an ingestion pipeline alarms on (a collapsed or

@@ -33,4 +33,27 @@ object Sessionize {
         col("session_seq").cast("bigint").as("session_seq"))
       .orderBy("user_id", "ts", "event_id")
   }
+
+  /** Session-level rollup of [[sessionize]]: one row per session with
+    * its event count and µs duration, then a one-row corpus summary
+    * (session count, mean events/session at 4 dp, exact duration sum
+    * and max). The engagement report built ON TOP of the sessionize
+    * output — same single user-keyed shuffle, then two bounded
+    * aggregates (sessions, then one row); durations stay exact integer
+    * µs so every non-mean column is hash-exact.
+    */
+  def sessionStats(events: DataFrame, gapMicros: Long = DefaultGapMicros): DataFrame =
+    sessionize(events, gapMicros)
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        (max("ts") - min("ts")).as("duration_us"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum("n_events").as("n_events"),
+        round(sum("n_events").cast("double") / count(lit(1)), 4)
+          .as("avg_events_per_session"),
+        sum("duration_us").as("total_duration_us"),
+        max("duration_us").as("max_duration_us"))
+      .orderBy("n_sessions")
 }

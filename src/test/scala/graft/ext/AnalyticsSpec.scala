@@ -195,6 +195,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("smallLotRevenue: recomputes from per-part averages driver-side") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Analytics.smallLotRevenue(spark, dir).collect().head
+    val rows = graft.io.Sources.table(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val avg = rows.groupBy(_._1).view.mapValues { ls =>
+      val s = ls.map(r => BigDecimal(r._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      math.rint(s.toDouble / ls.length * 1e6) / 1e6
+    }.toMap
+    val small = rows.filter { case (pk, q, _) => q < avg(pk) * 0.2 }
+    assert(out.getLong(1) == small.length && small.nonEmpty)
+    val want = small.map(r =>
+      BigDecimal(r._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert(math.abs(out.getDouble(0) - want.toDouble) < 1e-9)
+    // both join paths must carry weight: some lineitems survive, most don't
+    assert(small.length < rows.length)
+  }
+
   test("winsorize clips to discrete per-group order statistics") {
     val out = Analytics.winsorize(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)

@@ -26,6 +26,22 @@ class SessionizeSpec extends SparkSpec {
       301L -> 1L))
   }
 
+  test("sessionStats: one-row rollup recomputes from the sessionize output") {
+    val events = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "events")
+    val out = Sessionize.sessionStats(events).collect().head
+    val sess = Sessionize.sessionize(events).collect()
+      .map(r => ((r.getLong(1), r.getLong(3)), r.getLong(2)))
+    val groups = sess.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(out.getLong(0) == groups.size)
+    assert(out.getLong(1) == groups.keySet.map(_._1).size)
+    assert(out.getLong(2) == sess.length)
+    val durations = groups.values.map(ts => ts.max - ts.min)
+    assert(out.getLong(4) == durations.sum)
+    assert(out.getLong(5) == durations.max)
+    val wantAvg = math.rint(sess.length.toDouble / groups.size * 1e4) / 1e4
+    assert(math.abs(out.getDouble(3) - wantAvg) < 1e-9)
+  }
+
   test("sessionization covers every input row exactly once") {
     val events = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "events")
     val out = Sessionize.sessionize(events)
