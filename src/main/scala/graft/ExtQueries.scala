@@ -470,6 +470,9 @@ object ExtQueries {
     "analytics_daily_anomaly" -> ((s: SparkSession, dir: String) =>
       // ingest drift monitor: z-scores from exact integer sums
       Analytics.dailyAnomaly(s, dir)),
+    "analytics_event_transitions" -> ((s: SparkSession, dir: String) =>
+      // Markov view: window-lead adjacency, one user-keyed shuffle
+      Analytics.eventTransitions(s, dir)),
     "lang_confusion_documents" -> ((s: SparkSession, dir: String) =>
       // language-metadata QA: declared vs predicted confusion matrix
       TextStats.langConfusion(docs(s, dir))),
@@ -1353,6 +1356,15 @@ object ExtQueries {
         |       ELSE 0.0 END AS z_score
         |FROM daily JOIN st USING (event_type)
         |ORDER BY day_idx, event_type""".stripMargin,
+    "analytics_event_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type FROM events),
+        |n AS (SELECT event_type,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS next_type
+        |      FROM e)
+        |SELECT event_type, next_type, count(*)::BIGINT AS n_transitions
+        |FROM n WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
     "analytics_event_funnel" ->
       """WITH f AS (SELECT user_id,
         |  min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,

@@ -345,6 +345,29 @@ object Analytics {
       .orderBy("revenue")
   }
 
+  /** Event-transition matrix: counts of (event_type → next event_type)
+    * within each user's timeline — the Markov-chain view of user
+    * behavior (what follows a signup? where do error loops sit?).
+    * One window `lead` over the user-keyed sort (the SAME shuffle
+    * sessionize pays — grouping by user is the floor), then a
+    * ≤|types|²-group aggregate; a self-join on (user, rank+1) would
+    * shuffle the fact twice for the same adjacency. Timeline ends
+    * (lead = NULL) are dropped: the matrix counts transitions, not
+    * terminations.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val events = Sources.table(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("event_type", "next_type")
+  }
+
   /** Daily ingest-volume anomaly scores: per (day, event_type) count
     * with its z-score against that type's daily distribution — the
     * drift monitor an ingestion pipeline alarms on (a collapsed or

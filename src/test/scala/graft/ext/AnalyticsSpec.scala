@@ -214,6 +214,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(small.length < rows.length)
   }
 
+  test("eventTransitions: adjacency recomputes from per-user timelines") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Analytics.eventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val events = graft.io.Sources.table(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = events.groupBy(_._1).values.flatMap { rows =>
+      val ordered = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      ordered.zip(ordered.tail)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out == want)
+    // transitions = events - users (each timeline drops one terminator)
+    val nUsers = events.map(_._1).distinct.length
+    assert(out.values.sum == events.length - nUsers)
+  }
+
   test("winsorize clips to discrete per-group order statistics") {
     val out = Analytics.winsorize(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
