@@ -473,6 +473,9 @@ object ExtQueries {
     "analytics_event_transitions" -> ((s: SparkSession, dir: String) =>
       // Markov view: window-lead adjacency, one user-keyed shuffle
       Analytics.eventTransitions(s, dir)),
+    "analytics_priority_fulfillment" -> ((s: SparkSession, dir: String) =>
+      // Q4 shape: EXISTS as a left-semi join on the filtered minority
+      Analytics.priorityFulfillment(s, dir)),
     "lang_confusion_documents" -> ((s: SparkSession, dir: String) =>
       // language-metadata QA: declared vs predicted confusion matrix
       TextStats.langConfusion(docs(s, dir))),
@@ -1356,6 +1359,12 @@ object ExtQueries {
         |       ELSE 0.0 END AS z_score
         |FROM daily JOIN st USING (event_type)
         |ORDER BY day_idx, event_type""".stripMargin,
+    "analytics_priority_fulfillment" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "analytics_event_transitions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type FROM events),
         |n AS (SELECT event_type,

@@ -345,6 +345,27 @@ object Analytics {
       .orderBy("revenue")
   }
 
+  /** Priority fulfillment (TPC-H Q4 shape): per priority class, how
+    * many orders contain at least one bulk lineitem — the EXISTS
+    * correlated-subquery pattern as its physical best self: a LEFT
+    * SEMI join (first match short-circuits; no duplicate inflation, no
+    * distinct needed) against the quantity-FILTERED lineitem side,
+    * with the filter pushed to the parquet scan. One key-shuffle of
+    * the filtered minority + a ≤|priorities|-group aggregate.
+    */
+  def priorityFulfillment(
+      spark: SparkSession, dir: String, minQty: Double = 45.0): DataFrame = {
+    val orders = Sources.table(spark, dir, "orders")
+    val bulk = Sources.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") > minQty)
+      .select(col("l_orderkey"))
+    orders
+      .join(bulk, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Event-transition matrix: counts of (event_type → next event_type)
     * within each user's timeline — the Markov-chain view of user
     * behavior (what follows a signup? where do error loops sit?).

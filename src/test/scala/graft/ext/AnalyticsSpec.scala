@@ -231,6 +231,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.values.sum == events.length - nUsers)
   }
 
+  test("priorityFulfillment: EXISTS semantics recompute; no duplicate inflation") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Analytics.priorityFulfillment(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bulkOrders = graft.io.Sources.table(spark, dir, "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_quantity") > 45.0)
+      .select("l_orderkey").collect().map(_.getLong(0)).toSet
+    val want = graft.io.Sources.table(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority").collect()
+      .filter(r => bulkOrders.contains(r.getLong(0)))
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    assert(out == want)
+    // semi-join, not inner: an order with many bulk lines counts once
+    assert(out.values.sum == want.values.sum && out.values.sum < bulkOrders.size ||
+      out.values.sum == bulkOrders.size)
+  }
+
   test("winsorize clips to discrete per-group order statistics") {
     val out = Analytics.winsorize(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
