@@ -347,6 +347,9 @@ object ExtQueries {
     // -- corpus preparation (sampling / scrubbing / chunking / packing) --
     "sample_hash_documents" -> ((s: SparkSession, dir: String) =>
       Corpus.sampleByHash(docs(s, dir))),
+    "sample_quality_documents" -> ((s: SparkSession, dir: String) =>
+      // importance sampling: survival probability = quality score
+      Corpus.sampleByQuality(docs(s, dir))),
     "redact_pii_documents" -> ((s: SparkSession, dir: String) =>
       Corpus.redactPii(docs(s, dir))),
     "chunk_documents" -> ((s: SparkSession, dir: String) =>
@@ -1013,6 +1016,26 @@ object ExtQueries {
     "sample_hash_documents" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE md5(text) < '40' ORDER BY doc_id""".stripMargin,
+    // per-row hex threshold rendered from the same quality constants;
+    // FLOOR before the BIGINT cast matches Spark's truncating cast
+    "sample_quality_documents" -> {
+      val stops = likeScoreSql(TextStats.LangMarkers.flatMap(_._2).distinct)
+      s"""WITH qb AS (SELECT doc_id, lang, source, text,
+         |  GREATEST(length(text)::DOUBLE, 1.0) AS len,
+         |  GREATEST(($WsToksSql)::DOUBLE, 1.0) AS toks,
+         |  length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
+         |  ($stops)::DOUBLE AS stops FROM documents),
+         |q AS (SELECT doc_id, lang, source, text, round(LEAST(1.0, GREATEST(0.0,
+         |    0.4 * LEAST(stops / toks * 10.0, 1.0) +
+         |    0.3 * (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |    0.3 * (CASE WHEN punct / len < 0.1 THEN 1.0 ELSE 0.0 END))), 4) AS quality_score
+         |  FROM qb)
+         |SELECT doc_id, lang, source, quality_score FROM q
+         |WHERE substr(md5(text), 1, 8) <
+         |  printf('%08x', LEAST(CAST(FLOOR(quality_score * 4294967296.0) AS BIGINT),
+         |                       4294967295))
+         |ORDER BY doc_id""".stripMargin
+    },
     "sample_stratified_documents" ->
       """WITH r AS (SELECT d.*,
         |  row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn,

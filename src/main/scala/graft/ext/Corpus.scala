@@ -377,6 +377,29 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Quality-weighted importance sampling: each document survives with
+    * probability equal to its [0,1] quality score — the "soft filter"
+    * between keep-everything and a hard threshold (high-quality text is
+    * kept almost surely, junk almost never, the middle proportionally).
+    * Deterministic and content-addressed like [[sampleByHash]]: the
+    * uniform draw is the first 8 md5 hex chars compared against a
+    * PER-ROW hex threshold rendered from the score — so the decision
+    * is stable under re-partitioning, re-runs, and engine choice.
+    * FLOOR before the integer cast is load-bearing: Spark's double→long
+    * cast truncates while DuckDB's CAST rounds — an explicit floor
+    * makes both engines compute the identical threshold. Zero shuffle.
+    */
+  def sampleByQuality(documents: DataFrame): DataFrame = {
+    val q = TextStats.qualityScoreColumn(col("text"))
+    val thr = format_string("%08x",
+      least(floor(q * lit(4294967296.0)).cast("long"), lit(0xffffffffL)))
+    documents
+      .withColumn("quality_score", q)
+      .filter(substring(md5(col("text")), 1, 8) < thr)
+      .select("doc_id", "lang", "source", "quality_score")
+      .orderBy("doc_id")
+  }
+
   /** Packing-efficiency report over [[packGreedy]]'s output: per
     * stratum, how many bins the packing produced, the token mass, and
     * the fill rate against the bin budget — the number a training run

@@ -212,6 +212,29 @@ class CorpusSpec extends SparkSpec {
     assert(dropped == got.keySet -- kept)
   }
 
+  test("sampleByQuality: survival is score-proportional and content-addressed") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog, and then the dog " +
+      "sleeps in the warm sun. a second sentence keeps the prose natural."
+    // all three score components zero: no stopwords, avg word length
+    // below 3, punctuation ratio far above 0.1
+    val junk = "!! !! !!"
+    val rows = (1L to 40L).map(i => (i, good + s" tail $i", "en", "src")) ++
+      (41L to 80L).map(i => (i, junk + s" $i", "en", "src"))
+    val df = rows.toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source", "length(text) AS n_chars")
+    val out = Corpus.sampleByQuality(df).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    // every survivor carries its score; junk (score 0) can never survive
+    assert(out.forall { case (id, q) => q > 0.0 || id < 0 })
+    assert(out.count(_._1 > 40L) == 0, "score-0 junk must never survive")
+    // high-quality docs (score ~1) survive almost surely
+    assert(out.count(_._1 <= 40L) >= 35, s"got ${out.length}")
+    // deterministic: a second evaluation returns the identical set
+    val again = Corpus.sampleByQuality(df).collect().map(_.getLong(0)).toSeq
+    assert(again == out.map(_._1).toSeq)
+  }
+
   test("packEfficiency: rollup agrees with the packing it reports on") {
     val doc = (id: Long, n: Int) => (id, (1 to n).map(_ => "w").mkString(" "))
     // two langs via alternating ids is not available from docsDF (fixed
