@@ -479,6 +479,9 @@ object ExtQueries {
     "analytics_priority_fulfillment" -> ((s: SparkSession, dir: String) =>
       // Q4 shape: EXISTS as a left-semi join on the filtered minority
       Analytics.priorityFulfillment(s, dir)),
+    "analytics_customer_segments" -> ((s: SparkSession, dir: String) =>
+      // RFM segmentation vs the data-derived reference date
+      Analytics.customerSegments(s, dir)),
     "lang_confusion_documents" -> ((s: SparkSession, dir: String) =>
       // language-metadata QA: declared vs predicted confusion matrix
       TextStats.langConfusion(docs(s, dir))),
@@ -1382,6 +1385,21 @@ object ExtQueries {
         |       ELSE 0.0 END AS z_score
         |FROM daily JOIN st USING (event_type)
         |ORDER BY day_idx, event_type""".stripMargin,
+    // reference date is the corpus max (data-derived, reproducible);
+    // spend compared in DECIMAL on both engines before any double cast
+    "analytics_customer_segments" ->
+      """WITH pc AS (SELECT o_custkey, max(o_orderdate) AS last_d,
+        |  count(*)::BIGINT AS n_orders,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1),
+        |rr AS (SELECT max(o_orderdate) AS refd FROM orders)
+        |SELECT o_custkey, date_diff('day', last_d, refd)::BIGINT AS recency_days,
+        |  n_orders, CAST(spend AS DOUBLE) AS total_spend,
+        |  CASE WHEN date_diff('day', last_d, refd) <= 365
+        |       THEN CASE WHEN spend >= 1500000 THEN 'active_big' ELSE 'active' END
+        |       ELSE CASE WHEN spend >= 1500000 THEN 'lapsed_big' ELSE 'lapsed' END
+        |  END AS segment
+        |FROM pc CROSS JOIN rr ORDER BY o_custkey""".stripMargin,
     "analytics_priority_fulfillment" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_orders
         |FROM orders o

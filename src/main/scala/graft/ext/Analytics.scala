@@ -345,6 +345,39 @@ object Analytics {
       .orderBy("revenue")
   }
 
+  /** RFM customer segmentation: per customer the recency (days since
+    * their last order, measured against the CORPUS's max order date —
+    * a data-derived reference, never the wall clock, so the result is
+    * reproducible), frequency (order count), monetary (exact DECIMAL
+    * spend), and a literal segment bin. One customer-keyed aggregate
+    * plus a broadcast 1-row corpus-max join; integer day arithmetic
+    * end-to-end.
+    */
+  def customerSegments(
+      spark: SparkSession, dir: String,
+      activeDays: Int = 365, bigSpend: Double = 1500000.0): DataFrame = {
+    val orders = Sources.table(spark, dir, "orders")
+    val perCust = orders.groupBy("o_custkey").agg(
+      max(col("o_orderdate")).as("_last"),
+      count(lit(1)).as("n_orders"),
+      sum(dec(col("o_totalprice"))).as("_spend"))
+    val corpusMax = orders.agg(max(col("o_orderdate")).as("_ref"))
+    perCust
+      .join(broadcast(corpusMax))
+      .select(
+        col("o_custkey"),
+        datediff(col("_ref"), col("_last")).cast("bigint").as("recency_days"),
+        col("n_orders"),
+        col("_spend").cast("double").as("total_spend"),
+        when(datediff(col("_ref"), col("_last")) <= activeDays,
+          when(col("_spend") >= lit(bigSpend).cast("decimal(18,2)"), "active_big")
+            .otherwise("active"))
+          .otherwise(
+            when(col("_spend") >= lit(bigSpend).cast("decimal(18,2)"), "lapsed_big")
+              .otherwise("lapsed")).as("segment"))
+      .orderBy("o_custkey")
+  }
+
   /** Priority fulfillment (TPC-H Q4 shape): per priority class, how
     * many orders contain at least one bulk lineitem — the EXISTS
     * correlated-subquery pattern as its physical best self: a LEFT

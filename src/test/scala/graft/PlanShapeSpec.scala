@@ -33,6 +33,9 @@ class PlanShapeSpec extends SparkSpec {
     // unigram LM joins in ONE corpus-constant row (total token count)
     // the same way
     "unigram_logprob_documents",
+    // RFM segmentation joins in ONE corpus-constant row (max order
+    // date) the same way
+    "analytics_customer_segments",
     // RangeJoin's long-interval guard: the build side is the broadcast
     // of intervals spanning > maxBinsPerInterval bins — rare by
     // construction (RangeJoin.scala long path), and exactly the rows

@@ -21,9 +21,9 @@ class QueryContractSpec extends AnyFunSuite {
   }
 
   test("declared surface matches the documented round-6 inventory") {
-    assert(SparkEntry.queries.size == 99,
+    assert(SparkEntry.queries.size == 100,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.9 if intentional)")
-    assert(SparkEntry.oracleSql.size == 92,
+    assert(SparkEntry.oracleSql.size == 93,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} (update SURVEY §2.9 if intentional)")
   }
 

@@ -248,6 +248,26 @@ class AnalyticsSpec extends SparkSpec {
       out.values.sum == bulkOrders.size)
   }
 
+  test("customerSegments: RFM recomputes; bins consistent with the row's own numbers") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Analytics.customerSegments(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (ck, rec, n, spend, seg) =>
+      assert(rec >= 0 && n > 0 && spend > 0)
+      val wantSeg = (rec <= 365, spend >= 1500000.0) match {
+        case (true, true) => "active_big"
+        case (true, false) => "active"
+        case (false, true) => "lapsed_big"
+        case (false, false) => "lapsed"
+      }
+      assert(seg == wantSeg, s"cust $ck")
+    }
+    // the reference date is the corpus max: someone has recency 0
+    assert(out.exists(_._2 == 0L))
+  }
+
   test("winsorize clips to discrete per-group order statistics") {
     val out = Analytics.winsorize(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
