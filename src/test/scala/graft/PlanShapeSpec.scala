@@ -42,10 +42,34 @@ class PlanShapeSpec extends SparkSpec {
     // the bin-bucketed equi-join must NOT see
     "range_join_sessions")
 
+  /** The driver hashes ROW ORDER, so every declared query must end in
+    * a total (global) sort — a missing final orderBy hash-mismatches
+    * nondeterministically at driver time, the worst kind of failure.
+    * Limits/projects above the sort are fine (top-k compiles to
+    * GlobalLimit over Sort → TakeOrderedAndProject).
+    */
+  private def hasTotalOrder(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case s: Sort => s.global
+      case l: GlobalLimit => hasTotalOrder(l.child)
+      case l: LocalLimit => hasTotalOrder(l.child)
+      case pr: Project => hasTotalOrder(pr.child)
+      // a global (ungrouped) aggregate yields at most one row — its
+      // order is trivially total, and EliminateSorts correctly strips
+      // the query's final orderBy above it
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      case _ => false
+    }
+  }
+
   for ((key, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"plan shape: $key") {
       val df = fn(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
+      assert(hasTotalOrder(df.queryExecution.optimizedPlan),
+        s"$key does not end in a total ORDER BY (driver hashes row order)")
       graft.core.CacheScope.releaseAll()
       assert(!plan.contains("CartesianProduct"),
         s"$key plans a CartesianProduct:\n$plan")
