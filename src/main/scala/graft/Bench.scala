@@ -32,25 +32,24 @@ object Bench {
       spark.catalog.clearCache()
       sec
     }
+    def fmt(s: Double): String = (math.rint(s * 1000) / 1000).toString
     // deterministic sorted order + min-of-2: the artifact must be
-    // reproducible and robust to transient co-tenant CPU contention
+    // reproducible and robust to transient co-tenant CPU contention.
+    // One SHORT line per query as each finishes (`BENCHQ key min s1 s2`):
+    // the r4/r6 single-line contract overflowed the driver's output-tail
+    // capture once the surface passed ~70 keys (front of the line lost →
+    // unparseable); per-query lines can only be truncated line-wise, and
+    // the machine contract moves to a complete JSON artifact FILE plus a
+    // short, never-overflowing summary line printed last.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val s1 = evalOnce(fn)
       val s2 = evalOnce(fn)
+      println(s"BENCHQ $name ${fmt(math.min(s1, s2))} ${fmt(s1)} ${fmt(s2)}")
       (name, s1, s2)
     }
-    // ms precision: full-double timings made the r4 artifact line long
-    // enough to overflow the driver's output-tail capture (front of the
-    // line cut off -> unparseable), and sub-ms digits carry no signal
-    def fmt(s: Double): String = (math.rint(s * 1000) / 1000).toString
     val qs = results
       .map { case (k, s1, s2) => s"\"" + k + "\":" + fmt(math.min(s1, s2)) }
       .mkString("{", ",", "}")
-    // both raw samples per query: a contaminated run (co-tenant load) is
-    // then self-evident from the artifact (large s1/s2 spread) without
-    // needing an independent re-run to adjudicate. Printed on its OWN
-    // line, before the compact contract line, so the contract line stays
-    // short and last.
     val raw = results
       .map { case (k, s1, s2) => s"\"" + k + "\":[" + fmt(s1) + "," + fmt(s2) + "]" }
       .mkString("{", ",", "}")
@@ -60,8 +59,17 @@ object Bench {
     // CPU) then carries its own explanation
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"raw_timings":$raw,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","load1":${fmt(load)},"queries":$qs,"sf":"$sfDir"}""")
+    val contract =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","load1":${fmt(load)},""" +
+        s""""n_queries":${results.size},"artifact":"bench_artifact.json","queries":$qs,""" +
+        s""""raw_timings":$raw,"sf":"$sfDir"}"""
+    // complete machine-readable artifact (all keys + raw min-of-2
+    // samples + exit load): immune to any stdout capture limit
+    val out = java.nio.file.Paths.get("bench_artifact.json")
+    java.nio.file.Files.write(out, contract.getBytes("UTF-8"))
+    // short summary LAST — this is the line a tail capture parses; it
+    // must stay well under any capture window, so no per-query data
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","load1":${fmt(load)},"n_queries":${results.size},"artifact":"${out.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

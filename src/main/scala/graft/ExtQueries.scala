@@ -56,6 +56,22 @@ object ExtQueries {
     */
   val UnigramVocabSize: Int = 24
 
+  // Shared declared-query parameters, interpolated into BOTH the Spark
+  // call site and the oracle SQL (the DormantMinPrice pattern): a
+  // default changed in one place cannot silently desync the other.
+  /** Trailing-window width (months, inclusive) for revenue_trend. */
+  val RevenueTrendWindow: Int = 3
+  /** Quantity fraction of the per-part mean for small_lot_revenue (Q17's 0.2). */
+  val SmallLotFrac: Double = 0.2
+  /** Stratified-sample fraction for sample_stratified. */
+  val StratifiedFrac: Double = 0.2
+  /** RFM recency horizon (days) for customer_segments. */
+  val SegmentActiveDays: Int = 365
+  /** RFM monetary split for customer_segments. */
+  val SegmentBigSpend: Double = 1500000.0
+  /** Token budget per packed bin for pack_greedy / pack_efficiency. */
+  val PackBudgetTokens: Int = 512
+
   /** Split fractions for the declared train/val/test assignment — the
     * oracle's CASE cascade is generated from the same Seq (and the same
     * [[Corpus.fracThresholdHex]] thresholds), so the two sides cannot
@@ -164,6 +180,129 @@ object ExtQueries {
        |c AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
        |      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id),
        |$NgramVerifyCte""".stripMargin
+
+  /** [[graft.functions.Hashing.hash64]] (FNV-1a roll + splitmix64
+    * finalizer, the kernel under every graft sketch) replicated in
+    * DuckDB SQL: the per-character roll is a `list_reduce` and every
+    * multiply runs in UHUGEINT with an explicit mod-2^64 — JVM wrap
+    * semantics, engine-exact (validated character-for-character against
+    * the JVM kernel). `col` must be a VARCHAR expression; the result
+    * CTE column is the UNSIGNED 64-bit value.
+    *
+    * Cost note: these CTEs are evaluated per DISTINCT gram/word, never
+    * per posting — the reduce is O(total distinct-gram characters).
+    */
+  private def hash64Ctes(prefix: String, src: String, col: String): String =
+    s"""${prefix}_h0 AS (SELECT $col, list_reduce(
+       |    list_prepend(14695981039346656037::UHUGEINT,
+       |      CASE WHEN $col = '' THEN [] ELSE list_transform(
+       |        string_split($col, ''), c -> unicode(c)::UHUGEINT) END),
+       |    (a, c) -> ((xor(a::UHUGEINT, c::UHUGEINT) * 1099511628211::UHUGEINT)
+       |               % 18446744073709551616::UHUGEINT)) AS h FROM $src),
+       |${prefix}_h1 AS (SELECT $col, (xor(h, h // 1073741824) * 13787848793156543929::UHUGEINT)
+       |               % 18446744073709551616::UHUGEINT AS h FROM ${prefix}_h0),
+       |${prefix}_h2 AS (SELECT $col, (xor(h, h // 134217728) * 10723151780598845931::UHUGEINT)
+       |               % 18446744073709551616::UHUGEINT AS h FROM ${prefix}_h1),
+       |${prefix}_h64 AS (SELECT $col, xor(h, h // 2147483648) AS h FROM ${prefix}_h2)""".stripMargin
+
+  /** CTE chain replicating [[Dedup.minHashPairs]] end-to-end, producing
+    * `mh_j(doc_id_a, doc_id_b, est_jaccard)` (threshold applied by the
+    * caller). Signatures use the SAME constants as the codegen'd
+    * [[graft.functions.MinHashSigExpr]] kernel: hash64 per distinct
+    * shingle (31-bit masked), the seeded affine permutation table
+    * emitted as literals from [[graft.functions.Hashing.perms]], min
+    * per permutation. Banding keys on the signature SLICE rather than
+    * Hashing.bandKey — bucket collision sets are identical short of
+    * 2^-64 band-key hash collisions (the repo's established
+    * hash-approximation tolerance), and slices ORDER the oracle toward
+    * readability over kernel mimicry.
+    */
+  private def minhashPairCtes(k: Int, bands: Int): String = {
+    val r = k / bands
+    val cap = Dedup.MaxBucket
+    val n = graft.functions.Hashing.ShingleN
+    val permRows = graft.functions.Hashing.perms.take(k).zipWithIndex
+      .map { case ((a, b), p) => s"($p, $a, $b)" }.mkString(", ")
+    val bandList = (0 until bands).mkString("[", ", ", "]")
+    s"""mh_d AS (SELECT doc_id, $NormSql AS norm FROM documents),
+       |mh_w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM mh_d),
+       |mh_g AS (SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(1, len(ws) - ${n - 1}) + 1),
+       |    i -> array_to_string(ws[i:i+${n - 1}], ' '))) AS gram FROM mh_w),
+       |mh_dg AS (SELECT DISTINCT gram FROM mh_g),
+       |${hash64Ctes("mh", "mh_dg", "gram")},
+       |mh_gh AS (SELECT gram, (h % 2147483648::UHUGEINT)::BIGINT AS h31 FROM mh_h64),
+       |mh_perms(p, pa, pb) AS (VALUES $permRows),
+       |mh_sv AS (SELECT g.doc_id, pm.p, min((pm.pa * hh.h31 + pm.pb) % 2147483647) AS v
+       |      FROM mh_g g JOIN mh_gh hh USING (gram)
+       |      CROSS JOIN mh_perms pm GROUP BY g.doc_id, pm.p),
+       |mh_sig AS (SELECT doc_id, list(v ORDER BY p) AS sig FROM mh_sv GROUP BY doc_id),
+       |mh_b AS (SELECT doc_id, sig, unnest($bandList) AS band FROM mh_sig),
+       |mh_bk AS (SELECT doc_id, sig, band,
+       |      (sig[band*$r+1 : band*$r+$r])::VARCHAR AS bkey FROM mh_b),
+       |mh_big AS (SELECT band, bkey FROM mh_bk
+       |      GROUP BY band, bkey HAVING count(*) > $cap),
+       |mh_cap AS (SELECT b.* FROM mh_bk b WHERE NOT EXISTS (
+       |      SELECT 1 FROM mh_big o WHERE o.band = b.band AND o.bkey = b.bkey)),
+       |mh_pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |        a.sig AS sig_a, b.sig AS sig_b
+       |      FROM mh_cap a JOIN mh_cap b ON a.band = b.band AND a.bkey = b.bkey
+       |                                 AND a.doc_id < b.doc_id),
+       |mh_j AS (SELECT doc_id_a, doc_id_b,
+       |        len(list_filter(range(1, ${k + 1}),
+       |          i -> sig_a[i] = sig_b[i]))::DOUBLE / $k AS est_jaccard
+       |      FROM mh_pairs)""".stripMargin
+  }
+
+  /** CTE chain replicating [[Dedup.simHashPairs]] (maxHamming 3 →
+    * 4×16-bit pigeonhole bands), producing `sh_j(doc_id_a, doc_id_b,
+    * hamming)`. Word hashes are full 64-bit hash64 over the DISTINCT
+    * words of the normalized text; per-bit ±1 votes, sign → bit.
+    * Hamming runs on the SIGNED reinterpretation (bit_count has no
+    * UHUGEINT overload) — XOR bit counts are representation-invariant.
+    */
+  private def simhashPairCtes(maxHamming: Int): String = {
+    val cap = Dedup.MaxBucket
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val chunkDiv = (0 until chunks)
+      .map(i => s"WHEN $i THEN ${java.lang.Long.toUnsignedString(1L << (i * bitsPer))}::UHUGEINT")
+      .mkString(" ")
+    s"""sh_d AS (SELECT doc_id, $NormSql AS norm FROM documents),
+       |sh_w AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS word FROM sh_d),
+       |sh_dw AS (SELECT DISTINCT word FROM sh_w),
+       |${hash64Ctes("sh", "sh_dw", "word")},
+       |sh_bits(bit) AS (SELECT unnest(range(0, 64))),
+       |sh_votes AS (SELECT w.doc_id, b.bit,
+       |      sum(CASE WHEN (h.h // (1::UHUGEINT << b.bit::UHUGEINT)) % 2 = 1
+       |               THEN 1 ELSE -1 END) AS votes
+       |    FROM sh_w w JOIN sh_h64 h USING (word) CROSS JOIN sh_bits b
+       |    GROUP BY w.doc_id, b.bit),
+       |sh_sig AS (SELECT doc_id,
+       |      sum(CASE WHEN votes > 0 THEN 1::HUGEINT << bit::HUGEINT
+       |               ELSE 0::HUGEINT END)::UHUGEINT AS shu
+       |    FROM sh_votes GROUP BY doc_id),
+       |sh_b AS (SELECT doc_id, shu, unnest(${(0 until chunks).mkString("[", ", ", "]")}) AS band
+       |    FROM sh_sig),
+       |sh_bk AS (SELECT doc_id, shu, band,
+       |      (shu // (CASE band $chunkDiv END)) % ${1L << bitsPer} AS bkey FROM sh_b),
+       |sh_big AS (SELECT band, bkey FROM sh_bk
+       |      GROUP BY band, bkey HAVING count(*) > $cap),
+       |sh_cap AS (SELECT b.* FROM sh_bk b WHERE NOT EXISTS (
+       |      SELECT 1 FROM sh_big o WHERE o.band = b.band AND o.bkey = b.bkey)),
+       |sh_pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |        a.shu AS shu_a, b.shu AS shu_b
+       |      FROM sh_cap a JOIN sh_cap b ON a.band = b.band AND a.bkey = b.bkey
+       |                                 AND a.doc_id < b.doc_id),
+       |sh_signed AS (SELECT doc_id_a, doc_id_b,
+       |      (shu_a::HUGEINT - CASE WHEN shu_a >= 9223372036854775808::UHUGEINT
+       |        THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS sa,
+       |      (shu_b::HUGEINT - CASE WHEN shu_b >= 9223372036854775808::UHUGEINT
+       |        THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS sb
+       |    FROM sh_pairs),
+       |sh_j AS (SELECT doc_id_a, doc_id_b,
+       |      bit_count(xor(sa, sb))::INTEGER AS hamming FROM sh_signed)""".stripMargin
+  }
 
   val queries: Map[String, Q] = Map(
     // -- text analysis --
@@ -355,7 +494,8 @@ object ExtQueries {
     "chunk_documents" -> ((s: SparkSession, dir: String) =>
       Corpus.chunkDocuments(docs(s, dir))),
     "pack_greedy_documents" -> ((s: SparkSession, dir: String) =>
-      Corpus.packGreedy(docs(s, dir), shardsPerStratum = PackShards)),
+      Corpus.packGreedy(docs(s, dir), budgetTokens = PackBudgetTokens,
+        shardsPerStratum = PackShards)),
     "curate_documents" -> ((s: SparkSession, dir: String) =>
       // full pipeline: redact → quality-filter → dedup → sample
       Corpus.curate(docs(s, dir))),
@@ -369,7 +509,7 @@ object ExtQueries {
     }),
     "sample_stratified_documents" -> ((s: SparkSession, dir: String) =>
       // per-lang proportional content-addressed sample
-      Corpus.sampleStratified(docs(s, dir), frac = 0.2)),
+      Corpus.sampleStratified(docs(s, dir), frac = StratifiedFrac)),
     "segment_dedup_documents" -> ((s: SparkSession, dir: String) =>
       // C4-style global duplicate-segment removal (keep-first) with
       // document reassembly from the surviving segments
@@ -413,7 +553,7 @@ object ExtQueries {
       Sessionize.sessionStats(Sources.table(s, dir, "events"))),
     "analytics_small_lot_revenue" -> ((s: SparkSession, dir: String) =>
       // Q17 shape: decorrelated per-part average joined back on the key
-      Analytics.smallLotRevenue(s, dir)),
+      Analytics.smallLotRevenue(s, dir, SmallLotFrac)),
     // -- range join: concurrent-session pairs (interval overlap) --
     "range_join_sessions" -> ((s: SparkSession, dir: String) =>
       RangeJoin.sessionOverlaps(Sources.table(s, dir, "events"))),
@@ -454,7 +594,7 @@ object ExtQueries {
       Analytics.dormantCustomers(s, dir, DormantMinPrice)),
     "analytics_revenue_trend" -> ((s: SparkSession, dir: String) =>
       // frame-bounded window over the aggregated month domain
-      Analytics.revenueTrend(s, dir)),
+      Analytics.revenueTrend(s, dir, RevenueTrendWindow)),
     "analytics_revenue_forecast" -> ((s: SparkSession, dir: String) =>
       // TPC-H Q6 shape: the pure pushdown probe (3 scan predicates)
       Analytics.revenueForecast(s, dir)),
@@ -481,13 +621,14 @@ object ExtQueries {
       Analytics.priorityFulfillment(s, dir)),
     "analytics_customer_segments" -> ((s: SparkSession, dir: String) =>
       // RFM segmentation vs the data-derived reference date
-      Analytics.customerSegments(s, dir)),
+      Analytics.customerSegments(s, dir, SegmentActiveDays, SegmentBigSpend)),
     "lang_confusion_documents" -> ((s: SparkSession, dir: String) =>
       // language-metadata QA: declared vs predicted confusion matrix
       TextStats.langConfusion(docs(s, dir))),
     "pack_efficiency_documents" -> ((s: SparkSession, dir: String) =>
       // bin-fill report over the declared packing (bins → strata rollup)
-      Corpus.packEfficiency(docs(s, dir), shardsPerStratum = PackShards)),
+      Corpus.packEfficiency(docs(s, dir), budgetTokens = PackBudgetTokens,
+        shardsPerStratum = PackShards)),
     "winsorize_events" -> ((s: SparkSession, dir: String) =>
       Analytics.winsorize(s, dir)),
     // -- multimodal --
@@ -1040,12 +1181,12 @@ object ExtQueries {
          |ORDER BY doc_id""".stripMargin
     },
     "sample_stratified_documents" ->
-      """WITH r AS (SELECT d.*,
-        |  row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn,
-        |  count(*) OVER (PARTITION BY lang) AS n
-        |  FROM documents d)
-        |SELECT doc_id, text, lang, source, n_chars FROM r
-        |WHERE rn <= ceil(n * 0.2) ORDER BY doc_id""".stripMargin,
+      s"""WITH r AS (SELECT d.*,
+         |  row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY lang) AS n
+         |  FROM documents d)
+         |SELECT doc_id, text, lang, source, n_chars FROM r
+         |WHERE rn <= ceil(n * $StratifiedFrac) ORDER BY doc_id""".stripMargin,
     // segment dedup: the oracle keeps the straightforward window-rank
     // keep-first (the Spark side's min(struct) aggregation is the
     // scale shape, not different semantics)
@@ -1121,7 +1262,7 @@ object ExtQueries {
          |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
          |SELECT doc_id, lang, n_tokens,
          |  lang || '#' || shard::VARCHAR || '#' ||
-         |    CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT)::VARCHAR AS pack_id
+         |    CAST(FLOOR((cum - n_tokens) / $PackBudgetTokens) AS BIGINT)::VARCHAR AS pack_id
          |FROM c ORDER BY doc_id""".stripMargin,
     "curate_documents" -> {
       val stops = likeScoreSql(TextStats.LangMarkers.flatMap(_._2).distinct)
@@ -1214,15 +1355,15 @@ object ExtQueries {
     // joined back by key — the oracle mirrors the same rewrite (and the
     // same exact-decimal-sum → one portable 6-dp division per part)
     "analytics_small_lot_revenue" ->
-      """WITH a AS (SELECT l_partkey,
-        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
-        |    AS avg_qty
-        |  FROM lineitem GROUP BY 1)
-        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        |  count(*) AS n_items
-        |FROM lineitem l JOIN a USING (l_partkey)
-        |WHERE l.l_quantity < a.avg_qty * 0.2
-        |ORDER BY revenue""".stripMargin,
+      s"""WITH a AS (SELECT l_partkey,
+         |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+         |    AS avg_qty
+         |  FROM lineitem GROUP BY 1)
+         |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem l JOIN a USING (l_partkey)
+         |WHERE l.l_quantity < a.avg_qty * $SmallLotFrac
+         |ORDER BY revenue""".stripMargin,
     "sessionize_events" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),
          |s AS (SELECT event_id, user_id, ts,
@@ -1388,18 +1529,18 @@ object ExtQueries {
     // reference date is the corpus max (data-derived, reproducible);
     // spend compared in DECIMAL on both engines before any double cast
     "analytics_customer_segments" ->
-      """WITH pc AS (SELECT o_custkey, max(o_orderdate) AS last_d,
-        |  count(*)::BIGINT AS n_orders,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
-        |  FROM orders GROUP BY 1),
-        |rr AS (SELECT max(o_orderdate) AS refd FROM orders)
-        |SELECT o_custkey, date_diff('day', last_d, refd)::BIGINT AS recency_days,
-        |  n_orders, CAST(spend AS DOUBLE) AS total_spend,
-        |  CASE WHEN date_diff('day', last_d, refd) <= 365
-        |       THEN CASE WHEN spend >= 1500000 THEN 'active_big' ELSE 'active' END
-        |       ELSE CASE WHEN spend >= 1500000 THEN 'lapsed_big' ELSE 'lapsed' END
-        |  END AS segment
-        |FROM pc CROSS JOIN rr ORDER BY o_custkey""".stripMargin,
+      s"""WITH pc AS (SELECT o_custkey, max(o_orderdate) AS last_d,
+         |  count(*)::BIGINT AS n_orders,
+         |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+         |  FROM orders GROUP BY 1),
+         |rr AS (SELECT max(o_orderdate) AS refd FROM orders)
+         |SELECT o_custkey, date_diff('day', last_d, refd)::BIGINT AS recency_days,
+         |  n_orders, CAST(spend AS DOUBLE) AS total_spend,
+         |  CASE WHEN date_diff('day', last_d, refd) <= $SegmentActiveDays
+         |       THEN CASE WHEN spend >= $SegmentBigSpend THEN 'active_big' ELSE 'active' END
+         |       ELSE CASE WHEN spend >= $SegmentBigSpend THEN 'lapsed_big' ELSE 'lapsed' END
+         |  END AS segment
+         |FROM pc CROSS JOIN rr ORDER BY o_custkey""".stripMargin,
     "analytics_priority_fulfillment" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_orders
         |FROM orders o
@@ -1441,13 +1582,13 @@ object ExtQueries {
          |    ROWS UNBOUNDED PRECEDING) AS cum FROM t),
          |p AS (SELECT lang,
          |  lang || '#' || shard::VARCHAR || '#' ||
-         |    CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT)::VARCHAR AS pack_id,
+         |    CAST(FLOOR((cum - n_tokens) / $PackBudgetTokens) AS BIGINT)::VARCHAR AS pack_id,
          |  n_tokens FROM c),
          |b AS (SELECT lang, pack_id, sum(n_tokens) AS bt, count(*) AS bd
          |      FROM p GROUP BY 1, 2)
          |SELECT lang, count(*)::BIGINT AS n_bins, sum(bd)::BIGINT AS n_docs,
          |  sum(bt)::BIGINT AS total_tokens, max(bt)::BIGINT AS max_bin_tokens,
-         |  round(sum(bt)::DOUBLE / (count(*) * 512), 4) AS fill_rate
+         |  round(sum(bt)::DOUBLE / (count(*) * $PackBudgetTokens), 4) AS fill_rate
          |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
     // day bucket via integral µs arithmetic on BOTH engines — no
     // session-timezone dependence in the hash compare
@@ -1455,7 +1596,8 @@ object ExtQueries {
       val known = Analytics.EventTypes.map(t => s"'$t'").mkString(", ")
       val cols = (Analytics.EventTypes.map(t =>
         s"  sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)::BIGINT AS n_$t") :+
-        s"  sum(CASE WHEN event_type NOT IN ($known) THEN 1 ELSE 0 END)::BIGINT AS n_${Analytics.PivotOther}")
+        s"  sum(CASE WHEN event_type IS NULL OR event_type NOT IN ($known) " +
+          s"THEN 1 ELSE 0 END)::BIGINT AS n_${Analytics.PivotOther}")
         .mkString(",\n")
       s"""WITH e AS (SELECT
          |  (DATE '1970-01-01' + ((epoch_us(ts) // 86400000000)::INT))::VARCHAR AS day,
@@ -1474,14 +1616,15 @@ object ExtQueries {
     // independent), one double cast at the end — same money contract
     // as the other analytics oracles
     "analytics_revenue_trend" ->
-      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev, count(*) AS n_orders
-        |  FROM orders GROUP BY 1)
-        |SELECT month, CAST(rev AS DOUBLE) AS revenue, n_orders,
-        |  CAST(SUM(rev) OVER (ORDER BY month
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS revenue_trailing,
-        |  CAST(rev - COALESCE(lag(rev) OVER (ORDER BY month), rev) AS DOUBLE) AS mom_delta
-        |FROM m ORDER BY month""".stripMargin,
+      s"""WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev, count(*) AS n_orders
+         |  FROM orders GROUP BY 1)
+         |SELECT month, CAST(rev AS DOUBLE) AS revenue, n_orders,
+         |  CAST(SUM(rev) OVER (ORDER BY month
+         |    ROWS BETWEEN ${RevenueTrendWindow - 1} PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS revenue_trailing,
+         |  CAST(rev - COALESCE(lag(rev) OVER (ORDER BY month), rev) AS DOUBLE) AS mom_delta
+         |FROM m ORDER BY month""".stripMargin,
     "analytics_event_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -1573,14 +1716,62 @@ object ExtQueries {
          |  (doc_id % 3)::DOUBLE AS f_kind
          |FROM documents ORDER BY media_id""".stripMargin
     },
-    // no oracle (custom string-hash kernels, not SQL-replicable):
-    // dedup_minhash* (xxhash64 shingles), dedup_simhash_pairs,
-    // dedup_ngram_lsh_pairs (minhash candidates), dedup_cluster (minhash
-    // variant; the exact variant IS oracle-checked above),
-    // similarity_ivf_trained (Lloyd centroid float means are
-    // summation-order-sensitive; the seed variant IS oracle-checked
-    // above) — each covered by scalatest property/brute-force checks
-    // AND a committed sf0.001 golden fixture (GoldenFixtureSpec) as a
-    // hard re-run regression signal.
+    // MinHash family: the full sketch pipeline (hash64 kernel, seeded
+    // perm table, banding, bucket cap, agreement estimate) replicated
+    // in SQL from the same constants — see minhashPairCtes. est_jaccard
+    // is agree/k with k a power of two: exactly representable, no
+    // rounding knife edge across engines.
+    "dedup_minhash_pairs_documents" ->
+      s"""WITH ${minhashPairCtes(16, 4)}
+         |SELECT doc_id_a, doc_id_b, est_jaccard FROM mh_j
+         |WHERE est_jaccard >= 0.2 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "dedup_minhash_pairs_k128_documents" ->
+      s"""WITH ${minhashPairCtes(128, 32)}
+         |SELECT doc_id_a, doc_id_b, est_jaccard FROM mh_j
+         |WHERE est_jaccard >= 0.5 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    // pair-drop dedup: drop the higher doc_id of every confident pair
+    "dedup_minhash_documents" ->
+      s"""WITH ${minhashPairCtes(16, 4)},
+         |losers AS (SELECT DISTINCT doc_id_b AS doc_id FROM mh_j
+         |           WHERE est_jaccard >= 0.8)
+         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         |FROM documents d WHERE NOT EXISTS (
+         |  SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // transitive closure of the SAME minhash pair set (est ≥ 0.8): min
+    // reachable doc_id ≡ GraphX connectedComponents' min-vertex label
+    "dedup_cluster_documents" ->
+      s"""WITH RECURSIVE ${minhashPairCtes(16, 4)},
+         |p AS (SELECT doc_id_a, doc_id_b FROM mh_j WHERE est_jaccard >= 0.8),
+         |edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM p
+         |          UNION ALL SELECT doc_id_b, doc_id_a FROM p),
+         |walk(doc_id, reach) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT wk.doc_id, e2.b FROM walk wk JOIN edges e2 ON wk.reach = e2.a)
+         |SELECT doc_id, min(reach)::BIGINT AS cluster_id
+         |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // LSH-candidate n-gram pairs: MinHash banding prunes the pair
+    // space (est ≥ 0.1), exact Jaccard verifies — the Spark side
+    // compares 64-bit gram hashes, the oracle the gram strings
+    // (identical short of 2^-64 collisions, as with dedup_ngram_pairs)
+    "dedup_ngram_lsh_pairs_documents" ->
+      s"""WITH ${minhashPairCtes(16, 4)},
+         |$NgramBaseCtes,
+         |c AS (SELECT doc_id_a, doc_id_b FROM mh_j WHERE est_jaccard >= 0.1),
+         |$NgramVerifyCte
+         |SELECT doc_id_a, doc_id_b, exact_jaccard FROM j
+         |WHERE exact_jaccard >= 0.1 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    // SimHash near-dup pairs: 64-bit word-vote sketch + 4×16-bit
+    // pigeonhole bands + bucket cap, replicated from the same kernel
+    "dedup_simhash_pairs_documents" ->
+      s"""WITH ${simhashPairCtes(3)}
+         |SELECT doc_id_a, doc_id_b, hamming FROM sh_j
+         |WHERE hamming <= 3 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    // no oracle (remaining): similarity_ivf_trained (Lloyd centroid
+    // float means are summation-order-sensitive; the seed variant IS
+    // oracle-checked above) — covered by scalatest property checks AND
+    // a committed sf0.001 golden fixture (GoldenFixtureSpec) as a hard
+    // re-run regression signal.
   )
 }

@@ -76,6 +76,22 @@ object QueryCatalog {
     "merge_insert_only_supplier" -> ((s: SparkSession, dir: String) =>
       Loader.upsert(t(s, dir, "supplier"), supplierStaging(s, dir), Seq("s_suppkey"))
         .orderBy("s_suppkey")),
+    "merge_upsert_partitioned_orders" -> ((s: SparkSession, dir: String) => {
+      // the bounded-rewrite Update path, measured end-to-end: land a
+      // PARTITIONED target (5 o_orderpriority partitions), MERGE the
+      // same staging as merge_upsert_orders through Loader.mergeInto
+      // (touched-partition pruning + dynamic partition overwrite — the
+      // swap-free path a 100 TB target needs), read the table back.
+      // Table name is applicationId-scoped: the shared warehouse dir
+      // must survive a bench running beside a verify.
+      val orders = t(s, dir, "orders")
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val tbl = s"merge_part_target_$app"
+      orders.write.mode("overwrite").partitionBy("o_orderpriority").saveAsTable(tbl)
+      Loader.mergeInto(s, tbl, ordersStaging(s, dir), Seq("o_orderkey"))
+      s.table(tbl).select(orders.columns.map(col).toIndexedSeq: _*)
+        .orderBy("o_orderkey")
+    }),
     "full_replace_part" -> ((s: SparkSession, dir: String) =>
       Loader.fullReplace(partStaging(s, dir)).orderBy("p_partkey")),
     "sanitize_columns_events" -> ((s: SparkSession, dir: String) =>
@@ -103,6 +119,10 @@ object QueryCatalog {
 
   private val mergeOracles: Map[String, String] = Map(
     "merge_upsert_orders" ->
+      mergeOracle("orders", "o_orderkey", ordersStagingSql, "o_orderkey"),
+    // the bounded-rewrite path must produce the SAME relation as the
+    // swap rewrite: one oracle expression serves both merge shapes
+    "merge_upsert_partitioned_orders" ->
       mergeOracle("orders", "o_orderkey", ordersStagingSql, "o_orderkey"),
     "merge_update_only_customer" -> mergeOracle(
       "customer", "c_custkey",

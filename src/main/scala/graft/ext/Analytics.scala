@@ -140,7 +140,11 @@ object Analytics {
   def eventPivot(spark: SparkSession, dir: String): DataFrame = {
     val events = Sources.table(spark, dir, "events")
     // integral DIV, not double `/`+floor: a double quotient one ulp shy
-    // of an integer would mis-bucket the µs exactly on midnight
+    // of an integer would mis-bucket the µs exactly on midnight.
+    // Positive-epoch assumption (here and in userRetention/dailyAnomaly):
+    // DIV truncates toward zero while the oracle's `//` floors, so the
+    // two disagree on PRE-1970 timestamps — fine for event data, not a
+    // general date kernel
     val day = date_add(
       to_date(lit("1970-01-01")),
       expr("ts DIV 86400000000").cast("int"))

@@ -362,6 +362,12 @@ object Corpus {
         graft.functions.GraftFunctions.ngramHashes(col("text"), n)).as("gram"))
       .distinct()
       .withColumn("_hit", lit(1L))
+    // n_grams/n_hits are HASH-approximate counts (distinct 64-bit gram
+    // hashes, not distinct gram strings): an in-doc collision would
+    // shift both by one (~2^-64 per gram pair). Unlike decontaminate's
+    // boolean verdict this query EXPOSES the raw counts, so on real
+    // 100 TB data treat them as approximate; the synthetic-corpus
+    // oracle compare is collision-free in practice.
     documents
       .select(col("doc_id"),
         explode(

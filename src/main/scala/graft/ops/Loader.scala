@@ -185,6 +185,107 @@ object Loader {
   case object Create extends LoadMode // 'Create' → WRITE_TRUNCATE full replace
   case object Update extends LoadMode // 'Update' → staging + MERGE
 
+  /** Above this many touched partitions an Update falls back to the full
+    * swap rewrite (same bound, same rationale as the streaming sink's
+    * [[graft.streaming.StreamLoader.MaxTouchedPartitions]]): the
+    * per-partition OR predicate grows on the driver, and a staging batch
+    * touching thousands of partitions is rewriting most of the table
+    * regardless.
+    */
+  val MaxTouchedPartitions = 256
+
+  /** The swap table the unpartitioned rewrite stages into. */
+  def swapName(table: String): String = s"${table}_merged_swap"
+
+  /** Crash recovery for the swap rewrite: the drop-then-rename at the
+    * end of an unpartitioned Update has a window where the target name
+    * is absent but the fully-written swap table exists (saveAsTable
+    * registers the swap in the catalog only after its data is
+    * committed, so a catalog-visible swap IS complete). A restart that
+    * finds that state renames the swap into place before merging —
+    * the batch analogue of [[graft.streaming.StreamLoader.recoverIfMissing]].
+    */
+  def recoverFromSwap(spark: org.apache.spark.sql.SparkSession, table: String): Boolean = {
+    val swap = swapName(table)
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(swap)) {
+      spark.sql(s"ALTER TABLE `$swap` RENAME TO `$table`")
+      true
+    } else false
+  }
+
+  /** MERGE an already-landed staging table into an existing catalog
+    * target, in place. Write amplification is BOUNDED BY THE STAGING
+    * BATCH, not the table, when the target is partitioned: the merge
+    * runs against only the partitions staging touches (literal
+    * predicates partition-prune the target scan) and dynamic partition
+    * overwrite replaces only those partitions' files — a 1-row staging
+    * batch into a 100 TB date-partitioned target rewrites one
+    * partition, never the table (the scale posture BigQuery's MERGE
+    * gives the reference for free, gcp_function.py:82-92).
+    * Unpartitioned targets keep the snapshot-swap (inherently
+    * O(|target|) without a transactional format), crash-recoverable via
+    * [[recoverFromSwap]].
+    *
+    * Caveat (standard for partitioned Hive-style MERGE): a key's
+    * partition value must be immutable — a "moved" row leaves its old
+    * copy behind; and the per-partition overwrite is atomic per
+    * partition, not across partitions.
+    */
+  def mergeInto(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      staging: DataFrame,
+      keys: Seq[String],
+      broadcastStaging: Option[Boolean] = None): Unit = {
+    val target = spark.table(table)
+    val info = org.apache.spark.sql.GraftBridge.tableInfo(spark, table)
+    val pcols = info.partitionColumnNames
+    // the touched-partition list is a collect over staging's DISTINCT
+    // partition values, limit-bounded — tiny by construction
+    val touched =
+      if (pcols.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else staging.select(pcols.map(col): _*)
+        .distinct().limit(MaxTouchedPartitions + 1).collect()
+    if (pcols.nonEmpty && touched.length <= MaxTouchedPartitions) {
+      val cond = touched.toSeq
+        .map(r => pcols.zipWithIndex
+          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+          .reduce(_ && _))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val slice = target.filter(cond)
+      val merged = upsert(slice, staging, keys, broadcastStaging = broadcastStaging)
+      // Spark refuses INSERT OVERWRITE on a table the plan also reads
+      // (UNSUPPORTED_OVERWRITE): land the merged slice — bounded by the
+      // touched partitions, not the table — as a scratch table first
+      val tmp = s"${table}_merge_slice_swap"
+      writeTable(merged, tmp)
+      // dynamic mode via session conf: static mode would TRUNCATE the
+      // untouched partitions
+      val confKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(confKey)
+      spark.conf.set(confKey, "dynamic")
+      try
+        spark.table(tmp)
+          .select(target.columns.map(col).toIndexedSeq: _*)
+          .write.mode("overwrite")
+          .insertInto(table)
+      finally {
+        spark.conf.set(confKey, prev)
+        dropTable(spark, tmp)
+      }
+    } else {
+      // unpartitioned (or partition-storm): full rewrite via swap table
+      // (same provider/partitioning/bucketing — the rename must not
+      // flatten the target's layout), then drop + rename — fully
+      // distributed, no collect; recoverable by [[recoverFromSwap]]
+      val merged = upsert(target, staging, keys, broadcastStaging = broadcastStaging)
+      val swap = swapName(table)
+      writeTableLike(merged, swap, info)
+      dropTable(spark, table)
+      spark.sql(s"ALTER TABLE `$swap` RENAME TO `$table`")
+    }
+  }
+
   /** O19, `final_load_data_into_bigquery`: dispatch a batch of rows into
     * `table` using the registry's schema + merge keys.
     *
@@ -207,6 +308,9 @@ object Loader {
       case Create =>
         writeTable(aligned, table)
       case Update =>
+        // a crash between the previous run's drop and rename leaves the
+        // swap holding the complete merged target: restore it first
+        recoverFromSwap(spark, table)
         if (!aligned.isEmpty) {
           val stagingName = s"${table}_temp"
           writeTable(aligned, stagingName) // land staging (WRITE_TRUNCATE)
@@ -223,17 +327,8 @@ object Loader {
           // auto (broadcast-capable) decision instead
           val bucketedOnKeys = info.bucketColumnNames.nonEmpty &&
             info.bucketColumnNames.forall(entry.keyColumns.contains)
-          val merged = upsert(
-            spark.table(table), spark.table(stagingName), entry.keyColumns,
+          mergeInto(spark, table, spark.table(stagingName), entry.keyColumns,
             broadcastStaging = if (bucketedOnKeys) Some(false) else None)
-          // cannot overwrite the table the plan reads from: materialize
-          // to a swap table (same provider/partitioning/bucketing as the
-          // target — the rename must not flatten its layout), then
-          // rename — fully distributed, no collect
-          val swap = s"${table}_merged_swap"
-          writeTableLike(merged, swap, info)
-          dropTable(spark, table)
-          spark.sql(s"ALTER TABLE `$swap` RENAME TO `$table`")
           dropTable(spark, stagingName)
         }
     }

@@ -44,22 +44,38 @@ class GoldenFixtureSpec extends SparkSpec {
   private val noOracleKeys =
     (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
 
-  test("no-oracle key set matches the committed fixture set") {
-    val fixtures =
-      if (Files.exists(goldenDir)) {
-        val s = Files.list(goldenDir)
-        try s.toArray.toSeq
-          .map(_.toString.split('/').last.stripSuffix(".txt"))
-          .sorted
-        finally s.close()
-      } else Seq.empty
-    if (!regen)
-      assert(fixtures == noOracleKeys,
-        s"fixture set drifted: fixtures=$fixtures vs no-oracle=$noOracleKeys " +
+  /** The committed fixture set: every no-oracle key MUST be pinned here,
+    * and keys that have since gained a DuckDB oracle (the r7 MinHash/
+    * SimHash conversions) KEEP their fixtures as a second, driver-
+    * independent regression signal over the sketch kernels.
+    */
+  private val fixtureKeys: Seq[String] =
+    if (Files.exists(goldenDir)) {
+      val s = Files.list(goldenDir)
+      try s.toArray.toSeq
+        .map(_.toString.split('/').last)
+        .filter(_.endsWith(".txt"))
+        .map(_.stripSuffix(".txt"))
+        .sorted
+      finally s.close()
+    } else Seq.empty
+
+  test("every no-oracle key has a committed fixture; no stale fixtures") {
+    if (!regen) {
+      val missing = noOracleKeys.filterNot(fixtureKeys.contains)
+      assert(missing.isEmpty,
+        s"no-oracle keys without a fixture: $missing " +
           "(regen with -Dgraft.golden.regen=true after an intentional change)")
+      val stale = fixtureKeys.filterNot(SparkEntry.queries.keySet)
+      assert(stale.isEmpty, s"fixtures for undeclared keys: $stale")
+    }
   }
 
-  for (key <- noOracleKeys) {
+  private def sha256(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  for (key <- fixtureKeys.filter(SparkEntry.queries.contains)) {
     test(s"golden: $key") {
       val got = canonical(SparkEntry.queries(key)(spark, sfDir))
       graft.core.CacheScope.releaseAll()
@@ -81,6 +97,36 @@ class GoldenFixtureSpec extends SparkSpec {
         assert(diffs.isEmpty,
           s"$key drifted from fixture (${diffs.size} rows):\n${diffs.take(5).mkString("\n")}")
       }
+    }
+  }
+
+  /** Regen guard (declared AFTER the per-key tests: ScalaTest runs in
+    * declaration order, so in regen mode the manifest is computed from
+    * the fixtures AS REGENERATED). `-Dgraft.golden.regen=true` silently
+    * rewrites fixtures on ANY behavior change — only safe when the diff
+    * is reviewed. The committed MANIFEST pins each fixture's SHA-256, so
+    * an accidental regen (or a hand edit) fails loudly here until the
+    * manifest is updated in the SAME reviewed commit.
+    */
+  test("fixture bytes match the committed MANIFEST.sha256") {
+    val manifestPath = goldenDir.resolve("MANIFEST.sha256")
+    if (regen) {
+      val lines = fixtureKeys.map { k =>
+        s"${sha256(Files.readAllBytes(goldenDir.resolve(s"$k.txt")))}  $k.txt"
+      }
+      Files.write(manifestPath, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    } else {
+      assert(Files.exists(manifestPath),
+        s"missing $manifestPath — regen with -Dgraft.golden.regen=true and review")
+      val want = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty)
+        .map { l => val Array(h, f) = l.split("  ", 2); (f, h) }.toMap
+      val got = fixtureKeys
+        .map(k => (s"$k.txt", sha256(Files.readAllBytes(goldenDir.resolve(s"$k.txt"))))).toMap
+      assert(got == want,
+        s"fixture hashes drifted from MANIFEST.sha256: " +
+          s"${(got.toSet diff want.toSet).map(_._1).toSeq.sorted.mkString(", ")} " +
+          "— if the change is intentional, regen and commit both together")
     }
   }
 }

@@ -20,10 +20,14 @@ class QueryContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles missing ORDER BY: $missing")
   }
 
-  test("declared surface matches the documented round-6 inventory") {
-    assert(SparkEntry.queries.size == 100,
+  test("declared surface matches the documented round-7 inventory") {
+    // r7: +merge_upsert_partitioned_orders (101 keys) and the MinHash/
+    // SimHash oracle conversions (6 golden-only keys gained DuckDB
+    // oracles → 100 oracles; the one remaining no-oracle key is
+    // similarity_ivf_trained_embeddings, golden-pinned)
+    assert(SparkEntry.queries.size == 101,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.9 if intentional)")
-    assert(SparkEntry.oracleSql.size == 93,
+    assert(SparkEntry.oracleSql.size == 100,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} (update SURVEY §2.9 if intentional)")
   }
 

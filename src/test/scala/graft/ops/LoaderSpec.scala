@@ -310,6 +310,138 @@ class LoaderSpec extends SparkSpec {
     }
   }
 
+  /** Per-partition file inventory of a managed table's warehouse dir:
+    * relative path → (size, mtime). Equality of an entry across a merge
+    * proves that partition's files were not rewritten — the bounded-
+    * rewrite invariant, asserted at the filesystem level.
+    */
+  private def fileInventory(table: String): Map[String, (Long, Long)] = {
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(root)
+    try s.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(p => (root.relativize(p).toString,
+        (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)))
+      .toMap
+    finally s.close()
+  }
+
+  test("partitioned target: a 1-row merge rewrites exactly 1 partition (r6 verdict #1)") {
+    import spark.implicits._
+    dropWithLocation("part_merge_target")
+    dropWithLocation("part_merge_target_merge_slice_swap")
+    val big = spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") % 5).cast("int").as("p"),
+        col("id").cast("double").as("v"))
+    big.write.mode("overwrite").partitionBy("p").saveAsTable("part_merge_target")
+    val before = fileInventory("part_merge_target")
+    assert(before.keys.exists(_.startsWith("p=0")) && before.keys.exists(_.startsWith("p=4")))
+    // one staged row, lands in partition p=2 (updates key 7)
+    val staging = Seq((7L, 2, 777.0)).toDF("k", "p", "v")
+      .select(col("k"), col("v"), col("p")) // column order must not matter
+    Loader.mergeInto(spark, "part_merge_target", staging, Seq("k"))
+    // content: merged row present, everything else untouched
+    val out = spark.table("part_merge_target").orderBy("k").collect()
+    assert(out.length == 1000)
+    assert(out(7).getDouble(out(7).fieldIndex("v")) == 777.0)
+    assert(out(8).getDouble(out(8).fieldIndex("v")) == 8.0)
+    // filesystem: ONLY p=2 files changed — the other 4 partitions'
+    // files are byte-for-byte the ones written before the merge
+    val after = fileInventory("part_merge_target")
+    val untouchedBefore = before.filterNot(_._1.startsWith("p=2"))
+    val untouchedAfter = after.filterNot(_._1.startsWith("p=2"))
+    assert(untouchedAfter == untouchedBefore,
+      s"untouched partitions were rewritten:\n before=$untouchedBefore\n after=$untouchedAfter")
+    assert(after.keys.exists(_.startsWith("p=2")))
+    assert(before.filter(_._1.startsWith("p=2")) != after.filter(_._1.startsWith("p=2")),
+      "touched partition p=2 was not rewritten")
+    // layout preserved through the in-place overwrite
+    val info = org.apache.spark.sql.GraftBridge.tableInfo(spark, "part_merge_target")
+    assert(info.partitionColumnNames == Seq("p"), s"layout changed: $info")
+    // the scratch slice table is cleaned up
+    assert(!spark.catalog.tableExists("part_merge_target_merge_slice_swap"))
+    spark.sql("DROP TABLE IF EXISTS part_merge_target")
+  }
+
+  test("partitioned target: inserts into a NEW partition leave existing ones untouched") {
+    import spark.implicits._
+    dropWithLocation("part_insert_target")
+    val big = spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") % 3).cast("int").as("p"),
+        col("id").cast("double").as("v"))
+    big.write.mode("overwrite").partitionBy("p").saveAsTable("part_insert_target")
+    val before = fileInventory("part_insert_target")
+    val staging = Seq((1000L, 9, 1.0), (1001L, 9, 2.0)).toDF("k", "p", "v")
+    Loader.mergeInto(spark, "part_insert_target", staging, Seq("k"))
+    val out = spark.table("part_insert_target")
+    assert(out.count() == 102)
+    assert(out.filter(col("p") === 9).count() == 2)
+    val after = fileInventory("part_insert_target")
+    assert(after.filterNot(_._1.startsWith("p=9")) == before,
+      "pre-existing partitions were rewritten by a new-partition insert")
+    spark.sql("DROP TABLE IF EXISTS part_insert_target")
+  }
+
+  test("unpartitioned target: mergeInto takes the swap path, recoverable mid-crash (r6 verdict #7)") {
+    import spark.implicits._
+    dropWithLocation("swap_merge_target")
+    dropWithLocation("swap_merge_target_merged_swap")
+    target.write.mode("overwrite").saveAsTable("swap_merge_target")
+    val staging = Seq((2L, "b2", 22.0), (9L, "i", 90.0)).toDF("k", "name", "v")
+    Loader.mergeInto(spark, "swap_merge_target", staging, Seq("k"))
+    val out = spark.table("swap_merge_target").orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 9L))
+    assert(!spark.catalog.tableExists("swap_merge_target_merged_swap"))
+    // crash simulation: the drop-then-rename window — target name gone,
+    // fully-committed swap present (a catalog-visible swap IS complete:
+    // saveAsTable registers it only after the write commits)
+    spark.table("swap_merge_target").write.mode("overwrite")
+      .saveAsTable("swap_merge_target_merged_swap")
+    spark.sql("DROP TABLE swap_merge_target")
+    assert(Loader.recoverFromSwap(spark, "swap_merge_target"))
+    val recovered = spark.table("swap_merge_target").orderBy("k").collect()
+    assert(recovered.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 9L),
+      "recovery lost the merged snapshot")
+    // no-op when the target exists (the normal path)
+    assert(!Loader.recoverFromSwap(spark, "swap_merge_target"))
+    spark.sql("DROP TABLE IF EXISTS swap_merge_target")
+  }
+
+  test("dispatcher Update on a partitioned registry target: bounded rewrite end-to-end") {
+    import spark.implicits._
+    dropWithLocation("disp_part_target")
+    dropWithLocation("disp_part_target_temp")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val regPath = java.nio.file.Files.createTempFile("part_reg", ".json").toString
+    val registry = new graft.core.SchemaRegistry(regPath)
+    registry.save("disp_part_target", schema, Seq("k"))
+    spark.range(0, 300)
+      .select(col("id").as("k"), (col("id") % 4).cast("int").as("p"),
+        col("id").cast("double").as("v"))
+      .write.mode("overwrite").partitionBy("p").saveAsTable("disp_part_target")
+    val before = fileInventory("disp_part_target")
+    val staging = Seq((5L, 1, 55.0)).toDF("k", "p", "v")
+    Loader.load(spark, Loader.Update, staging, "disp_part_target", registry)
+    val out = spark.table("disp_part_target").orderBy("k").collect()
+    assert(out.length == 300 && out(5).getDouble(out(5).fieldIndex("v")) == 55.0)
+    val after = fileInventory("disp_part_target")
+    assert(after.filterNot(_._1.startsWith("p=1")) ==
+      before.filterNot(_._1.startsWith("p=1")),
+      "dispatcher merge rewrote untouched partitions")
+    val info = org.apache.spark.sql.GraftBridge.tableInfo(spark, "disp_part_target")
+    assert(info.partitionColumnNames == Seq("p"))
+    assert(!spark.catalog.tableExists("disp_part_target_temp"))
+    spark.sql("DROP TABLE IF EXISTS disp_part_target")
+  }
+
   test("multi-column merge keys (gcp_function.py:73 conjunctive ON)") {
     import spark.implicits._
     val t2 = Seq((1L, 1, "a"), (1L, 2, "b")).toDF("k1", "k2", "v")
