@@ -68,8 +68,16 @@ object Bench {
     val out = java.nio.file.Paths.get("bench_artifact.json")
     java.nio.file.Files.write(out, contract.getBytes("UTF-8"))
     // short summary LAST — this is the line a tail capture parses; it
-    // must stay well under any capture window, so no per-query data
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","load1":${fmt(load)},"n_queries":${results.size},"artifact":"${out.toAbsolutePath}","sf":"$sfDir"}""")
+    // must stay well under the driver's 2000-char tail window (the
+    // r1-r3 all-queries line overflowed it head-first → unparseable),
+    // so "queries" carries only the headline slowest keys; the full map
+    // lives in the artifact file. Printed raw (run/outputStrategy =
+    // StdoutOutput in build.sbt): an "[info] " logger prefix would make
+    // a line-wise json.loads of the tail fail.
+    val slowest = results.sortBy(r => -math.min(r._2, r._3)).take(8)
+      .map { case (k, s1, s2) => s"\"" + k + "\":" + fmt(math.min(s1, s2)) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","load1":${fmt(load)},"n_queries":${results.size},"queries":$slowest,"artifact":"${out.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

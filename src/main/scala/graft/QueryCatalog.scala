@@ -88,9 +88,16 @@ object QueryCatalog {
       val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
       val tbl = s"merge_part_target_$app"
       orders.write.mode("overwrite").partitionBy("o_orderpriority").saveAsTable(tbl)
-      Loader.mergeInto(s, tbl, ordersStaging(s, dir), Seq("o_orderkey"))
-      s.table(tbl).select(orders.columns.map(col).toIndexedSeq: _*)
-        .orderBy("o_orderkey")
+      try {
+        Loader.mergeInto(s, tbl, ordersStaging(s, dir), Seq("o_orderkey"))
+        // snapshot the merged rows OFF the table (eager localCheckpoint
+        // severs the lineage), then drop it — a managed-table drop
+        // reclaims the files, so repeated bench/verify runs don't each
+        // leak an orders-sized table into the shared warehouse
+        s.table(tbl).select(orders.columns.map(col).toIndexedSeq: _*)
+          .localCheckpoint(true)
+          .orderBy("o_orderkey")
+      } finally Loader.dropTable(s, tbl)
     }),
     "full_replace_part" -> ((s: SparkSession, dir: String) =>
       Loader.fullReplace(partStaging(s, dir)).orderBy("p_partkey")),

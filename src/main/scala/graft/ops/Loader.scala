@@ -208,9 +208,23 @@ object Loader {
   def recoverFromSwap(spark: org.apache.spark.sql.SparkSession, table: String): Boolean = {
     val swap = swapName(table)
     if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(swap)) {
-      spark.sql(s"ALTER TABLE `$swap` RENAME TO `$table`")
+      renameTable(spark, swap, table)
       true
     } else false
+  }
+
+  /** Rename a managed table, repairing partition metadata afterwards: the
+    * catalog's RENAME moves the table directory but can leave per-partition
+    * location URIs pointing at the OLD path (a partitioned table read back
+    * after a plain rename lists vanished directories and comes up empty) —
+    * MSCK SYNC re-derives the partition list from the moved directory.
+    */
+  def renameTable(
+      spark: org.apache.spark.sql.SparkSession, from: String, to: String): Unit = {
+    val partitioned = org.apache.spark.sql.GraftBridge
+      .tableInfo(spark, from).partitionColumnNames.nonEmpty
+    spark.sql(s"ALTER TABLE `$from` RENAME TO `$to`")
+    if (partitioned) spark.sql(s"MSCK REPAIR TABLE `$to` SYNC PARTITIONS")
   }
 
   /** MERGE an already-landed staging table into an existing catalog
@@ -226,9 +240,18 @@ object Loader {
     * O(|target|) without a transactional format), crash-recoverable via
     * [[recoverFromSwap]].
     *
-    * Caveat (standard for partitioned Hive-style MERGE): a key's
-    * partition value must be immutable — a "moved" row leaves its old
-    * copy behind; and the per-partition overwrite is atomic per
+    * Moved rows: BigQuery's MERGE matches a key ANYWHERE in the target
+    * (gcp_function.py:82-92), so a staging row that changes a matched
+    * key's partition-column value must replace the old copy, not strand
+    * it in the untouched partition. The bounded path ENFORCES this: when
+    * the partition columns are a subset of the merge keys a match is
+    * pinned inside the touched slice by construction (guard free);
+    * otherwise a key-only probe — the complement slice, column-pruned to
+    * the keys, semi-joined against staging's broadcast distinct keys —
+    * detects any outside match and falls back to the full swap rewrite,
+    * whose anti-join drops the old copy wherever it lives.
+    *
+    * Remaining caveat: the per-partition overwrite is atomic per
     * partition, not across partitions.
     */
   def mergeInto(
@@ -240,49 +263,69 @@ object Loader {
     val target = spark.table(table)
     val info = org.apache.spark.sql.GraftBridge.tableInfo(spark, table)
     val pcols = info.partitionColumnNames
+    // unpartitioned (or partition-storm / moved-row) path: full rewrite
+    // via swap table (same provider/partitioning/bucketing — the rename
+    // must not flatten the target's layout), then drop + rename — fully
+    // distributed, no collect; recoverable by [[recoverFromSwap]]
+    def fullSwapRewrite(): Unit = {
+      val merged = upsert(target, staging, keys, broadcastStaging = broadcastStaging)
+      val swap = swapName(table)
+      writeTableLike(merged, swap, info)
+      dropTable(spark, table)
+      renameTable(spark, swap, table)
+    }
     // the touched-partition list is a collect over staging's DISTINCT
     // partition values, limit-bounded — tiny by construction
     val touched =
       if (pcols.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else staging.select(pcols.map(col): _*)
         .distinct().limit(MaxTouchedPartitions + 1).collect()
-    if (pcols.nonEmpty && touched.length <= MaxTouchedPartitions) {
+    if (pcols.isEmpty || touched.length > MaxTouchedPartitions) fullSwapRewrite()
+    else {
       val cond = touched.toSeq
         .map(r => pcols.zipWithIndex
           .map { case (c, i) => col(c) <=> lit(r.get(i)) }
           .reduce(_ && _))
         .reduceOption(_ || _).getOrElse(lit(false))
-      val slice = target.filter(cond)
-      val merged = upsert(slice, staging, keys, broadcastStaging = broadcastStaging)
-      // Spark refuses INSERT OVERWRITE on a table the plan also reads
-      // (UNSUPPORTED_OVERWRITE): land the merged slice — bounded by the
-      // touched partitions, not the table — as a scratch table first
-      val tmp = s"${table}_merge_slice_swap"
-      writeTable(merged, tmp)
-      // dynamic mode via session conf: static mode would TRUNCATE the
-      // untouched partitions
-      val confKey = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.get(confKey)
-      spark.conf.set(confKey, "dynamic")
-      try
-        spark.table(tmp)
-          .select(target.columns.map(col).toIndexedSeq: _*)
-          .write.mode("overwrite")
-          .insertInto(table)
-      finally {
-        spark.conf.set(confKey, prev)
-        dropTable(spark, tmp)
+      // moved-row guard: `<=>` never yields NULL, so !cond is the exact
+      // complement slice; the probe scans only the key columns of the
+      // untouched partitions against a staging-bounded broadcast
+      val partitionPinnedByKeys = pcols.forall(keys.contains)
+      val movedKeyOutside = !partitionPinnedByKeys && {
+        val stagingKeys = staging.select(keys.map(col): _*).distinct()
+        !target.filter(!cond)
+          .select(keys.map(col): _*)
+          .join(broadcast(stagingKeys), keys, "left_semi")
+          .isEmpty
       }
-    } else {
-      // unpartitioned (or partition-storm): full rewrite via swap table
-      // (same provider/partitioning/bucketing — the rename must not
-      // flatten the target's layout), then drop + rename — fully
-      // distributed, no collect; recoverable by [[recoverFromSwap]]
-      val merged = upsert(target, staging, keys, broadcastStaging = broadcastStaging)
-      val swap = swapName(table)
-      writeTableLike(merged, swap, info)
-      dropTable(spark, table)
-      spark.sql(s"ALTER TABLE `$swap` RENAME TO `$table`")
+      if (movedKeyOutside) fullSwapRewrite()
+      else {
+        val slice = target.filter(cond)
+        val merged = upsert(slice, staging, keys, broadcastStaging = broadcastStaging)
+        // Spark refuses INSERT OVERWRITE on a table the plan also reads
+        // (UNSUPPORTED_OVERWRITE): land the merged slice — bounded by the
+        // touched partitions, not the table — as a scratch table first.
+        // applicationId-scoped so two apps merging the same target in a
+        // shared warehouse never clobber each other's slice.
+        val app = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+        val tmp = s"${table}_merge_slice_swap_$app"
+        dropTable(spark, tmp) // reap any stale scratch from this app
+        writeTable(merged, tmp)
+        // dynamic mode via session conf: static mode would TRUNCATE the
+        // untouched partitions
+        val confKey = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.get(confKey)
+        spark.conf.set(confKey, "dynamic")
+        try
+          spark.table(tmp)
+            .select(target.columns.map(col).toIndexedSeq: _*)
+            .write.mode("overwrite")
+            .insertInto(table)
+        finally {
+          spark.conf.set(confKey, prev)
+          dropTable(spark, tmp)
+        }
+      }
     }
   }
 

@@ -334,7 +334,6 @@ class LoaderSpec extends SparkSpec {
   test("partitioned target: a 1-row merge rewrites exactly 1 partition (r6 verdict #1)") {
     import spark.implicits._
     dropWithLocation("part_merge_target")
-    dropWithLocation("part_merge_target_merge_slice_swap")
     val big = spark.range(0, 1000)
       .select(col("id").as("k"), (col("id") % 5).cast("int").as("p"),
         col("id").cast("double").as("v"))
@@ -363,9 +362,55 @@ class LoaderSpec extends SparkSpec {
     // layout preserved through the in-place overwrite
     val info = org.apache.spark.sql.GraftBridge.tableInfo(spark, "part_merge_target")
     assert(info.partitionColumnNames == Seq("p"), s"layout changed: $info")
-    // the scratch slice table is cleaned up
-    assert(!spark.catalog.tableExists("part_merge_target_merge_slice_swap"))
+    // the scratch slice table (appId-scoped name) is cleaned up
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("part_merge_target_merge_slice_swap")))
     spark.sql("DROP TABLE IF EXISTS part_merge_target")
+  }
+
+  test("moved-row guard: staging that changes a matched key's partition leaves ONE copy (r7 verdict #1)") {
+    import spark.implicits._
+    dropWithLocation("moved_merge_target")
+    val big = spark.range(0, 200)
+      .select(col("id").as("k"), (col("id") % 4).cast("int").as("p"),
+        col("id").cast("double").as("v"))
+    big.write.mode("overwrite").partitionBy("p").saveAsTable("moved_merge_target")
+    // key 6 lives in p=2; staging moves it to p=3 (and updates v).
+    // BQ MERGE matches the key anywhere (gcp_function.py:82-92): the
+    // result must hold exactly one copy of key 6, in its NEW partition.
+    val staging = Seq((6L, 3, 666.0)).toDF("k", "p", "v")
+    Loader.mergeInto(spark, "moved_merge_target", staging, Seq("k"))
+    val copies = spark.table("moved_merge_target").filter(col("k") === 6).collect()
+    assert(copies.length == 1,
+      s"moved key left ${copies.length} copies: ${copies.mkString(",")}")
+    assert(copies(0).getInt(copies(0).fieldIndex("p")) == 3 &&
+      copies(0).getDouble(copies(0).fieldIndex("v")) == 666.0)
+    assert(spark.table("moved_merge_target").count() == 200)
+    // layout survives the fallback rewrite
+    val info = org.apache.spark.sql.GraftBridge.tableInfo(spark, "moved_merge_target")
+    assert(info.partitionColumnNames == Seq("p"), s"layout changed: $info")
+    spark.sql("DROP TABLE IF EXISTS moved_merge_target")
+  }
+
+  test("moved-row guard: in-place updates WITHOUT a move keep the bounded rewrite") {
+    import spark.implicits._
+    dropWithLocation("unmoved_merge_target")
+    val big = spark.range(0, 200)
+      .select(col("id").as("k"), (col("id") % 4).cast("int").as("p"),
+        col("id").cast("double").as("v"))
+    big.write.mode("overwrite").partitionBy("p").saveAsTable("unmoved_merge_target")
+    val before = fileInventory("unmoved_merge_target")
+    // key 6 stays in its home partition p=2: the probe finds no outside
+    // match, so only p=2 is rewritten (bounded path retained)
+    val staging = Seq((6L, 2, 666.0)).toDF("k", "p", "v")
+    Loader.mergeInto(spark, "unmoved_merge_target", staging, Seq("k"))
+    val after = fileInventory("unmoved_merge_target")
+    assert(after.filterNot(_._1.startsWith("p=2")) ==
+      before.filterNot(_._1.startsWith("p=2")),
+      "a no-move merge fell back to the full rewrite")
+    val out = spark.table("unmoved_merge_target").filter(col("k") === 6).collect()
+    assert(out.length == 1 && out(0).getDouble(out(0).fieldIndex("v")) == 666.0)
+    spark.sql("DROP TABLE IF EXISTS unmoved_merge_target")
   }
 
   test("partitioned target: inserts into a NEW partition leave existing ones untouched") {
