@@ -32,3 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Tests fork (above), so -D flags given to sbt itself don't reach the
+// test JVM — forward the golden-fixture regen switch explicitly or the
+// documented `sbt -Dgraft.golden.regen=true "testOnly …"` is a no-op.
+Test / javaOptions ++=
+  sys.props.get("graft.golden.regen").map(v => s"-Dgraft.golden.regen=$v").toSeq

@@ -328,6 +328,12 @@ object ExtQueries {
       TextStats.sourceDupStats(docs(s, dir))),
     "corpus_summary_documents" -> ((s: SparkSession, dir: String) =>
       TextStats.corpusSummary(docs(s, dir))),
+    "corpus_summary_approx_documents" -> ((s: SparkSession, dir: String) =>
+      // sketch form of the health report: HLL++ distincts + quantile
+      // sketch — fixed-size aggregate state at any corpus size (the
+      // exact key's countDistinct(fp) shuffle is O(distinct texts));
+      // golden-pinned, error-bounded vs the exact key in TextStatsSpec
+      TextStats.corpusSummaryApprox(docs(s, dir))),
     "length_histogram_documents" -> ((s: SparkSession, dir: String) =>
       // sequence-length planning view: 32-token buckets, overflow at 15
       TextStats.lengthHistogram(docs(s, dir))),
@@ -441,10 +447,14 @@ object ExtQueries {
       // the production path: explicit index-build step (offline at
       // cluster scale: train once, write vectors bucketed by
       // centroid_id), then the query consumes the index — Lloyd's source
-      // scan happens once, pinned, released. No oracle (float centroid
-      // means are summation-order-sensitive); golden-fixture-checked.
-      val index = Similarity.buildIvfIndex(e, nCentroids = 16, iterations = 3)
-      val assigned = Similarity.ivfAssignTo(e, index.centroids)
+      // scan happens once, pinned, released. Training runs in PORTABLE
+      // mode (6-dp assignment argmin, 6-dp per-dimension means): every
+      // iteration's centroids are engine-reproducible, so the DuckDB
+      // oracle unrolls the SAME 3 Lloyd iterations in SQL and lands on
+      // bit-identical centroids — training AND query are oracle-checked.
+      val index = Similarity.buildIvfIndex(e, nCentroids = 16, iterations = 3,
+        portable = true)
+      val assigned = Similarity.ivfAssignPortableTo(e, index.centroids)
       // physical layout step: vectors persisted PARTITIONED by
       // centroid_id; the probe then prunes FILES (PartitionFilters),
       // not just compute — same rows as the semi-join plan. The path is
@@ -453,7 +463,8 @@ object ExtQueries {
       val path = s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}/ivf_clustered"
       Similarity.writeClustered(assigned, path)
       val probe = Similarity.defaultProbe(e)
-      val ids = Similarity.probeCentroidIds(index.toDF(s), probe, nProbe = 4)
+      val ids = Similarity.probeCentroidIds(index.toDF(s), probe, nProbe = 4,
+        portable = true)
       Similarity.ivfTopKClustered(s.read.parquet(path), ids, probe)
     }),
     "similarity_ivf_recall_embeddings" -> ((s: SparkSession, dir: String) => {
@@ -1768,10 +1779,49 @@ object ExtQueries {
       s"""WITH ${simhashPairCtes(3)}
          |SELECT doc_id_a, doc_id_b, hamming FROM sh_j
          |WHERE hamming <= 3 ORDER BY doc_id_a, doc_id_b""".stripMargin,
-    // no oracle (remaining): similarity_ivf_trained (Lloyd centroid
-    // float means are summation-order-sensitive; the seed variant IS
-    // oracle-checked above) — covered by scalatest property checks AND
-    // a committed sf0.001 golden fixture (GoldenFixtureSpec) as a hard
-    // re-run regression signal.
+    // Lloyd-trained IVF, training INCLUDED: the query trains in portable
+    // mode (6-dp assignment argmin; per-dimension means rounded to 6 dp
+    // before the float cast — ulps from Spark's partial-agg merge order
+    // cannot leak into a centroid), so the oracle unrolls the SAME
+    // 3 Lloyd iterations in SQL from the same first-16 seeds (cid =
+    // vec_id rank − 1 ≡ kMeansCentroids' zipWithIndex labels) and lands
+    // on bit-identical centroids; empty cells keep their previous
+    // centroid (LEFT JOIN + coalesce ≡ updated.getOrElse(cid, old)).
+    // The final-centroid assignment, probe-list ranking, and top-k chain
+    // then mirror the seed-IVF oracle. No keys remain oracle-less.
+    "similarity_ivf_trained_embeddings" -> {
+      def iter(k: Int): String =
+        s"""a$k AS (SELECT e.vec_id, c.cid,
+           |        round(${cosSql("e.embedding", "c.cvec", 64)}, 6) AS d
+           |      FROM embeddings e CROSS JOIN cent$k c),
+           |asg$k AS (SELECT vec_id, cid FROM (
+           |        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+           |        FROM a$k) WHERE rn = 1),
+           |m$k AS (SELECT s.cid, t.i, round(avg(e.embedding[t.i]::DOUBLE), 6)::FLOAT AS v
+           |      FROM asg$k s JOIN embeddings e USING (vec_id) CROSS JOIN range(1, 65) t(i)
+           |      GROUP BY s.cid, t.i),
+           |nc$k AS (SELECT cid, list(v ORDER BY i) AS cvec FROM m$k GROUP BY cid),
+           |cent${k + 1} AS (SELECT c.cid, coalesce(n.cvec, c.cvec) AS cvec
+           |      FROM cent$k c LEFT JOIN nc$k n USING (cid)),""".stripMargin
+      s"""WITH p AS (SELECT embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 1),
+         |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+         |      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |${iter(0)}
+         |${iter(1)}
+         |${iter(2)}
+         |af AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |        round(${cosSql("e.embedding", "c.cvec", 64)}, 6) AS d
+         |      FROM embeddings e CROSS JOIN cent3 c),
+         |asgf AS (SELECT vec_id, label, embedding, cid FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+         |        FROM af) WHERE rn = 1),
+         |pr AS (SELECT cid FROM (
+         |        SELECT c.cid, round(${cosSql("c.cvec", "pp.pe", 64)}, 6) AS sim
+         |        FROM cent3 c, p pp)
+         |       ORDER BY sim DESC, cid LIMIT 4),
+         |cand AS (SELECT * FROM asgf WHERE cid IN (SELECT cid FROM pr))
+         |SELECT vec_id, label, round(${cosSql("cand.embedding", "pp2.pe", 64)}, 6) AS cosine
+         |FROM cand, p pp2 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
   )
 }

@@ -182,16 +182,25 @@ object Similarity {
   def kMeansCentroids(
       embeddings: DataFrame,
       nCentroids: Int = 16,
-      iterations: Int = 5): Seq[(Long, Seq[Float])] = {
+      iterations: Int = 5,
+      portable: Boolean = false): Seq[(Long, Seq[Float])] = {
     val cached = embeddings.select(col("vec_id"), col("embedding")).persist()
     try {
       var centroids = seedCentroids(cached, nCentroids)
         .zipWithIndex.map { case ((_, v), i) => i.toLong -> v }
       for (_ <- 0 until iterations) {
+        val assign =
+          if (portable) nearestCentroidPortable(centroids) else nearestCentroid(centroids)
+        // portable mode rounds each per-dimension mean to 6 dp before the
+        // float cast: with the 6-dp assignment argmin this makes every
+        // iteration's centroids reproducible across engines, so an
+        // unrolled SQL replica of the SAME Lloyd run lands on
+        // bit-identical centroids — the training becomes oracle-checkable
+        val meanCol = if (portable) round(avg("v"), 6) else avg("v")
         val updated = cached
-          .withColumn("centroid_id", nearestCentroid(centroids))
+          .withColumn("centroid_id", assign)
           .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy("centroid_id", "pos").agg(avg("v").as("v"))
+          .groupBy("centroid_id", "pos").agg(meanCol.as("v"))
           .groupBy("centroid_id")
           .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
           .select(col("centroid_id"),
@@ -218,8 +227,9 @@ object Similarity {
   def buildIvfIndex(
       embeddings: DataFrame,
       nCentroids: Int = 16,
-      iterations: Int = 3): IvfIndex =
-    IvfIndex(kMeansCentroids(embeddings, nCentroids, iterations))
+      iterations: Int = 3,
+      portable: Boolean = false): IvfIndex =
+    IvfIndex(kMeansCentroids(embeddings, nCentroids, iterations, portable))
 
   /** Assign every vector to its nearest centroid in ONE narrow
     * projection: the tiny centroid set is folded into literal
@@ -248,6 +258,16 @@ object Similarity {
 
   def ivfAssign(embeddings: DataFrame, nCentroids: Int = 16): DataFrame =
     ivfAssignTo(embeddings, seedCentroids(embeddings, nCentroids))
+
+  /** [[ivfAssignTo]] with the 6-dp portable argmin — the assignment an
+    * oracle-checkable query must use (ulps cannot flip a cell).
+    */
+  def ivfAssignPortableTo(
+      embeddings: DataFrame,
+      centroids: Seq[(Long, Seq[Float])]): DataFrame =
+    embeddings
+      .withColumn("centroid_id", nearestCentroidPortable(centroids))
+      .select("vec_id", "embedding", "label", "centroid_id")
 
   /** [[nearestCentroid]] with the distance compared at 6 dp: the argmin
     * becomes engine-portable (summation-order ulps cannot flip it;
@@ -430,10 +450,12 @@ object Similarity {
   def probeCentroidIds(
       centroidsOf: DataFrame,
       probe: Seq[Float],
-      nProbe: Int = 4): Seq[Long] = {
+      nProbe: Int = 4,
+      portable: Boolean = false): Seq[Long] = {
     val probeCol = array(probe.map(lit): _*)
+    val sim = cosine(col("cvec"), probeCol)
     centroidsOf
-      .withColumn("sim", cosine(col("cvec"), probeCol))
+      .withColumn("sim", if (portable) round(sim, 6) else sim)
       .orderBy(col("sim").desc, col("centroid_id"))
       .limit(nProbe)
       .select("centroid_id")

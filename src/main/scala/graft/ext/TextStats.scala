@@ -327,4 +327,37 @@ object TextStats {
         round(lit(1.0) - col("n_unique_texts").cast("double") / col("n_docs"), 4)
           .as("dup_rate"))
       .orderBy("n_docs")
+
+  /** [[corpusSummary]] in sketch form — the variant a 100 TB corpus
+    * actually runs: `countDistinct(fp)` shuffles one row per DISTINCT
+    * fingerprint (≈ one per document on a deduped corpus — an
+    * O(corpus) exchange just to fill a report), while HyperLogLog++
+    * (`approx_count_distinct`, rsd 1%) and a bounded-state quantile
+    * sketch (`percentile_approx`) reduce the whole pass to fixed-size
+    * partial states: one narrow scan, a few KB moved, regardless of
+    * corpus size. Low-cardinality fields (source, lang) sit in HLL++'s
+    * exact sparse regime, so only `n_unique_texts_approx` carries real
+    * sketch error — spec-bounded against the exact key at the declared
+    * rsd. No DuckDB oracle (HLL/KLL sketches are not bit-compatible
+    * across engines); golden-fixture-pinned instead.
+    */
+  def corpusSummaryApprox(documents: DataFrame, rsd: Double = 0.01): DataFrame =
+    documents
+      .select(col("source"), col("lang"), col("n_chars"),
+        md5(normText(col("text"))).as("fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("source"), rsd).as("n_sources_approx"),
+        approx_count_distinct(col("lang"), rsd).as("n_langs_approx"),
+        sum(col("n_chars")).as("sum_chars"),
+        approx_count_distinct(col("fp"), rsd).as("n_unique_texts_approx"),
+        percentile_approx(col("n_chars"), array(lit(0.5), lit(0.95)), lit(10000))
+          .as("q"))
+      .select(col("n_docs"), col("n_sources_approx"), col("n_langs_approx"),
+        col("sum_chars"), col("n_unique_texts_approx"),
+        col("q").getItem(0).as("p50_chars"),
+        col("q").getItem(1).as("p95_chars"),
+        round(lit(1.0) - col("n_unique_texts_approx").cast("double") / col("n_docs"), 4)
+          .as("dup_rate_approx"))
+      .orderBy("n_docs")
 }

@@ -75,7 +75,16 @@ class GoldenFixtureSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
       .map("%02x".format(_)).mkString
 
-  for (key <- fixtureKeys.filter(SparkEntry.queries.contains)) {
+  /** Keys the per-key tests (and the manifest) cover: committed fixtures
+    * PLUS current no-oracle keys — so regen mode BOOTSTRAPS a fixture for
+    * a newly added no-oracle query (iterating fixtureKeys alone could
+    * never create one: regen would write nothing and the guard test's
+    * advice to regen couldn't help).
+    */
+  private val coveredKeys: Seq[String] =
+    (fixtureKeys ++ noOracleKeys).distinct.sorted.filter(SparkEntry.queries.contains)
+
+  for (key <- coveredKeys) {
     test(s"golden: $key") {
       val got = canonical(SparkEntry.queries(key)(spark, sfDir))
       graft.core.CacheScope.releaseAll()
@@ -111,7 +120,7 @@ class GoldenFixtureSpec extends SparkSpec {
   test("fixture bytes match the committed MANIFEST.sha256") {
     val manifestPath = goldenDir.resolve("MANIFEST.sha256")
     if (regen) {
-      val lines = fixtureKeys.map { k =>
+      val lines = coveredKeys.map { k =>
         s"${sha256(Files.readAllBytes(goldenDir.resolve(s"$k.txt")))}  $k.txt"
       }
       Files.write(manifestPath, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))

@@ -20,15 +20,15 @@ class QueryContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles missing ORDER BY: $missing")
   }
 
-  test("declared surface matches the documented round-7 inventory") {
-    // r7: +merge_upsert_partitioned_orders (101 keys) and the MinHash/
-    // SimHash oracle conversions (6 golden-only keys gained DuckDB
-    // oracles → 100 oracles; the one remaining no-oracle key is
-    // similarity_ivf_trained_embeddings, golden-pinned)
-    assert(SparkEntry.queries.size == 101,
-      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.9 if intentional)")
-    assert(SparkEntry.oracleSql.size == 100,
-      s"oracle count drifted: ${SparkEntry.oracleSql.size} (update SURVEY §2.9 if intentional)")
+  test("declared surface matches the documented round-8 inventory") {
+    // r8: similarity_ivf_trained_embeddings gained a DuckDB oracle
+    // (portable Lloyd unrolled in SQL) and corpus_summary_approx joined
+    // as the one declared no-oracle key (HLL/quantile sketches are not
+    // bit-compatible across engines; golden-pinned + error-bound spec)
+    assert(SparkEntry.queries.size == 102,
+      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.10 if intentional)")
+    assert(SparkEntry.oracleSql.size == 101,
+      s"oracle count drifted: ${SparkEntry.oracleSql.size} (update SURVEY §2.10 if intentional)")
   }
 
   test("no query key collides across catalog sections") {

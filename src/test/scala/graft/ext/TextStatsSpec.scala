@@ -169,4 +169,27 @@ class TextStatsSpec extends SparkSpec {
     assert(en.getAs[Long]("sum_chars") == 8L) // "a b"=3 + "c d e"=5
     assert(en.getAs[Double]("avg_tokens") == 2.5)
   }
+
+  test("corpusSummaryApprox: sketch report error-bounded against the exact key") {
+    val docs = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val exact = TextStats.corpusSummary(docs).collect()(0)
+    val approx = TextStats.corpusSummaryApprox(docs).collect()(0)
+    // pass-through exact aggregates are identical
+    assert(approx.getAs[Long]("n_docs") == exact.getAs[Long]("n_docs"))
+    assert(approx.getAs[Long]("sum_chars") == exact.getAs[Long]("sum_chars"))
+    // low-cardinality fields sit in HLL++'s exact sparse regime
+    assert(approx.getAs[Long]("n_sources_approx") == exact.getAs[Long]("n_sources"))
+    assert(approx.getAs[Long]("n_langs_approx") == exact.getAs[Long]("n_langs"))
+    // the one real sketch estimate: distinct fingerprints at rsd 1% —
+    // bounded at 5× the declared rsd (HLL++ error is probabilistic)
+    val e = exact.getAs[Long]("n_unique_texts").toDouble
+    val a = approx.getAs[Long]("n_unique_texts_approx").toDouble
+    assert(math.abs(a - e) / e <= 0.05,
+      s"HLL distinct-fingerprint estimate $a vs exact $e exceeds 5% relative error")
+    // quantile sketch: accuracy 10000 ≫ corpus size here, so the values
+    // must be exact order statistics of n_chars
+    val qs = docs.stat.approxQuantile("n_chars", Array(0.5, 0.95), 0.0)
+    assert(approx.getAs[Long]("p50_chars").toDouble == qs(0))
+    assert(approx.getAs[Long]("p95_chars").toDouble == qs(1))
+  }
 }
