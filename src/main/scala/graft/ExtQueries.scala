@@ -191,6 +191,15 @@ object ExtQueries {
     *
     * Cost note: these CTEs are evaluated per DISTINCT gram/word, never
     * per posting — the reduce is O(total distinct-gram characters).
+    *
+    * BMP-ONLY: the JVM kernel rolls UTF-16 code units (`charAt`) while
+    * this replica rolls Unicode code points (`unicode(c)`); the two
+    * agree exactly on Basic-Multilingual-Plane text and DESYNC on any
+    * supplementary-plane character (emoji, rare CJK), where Java sees
+    * two surrogates per character. The synthetic corpus is ASCII, so
+    * the limit is latent here; HashingSpec pins the boundary with a
+    * non-BMP case. Expanding the replica to surrogate pairs would need
+    * a per-code-point split into UTF-16 units in SQL.
     */
   private def hash64Ctes(prefix: String, src: String, col: String): String =
     s"""${prefix}_h0 AS (SELECT $col, list_reduce(

@@ -68,4 +68,31 @@ class GraftFunctionsSpec extends SparkSpec {
     ).collect()(0)
     assert(r.getAs[Long]("bk") == Hashing.bandKey(sig, 2, 4))
   }
+
+  test("hash64 rolls UTF-16 code units: code-point roll agrees on BMP, desyncs beyond") {
+    // The DuckDB oracle replica (ExtQueries.hash64Ctes) rolls Unicode
+    // CODE POINTS; the JVM kernel rolls UTF-16 code units. This pin
+    // makes the BMP-only agreement boundary explicit: equal for any
+    // BMP string, different once a supplementary-plane character (two
+    // surrogates in Java, one code point in SQL) appears.
+    def hash64CodePoints(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.codePoints().toArray.foreach { cp => h = (h ^ cp) * 0x100000001b3L }
+      h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+      h ^= h >>> 27; h *= 0x94d049bb133111ebL
+      h ^ (h >>> 31)
+    }
+    val bmp = Seq("", "hello world", "naïve café", "日本語テキスト", "ключ слова")
+    bmp.foreach { s =>
+      assert(Hashing.hash64(s) == hash64CodePoints(s),
+        s"BMP string '$s' must hash identically under both rolls")
+    }
+    val supplementary = "party 🎉 time" // U+1F389, outside the BMP
+    assert(supplementary.codePointCount(0, supplementary.length) ==
+      supplementary.length - 1)
+    assert(Hashing.hash64(supplementary) != hash64CodePoints(supplementary),
+      "supplementary-plane text is OUTSIDE the oracle-replica contract " +
+        "(hash64Ctes docs) — if this ever passes, the kernels converged " +
+        "and the BMP-only caveat can be dropped")
+  }
 }
