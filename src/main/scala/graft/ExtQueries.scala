@@ -343,6 +343,11 @@ object ExtQueries {
       // exact key's countDistinct(fp) shuffle is O(distinct texts));
       // golden-pinned, error-bounded vs the exact key in TextStatsSpec
       TextStats.corpusSummaryApprox(docs(s, dir))),
+    "profile_documents" -> ((s: SparkSession, dir: String) =>
+      // per-column null/cardinality/range profile in ONE scan (multi-
+      // distinct Expand + two-stage agg); the ingest trust check
+      Profile.profileTable(docs(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
     "length_histogram_documents" -> ((s: SparkSession, dir: String) =>
       // sequence-length planning view: 32-token buckets, overflow at 15
       TextStats.lengthHistogram(docs(s, dir))),
@@ -812,6 +817,19 @@ object ExtQueries {
          |  count(DISTINCT md5($NormSql))::BIGINT AS n_unique_texts,
          |  round(1.0 - count(DISTINCT md5($NormSql))::DOUBLE / count(*), 4) AS dup_rate
          |FROM documents ORDER BY n_docs""".stripMargin,
+    // per-column profile: one aggregate select per column, UNION ALL —
+    // counts exact, min/max rendered as strings (binary collation both
+    // engines; the declared key profiles integer/string columns only)
+    "profile_documents" -> {
+      def pc(c: String): String =
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+           |  (count(*) - count($c))::BIGINT AS n_nulls,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value
+           |FROM documents""".stripMargin
+      Seq("doc_id", "text", "lang", "source", "n_chars")
+        .map(pc).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "length_histogram_documents" ->
       s"""WITH t AS (SELECT ($WsToksSql)::BIGINT AS toks FROM documents)
          |SELECT LEAST(CAST(floor(toks / 32) AS BIGINT), 15) AS bucket,

@@ -289,14 +289,18 @@ object Loader {
         .reduceOption(_ || _).getOrElse(lit(false))
       // moved-row guard: `<=>` never yields NULL, so !cond is the exact
       // complement slice; the probe scans only the key columns of the
-      // untouched partitions against a staging-bounded broadcast
+      // untouched partitions against staging's distinct keys — hinted
+      // broadcast only when staging fits the MERGE ceiling (a huge
+      // staging batch must not OOM the guard; Catalyst then plans a
+      // shuffle semi-join, still key-columns-only on both sides)
       val partitionPinnedByKeys = pcols.forall(keys.contains)
       val movedKeyOutside = !partitionPinnedByKeys && {
+        val outside = target.filter(!cond).select(keys.map(col): _*)
         val stagingKeys = staging.select(keys.map(col): _*).distinct()
-        !target.filter(!cond)
-          .select(keys.map(col): _*)
-          .join(broadcast(stagingKeys), keys, "left_semi")
-          .isEmpty
+        val probeSide =
+          if (shouldBroadcastStaging(outside, stagingKeys)) broadcast(stagingKeys)
+          else stagingKeys
+        !outside.join(probeSide, keys, "left_semi").isEmpty
       }
       if (movedKeyOutside) fullSwapRewrite()
       else {
