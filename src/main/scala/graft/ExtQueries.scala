@@ -71,6 +71,10 @@ object ExtQueries {
   val SegmentBigSpend: Double = 1500000.0
   /** Token budget per packed bin for pack_greedy / pack_efficiency. */
   val PackBudgetTokens: Int = 512
+  /** Minimum containing-document count for boilerplate_ngrams. */
+  val BoilerplateMinDocs: Int = 3
+  /** Report size for boilerplate_ngrams. */
+  val BoilerplateTopN: Int = 25
 
   /** Split fractions for the declared train/val/test assignment — the
     * oracle's CASE cascade is generated from the same Seq (and the same
@@ -332,6 +336,11 @@ object ExtQueries {
     "bigram_freq_documents" -> ((s: SparkSession, dir: String) =>
       // BPE-style first merge: top adjacent-token pairs, built per-row
       TextStats.bigramFreq(docs(s, dir))),
+    "boilerplate_ngrams_documents" -> ((s: SparkSession, dir: String) =>
+      // cross-doc shared n-grams (templated-text detector): per-doc
+      // distinct grams → doc-frequency rank, vocabulary-bounded shuffle
+      TextStats.sharedNgrams(docs(s, dir),
+        minDocs = BoilerplateMinDocs, topN = BoilerplateTopN)),
     "source_dup_stats_documents" -> ((s: SparkSession, dir: String) =>
       // per-source duplicate-rate report (which domains need dedup)
       TextStats.sourceDupStats(docs(s, dir))),
@@ -780,6 +789,14 @@ object ExtQueries {
         |      FROM w WHERE len(ws) >= 2)
         |SELECT bigram, count(*)::BIGINT AS n FROM b
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    // boilerplate detector: the SAME gram CTEs as the n-gram dedup
+    // family (grams are per-doc distinct in `g`, so count(*) over `e`
+    // IS the document frequency)
+    "boilerplate_ngrams_documents" ->
+      s"""WITH $NgramBaseCtes
+         |SELECT gram, count(*)::BIGINT AS doc_freq FROM e
+         |GROUP BY gram HAVING count(*) >= $BoilerplateMinDocs
+         |ORDER BY doc_freq DESC, gram LIMIT $BoilerplateTopN""".stripMargin,
     "source_dup_stats_documents" ->
       s"""SELECT source, count(*)::BIGINT AS n_docs,
          |  count(DISTINCT md5($NormSql))::BIGINT AS n_unique,

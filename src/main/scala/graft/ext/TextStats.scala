@@ -220,6 +220,41 @@ object TextStats {
       .orderBy(col("n").desc, col("bigram"))
       .limit(topN)
 
+  /** Cross-document shared word-n-grams — the boilerplate detector a
+    * crawl-curation run uses to spot templated text (nav bars, cookie
+    * banners, license headers) BEFORE it poisons dedup and training:
+    * n-grams counted once per containing document (per-doc
+    * `array_distinct`, so a doc repeating its own header doesn't
+    * inflate the signal), ranked by document frequency.
+    *
+    * Same gram construction as the n-gram dedup family (normalize →
+    * split → word n-grams, whole text as one gram when shorter than
+    * `n`) so the report names exactly the grams dedup will collide on.
+    *
+    * Scale shape: explode → ONE map-side-combined count keyed by gram
+    * (shuffle bounded by the distinct gram vocabulary, never the
+    * corpus) → `minDocs` filter → global top-N via
+    * TakeOrderedAndProject (per-partition heaps, one K-row driver
+    * merge; (doc_freq, gram) order is total — the cut is
+    * deterministic).
+    */
+  def sharedNgrams(
+      documents: DataFrame,
+      n: Int = graft.functions.Hashing.ShingleN,
+      minDocs: Int = 3,
+      topN: Int = 25): DataFrame =
+    documents
+      .select(split(normText(col("text")), " ").as("ws"))
+      .select(explode(
+        when(size(col("ws")) < n, array(array_join(col("ws"), " ")))
+          .otherwise(array_distinct(
+            transform(sequence(lit(1), size(col("ws")) - (n - 1)), i =>
+              array_join(slice(col("ws"), i, lit(n)), " "))))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+      .orderBy(col("doc_freq").desc, col("gram"))
+      .limit(topN)
+
   /** Per-source duplication report: doc count, exact-fingerprint
     * distinct count, character mass, and the implied duplicate rate —
     * the per-domain view a curation run reads to decide which sources

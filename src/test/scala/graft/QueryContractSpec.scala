@@ -25,10 +25,10 @@ class QueryContractSpec extends AnyFunSuite {
     // (portable Lloyd unrolled in SQL) and corpus_summary_approx joined
     // as the one declared no-oracle key (HLL/quantile sketches are not
     // bit-compatible across engines; golden-pinned + error-bound spec)
-    assert(SparkEntry.queries.size == 103,
-      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.10 if intentional)")
-    assert(SparkEntry.oracleSql.size == 102,
-      s"oracle count drifted: ${SparkEntry.oracleSql.size} (update SURVEY §2.10 if intentional)")
+    assert(SparkEntry.queries.size == 104,
+      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.11 if intentional)")
+    assert(SparkEntry.oracleSql.size == 103,
+      s"oracle count drifted: ${SparkEntry.oracleSql.size} (update SURVEY §2.11 if intentional)")
   }
 
   test("no query key collides across catalog sections") {

@@ -37,6 +37,27 @@ class TextStatsSpec extends SparkSpec {
     assert(got.map(_._2).sameElements(got.map(_._2).sorted(Ordering[Long].reverse)))
   }
 
+  test("sharedNgrams: per-doc-distinct trigrams ranked by document frequency") {
+    val df = docsDF(Seq(
+      (1L, "click here to accept cookies now", "en"),
+      (2L, "click here to accept cookies please", "en"),
+      (3L, "click here to accept cookies", "en"),
+      // doc repeating its own gram counts ONCE (per-doc distinct)
+      (4L, "click here to x click here to", "en"),
+      (5L, "short doc", "en"),           // < n words → whole text is the gram
+      (6L, "unrelated text entirely here", "en")))
+    val got = TextStats.sharedNgrams(df, minDocs = 2, topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.head == ("click here to", 4L)) // doc 4 contributes 1, not 2
+    assert(got.toMap == Map(
+      "click here to" -> 4L,
+      "here to accept" -> 3L,
+      "to accept cookies" -> 3L))
+    // doc_freq desc, gram asc — the rank order is total
+    assert(got.map(_._1).toSeq ==
+      Seq("click here to", "here to accept", "to accept cookies"))
+  }
+
   test("sourceDupStats: per-source dup rate from normalized fingerprints") {
     import spark.implicits._
     val df = Seq(
