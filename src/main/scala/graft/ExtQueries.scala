@@ -75,6 +75,13 @@ object ExtQueries {
   val BoilerplateMinDocs: Int = 3
   /** Report size for boilerplate_ngrams. */
   val BoilerplateTopN: Int = 25
+  /** Minimum shared winnowing fingerprints for a dedup_winnow pair.
+    * At density 2/(w+1) ≈ 0.22, 12 fingerprints ≈ 50+ positions of
+    * shared normalized text — sustained passage overlap, above the
+    * template noise floor of the synthetic corpus (the n_shared
+    * histogram cliffs from 6k pairs at ≥8 to 578 at ≥12 at sf0.001).
+    */
+  val WinnowMinShared: Int = 12
 
   /** Split fractions for the declared train/val/test assignment — the
     * oracle's CASE cascade is generated from the same Seq (and the same
@@ -217,6 +224,45 @@ object ExtQueries {
        |${prefix}_h2 AS (SELECT $col, (xor(h, h // 134217728) * 10723151780598845931::UHUGEINT)
        |               % 18446744073709551616::UHUGEINT AS h FROM ${prefix}_h1),
        |${prefix}_h64 AS (SELECT $col, xor(h, h // 2147483648) AS h FROM ${prefix}_h2)""".stripMargin
+
+  /** CTE chain replicating [[Dedup.winnowPairs]] end-to-end, producing
+    * `wn_pairs(doc_id_a, doc_id_b, n_shared)` (minShared applied by the
+    * caller). Same kernel as the JVM side: hash64 per distinct k-char
+    * gram of the normalized text (signed-64 reinterpretation BEFORE the
+    * window min, so min agrees with JVM signed Long ordering), window
+    * `min` over w consecutive positions, VALUE-set selection (distinct
+    * window minima per doc — no tie rule to replicate), MaxBucket
+    * degenerate-fingerprint cap, inverted-index self-join.
+    */
+  private def winnowPairCtes(k: Int, w: Int): String = {
+    val cap = Dedup.MaxBucket
+    s"""wn_d AS (SELECT doc_id, $NormSql AS norm FROM documents),
+       |wn_i AS (SELECT doc_id, norm,
+       |      unnest(range(1, greatest(1, len(norm) - ${k - 1}) + 1)) AS i FROM wn_d),
+       |wn_g AS (SELECT doc_id, i,
+       |      CASE WHEN len(norm) < $k THEN norm ELSE substr(norm, i::INTEGER, $k) END AS gram
+       |    FROM wn_i),
+       |wn_dg AS (SELECT DISTINCT gram FROM wn_g),
+       |${hash64Ctes("wn", "wn_dg", "gram")},
+       |wn_sh AS (SELECT gram,
+       |      (h::HUGEINT - CASE WHEN h >= 9223372036854775808::UHUGEINT
+       |        THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS h
+       |    FROM wn_h64),
+       |wn_p AS (SELECT g.doc_id, g.i,
+       |      min(s.h) OVER (PARTITION BY g.doc_id ORDER BY g.i
+       |        ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS wmin,
+       |      count(*) OVER (PARTITION BY g.doc_id) AS m
+       |    FROM wn_g g JOIN wn_sh s USING (gram)),
+       |wn_s AS (SELECT DISTINCT doc_id, wmin AS fp FROM wn_p
+       |    WHERE i >= least($w, m)),
+       |wn_big AS (SELECT fp FROM wn_s GROUP BY fp HAVING count(*) > $cap),
+       |wn_cap AS (SELECT s.* FROM wn_s s WHERE NOT EXISTS (
+       |      SELECT 1 FROM wn_big o WHERE o.fp = s.fp)),
+       |wn_pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |      count(*)::BIGINT AS n_shared
+       |    FROM wn_cap a JOIN wn_cap b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2)""".stripMargin
+  }
 
   /** CTE chain replicating [[Dedup.minHashPairs]] end-to-end, producing
     * `mh_j(doc_id_a, doc_id_b, est_jaccard)` (threshold applied by the
@@ -441,6 +487,10 @@ object ExtQueries {
       // synthetic embeddings have no true near-dups (max pairwise cosine
       // ≈0.48 at sf0.001); 0.3 exercises the LSH-candidate + verify path
       Dedup.embeddingPairs(embs(s, dir), threshold = 0.3)),
+    "dedup_winnow_pairs_documents" -> ((s: SparkSession, dir: String) =>
+      // LOCAL fingerprinting (MOSS winnowing): shared-passage pairs the
+      // whole-doc sketches miss (a pasted header in unrelated docs)
+      Dedup.winnowPairs(docs(s, dir), minShared = WinnowMinShared)),
     // -- similarity search --
     "similarity_topk_embeddings" -> ((s: SparkSession, dir: String) => {
       val e = embs(s, dir)
@@ -974,6 +1024,13 @@ object ExtQueries {
          |  SELECT wk.doc_id, e2.b FROM walk wk JOIN edges e2 ON wk.reach = e2.a)
          |SELECT doc_id, min(reach)::BIGINT AS cluster_id
          |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // winnowing shared-passage pairs: hash64 kernel replicated per
+    // distinct char-gram, signed min ≡ JVM Long min, value-set selection
+    "dedup_winnow_pairs_documents" ->
+      s"""WITH ${winnowPairCtes(graft.functions.Hashing.WinnowK, graft.functions.Hashing.WinnowW)}
+         |SELECT doc_id_a, doc_id_b, n_shared FROM wn_pairs
+         |WHERE n_shared >= $WinnowMinShared
+         |ORDER BY n_shared DESC, doc_id_a, doc_id_b""".stripMargin,
     // hyperplane-LSH near-dup pairs: the seeded plane matrix is emitted
     // into the SQL as literals (same constants as the codegen'd kernel),
     // so banding, candidates, and cosine verify all replicate exactly

@@ -438,4 +438,48 @@ object Dedup {
       .select(col("vec_id_a"), col("vec_id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("vec_id_a", "vec_id_b")
   }
+
+  // ------------------------------------------------------------ winnowing
+
+  /** Shared-PASSAGE pairs via winnowing (Schleimer–Wilkerson–Aiken,
+    * SIGMOD'03 — the MOSS fingerprinting kernel). Whole-document
+    * sketches (MinHash/SimHash) miss a 200-char license header pasted
+    * into an otherwise-unrelated document; winnowing is LOCAL: any
+    * shared normalized substring of ≥ k+w−1 chars is guaranteed to
+    * contribute ≥ 1 shared fingerprint, so contained/partial overlap
+    * surfaces no matter how dissimilar the rest of the two docs is.
+    *
+    * Plan shape (the same scale discipline as the other pair families):
+    * one narrow codegen'd projection computes each doc's selected
+    * fingerprint SET (density ≈ 2/(w+1) of positions — the corpus never
+    * shuffles at full char width), explode → inverted fingerprint index
+    * → broadcast-anti-join cap on degenerate fingerprints (boilerplate
+    * shared by > maxBucket docs is exactly what [[TextStats.sharedNgrams]]
+    * reports; here it would blow the self-join quadratically) →
+    * self-join on fingerprint → pair count. `n_shared` is the evidence
+    * mass: pairs sharing ≥ `minShared` selected fingerprints.
+    */
+  def winnowPairs(
+      documents: DataFrame,
+      k: Int = graft.functions.Hashing.WinnowK,
+      w: Int = graft.functions.Hashing.WinnowW,
+      minShared: Int = 2,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val fps = documents.select(
+      col("doc_id"),
+      explode(graft.functions.GraftFunctions.winnowFps(
+        TextStats.normText(col("text")), k, w)).as("fp"))
+      .transform(graft.core.CacheScope.persist) // census + both join sides
+    val oversized = fps.groupBy("fp").count()
+      .filter(col("count") > maxBucket)
+      .select("fp")
+    val capped = fps.join(broadcast(oversized), Seq("fp"), "left_anti")
+    capped.select(col("fp"), col("doc_id").as("doc_id_a"))
+      .join(capped.select(col("fp"), col("doc_id").as("doc_id_b")), Seq("fp"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("n_shared").desc, col("doc_id_a"), col("doc_id_b"))
+  }
 }

@@ -114,6 +114,29 @@ case class NGramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `winnow_fps(text)`: sorted distinct winnowing fingerprints
+  * (Schleimer–Wilkerson–Aiken local document fingerprinting) of a
+  * pre-normalized string column; `k`/`w` are plan-time constants.
+  */
+case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_fps"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Hashing.winnowFps(input.asInstanceOf[UTF8String].toString, k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.Hashing.winnowFps($c.toString(), $k, $w))")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpsExpr =
+    copy(child = newChild)
+}
+
 /** `jaccard_sorted(a, b)`: Jaccard of two sorted array<bigint> sets by
   * linear merge.
   */

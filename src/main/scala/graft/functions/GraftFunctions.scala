@@ -30,6 +30,10 @@ object GraftFunctions {
   def bandKey(sig: Column, band: Int, r: Int): Column =
     GraftBridge.column(BandKeyExpr(GraftBridge.expression(sig), band, r))
 
+  def winnowFps(c: Column,
+      k: Int = Hashing.WinnowK, w: Int = Hashing.WinnowW): Column =
+    GraftBridge.column(WinnowFpsExpr(GraftBridge.expression(c), k, w))
+
   /** Plan-time integer constant for SQL-facing builders (K, n, dim…):
     * any foldable integral expression qualifies (`2`, `1+1`, …).
     */
@@ -76,6 +80,10 @@ object GraftFunctions {
       BandKeyExpr(es.head,
         litInt("graft_band_key", es(1)),
         litInt("graft_band_key", es(2)))),
+    fn("graft_winnow_fps", "(text, k, w)", 3, 3)(es =>
+      WinnowFpsExpr(es.head,
+        litInt("graft_winnow_fps", es(1)),
+        litInt("graft_winnow_fps", es(2)))),
   )
 
   /** Register the functions for SQL use on an existing session

@@ -14,11 +14,15 @@ object Hashing {
   /** 64-bit avalanche string hash (splitmix64-style finalizer over a
     * FNV-1a roll) — strong enough for LSH banding, self-contained.
     */
-  def hash64(s: CharSequence): Long = {
+  def hash64(s: CharSequence): Long = hash64Range(s, 0, s.length)
+
+  /** [[hash64]] over `s[from, until)` without substring allocation —
+    * the per-window kernel under [[winnowFps]].
+    */
+  def hash64Range(s: CharSequence, from: Int, until: Int): Long = {
     var h = 0xcbf29ce484222325L
-    var i = 0
-    val n = s.length
-    while (i < n) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }
+    var i = from
+    while (i < until) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }
     // splitmix64 finalizer
     h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
     h ^= h >>> 27; h *= 0x94d049bb133111ebL
@@ -156,6 +160,64 @@ object Hashing {
     }
     val union = a.length + b.length - inter
     if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  // ----------------------------------------------------------- winnowing
+
+  /** Winnowing defaults: character-gram length and window size. Any
+    * substring shared between two documents of at least
+    * `WinnowK + WinnowW - 1` characters (after normalization) is
+    * GUARANTEED to contribute at least one shared fingerprint — the
+    * winnowing coverage theorem (Schleimer–Wilkerson–Aiken, SIGMOD'03).
+    * Expected selection density is 2/(w+1) ≈ 0.22 of positions.
+    */
+  val WinnowK = 8
+  val WinnowW = 8
+
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD 2003 —
+    * the MOSS kernel): hash every k-char gram of the (pre-normalized)
+    * text, slide a w-hash window, select each window's minimum VALUE;
+    * return the selected hashes as a sorted distinct array.
+    *
+    * Value-set semantics (which hashes were ever a window min), not
+    * position semantics — no rightmost/leftmost tie rule to replicate,
+    * so the selection is engine-portable: an SQL window `min` over the
+    * same signed-64 hashes yields the identical set. Text shorter than
+    * k hashes as one whole-text gram; fewer than w grams form a single
+    * window. O(n) via a monotonic index deque.
+    */
+  def winnowFps(text: String, k: Int, w: Int): Array[Long] = {
+    val n = text.length
+    if (n < k) return Array(hash64(text))
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) { hs(i) = hash64Range(text, i, i + k); i += 1 }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      var mn = hs(0)
+      i = 1
+      while (i < m) { if (hs(i) < mn) mn = hs(i); i += 1 }
+      sel.add(mn)
+    } else {
+      // monotonic deque of indices; head = argmin of the current window
+      val dq = new Array[Int](m)
+      var head = 0
+      var tail = 0
+      var e = 0
+      while (e < m) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(e)) tail -= 1
+        dq(tail) = e; tail += 1
+        if (dq(head) <= e - w) head += 1
+        if (e >= w - 1) sel.add(hs(dq(head)))
+        e += 1
+      }
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
   }
 
   /** Band key for LSH: hash of `r` consecutive signature entries. */

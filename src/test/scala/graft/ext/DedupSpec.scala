@@ -251,4 +251,39 @@ class DedupSpec extends SparkSpec {
       "no pair may involve the capped degenerate block")
     assert(out.toSet.subsetOf(base), "guard must never invent pairs")
   }
+
+  test("winnowPairs finds shared-passage pairs whole-doc sketches miss") {
+    val header = "this license header is reproduced verbatim in every derived work of the project"
+    val rnd = new scala.util.Random(17)
+    def noise(n: Int) = (1 to n).map(_ => rnd.alphanumeric.take(6).mkString).mkString(" ")
+    // docs 1 and 2: the pasted header inside long UNRELATED bodies —
+    // whole-doc Jaccard is tiny, but the passage overlap is local
+    val df = docsDF(Seq(
+      (1L, noise(60) + " " + header + " " + noise(60)),
+      (2L, noise(60) + " " + header + " " + noise(60)),
+      (3L, noise(120))))
+    val pairs = Dedup.winnowPairs(df, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+      s"expected exactly the header-sharing pair, got ${pairs.toSeq}")
+    // ~80 chars of shared text at density 2/(w+1) ≈ 0.22 → well past 2
+    assert(pairs.head._3 >= 5, s"shared-fingerprint mass too low: ${pairs.head._3}")
+    // the same corpus under whole-doc MinHash: no pair (the point of
+    // LOCAL fingerprinting)
+    assert(Dedup.minHashPairs(df, threshold = 0.5).count() == 0)
+  }
+
+  test("winnowPairs MaxBucket cap drops corpus-wide boilerplate fingerprints") {
+    val boiler = "standard cookie consent banner text appears on every single page here"
+    val rnd = new scala.util.Random(19)
+    def noise(n: Int) = (1 to n).map(_ => rnd.alphanumeric.take(6).mkString).mkString(" ")
+    // 8 docs all carry the boilerplate; cap at 4 → its fingerprints are
+    // degenerate and must not produce any pair
+    val df = docsDF((1L to 8L).map(i => (i, noise(40) + " " + boiler + " " + noise(40))))
+    assert(Dedup.winnowPairs(df, minShared = 2, maxBucket = 4).count() == 0,
+      "boilerplate shared by more than maxBucket docs must be capped out")
+    // and with the cap off, all 28 pairs appear — the guard is the only
+    // thing standing between boilerplate and a quadratic join
+    assert(Dedup.winnowPairs(df, minShared = 2, maxBucket = Int.MaxValue).count() == 28)
+  }
 }

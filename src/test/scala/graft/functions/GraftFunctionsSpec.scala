@@ -95,4 +95,44 @@ class GraftFunctionsSpec extends SparkSpec {
         "(hash64Ctes docs) — if this ever passes, the kernels converged " +
         "and the BMP-only caveat can be dropped")
   }
+
+  test("winnowFps equals the brute-force window-minima set at every size regime") {
+    // independent re-derivation: all k-gram hashes, min VALUE of every
+    // w-window (single window when fewer than w grams), distinct sorted
+    def brute(t: String, k: Int, w: Int): Array[Long] = {
+      if (t.length < k) return Array(Hashing.hash64(t))
+      val hs = (0 to t.length - k).map(i => Hashing.hash64(t.substring(i, i + k)))
+      val wins =
+        if (hs.length <= w) Seq(hs.min)
+        else (0 to hs.length - w).map(s => hs.slice(s, s + w).min)
+      wins.distinct.sorted.toArray
+    }
+    val rnd = new scala.util.Random(11)
+    val texts = Seq("", "ab", "abcdefgh", "abcdefghi", "the quick brown fox") ++
+      (1 to 20).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(120)).mkString)
+    for (t <- texts; (k, w) <- Seq((8, 8), (8, 4), (4, 8), (3, 2)))
+      assert(Hashing.winnowFps(t, k, w).toSeq == brute(t, k, w).toSeq,
+        s"mismatch at k=$k w=$w on '$t'")
+  }
+
+  test("winnowing coverage guarantee: a shared k+w-1 substring shares a fingerprint") {
+    // Schleimer–Wilkerson–Aiken: any match of length >= w + k - 1 is
+    // caught. Embed one 15-char passage (k=8, w=8 → t=15) at random
+    // offsets of otherwise-unrelated random texts.
+    val k = 8; val w = 8
+    val passage = "zqxjkvbwpyfgmdh" // 15 chars, k + w - 1
+    assert(passage.length == k + w - 1)
+    val rnd = new scala.util.Random(13)
+    def withPassage(): String = {
+      val pre = rnd.alphanumeric.take(rnd.nextInt(60)).mkString
+      val post = rnd.alphanumeric.take(rnd.nextInt(60)).mkString
+      pre + passage + post
+    }
+    for (_ <- 1 to 25) {
+      val a = Hashing.winnowFps(withPassage(), k, w).toSet
+      val b = Hashing.winnowFps(withPassage(), k, w).toSet
+      assert(a.intersect(b).nonEmpty,
+        "guaranteed-length shared passage produced no shared fingerprint")
+    }
+  }
 }
