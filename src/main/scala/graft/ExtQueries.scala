@@ -225,6 +225,19 @@ object ExtQueries {
        |               % 18446744073709551616::UHUGEINT AS h FROM ${prefix}_h1),
        |${prefix}_h64 AS (SELECT $col, xor(h, h // 2147483648) AS h FROM ${prefix}_h2)""".stripMargin
 
+  /** The split cascade as a SQL CASE over a `text` column — generated
+    * from the SAME SplitFracs constants and fracThresholdHex conversion
+    * as [[Corpus.assignSplits]]' Column cascade; shared by the plain and
+    * clustered split oracles.
+    */
+  private lazy val SplitCascadeSql: String = {
+    val cums = SplitFracs.map(_._2).scanLeft(0.0)(_ + _).tail
+    val arms = SplitFracs.init.zip(cums).map { case ((name, _), cum) =>
+      s"WHEN substr(md5(text), 1, 8) < '${Corpus.fracThresholdHex(cum)}' THEN '$name'"
+    }.mkString(" ")
+    s"CASE $arms ELSE '${SplitFracs.last._1}' END"
+  }
+
   /** CTE chain replicating [[Dedup.winnowPairs]] end-to-end, producing
     * `wn_pairs(doc_id_a, doc_id_b, n_shared)` (minShared applied by the
     * caller). Same kernel as the JVM side: hash64 per distinct k-char
@@ -601,6 +614,14 @@ object ExtQueries {
     "split_assign_documents" -> ((s: SparkSession, dir: String) =>
       // deterministic content-addressed train/val/test assignment
       Corpus.assignSplits(docs(s, dir), SplitFracs)),
+    "split_assign_clustered_documents" -> ((s: SparkSession, dir: String) => {
+      // leakage guard: near-dup clusters split as a UNIT (the whole
+      // component inherits its representative's content-addressed
+      // split) — over the exact oracle-checkable pair set
+      val d = docs(s, dir)
+      Corpus.assignSplitsClustered(d,
+        Dedup.ngramJaccardPairsExact(d, threshold = 0.1), SplitFracs)
+    }),
     "mixture_sample_documents" -> ((s: SparkSession, dir: String) =>
       Corpus.sampleMixture(docs(s, dir), MixtureWeights, MixtureDefaultWeight)),
     "cap_per_source_documents" -> ((s: SparkSession, dir: String) =>
@@ -641,6 +662,12 @@ object ExtQueries {
     // -- range join: concurrent-session pairs (interval overlap) --
     "range_join_sessions" -> ((s: SparkSession, dir: String) =>
       RangeJoin.sessionOverlaps(Sources.table(s, dir, "events"))),
+    "join_skew_events" -> ((s: SparkSession, dir: String) => {
+      // pre-flight for the session self-join above: per-user_id row
+      // counts on both sides and the output rows each key produces
+      val e = Sources.table(s, dir, "events")
+      Analytics.joinSkewReport(e, e, "user_id", "user_id")
+    }),
     // -- as-of join: each event enriched with the user's latest
     //    at-or-before purchase (point-in-time dimension lookup) --
     "asof_enrich_events" -> ((s: SparkSession, dir: String) => {
@@ -1263,6 +1290,18 @@ object ExtQueries {
          |  (least(a.e_ts, b.e_ts) - greatest(a.s_ts, b.s_ts)) AS overlap_us
          |FROM i a JOIN i b ON a.id < b.id AND a.s_ts <= b.e_ts AND b.s_ts <= a.e_ts
          |ORDER BY id_a, id_b""".stripMargin,
+    // pre-flight skew report: same generic two-agg + full-outer shape
+    // as the Spark plan (self-join here, so both sides aggregate events)
+    "join_skew_events" ->
+      """WITH l AS (SELECT user_id AS key, count(*)::BIGINT AS n_left
+        |           FROM events GROUP BY 1),
+        |r AS (SELECT user_id AS key, count(*)::BIGINT AS n_right
+        |      FROM events GROUP BY 1),
+        |f AS (SELECT coalesce(l.key, r.key) AS key,
+        |        coalesce(n_left, 0) AS n_left, coalesce(n_right, 0) AS n_right
+        |      FROM l FULL OUTER JOIN r ON l.key = r.key)
+        |SELECT key, n_left, n_right, (n_left * n_right)::BIGINT AS join_rows
+        |FROM f ORDER BY join_rows DESC, key LIMIT 20""".stripMargin,
     "asof_enrich_events" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts, event_type, value FROM events),
         |p AS (SELECT user_id, ts, value AS purchase_value FROM e WHERE event_type = 'purchase')
@@ -1320,14 +1359,29 @@ object ExtQueries {
     "split_assign_documents" -> {
       // CASE cascade generated from the SAME SplitFracs constants and
       // fracThresholdHex conversion as the Spark cascade
-      val cums = SplitFracs.map(_._2).scanLeft(0.0)(_ + _).tail
-      val arms = SplitFracs.init.zip(cums).map { case ((name, _), cum) =>
-        s"WHEN substr(md5(text), 1, 8) < '${Corpus.fracThresholdHex(cum)}' THEN '$name'"
-      }.mkString(" ")
-      s"""SELECT doc_id, lang, source,
-         |  CASE $arms ELSE '${SplitFracs.last._1}' END AS split
+      s"""SELECT doc_id, lang, source, $SplitCascadeSql AS split
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // leakage guard: the SAME exact pair set + WITH RECURSIVE closure as
+    // dedup_cluster_exact, then the representative's text drives the
+    // SAME split cascade — cluster members provably co-split
+    "split_assign_clustered_documents" ->
+      s"""WITH RECURSIVE $NgramPairCtes,
+         |p AS (SELECT doc_id_a, doc_id_b FROM j WHERE exact_jaccard >= 0.1),
+         |edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM p
+         |          UNION ALL SELECT doc_id_b, doc_id_a FROM p),
+         |walk(doc_id, reach) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT wk.doc_id, e2.b FROM walk wk JOIN edges e2 ON wk.reach = e2.a),
+         |cl AS (SELECT doc_id, min(reach)::BIGINT AS cluster_id
+         |       FROM walk GROUP BY doc_id),
+         |rs AS (SELECT doc_id AS cluster_id, $SplitCascadeSql AS split
+         |       FROM documents)
+         |SELECT c.doc_id, d.lang, d.source, c.cluster_id, r.split
+         |FROM cl c JOIN documents d ON d.doc_id = c.doc_id
+         |          JOIN rs r ON r.cluster_id = c.cluster_id
+         |ORDER BY c.doc_id""".stripMargin,
     "cap_per_source_documents" ->
       """SELECT doc_id, text, lang, source, n_chars FROM (
         |  SELECT d.*, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn

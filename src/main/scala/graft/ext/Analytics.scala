@@ -563,4 +563,35 @@ object Analytics {
         least(greatest(col("value"), col("lo_v")), col("hi_v")).as("clipped_value"))
       .orderBy("event_id")
   }
+
+  /** Pre-flight join-skew report: per-key row counts of BOTH sides of a
+    * planned join and the output rows each key would produce
+    * (n_left × n_right) — the number you read BEFORE launching a 100 TB
+    * shuffle join to decide salting / AQE skew handling / a broadcast.
+    * A key at 10⁶ × 10⁶ is a 10¹²-row partition no executor survives;
+    * this report names it for the cost of two aggregates.
+    *
+    * Scale shape: each side collapses to its distinct-key count first
+    * (map-side combine — the FACT tables never shuffle whole), the two
+    * count tables full-outer-join on key (keys present on one side only
+    * produce 0 join rows but still matter for outer/anti planning), and
+    * the top-N cut is a TakeOrderedAndProject (per-partition heaps, one
+    * N-row driver merge). (join_rows DESC, key) is a total order.
+    */
+  def joinSkewReport(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      topN: Int = 20): DataFrame = {
+    val l = left.groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("n_left"))
+    val r = right.groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_right"))
+    l.join(r, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"))
+      .withColumn("join_rows", col("n_left") * col("n_right"))
+      .orderBy(col("join_rows").desc, col("key"))
+      .limit(topN)
+  }
 }

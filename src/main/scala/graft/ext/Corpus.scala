@@ -37,21 +37,62 @@ object Corpus {
     */
   def assignSplits(
       documents: DataFrame,
-      splits: Seq[(String, Double)]): DataFrame = {
+      splits: Seq[(String, Double)]): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        splitCascade(col("text"), splits).as("split"))
+      .orderBy("doc_id")
+
+  /** The content-addressed split cascade over a text column — shared by
+    * [[assignSplits]] and [[assignSplitsClustered]] (and mirrored
+    * literally by both oracles) so the two assignment paths can never
+    * drift: md5-prefix thresholds from the cumulative fractions, last
+    * split as the otherwise-arm.
+    */
+  private def splitCascade(
+      text: org.apache.spark.sql.Column,
+      splits: Seq[(String, Double)]): org.apache.spark.sql.Column = {
     require(splits.size >= 2, s"need at least two splits: $splits")
     require(splits.map(_._2).forall(_ > 0), s"non-positive split fraction: $splits")
     require(splits.map(_._1).distinct.size == splits.size,
       s"duplicate split names: ${splits.map(_._1)}")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1: $splits")
-    val h = substring(md5(col("text")), 1, 8)
+    val h = substring(md5(text), 1, 8)
     val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
-    // thresholds for all but the last split; the last is the otherwise-arm
-    val assign = splits.init.zip(cums).foldRight(lit(splits.last._1)) {
+    splits.init.zip(cums).foldRight(lit(splits.last._1)) {
       case (((name, _), cum), rest) => when(h < lit(fracThresholdHex(cum)), name).otherwise(rest)
     }
-    documents
-      .select(col("doc_id"), col("lang"), col("source"), assign.as("split"))
+  }
+
+  /** Leakage-proof train/val/test assignment: near-duplicate documents
+    * MUST land in the same split, or eval measures memorization of the
+    * training copy (the classic contamination-by-near-dup failure of
+    * naive per-doc hashing — `pairs` is exactly what [[Dedup]] already
+    * found). Connected components over the near-dup pair graph pick a
+    * representative (min doc_id) per cluster; the WHOLE cluster gets
+    * the representative's content-addressed split. Singleton docs hash
+    * their own text, so on a dedup-clean corpus this degrades to
+    * [[assignSplits]] exactly (spec-pinned).
+    *
+    * Scale shape: CC is the log-round DataFrame loop of
+    * [[DedupClusters.clustersDF]]; then two equi-joins keyed on
+    * doc_id/cluster_id (shuffle bounded by the doc-id column, never
+    * text) — the representative's md5 is computed once per CLUSTER.
+    */
+  def assignSplitsClustered(
+      documents: DataFrame,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val clusters = DedupClusters.clustersDF(documents, pairs)
+    val repSplit = documents.select(
+      col("doc_id").as("cluster_id"),
+      splitCascade(col("text"), splits).as("split"))
+    clusters
+      .join(documents.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .join(repSplit, Seq("cluster_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("cluster_id"), col("split"))
       .orderBy("doc_id")
   }
 

@@ -25,9 +25,9 @@ class QueryContractSpec extends AnyFunSuite {
     // (portable Lloyd unrolled in SQL) and corpus_summary_approx joined
     // as the one declared no-oracle key (HLL/quantile sketches are not
     // bit-compatible across engines; golden-pinned + error-bound spec)
-    assert(SparkEntry.queries.size == 105,
+    assert(SparkEntry.queries.size == 107,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.11 if intentional)")
-    assert(SparkEntry.oracleSql.size == 104,
+    assert(SparkEntry.oracleSql.size == 106,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} (update SURVEY §2.11 if intentional)")
   }
 

@@ -286,4 +286,23 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("joinSkewReport: per-key products, one-sided keys at zero, top-N order") {
+    import spark.implicits._
+    // left: key 1×3, 2×2, 3×1; right: key 1×4, 2×1, 9×5 (right-only)
+    val left = Seq(1, 1, 1, 2, 2, 3).map(k => (k.toLong, "x"))
+      .toDF("k", "payload")
+    val right = (Seq.fill(4)(1) ++ Seq(2) ++ Seq.fill(5)(9)).map(k => (k.toLong, "y"))
+      .toDF("k", "payload")
+    val out = Analytics.joinSkewReport(left, right, "k", "k", topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // products: 1→12, 2→2, 3→0 (left-only), 9→0 (right-only); zero ties
+    // break by key ascending — the cut order is total
+    assert(out.toSeq == Seq(
+      (1L, 3L, 4L, 12L), (2L, 2L, 1L, 2L), (3L, 1L, 0L, 0L), (9L, 0L, 5L, 0L)))
+    // the report is the PRODUCT of two aggregates — row counts, never a
+    // join of the fact tables themselves
+    assert(Analytics.joinSkewReport(left, right, "k", "k", topN = 2)
+      .collect().length == 2)
+  }
 }

@@ -71,6 +71,27 @@ class CorpusSpec extends SparkSpec {
     assert(out.forall { case (id, s) => out3(id) == s })
   }
 
+  test("assignSplitsClustered: clusters co-split; pairless corpus degrades to assignSplits") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val df = docsDF((1L to 120L).map(i => (i, s"document body number $i")))
+    // chain 1~2~3 and pair 10~11: both components must be uniform, and
+    // every member must wear its REPRESENTATIVE's (min id) own split
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_id_a", "doc_id_b")
+    val plain = Corpus.assignSplits(df, splits).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val out = Corpus.assignSplitsClustered(df, pairs, splits).collect()
+      .map(r => (r.getLong(0), (r.getLong(3), r.getString(4)))).toMap
+    assert(out.size == 120)
+    assert(Seq(1L, 2L, 3L).map(out(_)).distinct == Seq((1L, plain(1L))))
+    assert(Seq(10L, 11L).map(out(_)).distinct == Seq((10L, plain(10L))))
+    // singletons: own cluster, own content-addressed split — identical
+    // to the plain path (the no-near-dups degradation guarantee)
+    val clustered = Set(1L, 2L, 3L, 10L, 11L)
+    assert(out.filterNot(kv => clustered(kv._1))
+      .forall { case (id, (cid, s)) => cid == id && s == plain(id) })
+  }
+
   test("assignSplits rejects malformed split specs") {
     val df = docsDF(Seq((1L, "a doc")))
     intercept[IllegalArgumentException] {
