@@ -20,11 +20,19 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // noop sink: full evaluation of every column (count() would let
-    // Catalyst prune the very projections being benchmarked)
-    def evalOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Catalyst prune the very projections being benchmarked).
+    // A thrown query must NOT time as a near-0 "success" — the r8
+    // artifact recorded the then-failing events family at 0.06 s each,
+    // silently deflating the total; failures are named in the artifact.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def evalOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        errors.getOrElseUpdate(name,
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       // release operator-pinned intermediates (LSH banded tables etc.)
       // so one query's cache never pressures the next query's heap
@@ -42,9 +50,10 @@ object Bench {
     // the machine contract moves to a complete JSON artifact FILE plus a
     // short, never-overflowing summary line printed last.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val s1 = evalOnce(fn)
-      val s2 = evalOnce(fn)
-      println(s"BENCHQ $name ${fmt(math.min(s1, s2))} ${fmt(s1)} ${fmt(s2)}")
+      val s1 = evalOnce(name, fn)
+      val s2 = evalOnce(name, fn)
+      val flag = if (errors.contains(name)) " FAILED" else ""
+      println(s"BENCHQ $name ${fmt(math.min(s1, s2))} ${fmt(s1)} ${fmt(s2)}$flag")
       (name, s1, s2)
     }
     val qs = results
@@ -59,9 +68,16 @@ object Bench {
     // CPU) then carries its own explanation
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val errs = errors
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val contract =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","load1":${fmt(load)},""" +
-        s""""n_queries":${results.size},"artifact":"bench_artifact.json","queries":$qs,""" +
+        s""""n_queries":${results.size},"n_failed":${errors.size},"errors":$errs,""" +
+        s""""artifact":"bench_artifact.json","queries":$qs,""" +
         s""""raw_timings":$raw,"sf":"$sfDir"}"""
     // complete machine-readable artifact (all keys + raw min-of-2
     // samples + exit load): immune to any stdout capture limit
@@ -77,7 +93,7 @@ object Bench {
     val slowest = results.sortBy(r => -math.min(r._2, r._3)).take(8)
       .map { case (k, s1, s2) => s"\"" + k + "\":" + fmt(math.min(s1, s2)) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","load1":${fmt(load)},"n_queries":${results.size},"queries":$slowest,"artifact":"${out.toAbsolutePath}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","load1":${fmt(load)},"n_queries":${results.size},"n_failed":${errors.size},"queries":$slowest,"artifact":"${out.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

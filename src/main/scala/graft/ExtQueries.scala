@@ -911,6 +911,42 @@ object ExtQueries {
          |  count(DISTINCT md5($NormSql))::BIGINT AS n_unique_texts,
          |  round(1.0 - count(DISTINCT md5($NormSql))::DOUBLE / count(*), 4) AS dup_rate
          |FROM documents ORDER BY n_docs""".stripMargin,
+    // KMV bottom-k distinct sketch, engine-exact: the u mapping keeps
+    // only the top 53 bits of hash64 (exact in DOUBLE on both engines),
+    // so DuckDB reaches the identical bottom-k set and estimate. <k
+    // distinct hashes → exact count; else ⌊(k−1)/u_k⌋. Quantiles are
+    // the exact rank-off-histogram kernel (length_quantiles contract).
+    "corpus_summary_approx_documents" -> {
+      val k = TextStats.KmvK
+      // per-domain CTE chain: distinct values → hash64 → u → bottom-k → estimate
+      def kmv(prefix: String, valueSql: String): String =
+        s"""${prefix}_v AS (SELECT DISTINCT $valueSql AS v FROM documents),
+           |${hash64Ctes(prefix, s"${prefix}_v", "v")},
+           |${prefix}_u AS (SELECT DISTINCT (h // 2048)::DOUBLE / 9007199254740992.0 AS u
+           |    FROM ${prefix}_h64),
+           |${prefix}_k AS (SELECT u FROM ${prefix}_u ORDER BY u LIMIT $k),
+           |${prefix}_e AS (SELECT CASE WHEN count(*) < $k THEN count(*)::BIGINT
+           |    ELSE floor(${k - 1}::DOUBLE / max(u))::BIGINT END AS est FROM ${prefix}_k)""".stripMargin
+      s"""WITH ${kmv("ks", "source")},
+         |${kmv("kl", "lang")},
+         |${kmv("kf", s"md5($NormSql)")},
+         |sc AS (SELECT count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+         |    FROM documents),
+         |hh AS (SELECT n_chars, count(*)::BIGINT AS c FROM documents GROUP BY 1),
+         |hc AS (SELECT n_chars,
+         |      sum(c) OVER (ORDER BY n_chars
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+         |      sum(c) OVER () AS n FROM hh),
+         |qq AS (SELECT
+         |      min(CASE WHEN cm >= ceil(n * 0.5) THEN n_chars END)::BIGINT AS p50_chars,
+         |      min(CASE WHEN cm >= ceil(n * 0.95) THEN n_chars END)::BIGINT AS p95_chars
+         |    FROM hc)
+         |SELECT sc.n_docs, ks_e.est AS n_sources_approx, kl_e.est AS n_langs_approx,
+         |  sc.sum_chars, kf_e.est AS n_unique_texts_approx,
+         |  qq.p50_chars, qq.p95_chars,
+         |  round(1.0 - kf_e.est::DOUBLE / sc.n_docs, 4) AS dup_rate_approx
+         |FROM sc, ks_e, kl_e, kf_e, qq ORDER BY n_docs""".stripMargin
+    },
     // per-column profile: one aggregate select per column, UNION ALL —
     // counts exact, min/max rendered as strings (binary collation both
     // engines; the declared key profiles integer/string columns only)

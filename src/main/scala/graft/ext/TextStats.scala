@@ -363,36 +363,93 @@ object TextStats {
           .as("dup_rate"))
       .orderBy("n_docs")
 
+  /** KMV (k-minimum-values / bottom-k) sketch size — small enough that
+    * the sf0.01 corpus (~400+ distinct fingerprints) exercises the
+    * ESTIMATOR path in the oracle check, large enough for ~1/√(k−2)
+    * ≈ 6% relative error. Production: raise to 4096 (1.6% error) —
+    * the state is k 8-byte values either way.
+    */
+  val KmvK = 256
+
+  /** hash64 → uniform double in [0,1): top 53 bits of the unsigned
+    * 64-bit value over 2^53. Every step (logical shift, ≤2^53 int→
+    * double, power-of-two divide) is IEEE-exact, so DuckDB reproduces
+    * the value bit-for-bit (`(h // 2048)::DOUBLE / 2^53`).
+    */
+  private def kmvU(c: Column): Column =
+    shiftrightunsigned(graft.functions.GraftFunctions.hash64(c), 11)
+      .cast("double") / lit(9007199254740992.0)
+
   /** [[corpusSummary]] in sketch form — the variant a 100 TB corpus
     * actually runs: `countDistinct(fp)` shuffles one row per DISTINCT
     * fingerprint (≈ one per document on a deduped corpus — an
-    * O(corpus) exchange just to fill a report), while HyperLogLog++
-    * (`approx_count_distinct`, rsd 1%) and a bounded-state quantile
-    * sketch (`percentile_approx`) reduce the whole pass to fixed-size
-    * partial states: one narrow scan, a few KB moved, regardless of
-    * corpus size. Low-cardinality fields (source, lang) sit in HLL++'s
-    * exact sparse regime, so only `n_unique_texts_approx` carries real
-    * sketch error — spec-bounded against the exact key at the declared
-    * rsd. No DuckDB oracle (HLL/KLL sketches are not bit-compatible
-    * across engines); golden-fixture-pinned instead.
+    * O(corpus) exchange just to fill a report). Here each distinct
+    * count is a KMV bottom-k sketch over the deterministic
+    * [[graft.functions.Hashing.hash64]]: keep the k smallest distinct
+    * hash values; if fewer than k exist the count is EXACT (the
+    * low-cardinality source/lang fields land here), else estimate
+    * (k−1)/u_(k). Unlike HLL++ the sketch is engine-portable — the
+    * DuckDB oracle replays hash64 via UHUGEINT CTEs and reaches the
+    * identical bottom-k, so this key is hash-verified, not
+    * golden-pinned. Quantiles come EXACT off the (n_chars, count)
+    * histogram — bounded by value cardinality, not corpus size — the
+    * same rank-off-histogram kernel as [[lengthQuantiles]].
+    *
+    * Scale shape: the only exchanges are (a) distinct (domain, u)
+    * 16-byte pairs with map-side combine — and only hash values that
+    * SURVIVE a map-side bottom-k would need to move at all with a
+    * custom partial agg; the window tail ranks ≤3 domains' distinct
+    * hashes; (b) the tiny histogram. Text never shuffles.
     */
-  def corpusSummaryApprox(documents: DataFrame, rsd: Double = 0.01): DataFrame =
-    documents
-      .select(col("source"), col("lang"), col("n_chars"),
-        md5(normText(col("text"))).as("fp"))
+  def corpusSummaryApprox(documents: DataFrame, k: Int = KmvK): DataFrame = {
+    val base = documents.select(col("source"), col("lang"), col("n_chars"),
+      md5(normText(col("text"))).as("fp"))
+    // one narrow pass → 3 (domain, u) streams; distinct before ranking
+    val pairs = base
+      .select(explode(array(
+        struct(lit("source").as("d"), kmvU(col("source")).as("u")),
+        struct(lit("lang").as("d"), kmvU(col("lang")).as("u")),
+        struct(lit("fp").as("d"), kmvU(col("fp")).as("u")))).as("p"))
+      .select(col("p.d").as("d"), col("p.u").as("u"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("d").orderBy("u")
+    val est = pairs
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .groupBy("d")
+      .agg(count(lit(1)).as("_nd"), max(col("u")).as("_uk"))
+      // < k distinct hashes seen → the sketch holds ALL of them → exact
+      .withColumn("est", when(col("_nd") < k, col("_nd"))
+        .otherwise(floor(lit((k - 1).toDouble) / col("_uk"))))
+    val ests = est.groupBy().agg(
+      max(when(col("d") === "source", col("est"))).as("n_sources_approx"),
+      max(when(col("d") === "lang", col("est"))).as("n_langs_approx"),
+      max(when(col("d") === "fp", col("est"))).as("n_unique_texts_approx"))
+    val scalars = base.groupBy().agg(
+      count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    // exact discrete quantiles off the value histogram (lengthQuantiles
+    // kernel, unstratified): p = min n_chars with cumulative ≥ ⌈p·n⌉
+    val hist = base.groupBy(col("n_chars")).agg(count(lit(1)).as("_c"))
+    val hw = org.apache.spark.sql.expressions.Window.orderBy("n_chars")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val quants = hist
+      .withColumn("_cum", sum(col("_c")).over(hw))
+      .withColumn("_n", sum(col("_c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .groupBy()
       .agg(
-        count(lit(1)).as("n_docs"),
-        approx_count_distinct(col("source"), rsd).as("n_sources_approx"),
-        approx_count_distinct(col("lang"), rsd).as("n_langs_approx"),
-        sum(col("n_chars")).as("sum_chars"),
-        approx_count_distinct(col("fp"), rsd).as("n_unique_texts_approx"),
-        percentile_approx(col("n_chars"), array(lit(0.5), lit(0.95)), lit(10000))
-          .as("q"))
+        min(when(col("_cum") >= ceil(col("_n") * lit(0.5)), col("n_chars")))
+          .cast("bigint").as("p50_chars"),
+        min(when(col("_cum") >= ceil(col("_n") * lit(0.95)), col("n_chars")))
+          .cast("bigint").as("p95_chars"))
+    scalars.crossJoin(ests).crossJoin(quants)
       .select(col("n_docs"), col("n_sources_approx"), col("n_langs_approx"),
         col("sum_chars"), col("n_unique_texts_approx"),
-        col("q").getItem(0).as("p50_chars"),
-        col("q").getItem(1).as("p95_chars"),
+        col("p50_chars"), col("p95_chars"),
         round(lit(1.0) - col("n_unique_texts_approx").cast("double") / col("n_docs"), 4)
           .as("dup_rate_approx"))
       .orderBy("n_docs")
+  }
 }

@@ -30,6 +30,27 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `hash64(text)`: the raw 64-bit avalanche hash ([[Hashing.hash64]],
+  * FNV-1a roll + splitmix64 finalizer) of a string column — the scalar
+  * kernel under every graft sketch, exposed directly for KMV-style
+  * distinct sketches. DuckDB-replicable (ExtQueries.hash64Ctes).
+  */
+case class Hash64Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.hash64(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Hashing.hash64($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash64Expr =
+    copy(child = newChild)
+}
+
 /** `minhash_sig(text)`: MinHash signature (array<bigint>, length `k` —
   * a plan-time constant; K=16 bench default, K≈128 production).
   */

@@ -10,6 +10,9 @@ object GraftFunctions {
   def simhash64(c: Column): Column =
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(c)))
 
+  def hash64(c: Column): Column =
+    GraftBridge.column(Hash64Expr(GraftBridge.expression(c)))
+
   def minhashSig(c: Column, k: Int = Hashing.MinHashK): Column =
     GraftBridge.column(MinHashSigExpr(GraftBridge.expression(c), k))
 
@@ -65,6 +68,7 @@ object GraftFunctions {
 
   private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     fn("graft_simhash64", "(text)", 1, 1)(es => SimHash64Expr(es.head)),
+    fn("graft_hash64", "(text)", 1, 1)(es => Hash64Expr(es.head)),
     fn("graft_minhash_sig", "(text[, k])", 1, 2)(es =>
       if (es.length == 2) MinHashSigExpr(es.head, litInt("graft_minhash_sig", es(1)))
       else MinHashSigExpr(es.head)),

@@ -2,7 +2,7 @@ package graft.io
 
 import graft.core.SchemaRules
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Source readers with the reference's ingest option parity.
   *
@@ -72,17 +72,40 @@ object Sources {
 
   /** Testdata table loader: `table(spark, sfDir, "lineitem")`.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (µs) cannot represent — we read it as ns-since-epoch BIGINT via the
-    * nanosAsLong conf, then truncate to µs-since-epoch BIGINT. µs is the
-    * common denominator across engines (DuckDB builds differ on whether
-    * TIMESTAMP_NS survives read_parquet; epoch_us(ts) is stable in both).
+    * `events.ts` normalizes to µs-since-epoch BIGINT — the common
+    * denominator across engines (DuckDB `epoch_us(ts)` is stable for
+    * every physical layout) and across testdata generations, which have
+    * shipped BOTH layouts: parquet TIMESTAMP(NANOS) (unrepresentable in
+    * Spark's µs TimestampType — read as ns BIGINT via the nanosAsLong
+    * conf, truncated to µs) and parquet TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ / TIMESTAMP — `unix_micros` under the pinned UTC
+    * session). Branching on the OBSERVED read type rather than assuming
+    * one layout is what keeps a regenerated dataset from silently
+    * failing the whole events family (round-8 post-mortem).
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      readParquet(spark, s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("ts div 1000"))
+      val df = readParquet(spark, s"$sfDir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr, unix_micros}
+      df.schema("ts").dataType match {
+        case LongType => // TIMESTAMP(NANOS) via nanosAsLong: ns → µs
+          df.withColumn("ts", expr("ts div 1000"))
+        case TimestampNTZType =>
+          // naive micros: interpret the wall-clock value as UTC — exactly
+          // DuckDB's epoch_us on the same naive value. The NTZ→LTZ cast
+          // goes through the session zone, so it must be pinned to UTC
+          // (all entry points do; fail loudly rather than skew by an
+          // offset if one ever doesn't).
+          val tz = spark.conf.get("spark.sql.session.timeZone")
+          require(tz == "UTC",
+            s"events.ts is TIMESTAMP_NTZ; reading it needs spark.sql.session.timeZone=UTC, got $tz")
+          df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)))
+        case TimestampType =>
+          df.withColumn("ts", unix_micros(col("ts")))
+        case other => throw new IllegalArgumentException(
+          s"events.ts: unsupported parquet read type $other")
+      }
     } else readParquet(spark, s"$sfDir/$name.parquet")
   }
 

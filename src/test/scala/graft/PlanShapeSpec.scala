@@ -36,6 +36,9 @@ class PlanShapeSpec extends SparkSpec {
     // RFM segmentation joins in ONE corpus-constant row (max order
     // date) the same way
     "analytics_customer_segments",
+    // KMV summary cross-joins three ONE-row aggregates (scalars ×
+    // sketch estimates × histogram quantiles) — constant-size loops
+    "corpus_summary_approx_documents",
     // RangeJoin's long-interval guard: the build side is the broadcast
     // of intervals spanning > maxBinsPerInterval bins — rare by
     // construction (RangeJoin.scala long path), and exactly the rows
@@ -56,10 +59,11 @@ class PlanShapeSpec extends SparkSpec {
       case l: GlobalLimit => hasTotalOrder(l.child)
       case l: LocalLimit => hasTotalOrder(l.child)
       case pr: Project => hasTotalOrder(pr.child)
-      // a global (ungrouped) aggregate yields at most one row — its
-      // order is trivially total, and EliminateSorts correctly strips
-      // the query's final orderBy above it
+      // a plan provably yielding ≤1 row (a global aggregate, or joins
+      // of such) is trivially totally ordered, and EliminateSorts
+      // correctly strips the query's final orderBy above it
       case a: Aggregate if a.groupingExpressions.isEmpty => true
+      case p if p.maxRows.exists(_ <= 1) => true
       case _ => false
     }
   }

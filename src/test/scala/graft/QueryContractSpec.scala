@@ -20,15 +20,15 @@ class QueryContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles missing ORDER BY: $missing")
   }
 
-  test("declared surface matches the documented round-8 inventory") {
-    // r8: similarity_ivf_trained_embeddings gained a DuckDB oracle
-    // (portable Lloyd unrolled in SQL) and corpus_summary_approx joined
-    // as the one declared no-oracle key (HLL/quantile sketches are not
-    // bit-compatible across engines; golden-pinned + error-bound spec)
+  test("declared surface matches the documented round-9 inventory") {
+    // r9: corpus_summary_approx converted from HLL (golden-pinned, no
+    // oracle) to a KMV bottom-k sketch over the portable hash64 — now
+    // DuckDB-oracle-verified like everything else. No-oracle count: 0.
     assert(SparkEntry.queries.size == 107,
-      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.11 if intentional)")
-    assert(SparkEntry.oracleSql.size == 106,
-      s"oracle count drifted: ${SparkEntry.oracleSql.size} (update SURVEY §2.11 if intentional)")
+      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.12 if intentional)")
+    assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
+      s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +
+        "(every declared key is oracle-checked as of r9; update SURVEY §2.12 if intentional)")
   }
 
   test("no query key collides across catalog sections") {
