@@ -580,6 +580,24 @@ object ExtQueries {
           round(col("n_hits") / lit(10.0), 4).as("recall_at_10"))
         .orderBy("k")
     }),
+    "dedup_semantic_pairs_embeddings" -> ((s: SparkSession, dir: String) => {
+      // SemDeDup (arXiv:2303.09540): k-means cluster, pairwise cosine
+      // ONLY within a cluster — O(n²) drops to Σ cᵢ², co-located on the
+      // centroid_id shuffle key; portable Lloyd training keeps the whole
+      // operator oracle-checkable
+      val e = embs(s, dir)
+      val index = Similarity.buildIvfIndex(e, nCentroids = 16, iterations = 3,
+        portable = true)
+      Similarity.semanticPairs(e, index)
+    }),
+    "dedup_semantic_embeddings" -> ((s: SparkSession, dir: String) => {
+      // the keep set: drop any vector with a lower-id semantic duplicate
+      // in its cluster (keep-lowest-id representative)
+      val e = embs(s, dir)
+      val index = Similarity.buildIvfIndex(e, nCentroids = 16, iterations = 3,
+        portable = true)
+      Similarity.semanticDedup(e, index)
+    }),
     // -- corpus preparation (sampling / scrubbing / chunking / packing) --
     "sample_hash_documents" -> ((s: SparkSession, dir: String) =>
       Corpus.sampleByHash(docs(s, dir))),
@@ -593,6 +611,11 @@ object ExtQueries {
     "pack_greedy_documents" -> ((s: SparkSession, dir: String) =>
       Corpus.packGreedy(docs(s, dir), budgetTokens = PackBudgetTokens,
         shardsPerStratum = PackShards)),
+    "select_budget_documents" -> ((s: SparkSession, dir: String) =>
+      // "best B tokens": greedy by quality score desc, boundary stratum
+      // by doc_id — score-histogram classification, so only ONE score
+      // stratum ever pays a per-row running sum
+      Corpus.selectBudget(docs(s, dir))),
     "curate_documents" -> ((s: SparkSession, dir: String) =>
       // full pipeline: redact → quality-filter → dedup → sample
       Corpus.curate(docs(s, dir))),
@@ -815,6 +838,42 @@ object ExtQueries {
          |    0.3 * (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
          |    0.3 * (CASE WHEN punct / len < 0.1 THEN 1.0 ELSE 0.0 END))), 4) AS quality_score
          |FROM b ORDER BY doc_id""".stripMargin
+    },
+    // token-budget selection: same quality fragment, histogram-classified
+    // strata, per-row running sum ONLY inside the boundary stratum
+    "select_budget_documents" -> {
+      val stops = likeScoreSql(TextStats.LangMarkers.flatMap(_._2).distinct)
+      val budget = Corpus.SelectBudgetTokens
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, source,
+         |    GREATEST(length(text)::DOUBLE, 1.0) AS len,
+         |    GREATEST(($WsToksSql)::DOUBLE, 1.0) AS toks,
+         |    length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
+         |    ($stops)::DOUBLE AS stops,
+         |    ($WsToksSql)::BIGINT AS n_tokens
+         |  FROM documents),
+         |q AS (SELECT doc_id, lang, source, n_tokens,
+         |    round(LEAST(1.0, GREATEST(0.0,
+         |      0.4 * LEAST(stops / toks * 10.0, 1.0) +
+         |      0.3 * (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |      0.3 * (CASE WHEN punct / len < 0.1 THEN 1.0 ELSE 0.0 END))), 4) AS quality_score
+         |  FROM b),
+         |h AS (SELECT quality_score, sum(n_tokens)::BIGINT AS t FROM q GROUP BY 1),
+         |hc AS (SELECT quality_score, t,
+         |    coalesce(sum(t) OVER (ORDER BY quality_score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS above
+         |  FROM h),
+         |j AS (SELECT q.*, hc.t, hc.above FROM q JOIN hc USING (quality_score)),
+         |bnd AS (SELECT doc_id, lang, source, quality_score, n_tokens, above,
+         |    sum(n_tokens) OVER (PARTITION BY quality_score ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM j WHERE above < $budget AND above + t > $budget)
+         |SELECT doc_id, lang, source, quality_score, n_tokens
+         |FROM j WHERE above < $budget AND above + t <= $budget
+         |UNION ALL
+         |SELECT doc_id, lang, source, quality_score, n_tokens
+         |FROM bnd WHERE above + cum - n_tokens < $budget
+         |ORDER BY doc_id""".stripMargin
     },
     "fingerprint_documents" ->
       s"SELECT doc_id, md5($NormSql) AS fingerprint FROM documents ORDER BY doc_id",
@@ -1980,39 +2039,70 @@ object ExtQueries {
     // centroid (LEFT JOIN + coalesce ≡ updated.getOrElse(cid, old)).
     // The final-centroid assignment, probe-list ranking, and top-k chain
     // then mirror the seed-IVF oracle. No keys remain oracle-less.
-    "similarity_ivf_trained_embeddings" -> {
-      def iter(k: Int): String =
-        s"""a$k AS (SELECT e.vec_id, c.cid,
-           |        round(${cosSql("e.embedding", "c.cvec", 64)}, 6) AS d
-           |      FROM embeddings e CROSS JOIN cent$k c),
-           |asg$k AS (SELECT vec_id, cid FROM (
-           |        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
-           |        FROM a$k) WHERE rn = 1),
-           |m$k AS (SELECT s.cid, t.i, round(avg(e.embedding[t.i]::DOUBLE), 6)::FLOAT AS v
-           |      FROM asg$k s JOIN embeddings e USING (vec_id) CROSS JOIN range(1, 65) t(i)
-           |      GROUP BY s.cid, t.i),
-           |nc$k AS (SELECT cid, list(v ORDER BY i) AS cvec FROM m$k GROUP BY cid),
-           |cent${k + 1} AS (SELECT c.cid, coalesce(n.cvec, c.cvec) AS cvec
-           |      FROM cent$k c LEFT JOIN nc$k n USING (cid)),""".stripMargin
+    "similarity_ivf_trained_embeddings" ->
       s"""WITH p AS (SELECT embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 1),
-         |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
-         |      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
-         |${iter(0)}
-         |${iter(1)}
-         |${iter(2)}
-         |af AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
-         |        round(${cosSql("e.embedding", "c.cvec", 64)}, 6) AS d
-         |      FROM embeddings e CROSS JOIN cent3 c),
-         |asgf AS (SELECT vec_id, label, embedding, cid FROM (
-         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
-         |        FROM af) WHERE rn = 1),
+         |$LloydAsgfCtes,
          |pr AS (SELECT cid FROM (
          |        SELECT c.cid, round(${cosSql("c.cvec", "pp.pe", 64)}, 6) AS sim
          |        FROM cent3 c, p pp)
          |       ORDER BY sim DESC, cid LIMIT 4),
          |cand AS (SELECT * FROM asgf WHERE cid IN (SELECT cid FROM pr))
          |SELECT vec_id, label, round(${cosSql("cand.embedding", "pp2.pe", 64)}, 6) AS cosine
-         |FROM cand, p pp2 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
-    },
+         |FROM cand, p pp2 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // SemDeDup pairs/keep-set: training + assignment reuse the SAME
+    // unrolled Lloyd chain as the trained-IVF oracle (one builder — the
+    // two cannot drift); pairwise cosine at 6 dp only within a cluster
+    "dedup_semantic_pairs_embeddings" ->
+      s"""WITH $LloydAsgfCtes
+         |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.cid AS centroid_id,
+         |  round(${cosSql("a.embedding", "b.embedding", 64)}, 6) AS cos_sim
+         |FROM asgf a JOIN asgf b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |WHERE round(${cosSql("a.embedding", "b.embedding", 64)}, 6)
+         |      >= ${Similarity.SemDedupMinCos}
+         |ORDER BY vec_id_a, vec_id_b""".stripMargin,
+    "dedup_semantic_embeddings" ->
+      s"""WITH $LloydAsgfCtes,
+         |drops AS (SELECT DISTINCT b.vec_id
+         |      FROM asgf a JOIN asgf b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |      WHERE round(${cosSql("a.embedding", "b.embedding", 64)}, 6)
+         |            >= ${Similarity.SemDedupMinCos})
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+         |ORDER BY vec_id""".stripMargin,
   )
+
+  /** Unrolled portable-Lloyd CTE chain (3 iterations, 16 seed
+    * centroids): ends at `cent3(cid, cvec)` and the final assignment
+    * `asgf(vec_id, label, embedding, cid)`. Shared by the trained-IVF
+    * oracle and the SemDeDup oracles so training can never drift
+    * between them. Mirrors [[graft.ext.Similarity.kMeansCentroids]] in
+    * portable mode: 6-dp assignment argmin (ties → lowest cid), 6-dp
+    * per-dimension means, empty cells keep their previous centroid.
+    */
+  private lazy val LloydAsgfCtes: String = {
+    def iter(k: Int): String =
+      s"""a$k AS (SELECT e.vec_id, c.cid,
+         |        round(${cosSql("e.embedding", "c.cvec", 64)}, 6) AS d
+         |      FROM embeddings e CROSS JOIN cent$k c),
+         |asg$k AS (SELECT vec_id, cid FROM (
+         |        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+         |        FROM a$k) WHERE rn = 1),
+         |m$k AS (SELECT s.cid, t.i, round(avg(e.embedding[t.i]::DOUBLE), 6)::FLOAT AS v
+         |      FROM asg$k s JOIN embeddings e USING (vec_id) CROSS JOIN range(1, 65) t(i)
+         |      GROUP BY s.cid, t.i),
+         |nc$k AS (SELECT cid, list(v ORDER BY i) AS cvec FROM m$k GROUP BY cid),
+         |cent${k + 1} AS (SELECT c.cid, coalesce(n.cvec, c.cvec) AS cvec
+         |      FROM cent$k c LEFT JOIN nc$k n USING (cid)),""".stripMargin
+    s"""cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+       |      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |${iter(0)}
+       |${iter(1)}
+       |${iter(2)}
+       |af AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+       |        round(${cosSql("e.embedding", "c.cvec", 64)}, 6) AS d
+       |      FROM embeddings e CROSS JOIN cent3 c),
+       |asgf AS (SELECT vec_id, label, embedding, cid FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+       |        FROM af) WHERE rn = 1)""".stripMargin
+  }
 }

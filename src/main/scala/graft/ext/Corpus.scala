@@ -558,4 +558,64 @@ object Corpus {
           .as("pack_id"))
       .orderBy("doc_id")
   }
+
+  /** Default token budget for [[selectBudget]]: sized so the sf0.001+
+    * corpora all have a real boundary stratum (partially taken), i.e.
+    * the interesting branch is always exercised.
+    */
+  val SelectBudgetTokens = 10000L
+
+  /** Token-budget corpus selection: the "best B tokens" curation step —
+    * greedily take documents by quality score (descending) until the
+    * token budget is spent; within the boundary score, take by doc_id
+    * ascending while the running total is still under budget (the first
+    * overflowing document is included iff strictly under budget before
+    * it — the classic greedy prefix).
+    *
+    * 100 TB shape: NO global sort of raw rows. Scores are 4-dp discrete
+    * (≤10⁴+1 values), so the score axis aggregates to a tiny
+    * (score → token-sum) histogram; every stratum is then classified by
+    * broadcast-joining two numbers (tokens above it, tokens through it):
+    * fully-funded strata keep ALL their rows with no window, defunded
+    * strata drop wholesale, and only the ONE boundary stratum pays a
+    * per-row running sum — a window over that stratum's rows alone, not
+    * the corpus. Selection is content-deterministic given (corpus,
+    * budget): stable under re-partitioning and re-runs.
+    */
+  def selectBudget(
+      documents: DataFrame,
+      budgetTokens: Long = SelectBudgetTokens): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0: $budgetTokens")
+    val scored = documents.select(
+      col("doc_id"), col("lang"), col("source"),
+      TextStats.qualityScoreColumn(col("text")).as("quality_score"),
+      TextStats.wsTokenCount(col("text")).as("n_tokens"))
+    // (score → Σtokens) histogram; tokens strictly ABOVE each score
+    val hw = Window.orderBy(desc("quality_score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = scored.groupBy("quality_score")
+      .agg(sum("n_tokens").as("_t"))
+      .withColumn("_above", coalesce(sum("_t").over(hw), lit(0L)))
+    val joined = scored.join(broadcast(hist), Seq("quality_score"))
+    // stratum fully inside the budget → keep, no per-row state (the
+    // `_above < budget` leg keeps the rule identical to the per-row
+    // greedy "cum-before < budget" even for zero-token strata at the
+    // budget edge)
+    val whole = joined.filter(
+      col("_above") < budgetTokens && col("_above") + col("_t") <= budgetTokens)
+    // the boundary stratum (starts under budget, ends over it) pays the
+    // only per-row running sum — partitioned BY the stratum, so state
+    // never exceeds one score-group
+    val bw = Window.partitionBy("quality_score").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined
+      .filter(col("_above") < budgetTokens && col("_above") + col("_t") > budgetTokens)
+      .withColumn("_cum", sum("n_tokens").over(bw))
+      .filter(col("_above") + col("_cum") - col("n_tokens") < budgetTokens)
+    whole.select(col("doc_id"), col("lang"), col("source"),
+        col("quality_score"), col("n_tokens"))
+      .unionByName(boundary.select(col("doc_id"), col("lang"), col("source"),
+        col("quality_score"), col("n_tokens")))
+      .orderBy("doc_id")
+  }
 }

@@ -504,4 +504,73 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
+
+  // ------------------------------------------------- semantic dedup
+
+  /** Cosine threshold for semantic duplicates. SemDeDup sweeps
+    * ε ∈ [0.9…0.99] on CLIP/OPT embeddings — but the synthetic test
+    * corpus is ISOTROPIC (max pairwise cosine ≈ 0.48; no true semantic
+    * duplicates by construction), so the engine default sits in the
+    * distribution's upper tail instead: the pair/keep paths carry real
+    * weight in every oracle check rather than vacuously matching on
+    * empty sets. Production corpora with genuine near-duplicates should
+    * raise this to the paper's range.
+    */
+  val SemDedupMinCos = 0.32
+
+  /** SemDeDup-style semantic near-duplicate PAIRS (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are k-means-clustered, then pairwise
+    * cosine runs ONLY within a cluster — the O(n²) global comparison
+    * drops to Σᵢ cᵢ², bounded by the cluster-size distribution, and
+    * each cluster's self-join co-locates on the `centroid_id` shuffle
+    * key (no vector ever compares across clusters; the paper shows the
+    * cross-cluster miss rate is negligible at these thresholds).
+    *
+    * Scale: nCentroids grows ∝ corpus (SemDeDup uses 50k clusters for
+    * LAION-440M) so expected cluster size — and the per-cluster
+    * quadratic term — stays constant; with a [[writeClustered]] layout
+    * the self-join reads each cluster file once, co-partitioned.
+    * Training is the [[buildIvfIndex]] portable Lloyd run, so the whole
+    * operator (training + assignment + pair scores at 6 dp) is
+    * DuckDB-oracle-checkable.
+    */
+  def semanticPairs(
+      embeddings: DataFrame,
+      index: IvfIndex,
+      minCos: Double = SemDedupMinCos): DataFrame = {
+    val assigned = ivfAssignPortableTo(embeddings, index.centroids)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"))
+    val b = assigned
+      .select(col("centroid_id"), col("vec_id").as("vec_id_b"),
+        col("embedding").as("_eb"))
+    assigned
+      .select(col("centroid_id"), col("vec_id").as("vec_id_a"),
+        col("embedding").as("_ea"))
+      .join(b, Seq("centroid_id"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cos_sim", round(cosine(col("_ea"), col("_eb")), 6))
+      .filter(col("cos_sim") >= lit(minCos))
+      .select(col("vec_id_a"), col("vec_id_b"), col("centroid_id"),
+        col("cos_sim"))
+      .orderBy("vec_id_a", "vec_id_b")
+  }
+
+  /** Semantic dedup KEEP set: drop any vector that has a lower-id
+    * semantic duplicate in its cluster (deterministic keep-lowest-id
+    * representative — the engine's standard keeper rule, cf.
+    * `Dedup.exact`). One distinct drop-list (vec_id_b of
+    * [[semanticPairs]]) anti-joined back — vectors never re-shuffle by
+    * anything but their id.
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      index: IvfIndex,
+      minCos: Double = SemDedupMinCos): DataFrame = {
+    val drops = semanticPairs(embeddings, index, minCos)
+      .select(col("vec_id_b").as("vec_id")).distinct()
+    embeddings
+      .join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
 }

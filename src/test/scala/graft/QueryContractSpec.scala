@@ -24,7 +24,9 @@ class QueryContractSpec extends AnyFunSuite {
     // r9: corpus_summary_approx converted from HLL (golden-pinned, no
     // oracle) to a KMV bottom-k sketch over the portable hash64 — now
     // DuckDB-oracle-verified like everything else. No-oracle count: 0.
-    assert(SparkEntry.queries.size == 107,
+    // +3 in r9: dedup_semantic[_pairs]_embeddings (SemDeDup) and
+    // select_budget_documents (token-budget curation)
+    assert(SparkEntry.queries.size == 110,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.12 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

@@ -436,4 +436,38 @@ class CorpusSpec extends SparkSpec {
       Corpus.sampleMixture(docs, Seq("s0" -> 1.0), defaultWeight = -1.0)
     }
   }
+
+  test("selectBudget: greedy quality-desc prefix, boundary by doc_id, exact budget rule") {
+    val real = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val budget = 5000L
+    val sel = Corpus.selectBudget(real, budget).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getLong(4)))
+    assert(sel.nonEmpty)
+    // reference: global greedy over (score desc, doc_id asc) — keep a
+    // doc iff the running total BEFORE it is under budget
+    val all = TextStats.qualityScore(real)
+      .select("doc_id", "quality_score")
+      .join(real.select(real("doc_id"),
+        TextStats.wsTokenCount(real("text")).as("n_tokens")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+    var cum = 0L
+    val want = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for ((id, _, t) <- all) { if (cum < budget) want += id; cum += t }
+    assert(sel.map(_._1).toSet == want.toSet,
+      s"selection mismatch: got ${sel.length}, want ${want.size}")
+    // the boundary branch actually ran: selection is neither empty nor
+    // the whole corpus, and total tokens land in (budget, budget + max)
+    assert(sel.length < all.length)
+    val total = sel.map(_._3).sum
+    assert(total >= budget, s"greedy prefix must cross the budget: $total")
+    assert(total - sel.map(_._3).max <= budget,
+      "removing the last-added doc must drop back under budget")
+    // determinism under re-partitioning
+    val again = Corpus.selectBudget(real.repartition(7), budget).collect()
+      .map(_.getLong(0))
+    assert(again.sameElements(sel.map(_._1)))
+    // zero budget selects nothing
+    assert(Corpus.selectBudget(real, 0L).count() == 0L)
+  }
 }

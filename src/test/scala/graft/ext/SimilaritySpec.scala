@@ -245,4 +245,48 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.length == 10)
     assert(rows.head.getLong(0) == 0L) // own vector, cosine 1.0
   }
+
+  test("semanticPairs: within-cluster threshold pairs, verified brute-force") {
+    val index = Similarity.buildIvfIndex(embs, nCentroids = 16, iterations = 3,
+      portable = true)
+    val pairs = Similarity.semanticPairs(embs, index).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // every pair respects ordering + threshold
+    pairs.foreach { case (a, b, c) =>
+      assert(a < b, s"unordered pair ($a,$b)")
+      assert(c >= Similarity.SemDedupMinCos, s"below-threshold pair ($a,$b,$c)")
+    }
+    // brute-force within-cluster reference: same assignment, all pairs
+    val assigned = Similarity.ivfAssignPortableTo(embs, index.centroids)
+      .select("vec_id", "embedding", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getLong(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val want = (for {
+      (ida, va, ca) <- assigned
+      (idb, vb, cb) <- assigned
+      if ca == cb && ida < idb
+      c = math.rint(cos(va, vb) * 1e6) / 1e6
+      if c >= Similarity.SemDedupMinCos
+    } yield (ida, idb)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == want,
+      s"pair set mismatch: got ${pairs.length}, want ${want.size}")
+    assert(pairs.nonEmpty, "corpus yields no semantic pairs — threshold dead")
+  }
+
+  test("semanticDedup: drops exactly the vectors with a lower-id duplicate") {
+    val index = Similarity.buildIvfIndex(embs, nCentroids = 16, iterations = 3,
+      portable = true)
+    val dropsWanted = Similarity.semanticPairs(embs, index)
+      .select("vec_id_b").distinct().collect().map(_.getLong(0)).toSet
+    val kept = Similarity.semanticDedup(embs, index).collect()
+      .map(_.getLong(0)).toSet
+    val all = embs.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- dropsWanted)
+    assert(dropsWanted.nonEmpty && kept.nonEmpty)
+  }
 }
