@@ -586,10 +586,14 @@ object Corpus {
       documents: DataFrame,
       budgetTokens: Long = SelectBudgetTokens): DataFrame = {
     require(budgetTokens >= 0, s"budget must be >= 0: $budgetTokens")
-    val scored = documents.select(
+    // pinned: the regex-heavy scoring pass (stopword LIKE battery +
+    // punctuation scrub over text) runs ONCE — histogram, whole-strata
+    // and boundary branches all reread the narrow (id, score, tokens)
+    // projection instead of re-scanning text three times
+    val scored = graft.core.CacheScope.persist(documents.select(
       col("doc_id"), col("lang"), col("source"),
       TextStats.qualityScoreColumn(col("text")).as("quality_score"),
-      TextStats.wsTokenCount(col("text")).as("n_tokens"))
+      TextStats.wsTokenCount(col("text")).as("n_tokens")))
     // (score → Σtokens) histogram; tokens strictly ABOVE each score
     val hw = Window.orderBy(desc("quality_score"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -538,8 +538,12 @@ object Similarity {
       embeddings: DataFrame,
       index: IvfIndex,
       minCos: Double = SemDedupMinCos): DataFrame = {
-    val assigned = ivfAssignPortableTo(embeddings, index.centroids)
-      .select(col("centroid_id"), col("vec_id"), col("embedding"))
+    // pinned: the O(n·k·dim) literal-argmin assignment would otherwise
+    // recompute on BOTH sides of the self-join (measured 2× the whole
+    // pairs phase at k=160 on sf1)
+    val assigned = graft.core.CacheScope.persist(
+      ivfAssignPortableTo(embeddings, index.centroids)
+        .select(col("centroid_id"), col("vec_id"), col("embedding")))
     val b = assigned
       .select(col("centroid_id"), col("vec_id").as("vec_id_b"),
         col("embedding").as("_eb"))

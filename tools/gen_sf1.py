@@ -67,16 +67,22 @@ tile("orders", {"o_orderkey": ORDER_SHIFT, "o_custkey": KEY_SHIFT})
 tile("lineitem", {"l_orderkey": ORDER_SHIFT, "l_partkey": KEY_SHIFT,
                   "l_suppkey": KEY_SHIFT})
 
-# events: shift ids AND the time axis (one disjoint era per replica)
+# events: shift ids AND the time axis (one disjoint era per replica).
+# The time unit follows the SOURCE schema (testdata generations have
+# shipped both timestamp[ns] and timestamp[us]): one hour expressed in
+# that unit, cast back to the source type.
 ev = pq.read_table(f"{SRC}/events.parquet")
+ts_type = ev.schema.field("ts").type
 ts = ev.column("ts").cast(pa.int64())
 span = pa.compute.max(ts).as_py() - pa.compute.min(ts).as_py()
-era = span + 3_600_000_000_000  # +1h gap, ns
+hour = {"ns": 3_600_000_000_000, "us": 3_600_000_000,
+        "ms": 3_600_000, "s": 3_600}[ts_type.unit]
+era = span + hour  # +1h gap in the source unit
 parts = []
 for i in range(REPLICAS):
     cols = {
         "event_id": pa.compute.add(ev.column("event_id"), ORDER_SHIFT * i),
-        "ts": pa.compute.add(ts, era * i).cast(pa.timestamp("ns")),
+        "ts": pa.compute.add(ts, era * i).cast(ts_type),
         "user_id": pa.compute.add(ev.column("user_id"), KEY_SHIFT * i),
         "event_type": ev.column("event_type"),
         "value": ev.column("value"),
