@@ -84,30 +84,111 @@ object Sources {
     * failing the whole events family (round-8 post-mortem).
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = readParquet(spark, s"$sfDir/$name.parquet")
-      import org.apache.spark.sql.functions.{col, expr, unix_micros}
-      df.schema("ts").dataType match {
-        case LongType => // TIMESTAMP(NANOS) via nanosAsLong: ns → µs
-          df.withColumn("ts", expr("ts div 1000"))
-        case TimestampNTZType =>
-          // naive micros: interpret the wall-clock value as UTC — exactly
-          // DuckDB's epoch_us on the same naive value. The NTZ→LTZ cast
-          // goes through the session zone, so it must be pinned to UTC
-          // (all entry points do; fail loudly rather than skew by an
-          // offset if one ever doesn't).
-          val tz = spark.conf.get("spark.sql.session.timeZone")
-          require(tz == "UTC",
-            s"events.ts is TIMESTAMP_NTZ; reading it needs spark.sql.session.timeZone=UTC, got $tz")
-          df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)))
-        case TimestampType =>
-          df.withColumn("ts", unix_micros(col("ts")))
-        case other => throw new IllegalArgumentException(
-          s"events.ts: unsupported parquet read type $other")
-      }
-    } else readParquet(spark, s"$sfDir/$name.parquet")
+    val df0 =
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val df = readParquet(spark, s"$sfDir/$name.parquet")
+        import org.apache.spark.sql.functions.{col, expr, unix_micros}
+        df.schema("ts").dataType match {
+          case LongType => // TIMESTAMP(NANOS) via nanosAsLong: ns → µs
+            df.withColumn("ts", expr("ts div 1000"))
+          case TimestampNTZType =>
+            // naive micros: interpret the wall-clock value as UTC — exactly
+            // DuckDB's epoch_us on the same naive value. The NTZ→LTZ cast
+            // goes through the session zone, so it must be pinned to UTC
+            // (all entry points do; fail loudly rather than skew by an
+            // offset if one ever doesn't).
+            val tz = spark.conf.get("spark.sql.session.timeZone")
+            require(tz == "UTC",
+              s"events.ts is TIMESTAMP_NTZ; reading it needs spark.sql.session.timeZone=UTC, got $tz")
+            df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)))
+          case TimestampType =>
+            df.withColumn("ts", unix_micros(col("ts")))
+          case other => throw new IllegalArgumentException(
+            s"events.ts: unsupported parquet read type $other")
+        }
+      } else readParquet(spark, s"$sfDir/$name.parquet")
+    checkContract(name, df0)
+    df0
   }
+
+  /** Engine-facing column contract per testdata table (AFTER the loader's
+    * normalization — events.ts is declared integral µs here): exact
+    * column names in order, plus a type FAMILY per column. Families
+    * rather than exact types so a benign regeneration (int32→int64) does
+    * not trip the guard, while a semantic drift (a timestamp where code
+    * expects epoch integers — the round-8 events break) fails AT LOAD
+    * with a named per-column diff instead of 14 queries deep.
+    */
+  private val TableContracts: Map[String, Seq[(String, String)]] = Map(
+    "region" -> Seq("r_regionkey" -> "integral", "r_name" -> "string"),
+    "nation" -> Seq("n_nationkey" -> "integral", "n_name" -> "string",
+      "n_regionkey" -> "integral"),
+    "customer" -> Seq("c_custkey" -> "integral", "c_name" -> "string",
+      "c_nationkey" -> "integral", "c_acctbal" -> "fractional",
+      "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "integral", "s_name" -> "string",
+      "s_nationkey" -> "integral", "s_acctbal" -> "fractional"),
+    "part" -> Seq("p_partkey" -> "integral", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "integral",
+      "p_retailprice" -> "fractional"),
+    "orders" -> Seq("o_orderkey" -> "integral", "o_custkey" -> "integral",
+      "o_orderstatus" -> "string", "o_totalprice" -> "fractional",
+      "o_orderdate" -> "timestamp", "o_orderpriority" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "integral", "l_partkey" -> "integral",
+      "l_suppkey" -> "integral", "l_linenumber" -> "integral",
+      "l_quantity" -> "fractional", "l_extendedprice" -> "fractional",
+      "l_discount" -> "fractional", "l_tax" -> "fractional",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp"),
+    "documents" -> Seq("doc_id" -> "integral", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integral"),
+    "embeddings" -> Seq("vec_id" -> "integral",
+      "embedding" -> "array<fractional>", "label" -> "integral"),
+    "events" -> Seq("event_id" -> "integral", "ts" -> "integral",
+      "user_id" -> "integral", "event_type" -> "string",
+      "value" -> "fractional", "props" -> "string"))
+
+  private def typeFamily(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case FloatType | DoubleType => "fractional"
+      case _: DecimalType => "fractional"
+      case StringType => "string"
+      case TimestampType | TimestampNTZType | DateType => "timestamp"
+      case ArrayType(et, _) => s"array<${typeFamily(et)}>"
+      case other => other.simpleString
+    }
+  }
+
+  /** Layout-drift guard (round-8 post-mortem generalized): tables the
+    * engine knows get their post-normalization schema checked against
+    * [[TableContracts]]; any drift throws ONE load-time error naming
+    * every offending column. Unknown table names pass through (ad-hoc
+    * reads are not the loader's contract).
+    */
+  private def checkContract(name: String, df: DataFrame): Unit =
+    TableContracts.get(name).foreach { want =>
+      val got = df.schema.map(f => f.name -> typeFamily(f.dataType))
+      if (got != want) {
+        val gotMap = got.toMap
+        val diffs =
+          want.collect {
+            case (c, k) if !gotMap.contains(c) => s"$c: missing (want $k)"
+            case (c, k) if gotMap(c) != k => s"$c: want $k, got ${gotMap(c)}"
+          } ++
+            got.collect { case (c, k) if !want.exists(_._1 == c) =>
+              s"$c: unexpected ($k)" } ++
+            (if (got.map(_._1) == want.map(_._1)) Nil
+             else if (got.map(_._1).sorted == want.map(_._1).sorted.toSeq)
+               Seq(s"column order drifted: ${got.map(_._1).mkString(", ")}")
+             else Nil)
+        throw new IllegalStateException(
+          s"testdata layout drift in '$name' (regenerated dataset? update " +
+            s"Sources.TableContracts/normalization): ${diffs.mkString("; ")}")
+      }
+    }
 
   /** Register a path as an unmanaged (external) table in the session
     * catalog — the reference's create_external_table (main.py:314-349),

@@ -90,4 +90,38 @@ class SourcesSpec extends SparkSpec {
     assert(spark.table("ext_t").count() == 2)
     spark.sql("DROP TABLE ext_t")
   }
+
+  test("table(): every testdata table satisfies its layout contract") {
+    // the guard itself runs inside table(); a contract violation throws
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings", "events")) {
+      val df = Sources.table(spark, "/root/testdata/sf0.001", t)
+      assert(df.columns.nonEmpty, t)
+    }
+    // events.ts normalizes to epoch-µs BIGINT whatever the parquet layout
+    val ev = Sources.table(spark, "/root/testdata/sf0.001", "events")
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("table(): layout drift fails AT LOAD with a named per-column diff") {
+    // doctored 'documents': n_chars re-typed to string, source dropped,
+    // an unexpected column added — the round-8 events break, generalized
+    val dir = Files.createTempDirectory("drift").toString
+    Sources.table(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("doc_id", "text", "lang", "cast(n_chars AS string) AS n_chars",
+        "1 AS extra_col")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalStateException] {
+      Sources.table(spark, dir, "documents")
+    }
+    assert(e.getMessage.contains("layout drift in 'documents'"))
+    assert(e.getMessage.contains("n_chars: want integral, got string"))
+    assert(e.getMessage.contains("source: missing"))
+    assert(e.getMessage.contains("extra_col: unexpected"))
+    // unknown table names are NOT the loader's contract — pass through
+    spark.read.parquet(s"$dir/documents.parquet")
+      .write.mode("overwrite").parquet(s"$dir/oddtable.parquet")
+    assert(Sources.table(spark, dir, "oddtable").columns.contains("extra_col"))
+  }
 }
