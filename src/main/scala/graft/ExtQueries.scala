@@ -580,6 +580,14 @@ object ExtQueries {
           round(col("n_hits") / lit(10.0), 4).as("recall_at_10"))
         .orderBy("k")
     }),
+    "dedup_minhash_quality_documents" -> ((s: SparkSession, dir: String) =>
+      // sketch-quality report: P/R/F1 of MinHash-LSH pairs vs the exact
+      // capped n-gram Jaccard pair set at the same threshold — measured
+      // continuously, not assumed from the S-curve
+      Dedup.minHashQuality(docs(s, dir))),
+    "embedding_stats_embeddings" -> ((s: SparkSession, dir: String) =>
+      // vector-table ingest trust check: dims, zero norms, norm drift
+      Similarity.embeddingStats(embs(s, dir))),
     "dedup_semantic_pairs_embeddings" -> ((s: SparkSession, dir: String) => {
       // SemDeDup (arXiv:2303.09540): k-means cluster, pairwise cosine
       // ONLY within a cluster — O(n²) drops to Σ cᵢ², co-located on the
@@ -2049,6 +2057,43 @@ object ExtQueries {
          |cand AS (SELECT * FROM asgf WHERE cid IN (SELECT cid FROM pr))
          |SELECT vec_id, label, round(${cosSql("cand.embedding", "pp2.pe", 64)}, 6) AS cosine
          |FROM cand, p pp2 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // sketch-quality report: composes the minhash and exact-ngram pair
+    // CTE chains verbatim (mh_* / bare prefixes are disjoint); P/R are
+    // exact small-integer divisions, F1 from the unrounded ratios
+    "dedup_minhash_quality_documents" ->
+      s"""WITH ${minhashPairCtes(16, 4)},
+         |$NgramPairCtes,
+         |pred AS (SELECT doc_id_a, doc_id_b FROM mh_j WHERE est_jaccard >= 0.2),
+         |truth AS (SELECT doc_id_a, doc_id_b FROM j WHERE exact_jaccard >= 0.2),
+         |np AS (SELECT count(*)::BIGINT AS n_pred FROM pred),
+         |nt AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+         |nh AS (SELECT count(*)::BIGINT AS n_hit
+         |       FROM pred JOIN truth USING (doc_id_a, doc_id_b))
+         |SELECT n_pred, n_true, n_hit,
+         |  round(CASE WHEN n_pred = 0 THEN 0.0 ELSE n_hit::DOUBLE / n_pred END, 4) AS precision,
+         |  round(CASE WHEN n_true = 0 THEN 0.0 ELSE n_hit::DOUBLE / n_true END, 4) AS recall,
+         |  round(CASE WHEN (CASE WHEN n_pred = 0 THEN 0.0 ELSE n_hit::DOUBLE / n_pred END)
+         |           + (CASE WHEN n_true = 0 THEN 0.0 ELSE n_hit::DOUBLE / n_true END) = 0.0
+         |        THEN 0.0
+         |        ELSE 2.0 * (CASE WHEN n_pred = 0 THEN 0.0 ELSE n_hit::DOUBLE / n_pred END)
+         |           * (CASE WHEN n_true = 0 THEN 0.0 ELSE n_hit::DOUBLE / n_true END)
+         |           / ((CASE WHEN n_pred = 0 THEN 0.0 ELSE n_hit::DOUBLE / n_pred END)
+         |            + (CASE WHEN n_true = 0 THEN 0.0 ELSE n_hit::DOUBLE / n_true END)) END, 4) AS f1
+         |FROM np, nt, nh ORDER BY n_pred""".stripMargin,
+    // vector-table health: 6-dp per-row norms, DECIMAL(16,6) mass sum
+    // (the ivf_cell_stats portability recipe)
+    "embedding_stats_embeddings" ->
+      s"""WITH n AS (SELECT label, len(embedding)::BIGINT AS dims,
+         |    round(sqrt(list_sum(list_transform(embedding,
+         |      x -> x::DOUBLE * x::DOUBLE))), 6) AS nrm
+         |  FROM embeddings)
+         |SELECT label, count(*)::BIGINT AS n_vecs,
+         |  min(dims) AS dims_min, max(dims) AS dims_max,
+         |  sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm,
+         |  min(nrm) AS min_norm,
+         |  sum(CAST(nrm AS DECIMAL(16,6)))::DOUBLE AS sum_norm,
+         |  max(nrm) AS max_norm
+         |FROM n GROUP BY label ORDER BY label""".stripMargin,
     // SemDeDup pairs/keep-set: training + assignment reuse the SAME
     // unrolled Lloyd chain as the trained-IVF oracle (one builder — the
     // two cannot drift); pairwise cosine at 6 dp only within a cluster

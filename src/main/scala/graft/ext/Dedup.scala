@@ -482,4 +482,41 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
       .orderBy(col("n_shared").desc, col("doc_id_a"), col("doc_id_b"))
   }
+
+  /** Sketch-quality report: precision/recall/F1 of the MinHash-LSH pair
+    * detector against the EXACT capped n-gram Jaccard pair set at the
+    * same threshold — THE number a pipeline owner reads before trusting
+    * (or re-tuning k/bands for) a sketch-based dedup pass at 100 TB,
+    * measured continuously instead of assumed from the S-curve.
+    *
+    * Both pair sets are the engine's own declared operators (identical
+    * kernels/caps), so the oracle composes their existing CTE chains
+    * verbatim. Post-threshold pair sets are tiny relative to the corpus;
+    * the P/R join is pair-keyed. One row: counts + 4-dp P/R/F1 (F1
+    * computed from the unrounded ratios — same contract both engines).
+    */
+  def minHashQuality(
+      documents: DataFrame,
+      threshold: Double = 0.2,
+      k: Int = graft.functions.Hashing.MinHashK,
+      bands: Int = Bands): DataFrame = {
+    val pred = minHashPairs(documents, threshold, k, bands)
+      .select("doc_id_a", "doc_id_b")
+    val truth = ngramJaccardPairsExact(documents, threshold)
+      .select("doc_id_a", "doc_id_b")
+    val np = pred.agg(count(lit(1)).as("n_pred"))
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    val nh = pred.join(truth, Seq("doc_id_a", "doc_id_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    val p = when(col("n_pred") === 0, lit(0.0))
+      .otherwise(col("n_hit").cast("double") / col("n_pred"))
+    val r = when(col("n_true") === 0, lit(0.0))
+      .otherwise(col("n_hit").cast("double") / col("n_true"))
+    np.crossJoin(nt).crossJoin(nh)
+      .select(col("n_pred"), col("n_true"), col("n_hit"),
+        round(p, 4).as("precision"), round(r, 4).as("recall"),
+        round(when(p + r === 0.0, lit(0.0))
+          .otherwise(lit(2.0) * p * r / (p + r)), 4).as("f1"))
+      .orderBy("n_pred")
+  }
 }

@@ -39,6 +39,8 @@ class PlanShapeSpec extends SparkSpec {
     // KMV summary cross-joins three ONE-row aggregates (scalars ×
     // sketch estimates × histogram quantiles) — constant-size loops
     "corpus_summary_approx_documents",
+    // sketch P/R report cross-joins three ONE-row counts the same way
+    "dedup_minhash_quality_documents",
     // RangeJoin's long-interval guard: the build side is the broadcast
     // of intervals spanning > maxBinsPerInterval bins — rare by
     // construction (RangeJoin.scala long path), and exactly the rows

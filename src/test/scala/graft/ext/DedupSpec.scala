@@ -286,4 +286,31 @@ class DedupSpec extends SparkSpec {
     // thing standing between boilerplate and a quadratic join
     assert(Dedup.winnowPairs(df, minShared = 2, maxBucket = Int.MaxValue).count() == 28)
   }
+
+  test("minHashQuality: perfect on exact dups, recall loss visible on mid-similarity pairs") {
+    // exact duplicates: sketch catches everything → P = R = F1 = 1
+    val easy = docsDF(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight")))
+    val e = Dedup.minHashQuality(easy, threshold = 0.5).collect()(0)
+    assert(e.getAs[Long]("n_true") == 1L && e.getAs[Long]("n_hit") == 1L)
+    assert(e.getAs[Double]("precision") == 1.0 && e.getAs[Double]("recall") == 1.0)
+    // mid-similarity pairs (J ≈ 0.23): K=16/b=4 banding candidates them
+    // with probability ≈ 1−(1−J⁴)⁴ ≈ 1% — the report must SHOW the
+    // recall loss, not hide it (this is the number that justifies the
+    // K=128 operating point)
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(j => s"w${seed}_$j").mkString(" ")
+    val mid = docsDF((0L until 30L).flatMap { i =>
+      val shared = words(1000 + i.toInt, 6)   // 6 shared words
+      Seq((i * 2, shared + " " + words(i.toInt * 7, 10)),        // +10 unique
+        (i * 2 + 1, shared + " " + words(i.toInt * 7 + 3, 10)))
+    })
+    val m = Dedup.minHashQuality(mid, threshold = 0.15).collect()(0)
+    assert(m.getAs[Long]("n_true") >= 25L,
+      s"expected ≥25 true mid-similarity pairs, got ${m.getAs[Long]("n_true")}")
+    assert(m.getAs[Double]("recall") < 0.5,
+      s"K=16 banding should visibly miss mid-similarity pairs, recall=${m.getAs[Double]("recall")}")
+  }
 }

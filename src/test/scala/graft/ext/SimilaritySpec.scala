@@ -246,6 +246,34 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.head.getLong(0) == 0L) // own vector, cosine 1.0
   }
 
+  test("embeddingStats: catches ragged dims, zero norms, norm mass exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f), 0),        // norm 5
+      (2L, Seq(0.0f, 0.0f), 0),        // dead encode
+      (3L, Seq(1.0f, 0.0f, 0.0f), 0),  // ragged: 3 dims
+      (4L, Seq(6.0f, 8.0f), 1))        // norm 10
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingStats(df).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val l0 = out(0)
+    assert(l0.getAs[Long]("n_vecs") == 3L)
+    assert(l0.getAs[Long]("dims_min") == 2L && l0.getAs[Long]("dims_max") == 3L)
+    assert(l0.getAs[Long]("n_zero_norm") == 1L)
+    assert(l0.getAs[Double]("min_norm") == 0.0)
+    assert(l0.getAs[Double]("sum_norm") == 6.0) // 5 + 0 + 1
+    assert(l0.getAs[Double]("max_norm") == 5.0)
+    val l1 = out(1)
+    assert(l1.getAs[Long]("n_vecs") == 1L && l1.getAs[Double]("sum_norm") == 10.0)
+    // real table: uniform dims, no dead vectors, unit norms
+    val real = Similarity.embeddingStats(embs).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getAs[Long]("dims_min") == 64L && r.getAs[Long]("dims_max") == 64L)
+      assert(r.getAs[Long]("n_zero_norm") == 0L)
+    }
+  }
+
   test("semanticPairs: within-cluster threshold pairs, verified brute-force") {
     val index = Similarity.buildIvfIndex(embs, nCentroids = 16, iterations = 3,
       portable = true)
