@@ -580,6 +580,16 @@ object ExtQueries {
           round(col("n_hits") / lit(10.0), 4).as("recall_at_10"))
         .orderBy("k")
     }),
+    "source_drift_documents" -> ((s: SparkSession, dir: String) => {
+      // crawl-over-crawl QA, derived deterministically: doc_id mod 4
+      // halves the corpus into two snapshots (mod 2 would correlate
+      // with the synthetic source assignment and make the split
+      // degenerate — every source wholly on one side)
+      val d = docs(s, dir)
+      TextStats.sourceDrift(
+        d.filter(col("doc_id") % 4 <= 1),
+        d.filter(col("doc_id") % 4 >= 2))
+    }),
     "dedup_minhash_quality_documents" -> ((s: SparkSession, dir: String) =>
       // sketch-quality report: P/R/F1 of MinHash-LSH pairs vs the exact
       // capped n-gram Jaccard pair set at the same threshold — measured
@@ -2057,6 +2067,52 @@ object ExtQueries {
          |cand AS (SELECT * FROM asgf WHERE cid IN (SELECT cid FROM pr))
          |SELECT vec_id, label, round(${cosSql("cand.embedding", "pp2.pe", 64)}, 6) AS cosine
          |FROM cand, p pp2 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // crawl-over-crawl drift: per-side quality fragment + fingerprint
+    // census, FULL OUTER on source, DECIMAL quality mass (ivf recipe)
+    "source_drift_documents" -> {
+      val stops = likeScoreSql(TextStats.LangMarkers.flatMap(_._2).distinct)
+      def qside(pfx: String, pred: String): String =
+        s"""${pfx}b AS (SELECT source, md5($NormSql) AS fp,
+           |    GREATEST(length(text)::DOUBLE, 1.0) AS len,
+           |    GREATEST(($WsToksSql)::DOUBLE, 1.0) AS toks,
+           |    length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
+           |    ($stops)::DOUBLE AS stops
+           |  FROM documents WHERE $pred),
+           |${pfx}q AS (SELECT source, fp,
+           |    round(LEAST(1.0, GREATEST(0.0,
+           |      0.4 * LEAST(stops / toks * 10.0, 1.0) +
+           |      0.3 * (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+           |      0.3 * (CASE WHEN punct / len < 0.1 THEN 1.0 ELSE 0.0 END))), 4) AS q
+           |  FROM ${pfx}b),
+           |${pfx}a AS (SELECT source, count(*)::BIGINT AS n_docs,
+           |    count(DISTINCT fp)::BIGINT AS n_unique,
+           |    sum(CAST(q AS DECIMAL(16,6)))::DOUBLE AS sq
+           |  FROM ${pfx}q GROUP BY source)""".stripMargin
+      s"""WITH ${qside("o", "doc_id % 4 <= 1")},
+         |${qside("n", "doc_id % 4 >= 2")},
+         |ov AS (SELECT source, count(*)::BIGINT AS n_shared FROM
+         |    (SELECT DISTINCT source, fp FROM oq) a
+         |    JOIN (SELECT DISTINCT source, fp FROM nq) b USING (source, fp)
+         |  GROUP BY source),
+         |j AS (SELECT source,
+         |    coalesce(oa.n_docs, 0)::BIGINT AS n_docs_old,
+         |    coalesce(na.n_docs, 0)::BIGINT AS n_docs_new,
+         |    coalesce(oa.n_unique, 0)::BIGINT AS n_unique_old,
+         |    coalesce(na.n_unique, 0)::BIGINT AS n_unique_new,
+         |    oa.sq AS sq_old, na.sq AS sq_new
+         |  FROM oa FULL OUTER JOIN na USING (source))
+         |SELECT j.source AS source, n_docs_old, n_docs_new, n_unique_old, n_unique_new,
+         |  coalesce(ov.n_shared, 0)::BIGINT AS n_shared_unique,
+         |  CASE WHEN n_docs_old = 0 THEN 0.0
+         |       ELSE round(coalesce(sq_old, 0.0) / n_docs_old, 4) END AS avg_quality_old,
+         |  CASE WHEN n_docs_new = 0 THEN 0.0
+         |       ELSE round(coalesce(sq_new, 0.0) / n_docs_new, 4) END AS avg_quality_new,
+         |  CASE WHEN n_unique_new = 0 THEN 0.0
+         |       ELSE round(1.0 - coalesce(ov.n_shared, 0)::DOUBLE / n_unique_new, 4)
+         |       END AS content_churn
+         |FROM j LEFT JOIN ov ON j.source = ov.source
+         |ORDER BY j.source""".stripMargin
+    },
     // sketch-quality report: composes the minhash and exact-ngram pair
     // CTE chains verbatim (mh_* / bare prefixes are disjoint); P/R are
     // exact small-integer divisions, F1 from the unrounded ratios

@@ -363,6 +363,56 @@ object TextStats {
           .as("dup_rate"))
       .orderBy("n_docs")
 
+  /** Crawl-over-crawl source drift report — the QA gate a recurring
+    * ingest runs between snapshots, per source: volume change, distinct-
+    * content change, content overlap (shared fingerprints), and quality
+    * drift. A source whose churn spikes or quality drops is the first
+    * sign of a layout change / paywall / spam takeover upstream.
+    *
+    * Scale shape: each side is one map-side-combined aggregate keyed by
+    * `source` (plus a distinct-(source, fp) pass for overlap — 16-byte
+    * rows, never text); the join keys are sources (small). Quality mass
+    * sums in DECIMAL(16,6) of 4-dp scores (order-independent, the
+    * ivf_cell_stats recipe); averages derive as ::double / n at 4 dp.
+    * FULL OUTER on source so vanished and newborn sources surface with
+    * zero counts instead of disappearing.
+    */
+  def sourceDrift(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def side(df: DataFrame, sfx: String): DataFrame =
+      df.select(col("source"), md5(normText(col("text"))).as("fp"),
+          qualityScoreColumn(col("text")).as("q"))
+        .groupBy("source")
+        .agg(count(lit(1)).as(s"n_docs_$sfx"),
+          countDistinct(col("fp")).as(s"n_unique_$sfx"),
+          sum(col("q").cast("decimal(16,6)")).cast("double").as(s"_sq_$sfx"))
+    val overlap = oldDocs
+      .select(col("source"), md5(normText(col("text"))).as("fp")).distinct()
+      .join(newDocs
+        .select(col("source"), md5(normText(col("text"))).as("fp")).distinct(),
+        Seq("source", "fp"))
+      .groupBy("source").agg(count(lit(1)).as("n_shared_unique"))
+    def nz(c: String): Column = coalesce(col(c), lit(0L))
+    def avgQ(sum: String, n: String): Column =
+      when(nz(n) === 0, lit(0.0))
+        .otherwise(round(coalesce(col(sum), lit(0.0)) / col(n), 4))
+    side(oldDocs, "old")
+      .join(side(newDocs, "new"), Seq("source"), "full_outer")
+      .join(overlap, Seq("source"), "left_outer")
+      .select(col("source"),
+        nz("n_docs_old").as("n_docs_old"), nz("n_docs_new").as("n_docs_new"),
+        nz("n_unique_old").as("n_unique_old"), nz("n_unique_new").as("n_unique_new"),
+        nz("n_shared_unique").as("n_shared_unique"),
+        avgQ("_sq_old", "n_docs_old").as("avg_quality_old"),
+        avgQ("_sq_new", "n_docs_new").as("avg_quality_new"),
+        // churn: fraction of the new snapshot's distinct content that is
+        // NOT carried over from the old snapshot
+        when(nz("n_unique_new") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            nz("n_shared_unique").cast("double") / col("n_unique_new"), 4))
+          .as("content_churn"))
+      .orderBy("source")
+  }
+
   /** KMV (k-minimum-values / bottom-k) sketch size — small enough that
     * the sf0.01 corpus (~400+ distinct fingerprints) exercises the
     * ESTIMATOR path in the oracle check, large enough for ~1/√(k−2)

@@ -24,11 +24,12 @@ class QueryContractSpec extends AnyFunSuite {
     // r9: corpus_summary_approx converted from HLL (golden-pinned, no
     // oracle) to a KMV bottom-k sketch over the portable hash64 — now
     // DuckDB-oracle-verified like everything else. No-oracle count: 0.
-    // +5 in r9: dedup_semantic[_pairs]_embeddings (SemDeDup),
+    // +6 in r9: dedup_semantic[_pairs]_embeddings (SemDeDup),
     // select_budget_documents (token-budget curation),
     // dedup_minhash_quality_documents (sketch P/R/F1 report),
-    // embedding_stats_embeddings (vector-table health)
-    assert(SparkEntry.queries.size == 112,
+    // embedding_stats_embeddings (vector-table health),
+    // source_drift_documents (crawl-over-crawl QA)
+    assert(SparkEntry.queries.size == 113,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.12 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

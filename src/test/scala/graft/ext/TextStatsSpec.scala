@@ -191,6 +191,39 @@ class TextStatsSpec extends SparkSpec {
     assert(en.getAs[Double]("avg_tokens") == 2.5)
   }
 
+  test("sourceDrift: overlap, churn, vanished/newborn sources, quality drift") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "source", "text")
+        .selectExpr("doc_id", "text", "'en' AS lang", "source",
+          "length(text) AS n_chars")
+    val old = mk(Seq(
+      (1L, "a", "the quick brown fox jumps over it"),  // carried to new
+      (2L, "a", "an entirely different first crawl page"),
+      (3L, "b", "vanished source content here today")))
+    val nw = mk(Seq(
+      (10L, "a", "the  QUICK brown fox jumps over it"), // same normalized fp
+      (11L, "a", "fresh content replacing the old page"),
+      (12L, "c", "a newborn source appears with text")))
+    val out = TextStats.sourceDrift(old, nw).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_docs_old") == 2L && a.getAs[Long]("n_docs_new") == 2L)
+    assert(a.getAs[Long]("n_shared_unique") == 1L) // normalized fp carried
+    assert(a.getAs[Double]("content_churn") == 0.5) // 1 of 2 new fps is fresh
+    val b = out("b") // vanished: new side all zero, churn 0 (no new content)
+    assert(b.getAs[Long]("n_docs_new") == 0L && b.getAs[Double]("content_churn") == 0.0)
+    assert(b.getAs[Double]("avg_quality_new") == 0.0)
+    assert(b.getAs[Double]("avg_quality_old") > 0.0)
+    val c = out("c") // newborn: old side zero, churn total
+    assert(c.getAs[Long]("n_docs_old") == 0L && c.getAs[Double]("content_churn") == 1.0)
+    // quality averages are per-side means of the 4-dp score
+    val qOld = TextStats.qualityScore(old.filter($"source" === "a"))
+      .collect().map(_.getAs[Double]("quality_score"))
+    assert(a.getAs[Double]("avg_quality_old") ==
+      math.rint(qOld.sum / qOld.length * 1e4) / 1e4)
+  }
+
   test("corpusSummaryApprox: KMV sketch report error-bounded against the exact key") {
     val docs = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
     val exact = TextStats.corpusSummary(docs).collect()(0)
