@@ -500,10 +500,15 @@ object Dedup {
       threshold: Double = 0.2,
       k: Int = graft.functions.Hashing.MinHashK,
       bands: Int = Bands): DataFrame = {
-    val pred = minHashPairs(documents, threshold, k, bands)
-      .select("doc_id_a", "doc_id_b")
-    val truth = ngramJaccardPairsExact(documents, threshold)
-      .select("doc_id_a", "doc_id_b")
+    // pinned: each pair kernel (signature banding / inverted-index
+    // verify) runs ONCE — the count and the P/R join reread the tiny
+    // post-threshold pair frames
+    val pred = graft.core.CacheScope.persist(
+      minHashPairs(documents, threshold, k, bands)
+        .select("doc_id_a", "doc_id_b"))
+    val truth = graft.core.CacheScope.persist(
+      ngramJaccardPairsExact(documents, threshold)
+        .select("doc_id_a", "doc_id_b"))
     val np = pred.agg(count(lit(1)).as("n_pred"))
     val nt = truth.agg(count(lit(1)).as("n_true"))
     val nh = pred.join(truth, Seq("doc_id_a", "doc_id_b"))
