@@ -25,20 +25,24 @@ object Bench {
     // artifact recorded the then-failing events family at 0.06 s each,
     // silently deflating the total; failures are named in the artifact.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // returns (seconds, cleanRun): a thrown run's timing must never win
+    // the min-of-2 or deflate the total — a failed run times near-0
     def evalOnce(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case e: Throwable =>
-        errors.getOrElseUpdate(name,
-          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          false
+        }
       val sec = (System.nanoTime() - t0) / 1e9
       // release operator-pinned intermediates (LSH banded tables etc.)
       // so one query's cache never pressures the next query's heap
       graft.core.CacheScope.releaseAll()
       spark.catalog.clearCache()
-      sec
+      (sec, ok)
     }
     def fmt(s: Double): String = (math.rint(s * 1000) / 1000).toString
     // deterministic sorted order + min-of-2: the artifact must be
@@ -49,21 +53,25 @@ object Bench {
     // unparseable); per-query lines can only be truncated line-wise, and
     // the machine contract moves to a complete JSON artifact FILE plus a
     // short, never-overflowing summary line printed last.
+    // per-query value = min over CLEAN runs; a key with no clean run
+    // records -1 and contributes nothing to the total (it is named in
+    // `errors` and counted in n_failed — never silently deflates)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val s1 = evalOnce(name, fn)
-      val s2 = evalOnce(name, fn)
+      val (s1, ok1) = evalOnce(name, fn)
+      val (s2, ok2) = evalOnce(name, fn)
+      val clean = Seq(s1 -> ok1, s2 -> ok2).collect { case (s, true) => s }
+      val v = if (clean.nonEmpty) clean.min else -1.0
       val flag = if (errors.contains(name)) " FAILED" else ""
-      println(s"BENCHQ $name ${fmt(math.min(s1, s2))} ${fmt(s1)} ${fmt(s2)}$flag")
-      (name, s1, s2)
+      println(s"BENCHQ $name ${fmt(v)} ${fmt(s1)} ${fmt(s2)}$flag")
+      (name, v, s1, s2)
     }
     val qs = results
-      .map { case (k, s1, s2) => s"\"" + k + "\":" + fmt(math.min(s1, s2)) }
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val raw = results
-      .map { case (k, s1, s2) => s"\"" + k + "\":[" + fmt(s1) + "," + fmt(s2) + "]" }
+      .map { case (k, _, s1, s2) => s"\"" + k + "\":[" + fmt(s1) + "," + fmt(s2) + "]" }
       .mkString("{", ",", "}")
-    val total =
-      if (results.nonEmpty) results.map(r => math.min(r._2, r._3)).sum else 0.0
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     // 1-min load average at exit: a contaminated artifact (co-tenant
     // CPU) then carries its own explanation
     val load = java.lang.management.ManagementFactory
@@ -90,8 +98,8 @@ object Bench {
     // lives in the artifact file. Printed raw (run/outputStrategy =
     // StdoutOutput in build.sbt): an "[info] " logger prefix would make
     // a line-wise json.loads of the tail fail.
-    val slowest = results.sortBy(r => -math.min(r._2, r._3)).take(8)
-      .map { case (k, s1, s2) => s"\"" + k + "\":" + fmt(math.min(s1, s2)) }
+    val slowest = results.sortBy(-_._2).take(8)
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","load1":${fmt(load)},"n_queries":${results.size},"n_failed":${errors.size},"queries":$slowest,"artifact":"${out.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()

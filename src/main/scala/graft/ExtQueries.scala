@@ -885,9 +885,9 @@ object ExtQueries {
          |bnd AS (SELECT doc_id, lang, source, quality_score, n_tokens, above,
          |    sum(n_tokens) OVER (PARTITION BY quality_score ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM j WHERE above < $budget AND above + t > $budget)
+         |  FROM j WHERE above < $budget AND above + t >= $budget)
          |SELECT doc_id, lang, source, quality_score, n_tokens
-         |FROM j WHERE above < $budget AND above + t <= $budget
+         |FROM j WHERE above < $budget AND above + t < $budget
          |UNION ALL
          |SELECT doc_id, lang, source, quality_score, n_tokens
          |FROM bnd WHERE above + cum - n_tokens < $budget
@@ -997,7 +997,8 @@ object ExtQueries {
       val k = TextStats.KmvK
       // per-domain CTE chain: distinct values → hash64 → u → bottom-k → estimate
       def kmv(prefix: String, valueSql: String): String =
-        s"""${prefix}_v AS (SELECT DISTINCT $valueSql AS v FROM documents),
+        s"""${prefix}_v AS (SELECT DISTINCT $valueSql AS v FROM documents
+           |    WHERE $valueSql IS NOT NULL),
            |${hash64Ctes(prefix, s"${prefix}_v", "v")},
            |${prefix}_u AS (SELECT DISTINCT (h // 2048)::DOUBLE / 9007199254740992.0 AS u
            |    FROM ${prefix}_h64),

@@ -601,19 +601,20 @@ object Corpus {
       .agg(sum("n_tokens").as("_t"))
       .withColumn("_above", coalesce(sum("_t").over(hw), lit(0L)))
     val joined = scored.join(broadcast(hist), Seq("quality_score"))
-    // stratum fully inside the budget → keep, no per-row state (the
-    // `_above < budget` leg keeps the rule identical to the per-row
-    // greedy "cum-before < budget" even for zero-token strata at the
-    // budget edge)
+    // stratum STRICTLY inside the budget → keep, no per-row state.
+    // A stratum ending EXACTLY at the budget goes through the boundary
+    // window instead: a zero-token doc sorting after the stratum's full
+    // token mass has cum-before == budget and the per-row greedy rule
+    // ("cum-before < budget") excludes it — wholesale keeping would not
     val whole = joined.filter(
-      col("_above") < budgetTokens && col("_above") + col("_t") <= budgetTokens)
-    // the boundary stratum (starts under budget, ends over it) pays the
-    // only per-row running sum — partitioned BY the stratum, so state
-    // never exceeds one score-group
+      col("_above") < budgetTokens && col("_above") + col("_t") < budgetTokens)
+    // the boundary stratum (starts under budget, reaches/crosses it)
+    // pays the only per-row running sum — partitioned BY the stratum,
+    // so state never exceeds one score-group
     val bw = Window.partitionBy("quality_score").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val boundary = joined
-      .filter(col("_above") < budgetTokens && col("_above") + col("_t") > budgetTokens)
+      .filter(col("_above") < budgetTokens && col("_above") + col("_t") >= budgetTokens)
       .withColumn("_cum", sum("n_tokens").over(bw))
       .filter(col("_above") + col("_cum") - col("n_tokens") < budgetTokens)
     whole.select(col("doc_id"), col("lang"), col("source"),

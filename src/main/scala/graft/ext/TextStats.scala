@@ -378,25 +378,29 @@ object TextStats {
     * zero counts instead of disappearing.
     */
   def sourceDrift(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    // pinned per side: the md5(norm) + regex-scoring pass over text runs
+    // ONCE — the per-source aggregate and the overlap census both reread
+    // the narrow (source, fp, q) projection
+    def scored(df: DataFrame): DataFrame =
+      graft.core.CacheScope.persist(
+        df.select(col("source"), md5(normText(col("text"))).as("fp"),
+          qualityScoreColumn(col("text")).as("q")))
+    val o = scored(oldDocs)
+    val n = scored(newDocs)
     def side(df: DataFrame, sfx: String): DataFrame =
-      df.select(col("source"), md5(normText(col("text"))).as("fp"),
-          qualityScoreColumn(col("text")).as("q"))
-        .groupBy("source")
+      df.groupBy("source")
         .agg(count(lit(1)).as(s"n_docs_$sfx"),
           countDistinct(col("fp")).as(s"n_unique_$sfx"),
           sum(col("q").cast("decimal(16,6)")).cast("double").as(s"_sq_$sfx"))
-    val overlap = oldDocs
-      .select(col("source"), md5(normText(col("text"))).as("fp")).distinct()
-      .join(newDocs
-        .select(col("source"), md5(normText(col("text"))).as("fp")).distinct(),
-        Seq("source", "fp"))
+    val overlap = o.select("source", "fp").distinct()
+      .join(n.select("source", "fp").distinct(), Seq("source", "fp"))
       .groupBy("source").agg(count(lit(1)).as("n_shared_unique"))
     def nz(c: String): Column = coalesce(col(c), lit(0L))
     def avgQ(sum: String, n: String): Column =
       when(nz(n) === 0, lit(0.0))
         .otherwise(round(coalesce(col(sum), lit(0.0)) / col(n), 4))
-    side(oldDocs, "old")
-      .join(side(newDocs, "new"), Seq("source"), "full_outer")
+    side(o, "old")
+      .join(side(n, "new"), Seq("source"), "full_outer")
       .join(overlap, Seq("source"), "left_outer")
       .select(col("source"),
         nz("n_docs_old").as("n_docs_old"), nz("n_docs_new").as("n_docs_new"),
@@ -420,6 +424,11 @@ object TextStats {
     * the state is k 8-byte values either way.
     */
   val KmvK = 256
+
+  /** Salt fan-out for the KMV pre-rank (two-stage bottom-k): the global
+    * per-domain sort sees at most KmvSalts·KmvK rows.
+    */
+  val KmvSalts = 32
 
   /** hash64 → uniform double in [0,1): top 53 bits of the unsigned
     * 64-bit value over 2^53. Every step (logical shift, ≤2^53 int→
@@ -454,17 +463,33 @@ object TextStats {
   def corpusSummaryApprox(documents: DataFrame, k: Int = KmvK): DataFrame = {
     val base = documents.select(col("source"), col("lang"), col("n_chars"),
       md5(normText(col("text"))).as("fp"))
-    // one narrow pass → 3 (domain, u) streams; distinct before ranking
+    // one narrow pass → 3 (domain, u) streams; distinct before ranking.
+    // NULL values are excluded from the distinct counts (COUNT DISTINCT
+    // semantics both engines; Spark's window would otherwise rank NULL u
+    // FIRST while DuckDB's ORDER BY ranks it last — an engine split).
     val pairs = base
       .select(explode(array(
         struct(lit("source").as("d"), kmvU(col("source")).as("u")),
         struct(lit("lang").as("d"), kmvU(col("lang")).as("u")),
         struct(lit("fp").as("d"), kmvU(col("fp")).as("u")))).as("p"))
       .select(col("p.d").as("d"), col("p.u").as("u"))
+      .filter(col("u").isNotNull)
       .distinct()
+    // two-stage bottom-k: a salted local rank keeps ≤ k rows per (d,
+    // salt) BEFORE the global rank, so the per-domain window sorts at
+    // most KmvSalts·k rows — never the corpus's full distinct-hash set
+    // in one task (bottom-k of a union of per-salt bottom-k IS the
+    // global bottom-k)
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("d", "_s").orderBy("u")
+    val pre = pairs
+      .withColumn("_s", pmod(hash(col("u")), lit(KmvSalts)))
+      .withColumn("_rn0", row_number().over(pw))
+      .filter(col("_rn0") <= k)
+      .select("d", "u")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("d").orderBy("u")
-    val est = pairs
+    val est = pre
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .groupBy("d")

@@ -37,6 +37,17 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   */
 case class Hash64Expr(child: Expression) extends UnaryExpression {
 
+  // reject non-string inputs at ANALYSIS time — without this, SQL
+  // graft_hash64(some_bigint) passes the analyzer and then throws a
+  // per-row ClassCastException deep in execution
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_hash64 expects a string argument, got ${child.dataType.catalogString}")
+
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hash64"
 

@@ -296,10 +296,11 @@ class DedupSpec extends SparkSpec {
     val e = Dedup.minHashQuality(easy, threshold = 0.5).collect()(0)
     assert(e.getAs[Long]("n_true") == 1L && e.getAs[Long]("n_hit") == 1L)
     assert(e.getAs[Double]("precision") == 1.0 && e.getAs[Double]("recall") == 1.0)
-    // mid-similarity pairs (J ≈ 0.23): K=16/b=4 banding candidates them
-    // with probability ≈ 1−(1−J⁴)⁴ ≈ 1% — the report must SHOW the
-    // recall loss, not hide it (this is the number that justifies the
-    // K=128 operating point)
+    // mid-similarity pairs: 6 shared + 10 unique words → 14 trigrams
+    // per doc, 4 shared → J = 4/24 ≈ 0.167; K=16/b=4 banding candidates
+    // such a pair with probability 1−(1−J⁴)⁴ ≈ 0.3% — the report must
+    // SHOW the recall loss, not hide it (this is the number that
+    // justifies the K=128 operating point)
     def words(seed: Int, n: Int): String =
       (0 until n).map(j => s"w${seed}_$j").mkString(" ")
     val mid = docsDF((0L until 30L).flatMap { i =>

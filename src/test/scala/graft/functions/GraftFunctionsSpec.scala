@@ -135,4 +135,17 @@ class GraftFunctionsSpec extends SparkSpec {
         "guaranteed-length shared passage produced no shared fingerprint")
     }
   }
+
+  test("graft_hash64: string input hashes; non-string rejected at analysis time") {
+    import spark.implicits._
+    val got = Seq("abc").toDF("s")
+      .selectExpr("graft_hash64(s) AS h").collect()(0).getLong(0)
+    assert(got == Hashing.hash64("abc"))
+    // a bigint argument must fail ANALYSIS with the named message — not
+    // a per-row ClassCastException mid-execution
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("x").selectExpr("graft_hash64(x)").collect()
+    }
+    assert(e.getMessage.contains("graft_hash64 expects a string argument"))
+  }
 }
