@@ -608,6 +608,20 @@ object ExtQueries {
         portable = true)
       Similarity.semanticPairs(e, index)
     }),
+    "dedup_semantic_cluster_embeddings" -> ((s: SparkSession, dir: String) => {
+      // transitive closure of the semantic pair graph (the family-
+      // completing analogue of dedup_cluster_exact): DataFrame-native
+      // hash-to-min CC over SemDeDup pairs — duplicate GROUPS, not just
+      // pairwise drops, so a chain a~b~c dedups to ONE representative
+      val e = embs(s, dir)
+      val index = Similarity.buildIvfIndex(e, nCentroids = 16, iterations = 3,
+        portable = true)
+      val pairs = Similarity.semanticPairs(e, index)
+        .select(col("vec_id_a").as("doc_id_a"), col("vec_id_b").as("doc_id_b"))
+      DedupClusters.clustersDF(e.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    }),
     "dedup_semantic_embeddings" -> ((s: SparkSession, dir: String) => {
       // the keep set: drop any vector with a lower-id semantic duplicate
       // in its cluster (keep-lowest-id representative)
@@ -2171,6 +2185,21 @@ object ExtQueries {
          |SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
          |ORDER BY vec_id""".stripMargin,
+    // transitive closure of the SAME semantic pair set: min reachable
+    // vec_id ≡ the hash-to-min CC label (dedup_cluster_exact contract)
+    "dedup_semantic_cluster_embeddings" ->
+      s"""WITH RECURSIVE $LloydAsgfCtes,
+         |sp AS (SELECT a.vec_id AS a, b.vec_id AS b
+         |      FROM asgf a JOIN asgf b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |      WHERE round(${cosSql("a.embedding", "b.embedding", 64)}, 6)
+         |            >= ${Similarity.SemDedupMinCos}),
+         |edges AS (SELECT a, b FROM sp UNION ALL SELECT b, a FROM sp),
+         |walk(vec_id, reach) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT wk.vec_id, e2.b FROM walk wk JOIN edges e2 ON wk.reach = e2.a)
+         |SELECT vec_id, min(reach)::BIGINT AS cluster_id
+         |FROM walk GROUP BY vec_id ORDER BY vec_id""".stripMargin,
   )
 
   /** Unrolled portable-Lloyd CTE chain (3 iterations, 16 seed

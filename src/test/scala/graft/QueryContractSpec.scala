@@ -24,12 +24,13 @@ class QueryContractSpec extends AnyFunSuite {
     // r9: corpus_summary_approx converted from HLL (golden-pinned, no
     // oracle) to a KMV bottom-k sketch over the portable hash64 — now
     // DuckDB-oracle-verified like everything else. No-oracle count: 0.
-    // +6 in r9: dedup_semantic[_pairs]_embeddings (SemDeDup),
+    // +7 in r9: dedup_semantic[_pairs|_cluster]_embeddings (SemDeDup
+    // pairs / keep set / transitive-closure groups),
     // select_budget_documents (token-budget curation),
     // dedup_minhash_quality_documents (sketch P/R/F1 report),
     // embedding_stats_embeddings (vector-table health),
     // source_drift_documents (crawl-over-crawl QA)
-    assert(SparkEntry.queries.size == 113,
+    assert(SparkEntry.queries.size == 114,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.12 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +
