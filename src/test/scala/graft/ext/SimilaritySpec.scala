@@ -306,6 +306,39 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.nonEmpty, "corpus yields no semantic pairs — threshold dead")
   }
 
+  test("semanticClusters: pairs co-label, singletons self-label, label = component min") {
+    val index = Similarity.buildIvfIndex(embs, nCentroids = 16, iterations = 3,
+      portable = true)
+    val pairs = Similarity.semanticPairs(embs, index)
+      .select(org.apache.spark.sql.functions.col("vec_id_a").as("doc_id_a"),
+        org.apache.spark.sql.functions.col("vec_id_b").as("doc_id_b"))
+    val labels = DedupClusters.clustersDF(
+      embs.select(org.apache.spark.sql.functions.col("vec_id").as("doc_id")), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.CacheScope.releaseAll()
+    val pairSet = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairSet.nonEmpty)
+    // every pair shares a label; the label is ≤ both endpoints
+    pairSet.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+      assert(labels(a) <= a && labels(a) <= b)
+    }
+    // vectors in no pair are singletons labeled by themselves
+    val inPair = pairSet.flatMap(p => Seq(p._1, p._2)).toSet
+    labels.foreach { case (v, c) => if (!inPair(v)) assert(c == v) }
+    // driver-side union-find reference: labels are the component minima
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairSet.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    labels.foreach { case (v, c) => assert(c == find(v), s"label($v)") }
+  }
+
   test("semanticDedup: drops exactly the vectors with a lower-id duplicate") {
     val index = Similarity.buildIvfIndex(embs, nCentroids = 16, iterations = 3,
       portable = true)
