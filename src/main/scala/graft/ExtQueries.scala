@@ -618,9 +618,11 @@ object ExtQueries {
         portable = true)
       val pairs = Similarity.semanticPairs(e, index)
         .select(col("vec_id_a").as("doc_id_a"), col("vec_id_b").as("doc_id_b"))
+      // clustersDF already ends in a total orderBy(doc_id); the rename
+      // is a Project over that Sort (order-preserving) — a second sort
+      // on the aliased column would be a wasted exchange
       DedupClusters.clustersDF(e.select(col("vec_id").as("doc_id")), pairs)
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
-        .orderBy("vec_id")
     }),
     "dedup_semantic_embeddings" -> ((s: SparkSession, dir: String) => {
       // the keep set: drop any vector with a lower-id semantic duplicate

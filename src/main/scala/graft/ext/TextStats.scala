@@ -497,10 +497,16 @@ object TextStats {
       // < k distinct hashes seen → the sketch holds ALL of them → exact
       .withColumn("est", when(col("_nd") < k, col("_nd"))
         .otherwise(floor(lit((k - 1).toDouble) / col("_uk"))))
+    // coalesce to 0: a domain with zero non-NULL values produces NO est
+    // row on the Spark side, while the oracle's per-domain CTE computes
+    // count(*)=0 → est 0 — the engines must agree on the degenerate case
     val ests = est.groupBy().agg(
-      max(when(col("d") === "source", col("est"))).as("n_sources_approx"),
-      max(when(col("d") === "lang", col("est"))).as("n_langs_approx"),
-      max(when(col("d") === "fp", col("est"))).as("n_unique_texts_approx"))
+      coalesce(max(when(col("d") === "source", col("est"))), lit(0L))
+        .as("n_sources_approx"),
+      coalesce(max(when(col("d") === "lang", col("est"))), lit(0L))
+        .as("n_langs_approx"),
+      coalesce(max(when(col("d") === "fp", col("est"))), lit(0L))
+        .as("n_unique_texts_approx"))
     val scalars = base.groupBy().agg(
       count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     // exact discrete quantiles off the value histogram (lengthQuantiles

@@ -13,8 +13,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * projection stays in one WholeStageCodegen span.
   */
 
+/** Analysis-time input guard shared by every string-kernel expression:
+  * a non-string argument must fail ANALYSIS with a named message, not
+  * throw a per-row ClassCastException mid-execution. NullType passes —
+  * the expressions are null-safe and `f(NULL)` is NULL, matching the
+  * built-in string functions.
+  */
+trait StringInputCheck { self: UnaryExpression =>
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string argument, got ${child.dataType.catalogString}")
+}
+
 /** `simhash64(text)`: 64-bit SimHash of a string column. */
-case class SimHash64Expr(child: Expression) extends UnaryExpression {
+case class SimHash64Expr(child: Expression) extends UnaryExpression
+    with StringInputCheck {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
@@ -35,18 +52,8 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   * kernel under every graft sketch, exposed directly for KMV-style
   * distinct sketches. DuckDB-replicable (ExtQueries.hash64Ctes).
   */
-case class Hash64Expr(child: Expression) extends UnaryExpression {
-
-  // reject non-string inputs at ANALYSIS time — without this, SQL
-  // graft_hash64(some_bigint) passes the analyzer and then throws a
-  // per-row ClassCastException deep in execution
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"graft_hash64 expects a string argument, got ${child.dataType.catalogString}")
+case class Hash64Expr(child: Expression) extends UnaryExpression
+    with StringInputCheck {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hash64"
@@ -66,7 +73,7 @@ case class Hash64Expr(child: Expression) extends UnaryExpression {
   * a plan-time constant; K=16 bench default, K≈128 production).
   */
 case class MinHashSigExpr(child: Expression, k: Int = Hashing.MinHashK)
-    extends UnaryExpression {
+    extends UnaryExpression with StringInputCheck {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
@@ -128,7 +135,8 @@ case class CosineSimExpr(left: Expression, right: Expression)
 }
 
 /** `ngram_hashes(text)`: sorted distinct 64-bit hashes of word n-grams. */
-case class NGramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+case class NGramHashesExpr(child: Expression, n: Int) extends UnaryExpression
+    with StringInputCheck {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_ngram_hashes"
@@ -151,7 +159,7 @@ case class NGramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
   * pre-normalized string column; `k`/`w` are plan-time constants.
   */
 case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with StringInputCheck {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_winnow_fps"

@@ -147,5 +147,13 @@ class GraftFunctionsSpec extends SparkSpec {
       Seq(1L).toDF("x").selectExpr("graft_hash64(x)").collect()
     }
     assert(e.getMessage.contains("graft_hash64 expects a string argument"))
+    // the guard covers the whole string-kernel family...
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("x").selectExpr("graft_simhash64(x)").collect()
+    }
+    assert(e2.getMessage.contains("graft_simhash64 expects a string argument"))
+    // ...while a NULL literal stays analyzable and null-safe
+    assert(Seq("x").toDF("s")
+      .selectExpr("graft_hash64(NULL) AS h").collect()(0).isNullAt(0))
   }
 }
