@@ -580,6 +580,12 @@ object ExtQueries {
           round(col("n_hits") / lit(10.0), 4).as("recall_at_10"))
         .orderBy("k")
     }),
+    "quality_sweep_documents" -> ((s: SparkSession, dir: String) =>
+      // the minQuality tuning curve: docs/tokens retained per candidate
+      // threshold, one scoring pass + a histogram-sized inequality join.
+      // Thresholds with zero survivors are omitted (same shape both
+      // engines: inner inequality join against the score histogram)
+      TextStats.qualitySweep(docs(s, dir))),
     "source_drift_documents" -> ((s: SparkSession, dir: String) => {
       // crawl-over-crawl QA, derived deterministically: doc_id mod 4
       // halves the corpus into two snapshots (mod 2 would correlate
@@ -2084,6 +2090,34 @@ object ExtQueries {
          |cand AS (SELECT * FROM asgf WHERE cid IN (SELECT cid FROM pr))
          |SELECT vec_id, label, round(${cosSql("cand.embedding", "pp2.pe", 64)}, 6) AS cosine
          |FROM cand, p pp2 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // minQuality tuning curve: same quality fragment → score histogram
+    // → literal threshold grid inequality-joined against it
+    "quality_sweep_documents" -> {
+      val stops = likeScoreSql(TextStats.LangMarkers.flatMap(_._2).distinct)
+      val grid = (0 to 9).map(i => s"(${i / 10.0}::DOUBLE)").mkString(", ")
+      s"""WITH b AS (
+         |  SELECT GREATEST(length(text)::DOUBLE, 1.0) AS len,
+         |    GREATEST(($WsToksSql)::DOUBLE, 1.0) AS toks,
+         |    length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
+         |    ($stops)::DOUBLE AS stops,
+         |    ($WsToksSql)::BIGINT AS t
+         |  FROM documents),
+         |q AS (SELECT t,
+         |    round(LEAST(1.0, GREATEST(0.0,
+         |      0.4 * LEAST(stops / toks * 10.0, 1.0) +
+         |      0.3 * (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |      0.3 * (CASE WHEN punct / len < 0.1 THEN 1.0 ELSE 0.0 END))), 4) AS q
+         |  FROM b),
+         |h AS (SELECT q, count(*)::BIGINT AS d, sum(t)::BIGINT AS tk FROM q GROUP BY q),
+         |tot AS (SELECT sum(d)::BIGINT AS nd, sum(tk)::BIGINT AS nt FROM h),
+         |g(thr) AS (VALUES $grid)
+         |SELECT g.thr AS threshold,
+         |  sum(h.d)::BIGINT AS n_docs_kept, sum(h.tk)::BIGINT AS n_tokens_kept,
+         |  round(sum(h.d)::DOUBLE / tot.nd, 4) AS frac_docs,
+         |  round(sum(h.tk)::DOUBLE / tot.nt, 4) AS frac_tokens
+         |FROM g JOIN h ON h.q >= g.thr CROSS JOIN tot
+         |GROUP BY g.thr, tot.nd, tot.nt ORDER BY threshold""".stripMargin
+    },
     // crawl-over-crawl drift: per-side quality fragment + fingerprint
     // census, FULL OUTER on source, DECIMAL quality mass (ivf recipe)
     "source_drift_documents" -> {

@@ -363,6 +363,40 @@ object TextStats {
           .as("dup_rate"))
       .orderBy("n_docs")
 
+  /** Quality-threshold sweep — the tuning curve behind `curate`'s
+    * minQuality knob: for each candidate threshold, how many documents
+    * and tokens survive, and what fraction of the corpus that is. Read
+    * BEFORE committing to a cutoff at 100 TB: the elbow of this curve
+    * IS the threshold decision.
+    *
+    * Scale shape: one scoring pass → a ≤10⁴-row (score → docs, tokens)
+    * histogram; the sweep is a tiny inequality join of the literal
+    * threshold grid against the histogram — the corpus is scanned once,
+    * whatever the grid size.
+    */
+  def qualitySweep(
+      documents: DataFrame,
+      thresholds: Seq[Double] = (0 to 9).map(_ / 10.0)): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val hist = documents
+      .select(qualityScoreColumn(col("text")).as("q"),
+        wsTokenCount(col("text")).as("t"))
+      .groupBy("q").agg(count(lit(1)).as("d"), sum(col("t")).as("tk"))
+    val totals = hist.groupBy().agg(
+      sum(col("d")).as("_nd"), sum(col("tk")).as("_nt"))
+    val grid = explode(array(thresholds.map(lit): _*)).as("threshold")
+    hist.select(grid, col("q"), col("d"), col("tk"))
+      .filter(col("q") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(sum(col("d")).as("n_docs_kept"), sum(col("tk")).as("n_tokens_kept"))
+      .crossJoin(totals)
+      .select(col("threshold"),
+        col("n_docs_kept"), col("n_tokens_kept"),
+        round(col("n_docs_kept").cast("double") / col("_nd"), 4).as("frac_docs"),
+        round(col("n_tokens_kept").cast("double") / col("_nt"), 4).as("frac_tokens"))
+      .orderBy("threshold")
+  }
+
   /** Crawl-over-crawl source drift report — the QA gate a recurring
     * ingest runs between snapshots, per source: volume change, distinct-
     * content change, content overlap (shared fingerprints), and quality

@@ -41,6 +41,9 @@ class PlanShapeSpec extends SparkSpec {
     "corpus_summary_approx_documents",
     // sketch P/R report cross-joins three ONE-row counts the same way
     "dedup_minhash_quality_documents",
+    // threshold sweep: a ≤10-row literal grid inequality-joined against
+    // the ≤10⁴-row score histogram + a ONE-row totals cross join
+    "quality_sweep_documents",
     // RangeJoin's long-interval guard: the build side is the broadcast
     // of intervals spanning > maxBinsPerInterval bins — rare by
     // construction (RangeJoin.scala long path), and exactly the rows

@@ -30,7 +30,8 @@ class QueryContractSpec extends AnyFunSuite {
     // dedup_minhash_quality_documents (sketch P/R/F1 report),
     // embedding_stats_embeddings (vector-table health),
     // source_drift_documents (crawl-over-crawl QA)
-    assert(SparkEntry.queries.size == 114,
+    // +1 late r9: quality_sweep_documents (minQuality tuning curve)
+    assert(SparkEntry.queries.size == 115,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.12 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

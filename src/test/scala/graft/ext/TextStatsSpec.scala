@@ -191,6 +191,30 @@ class TextStatsSpec extends SparkSpec {
     assert(en.getAs[Double]("avg_tokens") == 2.5)
   }
 
+  test("qualitySweep: monotone retention curve matching a driver-side reference") {
+    val docs = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val rows = TextStats.qualitySweep(docs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (0 to 9).map(_ / 10.0),
+      "every grid threshold must retain at least one doc on this corpus")
+    // retention is monotone non-increasing in the threshold
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3)
+    }
+    // threshold 0 keeps everything
+    assert(rows.head._2 == docs.count() && rows.head._4 == 1.0)
+    // driver-side reference at one interior threshold
+    val scored = TextStats.qualityScore(docs)
+      .join(docs.select(docs("doc_id"),
+        TextStats.wsTokenCount(docs("text")).as("t")), "doc_id")
+      .select("quality_score", "t").collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    val kept = scored.filter(_._1 >= 0.7)
+    val at7 = rows.find(_._1 == 0.7).get
+    assert(at7._2 == kept.length && at7._3 == kept.map(_._2).sum)
+  }
+
   test("sourceDrift: overlap, churn, vanished/newborn sources, quality drift") {
     import spark.implicits._
     def mk(rows: Seq[(Long, String, String)]) =
