@@ -113,6 +113,25 @@ object ExtQueries {
     words.map(w => s"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
       .mkString(" + ")
 
+  /** ONE definition of the quality-score oracle fragments for every
+    * site that replicates [[TextStats.qualityScoreColumn]] (8 keys):
+    * the signal columns (len/toks/punct/stops over `text`) and the
+    * 4-dp score expression. A formula tweak lands everywhere at once —
+    * per-key drift against the Spark engine becomes impossible.
+    */
+  private lazy val QualitySignalsSql: String = {
+    val stops = likeScoreSql(TextStats.LangMarkers.flatMap(_._2).distinct)
+    s"GREATEST(length(text)::DOUBLE, 1.0) AS len, " +
+      s"GREATEST(($WsToksSql)::DOUBLE, 1.0) AS toks, " +
+      "length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct, " +
+      s"($stops)::DOUBLE AS stops"
+  }
+
+  private val QualityScoreSql: String =
+    "round(LEAST(1.0, GREATEST(0.0, 0.4 * LEAST(stops / toks * 10.0, 1.0) + " +
+      "0.3 * (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) + " +
+      "0.3 * (CASE WHEN punct / len < 0.1 THEN 1.0 ELSE 0.0 END))), 4)"
+
   /** DuckDB SQL for the seeded hyperplane sign-bit sketch over a 64-dim
     * float-list column `c` — the plane matrix is the SAME
     * [[graft.functions.VectorOps.planesFor]] constants the codegen'd
@@ -861,42 +880,28 @@ object ExtQueries {
          |FROM m ORDER BY doc_id""".stripMargin
     },
     "quality_score_documents" -> {
-      val stops = likeScoreSql(TextStats.LangMarkers.flatMap(_._2).distinct)
       s"""WITH b AS (
          |  SELECT doc_id,
-         |    GREATEST(length(text)::DOUBLE, 1.0) AS len,
-         |    GREATEST(($WsToksSql)::DOUBLE, 1.0) AS toks,
-         |    length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
-         |    ($stops)::DOUBLE AS stops
+         |    $QualitySignalsSql
          |  FROM documents)
          |SELECT doc_id,
          |  round(punct / len, 4) AS punct_ratio,
          |  round(stops / toks, 4) AS stopword_ratio,
          |  round(len / toks, 4) AS avg_word_len,
-         |  round(LEAST(1.0, GREATEST(0.0,
-         |    0.4 * LEAST(stops / toks * 10.0, 1.0) +
-         |    0.3 * (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-         |    0.3 * (CASE WHEN punct / len < 0.1 THEN 1.0 ELSE 0.0 END))), 4) AS quality_score
+         |  $QualityScoreSql AS quality_score
          |FROM b ORDER BY doc_id""".stripMargin
     },
     // token-budget selection: same quality fragment, histogram-classified
     // strata, per-row running sum ONLY inside the boundary stratum
     "select_budget_documents" -> {
-      val stops = likeScoreSql(TextStats.LangMarkers.flatMap(_._2).distinct)
       val budget = Corpus.SelectBudgetTokens
       s"""WITH b AS (
          |  SELECT doc_id, lang, source,
-         |    GREATEST(length(text)::DOUBLE, 1.0) AS len,
-         |    GREATEST(($WsToksSql)::DOUBLE, 1.0) AS toks,
-         |    length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
-         |    ($stops)::DOUBLE AS stops,
+         |    $QualitySignalsSql,
          |    ($WsToksSql)::BIGINT AS n_tokens
          |  FROM documents),
          |q AS (SELECT doc_id, lang, source, n_tokens,
-         |    round(LEAST(1.0, GREATEST(0.0,
-         |      0.4 * LEAST(stops / toks * 10.0, 1.0) +
-         |      0.3 * (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-         |      0.3 * (CASE WHEN punct / len < 0.1 THEN 1.0 ELSE 0.0 END))), 4) AS quality_score
+         |    $QualityScoreSql AS quality_score
          |  FROM b),
          |h AS (SELECT quality_score, sum(n_tokens)::BIGINT AS t FROM q GROUP BY 1),
          |hc AS (SELECT quality_score, t,
@@ -1333,16 +1338,9 @@ object ExtQueries {
     // generated from the same constants); norm folds per element in
     // double, 6-dp round — the cosine family's cross-engine contract
     "doc_vector_join_documents" -> {
-      val stops = likeScoreSql(TextStats.LangMarkers.flatMap(_._2).distinct)
       s"""WITH qb AS (SELECT doc_id,
-         |  GREATEST(length(text)::DOUBLE, 1.0) AS len,
-         |  GREATEST(($WsToksSql)::DOUBLE, 1.0) AS toks,
-         |  length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
-         |  ($stops)::DOUBLE AS stops FROM documents),
-         |q AS (SELECT doc_id, round(LEAST(1.0, GREATEST(0.0,
-         |    0.4 * LEAST(stops / toks * 10.0, 1.0) +
-         |    0.3 * (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-         |    0.3 * (CASE WHEN punct / len < 0.1 THEN 1.0 ELSE 0.0 END))), 4) AS quality_score
+         |  $QualitySignalsSql FROM documents),
+         |q AS (SELECT doc_id, $QualityScoreSql AS quality_score
          |  FROM qb)
          |SELECT d.doc_id, d.lang, e.label, q.quality_score,
          |  round(sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))), 6)
@@ -1450,16 +1448,9 @@ object ExtQueries {
     // per-row hex threshold rendered from the same quality constants;
     // FLOOR before the BIGINT cast matches Spark's truncating cast
     "sample_quality_documents" -> {
-      val stops = likeScoreSql(TextStats.LangMarkers.flatMap(_._2).distinct)
       s"""WITH qb AS (SELECT doc_id, lang, source, text,
-         |  GREATEST(length(text)::DOUBLE, 1.0) AS len,
-         |  GREATEST(($WsToksSql)::DOUBLE, 1.0) AS toks,
-         |  length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
-         |  ($stops)::DOUBLE AS stops FROM documents),
-         |q AS (SELECT doc_id, lang, source, text, round(LEAST(1.0, GREATEST(0.0,
-         |    0.4 * LEAST(stops / toks * 10.0, 1.0) +
-         |    0.3 * (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-         |    0.3 * (CASE WHEN punct / len < 0.1 THEN 1.0 ELSE 0.0 END))), 4) AS quality_score
+         |  $QualitySignalsSql FROM documents),
+         |q AS (SELECT doc_id, lang, source, text, $QualityScoreSql AS quality_score
          |  FROM qb)
          |SELECT doc_id, lang, source, quality_score FROM q
          |WHERE substr(md5(text), 1, 8) <
@@ -1567,21 +1558,14 @@ object ExtQueries {
          |    CAST(FLOOR((cum - n_tokens) / $PackBudgetTokens) AS BIGINT)::VARCHAR AS pack_id
          |FROM c ORDER BY doc_id""".stripMargin,
     "curate_documents" -> {
-      val stops = likeScoreSql(TextStats.LangMarkers.flatMap(_._2).distinct)
       val normClean = """trim(regexp_replace(lower(clean_text), '\s+', ' ', 'g'))"""
       s"""WITH r AS (SELECT doc_id,
          |  regexp_replace(regexp_replace(text, '${Corpus.EmailRegex}', '<EMAIL>', 'g'),
          |                 '${Corpus.LongNumberRegex}', '<NUM>', 'g') AS clean_text
          |  FROM documents),
          |qb AS (SELECT doc_id,
-         |  GREATEST(length(text)::DOUBLE, 1.0) AS len,
-         |  GREATEST(($WsToksSql)::DOUBLE, 1.0) AS toks,
-         |  length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
-         |  ($stops)::DOUBLE AS stops FROM documents),
-         |q AS (SELECT doc_id, round(LEAST(1.0, GREATEST(0.0,
-         |    0.4 * LEAST(stops / toks * 10.0, 1.0) +
-         |    0.3 * (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-         |    0.3 * (CASE WHEN punct / len < 0.1 THEN 1.0 ELSE 0.0 END))), 4) AS quality_score
+         |  $QualitySignalsSql FROM documents),
+         |q AS (SELECT doc_id, $QualityScoreSql AS quality_score
          |  FROM qb),
          |j AS (SELECT d.doc_id, d.lang, r.clean_text, q.quality_score
          |      FROM documents d JOIN r USING (doc_id) JOIN q USING (doc_id)
@@ -1592,7 +1576,6 @@ object ExtQueries {
          |ORDER BY doc_id""".stripMargin
     },
     "curate_full_documents" -> {
-      val stops = likeScoreSql(TextStats.LangMarkers.flatMap(_._2).distinct)
       val normClean = """trim(regexp_replace(lower(clean_text), '\s+', ' ', 'g'))"""
       val n = 8
       def grams(src: String, c: String) =
@@ -1610,14 +1593,8 @@ object ExtQueries {
          |                 '${Corpus.LongNumberRegex}', '<NUM>', 'g') AS clean_text
          |  FROM corp),
          |qb AS (SELECT doc_id,
-         |  GREATEST(length(text)::DOUBLE, 1.0) AS len,
-         |  GREATEST(($WsToksSql)::DOUBLE, 1.0) AS toks,
-         |  length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
-         |  ($stops)::DOUBLE AS stops FROM corp),
-         |q AS (SELECT doc_id, round(LEAST(1.0, GREATEST(0.0,
-         |    0.4 * LEAST(stops / toks * 10.0, 1.0) +
-         |    0.3 * (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-         |    0.3 * (CASE WHEN punct / len < 0.1 THEN 1.0 ELSE 0.0 END))), 4) AS quality_score
+         |  $QualitySignalsSql FROM corp),
+         |q AS (SELECT doc_id, $QualityScoreSql AS quality_score
          |  FROM qb),
          |j AS (SELECT corp.doc_id, corp.lang, corp.source, r.clean_text, q.quality_score
          |      FROM corp JOIN r USING (doc_id) JOIN q USING (doc_id)
@@ -2093,20 +2070,13 @@ object ExtQueries {
     // minQuality tuning curve: same quality fragment → score histogram
     // → literal threshold grid inequality-joined against it
     "quality_sweep_documents" -> {
-      val stops = likeScoreSql(TextStats.LangMarkers.flatMap(_._2).distinct)
       val grid = (0 to 9).map(i => s"(${i / 10.0}::DOUBLE)").mkString(", ")
       s"""WITH b AS (
-         |  SELECT GREATEST(length(text)::DOUBLE, 1.0) AS len,
-         |    GREATEST(($WsToksSql)::DOUBLE, 1.0) AS toks,
-         |    length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
-         |    ($stops)::DOUBLE AS stops,
+         |  SELECT $QualitySignalsSql,
          |    ($WsToksSql)::BIGINT AS t
          |  FROM documents),
          |q AS (SELECT t,
-         |    round(LEAST(1.0, GREATEST(0.0,
-         |      0.4 * LEAST(stops / toks * 10.0, 1.0) +
-         |      0.3 * (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-         |      0.3 * (CASE WHEN punct / len < 0.1 THEN 1.0 ELSE 0.0 END))), 4) AS q
+         |    $QualityScoreSql AS q
          |  FROM b),
          |h AS (SELECT q, count(*)::BIGINT AS d, sum(t)::BIGINT AS tk FROM q GROUP BY q),
          |tot AS (SELECT sum(d)::BIGINT AS nd, sum(tk)::BIGINT AS nt FROM h),
@@ -2121,19 +2091,12 @@ object ExtQueries {
     // crawl-over-crawl drift: per-side quality fragment + fingerprint
     // census, FULL OUTER on source, DECIMAL quality mass (ivf recipe)
     "source_drift_documents" -> {
-      val stops = likeScoreSql(TextStats.LangMarkers.flatMap(_._2).distinct)
       def qside(pfx: String, pred: String): String =
         s"""${pfx}b AS (SELECT source, md5($NormSql) AS fp,
-           |    GREATEST(length(text)::DOUBLE, 1.0) AS len,
-           |    GREATEST(($WsToksSql)::DOUBLE, 1.0) AS toks,
-           |    length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
-           |    ($stops)::DOUBLE AS stops
+           |    $QualitySignalsSql
            |  FROM documents WHERE $pred),
            |${pfx}q AS (SELECT source, fp,
-           |    round(LEAST(1.0, GREATEST(0.0,
-           |      0.4 * LEAST(stops / toks * 10.0, 1.0) +
-           |      0.3 * (CASE WHEN len / toks BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-           |      0.3 * (CASE WHEN punct / len < 0.1 THEN 1.0 ELSE 0.0 END))), 4) AS q
+           |    $QualityScoreSql AS q
            |  FROM ${pfx}b),
            |${pfx}a AS (SELECT source, count(*)::BIGINT AS n_docs,
            |    count(DISTINCT fp)::BIGINT AS n_unique,

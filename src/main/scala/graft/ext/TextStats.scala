@@ -378,10 +378,14 @@ object TextStats {
       documents: DataFrame,
       thresholds: Seq[Double] = (0 to 9).map(_ / 10.0)): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
-    val hist = documents
+    // pinned: the histogram feeds both the totals and the sweep branch —
+    // without the pin each consumes its own full scoring scan (the
+    // pushed isnotnull(q) filter makes the subtrees non-canonical, so
+    // ReuseExchange never fires)
+    val hist = graft.core.CacheScope.persist(documents
       .select(qualityScoreColumn(col("text")).as("q"),
         wsTokenCount(col("text")).as("t"))
-      .groupBy("q").agg(count(lit(1)).as("d"), sum(col("t")).as("tk"))
+      .groupBy("q").agg(count(lit(1)).as("d"), sum(col("t")).as("tk")))
     val totals = hist.groupBy().agg(
       sum(col("d")).as("_nd"), sum(col("tk")).as("_nt"))
     val grid = explode(array(thresholds.map(lit): _*)).as("threshold")
