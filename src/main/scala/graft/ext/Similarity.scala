@@ -183,14 +183,41 @@ object Similarity {
       embeddings: DataFrame,
       nCentroids: Int = 16,
       iterations: Int = 5,
-      portable: Boolean = false): Seq[(Long, Seq[Float])] = {
+      portable: Boolean = false): Seq[(Long, Seq[Float])] =
+    kMeansLoop(embeddings, nCentroids, iterations, portable,
+      cents => if (portable) nearestCentroidPortable(cents) else nearestCentroid(cents))
+
+  /** [[kMeansCentroids]] with the TWO-LEVEL assignment inside every
+    * Lloyd iteration ([[nearestCentroidTwoLevel]]): per-row cost drops
+    * from O(k·dim) to O(2√k·dim), which is what keeps TRAINING
+    * sub-linear when nCentroids scales ∝ corpus (at k=512 the flat
+    * literal argmin dominates the whole train phase — SCALE.md r9).
+    * The trajectory is Lloyd-on-approximate-assignment (the standard
+    * hierarchical/IVF k-means trade); centroids differ slightly from
+    * the flat run, which SemDeDup tolerates by construction (the paper
+    * itself uses approximate clustering). The portable flat path —
+    * [[kMeansCentroids]] — remains the oracle-checkable variant.
+    */
+  def kMeansCentroidsFast(
+      embeddings: DataFrame,
+      nCentroids: Int,
+      iterations: Int = 3,
+      superK: Int = 0): Seq[(Long, Seq[Float])] =
+    kMeansLoop(embeddings, nCentroids, iterations, portable = false,
+      cents => nearestCentroidTwoLevel(cents, superK))
+
+  private def kMeansLoop(
+      embeddings: DataFrame,
+      nCentroids: Int,
+      iterations: Int,
+      portable: Boolean,
+      assignOf: Seq[(Long, Seq[Float])] => Column): Seq[(Long, Seq[Float])] = {
     val cached = embeddings.select(col("vec_id"), col("embedding")).persist()
     try {
       var centroids = seedCentroids(cached, nCentroids)
         .zipWithIndex.map { case ((_, v), i) => i.toLong -> v }
       for (_ <- 0 until iterations) {
-        val assign =
-          if (portable) nearestCentroidPortable(centroids) else nearestCentroid(centroids)
+        val assign = assignOf(centroids)
         // portable mode rounds each per-dimension mean to 6 dp before the
         // float cast: with the 6-dp assignment argmin this makes every
         // iteration's centroids reproducible across engines, so an
@@ -241,12 +268,19 @@ object Similarity {
     * array_min over struct(dist, centroid_id) = argmin with the same
     * (dist asc, centroid_id asc) tie-break as an ORDER BY would give.
     */
-  def nearestCentroid(centroids: Seq[(Long, Seq[Float])]): Column = {
+  def nearestCentroid(centroids: Seq[(Long, Seq[Float])]): Column =
+    nearestCentroidStruct(centroids).getField("cid")
+
+  /** The argmin STRUCT `(d = -cosine, cid)` of [[nearestCentroid]] —
+    * the composable form the two-level assignment min-merges across its
+    * probed super-cells.
+    */
+  private def nearestCentroidStruct(centroids: Seq[(Long, Seq[Float])]): Column = {
     val scored = array(centroids.map { case (cid, v) =>
       val cvec = array(v.map(lit): _*)
       struct((-cosine(col("embedding"), cvec)).as("d"), lit(cid).as("cid"))
     }.toIndexedSeq: _*)
-    array_min(scored).getField("cid")
+    array_min(scored)
   }
 
   def ivfAssignTo(
@@ -534,6 +568,145 @@ object Similarity {
       .orderBy("label")
   }
 
+  // ------------------------------------- two-level (hierarchical) argmin
+
+  /** Group the k centroids into ≈`superK` super-cells by a DRIVER-side
+    * Lloyd run over the centroid matrix itself (k×dim floats — already
+    * driver-resident in every IVF path here; for k=512, dim=64 this is
+    * ~130 KB and microseconds of work). Returns only NON-empty supers:
+    * (super-centroid vector, member centroids). Deterministic: seeds are
+    * the first `superK` centroids by centroid_id, ties in the argmin
+    * break toward the lower super index.
+    */
+  private[ext] def superCells(
+      centroids: Seq[(Long, Seq[Float])],
+      superK: Int,
+      iterations: Int = 4): Seq[(Seq[Float], Seq[(Long, Seq[Float])])] = {
+    require(superK >= 1, s"superK must be >= 1: $superK")
+    val cents = centroids.sortBy(_._1).toIndexedSeq
+    val k = math.min(superK, cents.size)
+    val dim = cents.head._2.length
+    var sup: IndexedSeq[Array[Double]] =
+      cents.take(k).map(_._2.map(_.toDouble).toArray)
+    def negCos(a: Array[Double], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) {
+        val x = a(i); val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else -dot / math.sqrt(na * nb)
+    }
+    var assign: IndexedSeq[Int] = IndexedSeq.empty
+    for (_ <- 0 until iterations) {
+      assign = cents.map { case (_, v) =>
+        var best = 0; var bestD = Double.MaxValue; var s = 0
+        while (s < sup.size) {
+          val d = negCos(sup(s), v)
+          if (d < bestD) { bestD = d; best = s }
+          s += 1
+        }
+        best
+      }
+      sup = sup.indices.map { s =>
+        val members = cents.indices.filter(assign(_) == s)
+        if (members.isEmpty) sup(s)
+        else {
+          val acc = new Array[Double](dim)
+          members.foreach { m =>
+            var i = 0; while (i < dim) { acc(i) += cents(m)._2(i); i += 1 }
+          }
+          acc.map(_ / members.size)
+        }
+      }
+    }
+    sup.indices.flatMap { s =>
+      val members = cents.indices.filter(assign(_) == s).map(cents)
+      if (members.isEmpty) None
+      else Some((sup(s).map(_.toFloat).toSeq, members))
+    }
+  }
+
+  /** Probed super-cells for the two-level argmin. 1 is the textbook
+    * coarse quantizer; the default 2 buys back the boundary-vector
+    * misroutes (the synthetic corpus is near-isotropic — the worst case
+    * for a coarse quantizer, single-probe agreed with the flat argmin
+    * only ~74% there; 2-probe ≥90%, spec-pinned). Clustered production
+    * embeddings sit far above both numbers.
+    */
+  val SuperProbeDefault = 2
+
+  /** TWO-LEVEL nearest-centroid assignment: rank ≈√k super-centroids,
+    * then exact argmin WITHIN the `superProbe` best super-cells' member
+    * centroids (min-merge of the per-cell argmin structs) — per-row
+    * kernel count drops from k to ≈(1+2·superProbe)·√k (k=512,
+    * probe=2: 512 → ~115 cosine kernels/row), which is what keeps
+    * assignment sub-linear when nCentroids scales ∝ corpus (the
+    * SemDeDup operating law — SCALE.md).
+    *
+    * The assignment is the standard coarse-quantizer approximation: a
+    * vector whose true centroid hides in an unprobed cell lands with a
+    * neighbor; SemDeDup's within-cluster pair search tolerates exactly
+    * this class of error (Abbas et al. 2023 §3 run their clustering
+    * approximately too). The declared oracle-checked keys stay on the
+    * flat portable argmin.
+    *
+    * Plan shape: ONE narrow projection — the ranked super array is a
+    * common subexpression of the probe branches (evaluated once per row
+    * under whole-stage codegen), and each probe's CASE chain evaluates
+    * ONLY the branch its super id selects. Plan SIZE is
+    * O(superProbe·k·dim) literals (each member kernel appears once per
+    * probe chain) — the same order the flat argmin already carries.
+    * `superK = 0` → ⌈√k⌉.
+    */
+  def nearestCentroidTwoLevel(
+      centroids: Seq[(Long, Seq[Float])],
+      superK: Int = 0,
+      superProbe: Int = SuperProbeDefault): Column = {
+    require(superProbe >= 1, s"superProbe must be >= 1: $superProbe")
+    val k0 = if (superK > 0) superK else math.max(1, math.round(math.sqrt(centroids.size.toDouble)).toInt)
+    val cells = superCells(centroids, k0)
+    // probing every cell IS the flat argmin — skip the detour
+    if (cells.size <= superProbe) nearestCentroid(centroids)
+    else {
+      val ranked = array_sort(array(cells.zipWithIndex.map { case ((sv, _), si) =>
+        struct((-cosine(col("embedding"), array(sv.map(lit): _*))).as("d"),
+          lit(si).as("sid"))
+      }.toIndexedSeq: _*))
+      val branches = cells.zipWithIndex.map { case ((_, members), si) =>
+        si -> nearestCentroidStruct(members)
+      }
+      def branchFor(sidCol: Column): Column =
+        branches.tail.foldLeft(
+          when(sidCol === lit(branches.head._1), branches.head._2)) {
+          case (acc, (si, arm)) => acc.when(sidCol === lit(si), arm)
+        }
+      val probed = (1 to superProbe).map(p =>
+        branchFor(element_at(ranked, p).getField("sid")))
+      array_min(array(probed: _*)).getField("cid")
+    }
+  }
+
+  /** [[ivfAssignTo]] with the two-level argmin — the production
+    * assignment path for corpus-scaled nCentroids.
+    */
+  def ivfAssignTwoLevelTo(
+      embeddings: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      superK: Int = 0): DataFrame =
+    embeddings
+      .withColumn("centroid_id", nearestCentroidTwoLevel(centroids, superK))
+      .select("vec_id", "embedding", "label", "centroid_id")
+
+  /** Index build with BOTH phases hierarchical ([[kMeansCentroidsFast]]):
+    * the 100 TB SemDeDup build path when nCentroids ∝ corpus.
+    */
+  def buildIvfIndexFast(
+      embeddings: DataFrame,
+      nCentroids: Int,
+      iterations: Int = 3,
+      superK: Int = 0): IvfIndex =
+    IvfIndex(kMeansCentroidsFast(embeddings, nCentroids, iterations, superK))
+
   // ------------------------------------------------- semantic dedup
 
   /** Cosine threshold for semantic duplicates. SemDeDup sweeps
@@ -566,13 +739,39 @@ object Similarity {
   def semanticPairs(
       embeddings: DataFrame,
       index: IvfIndex,
-      minCos: Double = SemDedupMinCos): DataFrame = {
+      minCos: Double = SemDedupMinCos): DataFrame =
     // pinned: the O(n·k·dim) literal-argmin assignment would otherwise
     // recompute on BOTH sides of the self-join (measured 2× the whole
     // pairs phase at k=160 on sf1)
-    val assigned = graft.core.CacheScope.persist(
-      ivfAssignPortableTo(embeddings, index.centroids)
-        .select(col("centroid_id"), col("vec_id"), col("embedding")))
+    semanticPairsFrom(
+      graft.core.CacheScope.persist(
+        ivfAssignPortableTo(embeddings, index.centroids)
+          .select(col("centroid_id"), col("vec_id"), col("embedding"))),
+      minCos)
+
+  /** [[semanticPairs]] with the TWO-LEVEL assignment — the production
+    * path at corpus-scaled nCentroids, where the flat O(n·k·dim) argmin
+    * would dominate the whole operator (SCALE.md r9 measured it at
+    * k=512). Pair semantics within a cell are identical (same 6-dp
+    * cosine, same keep-lowest-id ordering); only the cell boundaries
+    * differ by the coarse-quantizer approximation.
+    */
+  def semanticPairsHier(
+      embeddings: DataFrame,
+      index: IvfIndex,
+      minCos: Double = SemDedupMinCos,
+      superK: Int = 0): DataFrame =
+    semanticPairsFrom(
+      graft.core.CacheScope.persist(
+        ivfAssignTwoLevelTo(embeddings, index.centroids, superK)
+          .select(col("centroid_id"), col("vec_id"), col("embedding"))),
+      minCos)
+
+  /** Within-cell pair kernel shared by the flat and hierarchical
+    * assignment paths: co-located self-join on `centroid_id`, 6-dp
+    * cosine, keep pairs ≥ minCos.
+    */
+  private def semanticPairsFrom(assigned: DataFrame, minCos: Double): DataFrame = {
     val b = assigned
       .select(col("centroid_id"), col("vec_id").as("vec_id_b"),
         col("embedding").as("_eb"))
@@ -598,9 +797,19 @@ object Similarity {
   def semanticDedup(
       embeddings: DataFrame,
       index: IvfIndex,
-      minCos: Double = SemDedupMinCos): DataFrame = {
-    val drops = semanticPairs(embeddings, index, minCos)
-      .select(col("vec_id_b").as("vec_id")).distinct()
+      minCos: Double = SemDedupMinCos): DataFrame =
+    semanticDedupFrom(embeddings, semanticPairs(embeddings, index, minCos))
+
+  /** [[semanticDedup]] over the two-level assignment path. */
+  def semanticDedupHier(
+      embeddings: DataFrame,
+      index: IvfIndex,
+      minCos: Double = SemDedupMinCos,
+      superK: Int = 0): DataFrame =
+    semanticDedupFrom(embeddings, semanticPairsHier(embeddings, index, minCos, superK))
+
+  private def semanticDedupFrom(embeddings: DataFrame, pairs: DataFrame): DataFrame = {
+    val drops = pairs.select(col("vec_id_b").as("vec_id")).distinct()
     embeddings
       .join(drops, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label"))

@@ -4,17 +4,28 @@ import org.apache.spark.sql.SparkSession
 
 import graft.ext.Similarity
 
-/** Scale probe (Test/runMain graft.SemScaleProbe <sfDir> <nCentroids...>):
-  * times SemDeDup pair generation at a given cluster count — the
-  * evidence behind SCALE.md's "nCentroids must scale with the corpus"
-  * entry (fixed k at 10× data grows per-cluster pair work ~100×; k
-  * scaled ∝ corpus holds per-cluster size, and so the quadratic term,
-  * constant).
+/** Scale probe (Test/runMain graft.SemScaleProbe <sfDir> <spec...>):
+  * times SemDeDup index build (train) and pair generation at a given
+  * cluster count — the evidence behind SCALE.md's "nCentroids must
+  * scale with the corpus" entry (fixed k at 10× data grows per-cluster
+  * pair work ~100×; k scaled ∝ corpus holds per-cluster size, and so
+  * the quadratic term, constant).
+  *
+  * A spec is `nc` (flat portable path — the declared-key kernel) or
+  * `nc:hier` (two-level assignment in BOTH train and pairs — the
+  * production path at corpus-scaled k). Round-10 addition: the hier
+  * mode is what shows train+assign staying sub-linear at 10× data with
+  * k ∝ n, where the flat argmin is itself the super-linear term.
   */
 object SemScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/testdata/sf1")
-    val ncs = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(160)
+    val specs =
+      if (args.length > 1) args.drop(1).toSeq.map { s =>
+        val parts = s.split(":")
+        (parts(0).toInt, parts.length > 1 && parts(1) == "hier")
+      }
+      else Seq((160, false))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -22,14 +33,19 @@ object SemScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val e = graft.io.Sources.table(spark, sfDir, "embeddings")
     e.count()
-    for (nc <- ncs; run <- 1 to 3) {
+    for ((nc, hier) <- specs; run <- 1 to 3) {
+      val mode = if (hier) "hier" else "flat"
       val t0 = System.nanoTime()
-      val idx = Similarity.buildIvfIndex(e, nCentroids = nc, iterations = 3,
-        portable = true)
+      val idx =
+        if (hier) Similarity.buildIvfIndexFast(e, nCentroids = nc, iterations = 3)
+        else Similarity.buildIvfIndex(e, nCentroids = nc, iterations = 3,
+          portable = true)
       val t1 = System.nanoTime()
-      val n = Similarity.semanticPairs(e, idx).count()
+      val n =
+        (if (hier) Similarity.semanticPairsHier(e, idx)
+         else Similarity.semanticPairs(e, idx)).count()
       val t2 = System.nanoTime()
-      println(f"SEMSCALE nc=$nc run$run train ${(t1 - t0) / 1e9}%.3f s " +
+      println(f"SEMSCALE nc=$nc mode=$mode run$run train ${(t1 - t0) / 1e9}%.3f s " +
         f"pairs ${(t2 - t1) / 1e9}%.3f s pairs=$n")
       graft.core.CacheScope.releaseAll()
       spark.catalog.clearCache()

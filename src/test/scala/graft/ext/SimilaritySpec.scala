@@ -350,4 +350,77 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == all -- dropsWanted)
     assert(dropsWanted.nonEmpty && kept.nonEmpty)
   }
+
+  test("superCells: non-empty cells exactly partition the centroid set") {
+    val index = Similarity.buildIvfIndex(embs, nCentroids = 16, iterations = 3,
+      portable = true)
+    val cells = Similarity.superCells(index.centroids, superK = 4)
+    assert(cells.nonEmpty && cells.size <= 4)
+    cells.foreach { case (_, members) => assert(members.nonEmpty) }
+    val memberIds = cells.flatMap(_._2.map(_._1))
+    assert(memberIds.sorted == index.centroids.map(_._1).sorted,
+      "every centroid must belong to exactly one super-cell")
+    // deterministic: the driver Lloyd re-runs to the identical grouping
+    assert(Similarity.superCells(index.centroids, superK = 4) == cells)
+  }
+
+  test("two-level assignment: valid centroid ids, high agreement with flat argmin") {
+    val index = Similarity.buildIvfIndex(embs, nCentroids = 16, iterations = 3,
+      portable = true)
+    val flat = Similarity.ivfAssignTo(embs, index.centroids)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hier = Similarity.ivfAssignTwoLevelTo(embs, index.centroids)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hier.keySet == flat.keySet)
+    val validIds = index.centroids.map(_._1).toSet
+    hier.values.foreach(cid => assert(validIds(cid), s"unknown centroid $cid"))
+    val agree = flat.count { case (id, cid) => hier(id) == cid }
+    // coarse-quantizer approximation: boundary vectors may hop cells,
+    // but the bulk must agree or the two-level index is broken
+    assert(agree.toDouble / flat.size >= 0.9,
+      s"two-level assignment agrees on only $agree/${flat.size}")
+  }
+
+  test("semanticPairsHier: exactly the within-cell pairs of the two-level assignment") {
+    val index = Similarity.buildIvfIndex(embs, nCentroids = 16, iterations = 3,
+      portable = true)
+    val pairs = Similarity.semanticPairsHier(embs, index).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    pairs.foreach { case (a, b, c) =>
+      assert(a < b && c >= Similarity.SemDedupMinCos)
+    }
+    val assigned = Similarity.ivfAssignTwoLevelTo(embs, index.centroids)
+      .select("vec_id", "embedding", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getLong(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val want = (for {
+      (ida, va, ca) <- assigned
+      (idb, vb, cb) <- assigned
+      if ca == cb && ida < idb
+      c = math.rint(cos(va, vb) * 1e6) / 1e6
+      if c >= Similarity.SemDedupMinCos
+    } yield (ida, idb)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == want)
+    assert(pairs.nonEmpty, "hier path finds no pairs — assignment dead")
+  }
+
+  test("buildIvfIndexFast + semanticDedupHier: full hierarchical path end-to-end") {
+    val index = Similarity.buildIvfIndexFast(embs, nCentroids = 16, iterations = 3)
+    assert(index.centroids.size == 16)
+    assert(index.centroids.forall(_._2.length == 64))
+    val dropsWanted = Similarity.semanticPairsHier(embs, index)
+      .select("vec_id_b").distinct().collect().map(_.getLong(0)).toSet
+    val kept = Similarity.semanticDedupHier(embs, index).collect()
+      .map(_.getLong(0)).toSet
+    val all = embs.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- dropsWanted)
+    assert(kept.nonEmpty)
+  }
 }
