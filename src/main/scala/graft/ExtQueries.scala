@@ -523,6 +523,11 @@ object ExtQueries {
       // LOCAL fingerprinting (MOSS winnowing): shared-passage pairs the
       // whole-doc sketches miss (a pasted header in unrelated docs)
       Dedup.winnowPairs(docs(s, dir), minShared = WinnowMinShared)),
+    "dedup_substring_documents" -> ((s: SparkSession, dir: String) =>
+      // exact duplicated-span REMOVAL (Lee et al. 2021): cuts every
+      // ≥SubstrK-char span whose text occurs earlier in the corpus,
+      // keeping the first occurrence — the surviving text is rebuilt
+      Dedup.substringDedup(docs(s, dir))),
     // -- similarity search --
     "similarity_topk_embeddings" -> ((s: SparkSession, dir: String) => {
       val e = embs(s, dir)
@@ -850,6 +855,13 @@ object ExtQueries {
       // formulas — a differential test of the parser
       Multimodal.decodeContainers(
         Multimodal.asContainerTable(docs(s, dir)))),
+    "media_phash_pairs_documents" -> ((s: SparkSession, dir: String) =>
+      // content-level image near-dup: perceptual average-hash over the
+      // BMP payloads' PIXEL bytes (offset parsed from the real header),
+      // hamming-banded pair join over the images-only fixture; the
+      // oracle recomputes the hash from the generator's body bytes — a
+      // differential test of the pixel walk
+      Multimodal.phashPairs(Multimodal.asImageTable(docs(s, dir)))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1199,6 +1211,41 @@ object ExtQueries {
          |SELECT doc_id_a, doc_id_b, n_shared FROM wn_pairs
          |WHERE n_shared >= $WinnowMinShared
          |ORDER BY n_shared DESC, doc_id_a, doc_id_b""".stripMargin,
+    // exact-substring dedup: the oracle keys gram occurrences by the
+    // gram STRING where the engine keys by its 64-bit hash — identical
+    // up to 2^-64 collisions (the repo's established hash-approximation
+    // tolerance); first occurrence = lexicographic min (doc_id, pos).
+    // Survivor text: per-character covered marking (a char is cut iff
+    // some non-first duplicated-gram window [pos, pos+k) contains it),
+    // which equals the engine's interval-merge fold by construction.
+    "dedup_substring_documents" -> {
+      val k = Dedup.SubstrK
+      s"""WITH sd_d AS (SELECT doc_id, $NormSql AS norm FROM documents),
+         |sd_i AS (SELECT doc_id, norm,
+         |    unnest(range(0, greatest(0, len(norm) - ${k - 1}))) AS pos FROM sd_d),
+         |sd_g AS (SELECT doc_id, pos, substr(norm, (pos + 1)::INTEGER, $k) AS gram
+         |    FROM sd_i),
+         |sd_k1 AS (SELECT gram, min(doc_id) AS kdoc FROM sd_g
+         |    GROUP BY gram HAVING count(*) >= 2),
+         |sd_k AS (SELECT g.gram, k1.kdoc, min(g.pos) AS kpos
+         |    FROM sd_k1 k1 JOIN sd_g g ON g.gram = k1.gram AND g.doc_id = k1.kdoc
+         |    GROUP BY 1, 2),
+         |sd_cut AS (SELECT g.doc_id, g.pos FROM sd_g g JOIN sd_k k ON g.gram = k.gram
+         |    WHERE NOT (g.doc_id = k.kdoc AND g.pos = k.kpos)),
+         |sd_c AS (SELECT doc_id, norm, unnest(range(0, len(norm))) AS p FROM sd_d),
+         |sd_cov AS (SELECT DISTINCT c.doc_id, c.p FROM sd_c c JOIN sd_cut s
+         |    ON s.doc_id = c.doc_id AND c.p >= s.pos AND c.p < s.pos + $k),
+         |sd_kept AS (SELECT c.doc_id,
+         |      string_agg(substr(c.norm, (c.p + 1)::INTEGER, 1), '' ORDER BY c.p)
+         |        AS text_kept
+         |    FROM sd_c c LEFT JOIN sd_cov v ON v.doc_id = c.doc_id AND v.p = c.p
+         |    WHERE v.doc_id IS NULL GROUP BY c.doc_id)
+         |SELECT d.doc_id, len(d.norm)::BIGINT AS n_chars,
+         |       len(coalesce(kp.text_kept, ''))::BIGINT AS n_kept_chars,
+         |       coalesce(kp.text_kept, '') AS text_kept
+         |FROM sd_d d LEFT JOIN sd_kept kp USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     // hyperplane-LSH near-dup pairs: the seeded plane matrix is emitted
     // into the SQL as literals (same constants as the codegen'd kernel),
     // so banding, candidates, and cosine verify all replicate exactly
@@ -1994,6 +2041,63 @@ object ExtQueries {
          |  round($blen / 4096.0, 4) AS f_bytes,
          |  (doc_id % 3)::DOUBLE AS f_kind
          |FROM documents ORDER BY media_id""".stripMargin
+    },
+    // perceptual-hash media near-dup: the oracle rebuilds each BMP
+    // payload's 64-cell average-hash from the generator's body bytes
+    // (body = the document's UTF-8 text at pixel offset 54; per-byte
+    // values via unicode() — BMP-corpus ASCII-only, the hash64Ctes
+    // tolerance). Bit c is the exact integer cross-multiply
+    // `sum_c·len > total·n_c`; the hash splits into lo/hi 32-bit
+    // halves (DuckDB's 1<<63 sign edge avoided), then the SAME
+    // PhashBands pigeonhole banding + PhashMaxBucket cap +
+    // bit_count(xor) Hamming as the engine plan — every parameter
+    // interpolated from the Multimodal constants.
+    "media_phash_pairs_documents" -> {
+      val cap = Multimodal.PhashMaxBucket
+      val bands = Multimodal.PhashBands
+      val maxH = Multimodal.PhashMaxHamming
+      val bitsPer = 64 / bands
+      val mask = (1L << bitsPer) - 1
+      val bandKeys = (0 until bands).map { i =>
+        val (half, sh) = if (i * bitsPer < 32) ("lo", i * bitsPer)
+          else ("hi", i * bitsPer - 32)
+        s"($half >> $sh) & $mask"
+      }.mkString("[", ", ", "]")
+      val bandList = (0 until bands).mkString("[", ", ", "]")
+      s"""WITH ph_d AS (SELECT doc_id AS media_id, text FROM documents
+         |    WHERE length(text) > 0),
+         |ph_b AS (SELECT media_id, text, unnest(range(0, length(text))) AS i
+         |    FROM ph_d),
+         |ph_by AS (SELECT media_id,
+         |      unicode(substr(text, (i + 1)::INTEGER, 1))::BIGINT AS b,
+         |      (i * 64) // length(text) AS cell,
+         |      length(text)::BIGINT AS len FROM ph_b),
+         |ph_cs AS (SELECT media_id, cell, len, sum(b)::BIGINT AS cs,
+         |      count(*)::BIGINT AS cc FROM ph_by GROUP BY 1, 2, 3),
+         |ph_t AS (SELECT media_id, sum(cs)::BIGINT AS ts FROM ph_cs GROUP BY 1),
+         |ph_h AS (SELECT c.media_id,
+         |      sum(CASE WHEN cs * len > ts * cc AND cell < 32
+         |               THEN (1::BIGINT << cell::INTEGER) ELSE 0 END)::BIGINT AS lo,
+         |      sum(CASE WHEN cs * len > ts * cc AND cell >= 32
+         |               THEN (1::BIGINT << (cell - 32)::INTEGER) ELSE 0 END)::BIGINT AS hi
+         |    FROM ph_cs c JOIN ph_t t USING (media_id) GROUP BY 1),
+         |ph_bk AS (SELECT media_id, lo, hi, unnest($bandList) AS band,
+         |      unnest($bandKeys) AS bkey FROM ph_h),
+         |ph_big AS (SELECT band, bkey FROM ph_bk
+         |      GROUP BY band, bkey HAVING count(*) > $cap),
+         |ph_cap AS (SELECT b.* FROM ph_bk b WHERE NOT EXISTS (
+         |      SELECT 1 FROM ph_big o WHERE o.band = b.band AND o.bkey = b.bkey)),
+         |ph_pairs AS (SELECT DISTINCT a.media_id AS media_id_a,
+         |        b.media_id AS media_id_b, a.lo AS lo_a, a.hi AS hi_a,
+         |        b.lo AS lo_b, b.hi AS hi_b
+         |      FROM ph_cap a JOIN ph_cap b ON a.band = b.band AND a.bkey = b.bkey
+         |                                 AND a.media_id < b.media_id)
+         |SELECT media_id_a, media_id_b,
+         |       (bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)))::INTEGER
+         |         AS hamming
+         |FROM ph_pairs
+         |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= $maxH
+         |ORDER BY media_id_a, media_id_b""".stripMargin
     },
     // MinHash family: the full sketch pipeline (hash64 kernel, seeded
     // perm table, banding, bucket cap, agreement estimate) replicated

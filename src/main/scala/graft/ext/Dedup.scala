@@ -483,6 +483,96 @@ object Dedup {
       .orderBy(col("n_shared").desc, col("doc_id_a"), col("doc_id_b"))
   }
 
+  // ------------------------------------------------ exact-substring dedup
+
+  /** Minimum duplicated-span length (normalized chars) for
+    * [[substringDedup]]. Lee et al. 2021 use 50 BPE tokens (~hundreds
+    * of chars) on web corpora; 40 normalized chars ≈ 7–8 words keeps
+    * the operator's both branches (cut + keep) carrying real weight on
+    * the synthetic corpus, whose shared template passages run tens of
+    * chars (the winnow n_shared histogram). A production corpus raises
+    * this — it is a config, not a rewrite.
+    */
+  val SubstrK = 40
+
+  /** EXACT duplicated-substring removal — the C4/Pile-era cleanup step
+    * after pair detection ("Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2021, arXiv:2107.06499, the ExactSubstr
+    * family): any normalized span of ≥ `k` chars whose text occurs
+    * earlier in the corpus (earlier = smaller (doc_id, position)) is
+    * CUT from the surviving text; the globally-first occurrence
+    * survives in place. Whole-doc policies ([[exact]], [[minHashDedup]])
+    * cannot do this — a 200-char license header pasted into an
+    * otherwise-unique document costs the whole document or nothing;
+    * this removes exactly the span.
+    *
+    * Same result as the paper's suffix-array scan up to 2⁻⁶⁴ hash
+    * collisions: a duplicated span of length L ≥ k is exactly the union
+    * of its L−k+1 duplicated k-grams, so cutting every non-first
+    * occurrence's [pos, pos+k) window removes precisely the span.
+    *
+    * Plan shape: one codegen'd projection emits every k-gram hash with
+    * its position (posexplode — the corpus moves once at 24 B/position,
+    * never at char width); one map-side-combined aggregate keyed by the
+    * 64-bit hash finds each gram's global first occurrence and
+    * multiplicity; ONLY duplicated grams (count ≥ 2 — a small fraction
+    * of positions on a mostly-clean corpus) flow into the occurrence
+    * join and the per-doc cut list; the cut itself is a per-row array
+    * fold over the sorted cut starts (interval-merge while slicing the
+    * original text — no per-character explode, no second text shuffle).
+    * At 100 TB this is the precise pass run AFTER a sketch screen
+    * ([[winnowPairs]]) has bounded the candidate corpus; its cost is
+    * one corpus-position shuffle — the honest floor for exact-substring
+    * semantics without a distributed suffix array.
+    */
+  def substringDedup(documents: DataFrame, k: Int = SubstrK): DataFrame = {
+    require(k >= 2, s"span threshold must be >= 2 chars: $k")
+    // pinned: the normalization pass feeds the gram explode AND the
+    // final cut join — without the pin the regex scan runs twice
+    val normed = graft.core.CacheScope.persist(
+      documents.select(col("doc_id"), TextStats.normText(col("text")).as("norm")))
+    val occ = normed.select(col("doc_id"),
+      posexplode(graft.functions.GraftFunctions.charGramHashes(col("norm"), k))
+        .as(Seq("pos", "h")))
+    // global first occurrence per DUPLICATED gram: min (doc_id, pos)
+    // struct — map-side combinable, no window, no sort
+    val dups = occ.groupBy("h").agg(
+      min(struct(col("doc_id"), col("pos"))).as("first"),
+      count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("h"), col("first.doc_id").as("kdoc"), col("first.pos").as("kpos"))
+    // every non-first occurrence of a duplicated gram starts a cut
+    // window [pos, pos+k); AQE broadcasts `dups` when duplication is
+    // sparse (the common clean-corpus case)
+    val cuts = occ.join(dups, Seq("h"))
+      .filter(!(col("doc_id") === col("kdoc") && col("pos") === col("kpos")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    // interval-merge fold: walk the sorted starts once, appending the
+    // uncovered slice before each window and advancing the cursor to
+    // max(cursor, start + k); tail slice appended by the finisher
+    val kept = (acc: Column) => acc.getField("kept")
+    val cur = (acc: Column) => acc.getField("cur")
+    val keptText = aggregate(
+      coalesce(col("starts"), array().cast("array<int>")),
+      struct(lit("").as("kept"), lit(0).as("cur")),
+      (acc, s) => struct(
+        when(s > cur(acc),
+          concat(kept(acc), col("norm").substr(cur(acc) + 1, s - cur(acc))))
+          .otherwise(kept(acc)).as("kept"),
+        greatest(cur(acc), s + lit(k)).as("cur")),
+      acc => concat(kept(acc),
+        col("norm").substr(cur(acc) + 1,
+          greatest(length(col("norm")) - cur(acc), lit(0)))))
+    normed.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        length(col("norm")).cast("bigint").as("n_chars"),
+        keptText.as("text_kept"))
+      .withColumn("n_kept_chars", length(col("text_kept")).cast("bigint"))
+      .select("doc_id", "n_chars", "n_kept_chars", "text_kept")
+      .orderBy("doc_id")
+  }
+
   /** Sketch-quality report: precision/recall/F1 of the MinHash-LSH pair
     * detector against the EXACT capped n-gram Jaccard pair set at the
     * same threshold — THE number a pipeline owner reads before trusting

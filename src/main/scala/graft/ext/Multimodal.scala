@@ -155,14 +155,17 @@ object Multimodal {
     b.array()
   }
 
+  /** BMP: BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40) + body. */
+  private[ext] def bmpBytes(id: Long, body: Array[Byte]): Array[Byte] =
+    "BM".getBytes ++ le(54 + body.length) ++ le(0) ++ le(54) ++
+      le(40) ++ le(Gen.bmpWidth(id)) ++ le(Gen.bmpHeight(id)) ++
+      le16(1) ++ le16(24) ++ le(0) ++ le(body.length) ++
+      le(2835) ++ le(2835) ++ le(0) ++ le(0) ++ body
+
   /** Valid (if minimal) container bytes around an opaque body. */
   private[ext] def buildContainer(id: Long, body: Array[Byte]): Array[Byte] = {
     (id % 3) match {
-      case 0 => // BMP: BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40) + body
-        "BM".getBytes ++ le(54 + body.length) ++ le(0) ++ le(54) ++
-          le(40) ++ le(Gen.bmpWidth(id)) ++ le(Gen.bmpHeight(id)) ++
-          le16(1) ++ le16(24) ++ le(0) ++ le(body.length) ++
-          le(2835) ++ le(2835) ++ le(0) ++ le(0) ++ body
+      case 0 => bmpBytes(id, body)
       case 1 => // WAV: RIFF/WAVE + fmt(16) + data
         val rate = Gen.wavRate(id); val ch = Gen.wavChannels(id)
         "RIFF".getBytes ++ le(36 + body.length) ++ "WAVE".getBytes ++
@@ -197,6 +200,26 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         Row(id, buildContainer(id, r.getAs[Array[Byte]](1)))
+      }
+    }
+  }
+
+  /** Every document wrapped as a REAL BMP payload (text bytes as the
+    * pixel buffer) — the images-only corpus fixture for the
+    * content-level dedup path ([[phashPairs]]), where the 1-in-3 mixed
+    * table would leave the image family too thin to exercise.
+    */
+  def asImageTable(documents: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val input = documents.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("body"))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, bmpBytes(id, r.getAs[Array[Byte]](1)))
       }
     }
   }
@@ -260,6 +283,84 @@ object Multimodal {
         decodeRow(r.getLong(0), if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))
       }
     }.orderBy("media_id")
+  }
+
+  /** Per-payload perceptual hash column: the codegen'd
+    * [[graft.functions.Hashing.aHash64]] average-hash over each BMP
+    * payload's PIXEL buffer (header parsed for the pixel-data offset —
+    * the hash is over decoded image bytes, not the container). Non-BMP
+    * and malformed payloads yield null and are dropped: WAV/AVI need a
+    * different content hash (chromaprint-style), out of scope like
+    * sample decode.
+    */
+  def aHash(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"),
+        graft.functions.GraftFunctions.aHash64(col("payload")).as("phash"))
+      .filter(col("phash").isNotNull)
+
+  /** Declared-key parameters for [[phashPairs]], shared with the oracle
+    * SQL builder (the DormantMinPrice pattern — a tweak here lands on
+    * both sides at once). Radius 12 of 64: the synthetic corpus has no
+    * byte-identical images (all 500 verify-SF docs are unique), so like
+    * `dedup_embedding_pairs`' threshold the radius sits in the
+    * distribution's near tail — the banding, cap and Hamming-verify
+    * paths all carry real rows in every oracle check. Production image
+    * dedup runs radius ~8 at the same plan shape.
+    */
+  val PhashMaxHamming = 12
+  val PhashBands = 16
+  val PhashMaxBucket = 256
+
+  /** Content-level media near-dup pairs: images whose perceptual hash
+    * is within `maxHamming` bits — the image-dedup step every
+    * multimodal corpus pipeline runs after (cheap) checksum dedup,
+    * catching re-encoded/slightly-retouched copies that byte checksums
+    * miss. The multi-index-hashing pigeonhole plan (same family as
+    * [[Dedup.simHashPairs]]): split the 64-bit hash into `bands`
+    * equal chunks — any pair within Hamming `bands − 1` agrees on ≥1
+    * whole chunk, so with `bands > maxHamming` the (band, chunk-value)
+    * equi-join is recall-COMPLETE at the radius; one shuffle, never
+    * all-pairs. Degenerate chunks (e.g. flat-color images hashing to 0)
+    * capped by the broadcast-anti-join guard; exact Hamming via
+    * bit_count(xor) on candidates only. The payload column never
+    * reaches the join — only (media_id, 64-bit hash) shuffles.
+    */
+  def phashPairs(
+      media: DataFrame,
+      maxHamming: Int = PhashMaxHamming,
+      bands: Int = PhashBands,
+      maxBucket: Int = PhashMaxBucket): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands ($bands) must divide 64")
+    require(bands > maxHamming,
+      s"pigeonhole completeness needs bands ($bands) > maxHamming ($maxHamming)")
+    val chunks = bands
+    val bitsPer = 64 / chunks
+    // pinned: census + both sides of the self-join — the mapPartitions
+    // container build + hash must not run three times
+    val hashed = graft.core.CacheScope.persist(aHash(media))
+    val banded = hashed.select(col("media_id"), col("phash"),
+      explode(array((0 until chunks).map { i =>
+        struct(lit(i).as("band"),
+          shiftright(col("phash"), i * bitsPer)
+            .bitwiseAND(lit((1L << bitsPer) - 1)).as("bkey"))
+      }: _*)).as("b"))
+      .select(col("media_id"), col("phash"), col("b.band"), col("b.bkey"))
+    val oversized = banded.groupBy("band", "bkey").count()
+      .filter(col("count") > maxBucket)
+      .select("band", "bkey")
+    val capped = banded.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
+    val a = capped.select(col("band"), col("bkey"),
+      col("media_id").as("media_id_a"), col("phash").as("ph_a"))
+    val b = capped.select(col("band"), col("bkey"),
+      col("media_id").as("media_id_b"), col("phash").as("ph_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("media_id_a") < col("media_id_b"))
+      .dropDuplicates("media_id_a", "media_id_b")
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("media_id_a", "media_id_b", "hamming")
+      .orderBy("media_id_a", "media_id_b")
   }
 
   /** REAL feature extraction over decoded container headers: a fixed

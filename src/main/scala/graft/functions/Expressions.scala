@@ -177,6 +177,29 @@ case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** `char_gram_hashes(text)`: ALL k-char-gram hashes in position order
+  * (the exact-substring dedup kernel — [[Hashing.charGramHashes]]);
+  * `k` is a plan-time constant.
+  */
+case class CharGramHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with StringInputCheck {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Hashing.charGramHashes(input.asInstanceOf[UTF8String].toString, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.Hashing.charGramHashes($c.toString(), $k))")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashesExpr =
+    copy(child = newChild)
+}
+
 /** `jaccard_sorted(a, b)`: Jaccard of two sorted array<bigint> sets by
   * linear merge.
   */
@@ -199,6 +222,41 @@ case class JaccardExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaccardExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** `ahash64(payload)`: 64-bit perceptual average-hash of a BMP
+  * payload's pixel bytes ([[Hashing.aHash64]]); null for non-BMP /
+  * malformed payloads (per-payload fault tolerance — custom codegen
+  * because the kernel's null result must set the null flag, which
+  * `defineCodeGen` cannot express).
+  */
+case class AHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ahash64"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary argument, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.aHash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("ahash")
+      s"""java.lang.Long $tmp = graft.functions.Hashing.aHash64($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AHash64Expr =
+    copy(child = newChild)
 }
 
 /** `hyperplane_sketch(v)`: sign-bit LSH sketch (seeded planes) packed

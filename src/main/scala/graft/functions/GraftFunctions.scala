@@ -37,6 +37,12 @@ object GraftFunctions {
       k: Int = Hashing.WinnowK, w: Int = Hashing.WinnowW): Column =
     GraftBridge.column(WinnowFpsExpr(GraftBridge.expression(c), k, w))
 
+  def charGramHashes(c: Column, k: Int): Column =
+    GraftBridge.column(CharGramHashesExpr(GraftBridge.expression(c), k))
+
+  def aHash64(c: Column): Column =
+    GraftBridge.column(AHash64Expr(GraftBridge.expression(c)))
+
   /** Plan-time integer constant for SQL-facing builders (K, n, dim…):
     * any foldable integral expression qualifies (`2`, `1+1`, …).
     */
@@ -88,6 +94,9 @@ object GraftFunctions {
       WinnowFpsExpr(es.head,
         litInt("graft_winnow_fps", es(1)),
         litInt("graft_winnow_fps", es(2)))),
+    fn("graft_char_gram_hashes", "(text, k)", 2, 2)(es =>
+      CharGramHashesExpr(es.head, litInt("graft_char_gram_hashes", es(1)))),
+    fn("graft_ahash64", "(payload)", 1, 1)(es => AHash64Expr(es.head)),
   )
 
   /** Register the functions for SQL use on an existing session

@@ -220,6 +220,66 @@ object Hashing {
     out
   }
 
+  /** ALL k-char-gram hashes of `text` in position order (index i =
+    * hash of text[i, i+k)) — the dense sibling of [[winnowFps]] (which
+    * SAMPLES these at density 2/(w+1)): the exact-substring dedup
+    * kernel needs every position, because the covered region of a
+    * duplicated span is the union of its k-gram occurrence windows.
+    * Text shorter than k has no k-gram → empty array (it cannot
+    * contain a ≥k duplicated span).
+    */
+  def charGramHashes(text: String, k: Int): Array[Long] = {
+    val n = text.length
+    if (n < k) return Array.emptyLongArray
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) { hs(i) = hash64Range(text, i, i + k); i += 1 }
+    hs
+  }
+
+  /** 64-cell AVERAGE-HASH (aHash — the classic perceptual image hash)
+    * over a BMP payload's pixel bytes: parse the BITMAPFILEHEADER magic
+    * and pixel-data offset (bytes 10–13, little-endian), split the
+    * pixel buffer into 64 contiguous cells (cell of byte i =
+    * ⌊i·64/len⌋), set bit c iff cell c's mean byte value exceeds the
+    * whole buffer's mean. The mean comparison is CROSS-MULTIPLIED in
+    * integers (`sum_c · n > total · n_c`) — exact, no float, so any
+    * engine replays it bit-for-bit. Near-identical pixel buffers land
+    * within a few bits (Hamming); unrelated buffers differ in ~32.
+    *
+    * Returns null (boxed) for anything that is not a well-formed BMP
+    * with a non-empty pixel buffer — per-payload fault tolerance, like
+    * the container decoder.
+    */
+  def aHash64(p: Array[Byte]): java.lang.Long = {
+    if (p == null || p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte)
+      return null
+    val off = (p(10) & 0xff) | ((p(11) & 0xff) << 8) |
+      ((p(12) & 0xff) << 16) | ((p(13) & 0xff) << 24)
+    if (off < 54 || off >= p.length) return null
+    val len = p.length - off
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var i = 0
+    while (i < len) {
+      val cell = ((i.toLong * 64L) / len).toInt
+      sums(cell) += (p(off + i) & 0xff)
+      cnts(cell) += 1
+      i += 1
+    }
+    var total = 0L
+    var c = 0
+    while (c < 64) { total += sums(c); c += 1 }
+    var h = 0L
+    c = 0
+    while (c < 64) {
+      if (cnts(c) > 0 && sums(c) * len > total * cnts(c)) h |= (1L << c)
+      c += 1
+    }
+    h
+  }
+
   /** Band key for LSH: hash of `r` consecutive signature entries. */
   def bandKey(sig: Array[Long], band: Int, r: Int): Long = {
     var h = 0xcbf29ce484222325L ^ band

@@ -333,6 +333,112 @@ object Loader {
     }
   }
 
+  /** Files-per-partition threshold above which [[compact]] rewrites a
+    * partition. Bounded-rewrite MERGE lands one file set per touched
+    * partition per batch, so a partition merged nightly crosses this
+    * after ~a week of batches.
+    */
+  val CompactMaxFiles = 8
+
+  /** Small-file COMPACTION — the maintenance pass the bounded-rewrite
+    * MERGE ([[mergeInto]]) makes necessary at 100 TB: every incremental
+    * batch lands a fresh file set in each touched partition, and a
+    * date-partitioned target merged per-batch accumulates thousands of
+    * small files (per-file open/footer costs dominate scans long before
+    * data volume does). Rewrites ONLY partitions whose file count
+    * exceeds `maxFilesPerPartition`, byte-identical data (same rows,
+    * fewer files), via the same scratch-table + dynamic-partition-
+    * overwrite path as the merge — untouched partitions' files are
+    * never read or replaced. The OPTIMIZE/rewrite_data_files analogue
+    * of the transactional table formats, minus the transaction log this
+    * engine deliberately doesn't carry.
+    *
+    * Overfull partitions are identified from the table's own file
+    * listing (driver-side METADATA, no data motion), matched back to
+    * partition values by unescaping the `col=value` path segments the
+    * writer itself produced. The rewrite repartitions the slice by the
+    * partition columns, so each rewritten partition lands as ONE file
+    * set from one task group (production variant: salt by
+    * ⌈partition-bytes / target-file-bytes⌉ when single files would
+    * exceed block size — same plan, one extra key).
+    *
+    * Unpartitioned targets compact whole-table when the file count
+    * crosses the threshold: a crash-recoverable snapshot-swap
+    * ([[recoverFromSwap]]) coalesced to ⌈bytes / targetFileBytes⌉
+    * files — inherently O(|table|), which is why targets that merge
+    * repeatedly should be partitioned or bucketed in the first place.
+    *
+    * @return number of partitions rewritten (0 = clean no-op; 1 for the
+    *         unpartitioned whole-table case)
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      maxFilesPerPartition: Int = CompactMaxFiles,
+      targetFileBytes: Long = 128L << 20): Int = {
+    require(maxFilesPerPartition >= 1, "threshold must be >= 1 file")
+    val target = spark.table(table)
+    val info = org.apache.spark.sql.GraftBridge.tableInfo(spark, table)
+    val pcols = info.partitionColumnNames
+    val files = target.inputFiles
+    if (files.isEmpty) 0
+    else if (pcols.isEmpty) {
+      if (files.length <= maxFilesPerPartition) 0
+      else {
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(files.head).getFileSystem(hconf)
+        val totalBytes = files.map(f =>
+          fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+        val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+        val swap = swapName(table)
+        writeTableLike(target.coalesce(nFiles), swap, info)
+        dropTable(spark, table)
+        renameTable(spark, swap, table)
+        1
+      }
+    } else {
+      // file paths end .../pcol1=v1/.../pcolN=vN/part-*.parquet: group by
+      // the partition directory, keep only overfull ones
+      val byDir = files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+      val overfull = byDir.filter(_._2.length > maxFilesPerPartition).keys.toSeq.sorted
+      if (overfull.isEmpty) 0
+      else {
+        val preds = overfull.map { dir =>
+          dir.split('/').takeRight(pcols.size).toSeq.map { seg =>
+            val eq = seg.indexOf('=')
+            val c = seg.substring(0, eq)
+            val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(seg.substring(eq + 1))
+            if (v == "__HIVE_DEFAULT_PARTITION__") col(c).isNull
+            else col(c).cast("string") === lit(v)
+          }.reduce(_ && _)
+        }
+        val cond = preds.reduce(_ || _)
+        val slice = target.filter(cond)
+          .repartition(pcols.map(col).toIndexedSeq: _*)
+        // same read-vs-overwrite conflict as mergeInto: land the slice
+        // as an app-scoped scratch table, then dynamic-overwrite back
+        val app = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+        val tmp = s"${table}_compact_swap_$app"
+        dropTable(spark, tmp)
+        writeTable(slice, tmp)
+        val confKey = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.get(confKey)
+        spark.conf.set(confKey, "dynamic")
+        try
+          spark.table(tmp)
+            .select(target.columns.map(col).toIndexedSeq: _*)
+            .write.mode("overwrite")
+            .insertInto(table)
+        finally {
+          spark.conf.set(confKey, prev)
+          dropTable(spark, tmp)
+        }
+        overfull.size
+      }
+    }
+  }
+
   /** O19, `final_load_data_into_bigquery`: dispatch a batch of rows into
     * `table` using the registry's schema + merge keys.
     *

@@ -314,4 +314,53 @@ class DedupSpec extends SparkSpec {
     assert(m.getAs[Double]("recall") < 0.5,
       s"K=16 banding should visibly miss mid-similarity pairs, recall=${m.getAs[Double]("recall")}")
   }
+
+  test("substringDedup cuts exactly the duplicated span, keeps the first occurrence") {
+    // a shared passage well over SubstrK=40 normalized chars, pasted
+    // into two otherwise-unrelated documents
+    val passage = "this exact license header paragraph is repeated verbatim across documents"
+    val uniqueA = "alpha document opens with its own words here"
+    val uniqueB = "omega closing remarks specific to the second file only"
+    val df = docsDF(Seq(
+      (1L, s"$uniqueA $passage"),
+      (2L, s"$passage $uniqueB"),
+      (3L, "a fully unique third document with no shared spans at all")))
+    val out = Dedup.substringDedup(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 holds the FIRST occurrence: untouched
+    assert(out(1L)._3 == s"$uniqueA $passage".toLowerCase)
+    assert(out(1L)._1 == out(1L)._2)
+    // doc 2 loses the span — NOT the whole document: its unique tail
+    // survives, and the duplicated passage is gone
+    assert(out(2L)._3.contains("omega closing remarks"),
+      s"unique text must survive the cut: '${out(2L)._3}'")
+    assert(!out(2L)._3.contains("license header"),
+      s"duplicated span must be cut: '${out(2L)._3}'")
+    assert(out(2L)._2 < out(2L)._1, "doc 2 must shrink")
+    // untouched unique doc
+    assert(out(3L)._3 == out(3L)._3.toLowerCase && out(3L)._1 == out(3L)._2)
+  }
+
+  test("substringDedup: overlapping and adjacent cut windows merge; short docs pass through") {
+    // doc 2 repeats its own first half -> WITHIN-doc dedup: the second
+    // copy (and the k-gram windows bridging the seam) is cut, the first
+    // copy survives because it is the global first occurrence; doc 3 is
+    // shorter than SubstrK (no k-gram, passes through verbatim)
+    val base = "zero one two three four five six seven eight nine ten eleven twelve"
+    val df = docsDF(Seq(
+      (1L, "an unrelated first document sharing nothing with the repeats"),
+      (2L, s"$base $base"),
+      (3L, "tiny doc")))
+    val out = Dedup.substringDedup(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L)._1 == out(1L)._2, "unique doc untouched")
+    // the repeat collapses to (at most) a sub-k residue of the seam:
+    // every position from the seam onward starts a duplicated k-gram
+    assert(out(2L)._3.startsWith(base))
+    assert(out(2L)._2 < out(2L)._1 && out(2L)._2 >= base.length,
+      s"second copy cut, first kept: ${out(2L)._2} of ${out(2L)._1}")
+    assert(out(2L)._2 < base.length + Dedup.SubstrK,
+      "residue past the first copy must stay under one gram width")
+    assert(out(3L)._3 == "tiny doc" && out(3L)._1 == out(3L)._2)
+  }
 }

@@ -155,4 +155,61 @@ class MultimodalSpec extends SparkSpec {
     assert(stats("audio")._1 == 1L)
     assert(stats("video")._1 == 1L)
   }
+
+  test("aHash64 kernel: known pixel buffer, null on non-BMP/empty, cross-multiply exact") {
+    import graft.functions.Hashing
+    // 128-byte body: first half 0s, second half 200s -> cells 0..31 mean
+    // 0 (below global mean 100), cells 32..63 mean 200 (above) -> the
+    // hash is exactly the upper 32 bits set
+    val body = Array.fill[Byte](64)(0) ++ Array.fill[Byte](64)(200.toByte)
+    val bmp = Multimodal.bmpBytes(0L, body)
+    assert(Hashing.aHash64(bmp) == 0xFFFFFFFF00000000L)
+    // identical body -> identical hash (hamming 0)
+    assert(Hashing.aHash64(Multimodal.bmpBytes(7L, body)) == 0xFFFFFFFF00000000L)
+    // one flipped byte moves few cells
+    val near = body.clone(); near(5) = 250.toByte
+    val h2 = Hashing.aHash64(Multimodal.bmpBytes(0L, near))
+    assert(java.lang.Long.bitCount(0xFFFFFFFF00000000L ^ h2) <= 3)
+    // non-BMP, truncated, empty-pixel payloads -> null
+    assert(Hashing.aHash64("RIFFxxxxWAVE".getBytes ++ new Array[Byte](60)) == null)
+    assert(Hashing.aHash64("BM".getBytes) == null)
+    assert(Hashing.aHash64(Multimodal.bmpBytes(0L, Array.emptyByteArray)) == null)
+    assert(Hashing.aHash64(null) == null)
+  }
+
+  test("phashPairs: near-identical images pair at low hamming, unrelated do not") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again and again"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again and agaiN"
+    val docs = docsDF(Seq(
+      (1L, near1), (2L, near2),
+      (3L, "completely different content about database query optimizers"),
+      (4L, near1)))
+    val media = Multimodal.asImageTable(docs)
+    val pairs = Multimodal.phashPairs(media, maxHamming = 3, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    graft.core.CacheScope.releaseAll()
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 4L)), s"identical images must pair: ${pairs.toSeq}")
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 4L))).get._3 == 0)
+    assert(pairSet.contains((1L, 2L)) && pairSet.contains((2L, 4L)),
+      s"near-identical images must pair: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated image must not pair at radius 3: ${pairs.toSeq}")
+  }
+
+  test("phashPairs: payload column stays out of the pair join's shuffles") {
+    // the banded self-join must move only (media_id, phash) — a plan
+    // that shuffles payload bytes would be quadratic in IO at scale
+    val docs = docsDF((1L to 40L).map(i => (i, s"document number $i with some text body")))
+    val plan = Multimodal.phashPairs(Multimodal.asImageTable(docs))
+      .queryExecution.optimizedPlan
+    graft.core.CacheScope.releaseAll()
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      val cols = j.output.map(_.name)
+      assert(!cols.contains("payload"), s"payload reaches a join: $cols")
+    }
+  }
 }

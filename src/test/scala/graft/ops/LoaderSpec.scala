@@ -495,4 +495,70 @@ class LoaderSpec extends SparkSpec {
       .orderBy("k1", "k2").collect()
     assert(out.map(_.getString(2)).toSeq == Seq("a", "b2", "c"))
   }
+
+  test("compact: fragmented partitions collapse, untouched partitions' files survive, data identical") {
+    import spark.implicits._
+    dropWithLocation("compact_part_target")
+    // 3 partitions; fragment ONLY p=1 and p=2 with per-row appends (the
+    // bounded-rewrite MERGE's file-accretion pattern)
+    Seq((1L, 1, 1.0), (2L, 2, 2.0), (3L, 3, 3.0))
+      .toDF("k", "p", "v").repartition(1)
+      .write.partitionBy("p").saveAsTable("compact_part_target")
+    // insertInto is positional: the managed table's schema is (k, v, p)
+    // — data columns first, partition column last
+    for (i <- 10 to 30) {
+      Seq((i.toLong, i.toDouble, 1 + i % 2)).toDF("k", "v", "p").repartition(1)
+        .write.mode("append").insertInto("compact_part_target")
+    }
+    val before = fileInventory("compact_part_target")
+    val dataBefore = spark.table("compact_part_target")
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    def filesIn(inv: Map[String, (Long, Long)], part: String): Int =
+      inv.keys.count(_.startsWith(part))
+    assert(filesIn(before, "p=1") > Loader.CompactMaxFiles &&
+      filesIn(before, "p=2") > Loader.CompactMaxFiles,
+      s"fixture must be fragmented: ${before.keys.toSeq.sorted}")
+    val n = Loader.compact(spark, "compact_part_target")
+    assert(n == 2, s"exactly the two overfull partitions rewrite, got $n")
+    val after = fileInventory("compact_part_target")
+    assert(filesIn(after, "p=1") <= Loader.CompactMaxFiles &&
+      filesIn(after, "p=2") <= Loader.CompactMaxFiles,
+      s"compaction must reduce file counts: ${after.keys.toSeq.sorted}")
+    // the clean partition's files are BYTE-UNTOUCHED (same names, sizes,
+    // mtimes — compaction never read or replaced them)
+    assert(after.filter(_._1.startsWith("p=3")) ==
+      before.filter(_._1.startsWith("p=3")),
+      "compact rewrote a partition under the threshold")
+    val dataAfter = spark.table("compact_part_target")
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(dataAfter == dataBefore, "compaction must be byte-identical on rows")
+    // idempotent: a second pass is a clean no-op
+    assert(Loader.compact(spark, "compact_part_target") == 0)
+    assert(!spark.catalog.tableExists(
+      s"compact_part_target_compact_swap_${spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")}"))
+    spark.sql("DROP TABLE IF EXISTS compact_part_target")
+  }
+
+  test("compact: unpartitioned whole-table swap, layout preserved, no-op under threshold") {
+    import spark.implicits._
+    dropWithLocation("compact_flat_target")
+    Seq((1L, "a")).toDF("k", "v").repartition(1)
+      .write.saveAsTable("compact_flat_target")
+    for (i <- 2 to 12) {
+      Seq((i.toLong, s"v$i")).toDF("k", "v").repartition(1)
+        .write.mode("append").insertInto("compact_flat_target")
+    }
+    val before = fileInventory("compact_flat_target")
+    assert(before.size > Loader.CompactMaxFiles)
+    val dataBefore = spark.table("compact_flat_target")
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(Loader.compact(spark, "compact_flat_target") == 1)
+    val after = fileInventory("compact_flat_target")
+    assert(after.size <= Loader.CompactMaxFiles,
+      s"whole-table compaction must reduce files: ${after.keys.toSeq.sorted}")
+    assert(spark.table("compact_flat_target").orderBy("k")
+      .collect().map(_.toSeq).toSeq == dataBefore)
+    assert(Loader.compact(spark, "compact_flat_target") == 0)
+    spark.sql("DROP TABLE IF EXISTS compact_flat_target")
+  }
 }
