@@ -56,6 +56,19 @@ object ExtQueries {
     */
   val UnigramVocabSize: Int = 24
 
+  /** Bigram-table size for the declared bigram-LM query — below the
+    * corpus's ~916 distinct bigrams (sf0.01) so the stupid-backoff
+    * path carries real weight alongside the count-ratio path.
+    */
+  val BigramVocabSize: Int = 512
+
+  /** Pair threshold for the declared sketch-quality key — shared by the
+    * Spark call site and the oracle SQL (with Hashing.MinHashK /
+    * Dedup.Bands) so retuning the sketch cannot desync the one key
+    * that measures it.
+    */
+  val MinHashQualityThreshold: Double = 0.2
+
   // Shared declared-query parameters, interpolated into BOTH the Spark
   // call site and the oracle SQL (the DormantMinPrice pattern): a
   // default changed in one place cannot silently desync the other.
@@ -458,6 +471,12 @@ object ExtQueries {
       // synthetic corpus has 31 distinct terms, so the OOV floor path
       // carries real weight in the oracle check), mean log-prob per doc
       Relevance.unigramLogProb(docs(s, dir), vocabSize = UnigramVocabSize)),
+    "bigram_logprob_documents" -> ((s: SparkSession, dir: String) =>
+      // bigram-LM with stupid backoff: top-512 bigrams of ~916 distinct
+      // in the corpus, unigram vocab 24 of 31 — hit, backoff-to-vocab
+      // and backoff-to-floor paths all carry weight in the oracle check
+      Relevance.bigramLogProb(docs(s, dir),
+        vocabSize = UnigramVocabSize, bigramVocab = BigramVocabSize)),
     // -- dedup --
     "dedup_exact_documents" -> ((s: SparkSession, dir: String) =>
       Dedup.exact(docs(s, dir))),
@@ -624,7 +643,7 @@ object ExtQueries {
       // sketch-quality report: P/R/F1 of MinHash-LSH pairs vs the exact
       // capped n-gram Jaccard pair set at the same threshold — measured
       // continuously, not assumed from the S-curve
-      Dedup.minHashQuality(docs(s, dir))),
+      Dedup.minHashQuality(docs(s, dir), threshold = MinHashQualityThreshold)),
     "embedding_stats_embeddings" -> ((s: SparkSession, dir: String) =>
       // vector-table ingest trust check: dims, zero norms, norm drift
       Similarity.embeddingStats(embs(s, dir))),
@@ -1116,6 +1135,50 @@ object ExtQueries {
          |  sum(oov)::BIGINT AS n_oov,
          |  round(avg(lp), 4) AS logprob
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bigram LM with stupid backoff: pairs built list-wise (same
+    // 1-based adjacency as the Spark transform), model tables cut by
+    // the same total orders, every probability a ratio of exact
+    // integers (or BackoffAlpha times one); mean at 4 dp
+    "bigram_logprob_documents" -> {
+      val alpha = Relevance.BackoffAlpha
+      s"""WITH bl_l AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+         |  FROM documents),
+         |bl_pairs AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(l)),
+         |      i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS p
+         |    FROM bl_l WHERE len(l) >= 2)),
+         |bl_tok AS (SELECT unnest(l) AS term FROM bl_l),
+         |bl_cnt AS (SELECT term, count(*)::BIGINT AS cnt FROM bl_tok GROUP BY 1),
+         |bl_tot AS (SELECT sum(cnt)::BIGINT AS total FROM bl_cnt),
+         |bl_voc AS (SELECT term, cnt FROM (
+         |    SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rn
+         |    FROM bl_cnt) WHERE rn <= $UnigramVocabSize),
+         |bl_big AS (SELECT w1, w2, bcnt FROM (
+         |    SELECT w1, w2, count(*)::BIGINT AS bcnt,
+         |      row_number() OVER (ORDER BY count(*) DESC, w1, w2) AS rn
+         |    FROM bl_pairs GROUP BY w1, w2) WHERE rn <= $BigramVocabSize),
+         |bl_bigp AS (SELECT b.w1, b.w2, b.bcnt, c.cnt AS pcnt
+         |    FROM bl_big b JOIN bl_cnt c ON c.term = b.w1),
+         |bl_sc AS (SELECT p.doc_id,
+         |      CASE WHEN bp.w1 IS NOT NULL THEN ln(bp.bcnt::DOUBLE / bp.pcnt)
+         |           ELSE ln($alpha * COALESCE(v.cnt, 1)::DOUBLE / t.total) END AS lp,
+         |      CASE WHEN bp.w1 IS NULL THEN 1 ELSE 0 END AS bo
+         |    FROM bl_pairs p
+         |    LEFT JOIN bl_bigp bp ON bp.w1 = p.w1 AND bp.w2 = p.w2
+         |    LEFT JOIN bl_voc v ON v.term = p.w2 CROSS JOIN bl_tot t),
+         |bl_agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |      sum(bo)::BIGINT AS n_backoff, round(avg(lp), 4) AS logprob
+         |    FROM bl_sc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  len(list_filter(string_split_regex(lower(d.text), '[^a-z]+'), x -> x <> ''))::BIGINT
+         |    AS n_tokens,
+         |  COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  COALESCE(a.n_backoff, 0)::BIGINT AS n_backoff,
+         |  COALESCE(a.logprob, 0.0) AS logprob
+         |FROM documents d LEFT JOIN bl_agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     // TF-IDF: every intermediate (tf, df, N) is an exact integer; the
     // score is one multiply of one ln() rounded at 4 dp — cross-engine
     // deterministic like the cosine/jaccard families
@@ -2173,6 +2236,9 @@ object ExtQueries {
          |FROM cand, p pp2 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     // minQuality tuning curve: same quality fragment → score histogram
     // → literal threshold grid inequality-joined against it
+    // the grid LEFT-joins the histogram with coalesce(…, 0): a
+    // fully-filtering cutoff reports 0 docs/tokens instead of
+    // vanishing from the tuning curve (ADVICE r9)
     "quality_sweep_documents" -> {
       val grid = (0 to 9).map(i => s"(${i / 10.0}::DOUBLE)").mkString(", ")
       s"""WITH b AS (
@@ -2184,13 +2250,16 @@ object ExtQueries {
          |  FROM b),
          |h AS (SELECT q, count(*)::BIGINT AS d, sum(t)::BIGINT AS tk FROM q GROUP BY q),
          |tot AS (SELECT sum(d)::BIGINT AS nd, sum(tk)::BIGINT AS nt FROM h),
-         |g(thr) AS (VALUES $grid)
-         |SELECT g.thr AS threshold,
-         |  sum(h.d)::BIGINT AS n_docs_kept, sum(h.tk)::BIGINT AS n_tokens_kept,
-         |  round(sum(h.d)::DOUBLE / tot.nd, 4) AS frac_docs,
-         |  round(sum(h.tk)::DOUBLE / tot.nt, 4) AS frac_tokens
-         |FROM g JOIN h ON h.q >= g.thr CROSS JOIN tot
-         |GROUP BY g.thr, tot.nd, tot.nt ORDER BY threshold""".stripMargin
+         |g(thr) AS (VALUES $grid),
+         |kept AS (SELECT g.thr,
+         |    COALESCE(sum(h.d), 0)::BIGINT AS kd,
+         |    COALESCE(sum(h.tk), 0)::BIGINT AS kt
+         |  FROM g LEFT JOIN h ON h.q >= g.thr GROUP BY g.thr)
+         |SELECT kept.thr AS threshold,
+         |  kept.kd AS n_docs_kept, kept.kt AS n_tokens_kept,
+         |  round(kept.kd::DOUBLE / tot.nd, 4) AS frac_docs,
+         |  round(kept.kt::DOUBLE / tot.nt, 4) AS frac_tokens
+         |FROM kept CROSS JOIN tot ORDER BY threshold""".stripMargin
     },
     // crawl-over-crawl drift: per-side quality fragment + fingerprint
     // census, FULL OUTER on source, DECIMAL quality mass (ivf recipe)
@@ -2233,12 +2302,17 @@ object ExtQueries {
     },
     // sketch-quality report: composes the minhash and exact-ngram pair
     // CTE chains verbatim (mh_* / bare prefixes are disjoint); P/R are
-    // exact small-integer divisions, F1 from the unrounded ratios
+    // exact small-integer divisions, F1 from the unrounded ratios.
+    // K/bands/threshold interpolated from the SAME constants the Spark
+    // call site defaults to (ADVICE r9: a retuned MinHashK must not
+    // silently desync the one key that guards sketch tuning)
     "dedup_minhash_quality_documents" ->
-      s"""WITH ${minhashPairCtes(16, 4)},
+      s"""WITH ${minhashPairCtes(graft.functions.Hashing.MinHashK, Dedup.Bands)},
          |$NgramPairCtes,
-         |pred AS (SELECT doc_id_a, doc_id_b FROM mh_j WHERE est_jaccard >= 0.2),
-         |truth AS (SELECT doc_id_a, doc_id_b FROM j WHERE exact_jaccard >= 0.2),
+         |pred AS (SELECT doc_id_a, doc_id_b FROM mh_j
+         |         WHERE est_jaccard >= $MinHashQualityThreshold),
+         |truth AS (SELECT doc_id_a, doc_id_b FROM j
+         |          WHERE exact_jaccard >= $MinHashQualityThreshold),
          |np AS (SELECT count(*)::BIGINT AS n_pred FROM pred),
          |nt AS (SELECT count(*)::BIGINT AS n_true FROM truth),
          |nh AS (SELECT count(*)::BIGINT AS n_hit
@@ -2255,15 +2329,18 @@ object ExtQueries {
          |            + (CASE WHEN n_true = 0 THEN 0.0 ELSE n_hit::DOUBLE / n_true END)) END, 4) AS f1
          |FROM np, nt, nh ORDER BY n_pred""".stripMargin,
     // vector-table health: 6-dp per-row norms, DECIMAL(16,6) mass sum
-    // (the ivf_cell_stats portability recipe)
+    // (the ivf_cell_stats portability recipe); the dead-encode flag
+    // reads the UNROUNDED sum of squares (= 0 iff all elements are 0)
     "embedding_stats_embeddings" ->
       s"""WITH n AS (SELECT label, len(embedding)::BIGINT AS dims,
+         |    COALESCE(list_sum(list_transform(embedding,
+         |      x -> x::DOUBLE * x::DOUBLE)), 0.0) AS ss,
          |    round(sqrt(list_sum(list_transform(embedding,
          |      x -> x::DOUBLE * x::DOUBLE))), 6) AS nrm
          |  FROM embeddings)
          |SELECT label, count(*)::BIGINT AS n_vecs,
          |  min(dims) AS dims_min, max(dims) AS dims_max,
-         |  sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm,
+         |  sum(CASE WHEN ss = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm,
          |  min(nrm) AS min_norm,
          |  sum(CAST(nrm AS DECIMAL(16,6)))::DOUBLE AS sum_norm,
          |  max(nrm) AS max_norm

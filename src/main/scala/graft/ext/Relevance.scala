@@ -169,6 +169,84 @@ object Relevance {
       .orderBy("doc_id")
   }
 
+  /** Stupid-backoff discount for [[bigramLogProb]] — the α=0.4 of
+    * Brants et al. 2007 ("Large Language Models in Machine
+    * Translation"), who show the count-ratio + fixed-backoff model
+    * matches Kneser-Ney at corpus scale for filtering/ranking purposes.
+    */
+  val BackoffAlpha = 0.4
+
+  /** Bigram-LM quality score — [[unigramLogProb]] upgraded one n-gram
+    * order: the CCNet-style perplexity filter (Wenzek et al. 2020) at
+    * usable fidelity. Model = the corpus's own top-`bigramVocab`
+    * bigrams with exact count-ratio probabilities and stupid backoff
+    * to the unigram model (`P(w₂|w₁) = c(w₁w₂)/c(w₁)` when the bigram
+    * is in vocabulary, else `α · P_uni(w₂)` with the unigram OOV floor
+    * `1/total`). Per-doc score = mean token log-probability over
+    * adjacent pairs; gibberish scores low (novel transitions),
+    * boilerplate scores suspiciously high — both standard cut points.
+    *
+    * Scale shape unchanged from the unigram variant: adjacent pairs
+    * are built PER ROW with `transform` (no positional self-join — the
+    * corpus never shuffles by (doc, idx)), counts are map-side-combined
+    * vocabulary-sized aggregates, both model tables truncate by
+    * distributed top-k and BROADCAST back over the pair stream, and
+    * the per-doc mean is one aggregate. The corpus is never shuffled
+    * by term for scoring. Log-probabilities are logs of exact integer
+    * ratios (or α times one), mean rounded at 4 dp — the established
+    * cross-engine float contract.
+    */
+  def bigramLogProb(
+      documents: DataFrame,
+      vocabSize: Int = 1024,
+      bigramVocab: Int = 4096): DataFrame = {
+    require(vocabSize >= 1 && bigramVocab >= 1, "vocabularies must be non-empty")
+    val wsCol = filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0)
+    // pinned: bigram counts AND the scoring join both consume the pair
+    // stream; the per-row transform would otherwise re-run the regex
+    val pairs = graft.core.CacheScope.persist(documents
+      .select(col("doc_id"), wsCol.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("ws")) - 1), i =>
+          struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2")))
+    val tk = exploded(documents).select("doc_id", "term")
+    val counts = graft.core.CacheScope.persist(
+      tk.groupBy("term").agg(count(lit(1)).as("cnt")))
+    val total = counts.agg(sum("cnt").as("total"))
+    val vocab = counts.orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+      .select(col("term").as("w2"), col("cnt").as("w2cnt"))
+    val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
+      .orderBy(col("bcnt").desc, col("w1"), col("w2")).limit(bigramVocab)
+      // exact previous-token count joined in BEFORE the broadcast: the
+      // ratio's denominator is the model's, not recomputed per row
+      .join(counts.select(col("term").as("w1"), col("cnt").as("pcnt")), Seq("w1"))
+    val lp = when(col("bcnt").isNotNull,
+      log(col("bcnt").cast("double") / col("pcnt")))
+      .otherwise(log(lit(BackoffAlpha) *
+        coalesce(col("w2cnt"), lit(1L)).cast("double") / col("total")))
+    val scored = pairs
+      .join(broadcast(bigrams), Seq("w1", "w2"), "left")
+      .join(broadcast(vocab), Seq("w2"), "left")
+      .crossJoin(broadcast(total)) // one corpus-constant row
+      .select(col("doc_id"), lp.as("_lp"),
+        when(col("bcnt").isNull, 1L).otherwise(0L).as("_bo"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("_bo").as("n_backoff"),
+        round(avg(col("_lp")), 4).as("logprob"))
+    documents
+      .select(col("doc_id"),
+        regexp_count(lower(col("text")), lit("[a-z]+")).cast("bigint").as("n_tokens"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        coalesce(col("logprob"), lit(0.0)).as("logprob"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 for DYNAMIC query terms (a `term` column, e.g. from query
     * logs) — the inverted-index join shape: explode the corpus once
     * (persisted: tf and df consume it — pruning would otherwise defeat

@@ -542,26 +542,31 @@ object Similarity {
   /** Per-label vector-table health report — the ingest trust check for
     * the EMBEDDING side of the corpus (the `profile_documents` analogue):
     * vector counts, dimension min/max (a ragged table breaks every
-    * kernel downstream), zero-norm count (dead/failed encodes — cosine
-    * silently returns 0 for them), and the 6-dp norm min/sum/max (drift
-    * in norm distribution is the standard embedding-version-skew
-    * signal). One narrow map-side-combined aggregate; the norm MASS
+    * kernel downstream), zero-norm count (TRUE zero vectors — all
+    * elements 0, the dead/failed-encode case where cosine silently
+    * returns 0; flagged on the UNROUNDED sum of squares, so a tiny
+    *-but-live vector under the 6-dp floor is not miscounted as dead),
+    * and the 6-dp norm min/sum/max (drift in norm distribution is the
+    * standard embedding-version-skew signal; min can print 0.0 for a
+    * sub-5e-7-norm vector that is NOT counted dead — the 6-dp display
+    * floor). One narrow map-side-combined aggregate; the norm MASS
     * sums in DECIMAL(16,6) of per-row 6-dp values — exact and
     * order-independent (the [[ivfCellStats]] portability recipe), mean
     * = sum/n derivable by the reader.
     */
   def embeddingStats(embeddings: DataFrame): DataFrame = {
-    val norm = round(sqrt(aggregate(col("embedding"), lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double"))), 6)
+    val sumSq = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val norm = round(sqrt(sumSq), 6)
     embeddings
       .select(col("label"), size(col("embedding")).as("_dims"),
-        norm.as("_norm"))
+        norm.as("_norm"), sumSq.as("_ss"))
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_vecs"),
         min(col("_dims")).cast("long").as("dims_min"),
         max(col("_dims")).cast("long").as("dims_max"),
-        sum(when(col("_norm") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+        sum(when(col("_ss") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
         min(col("_norm")).as("min_norm"),
         sum(col("_norm").cast("decimal(16,6)")).cast("double").as("sum_norm"),
         max(col("_norm")).as("max_norm"))

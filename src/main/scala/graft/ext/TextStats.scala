@@ -388,11 +388,16 @@ object TextStats {
       .groupBy("q").agg(count(lit(1)).as("d"), sum(col("t")).as("tk")))
     val totals = hist.groupBy().agg(
       sum(col("d")).as("_nd"), sum(col("tk")).as("_nt"))
-    val grid = explode(array(thresholds.map(lit): _*)).as("threshold")
-    hist.select(grid, col("q"), col("d"), col("tk"))
-      .filter(col("q") >= col("threshold"))
+    // every threshold appears in the output: a fully-filtering cutoff
+    // reports 0 docs/tokens instead of vanishing from the tuning curve
+    // (ADVICE r9) — the literal grid LEFT-joins the ≤10⁴-row histogram
+    val grid = documents.sparkSession.range(1)
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
+    grid
+      .join(hist, col("q") >= col("threshold"), "left")
       .groupBy("threshold")
-      .agg(sum(col("d")).as("n_docs_kept"), sum(col("tk")).as("n_tokens_kept"))
+      .agg(coalesce(sum(col("d")), lit(0L)).as("n_docs_kept"),
+        coalesce(sum(col("tk")), lit(0L)).as("n_tokens_kept"))
       .crossJoin(totals)
       .select(col("threshold"),
         col("n_docs_kept"), col("n_tokens_kept"),

@@ -70,6 +70,16 @@ object StreamSemanticDedup {
     * has an already-admitted cell-mate with cosine ≥ `minCos`; `dup_of`
     * is the smallest such earlier vec_id (the batch keep-lowest-id
     * rule's counterpart), `cos_sim` the 6-dp score against it.
+    *
+    * Overflow observability (ADVICE r9): the FIRST time a cell crosses
+    * `maxCell` it emits one MARKER row `(vec_id = -1, dup_of = -1,
+    * centroid_id, cos_sim = 0.0)` — from that point the cell admits
+    * silently (batch has no cap; tagging against truncated memory
+    * would be wrong), and with no timeout configured it stays silent
+    * for the query's lifetime, so the marker is the operator's way of
+    * making "no duplicates" distinguishable from "stopped looking".
+    * Downstream consumers filter `dup_of >= 0` for real tags
+    * ([[survivors]] does); monitoring alerts on `vec_id = -1`.
     */
   def semanticTags(
       vecs: Dataset[StreamVec],
@@ -117,6 +127,7 @@ object StreamSemanticDedup {
             var embs = s.embs.toVector.map(_.toArray)
             var maxTs = s.maxTsMicros
             var over = s.overflowed
+            val wasOver = s.overflowed
             val out = Vector.newBuilder[SemDupTag]
             // vec_id order inside the batch = replay-stable "earlier"
             it.toSeq.sortBy(_.vec_id).foreach { av =>
@@ -143,6 +154,9 @@ object StreamSemanticDedup {
                 ids :+= av.vec_id; embs :+= emb
               }
             }
+            // one marker per overflow episode (re-arms only via state
+            // eviction): the silence becomes observable downstream
+            if (over && !wasOver) out += SemDupTag(-1L, -1L, cid, 0.0)
             state.update(CellState(ids, embs.map(_.toSeq), maxTs, over))
             idleTimeout.foreach(state.setTimeoutDuration)
             if (eventTimeHorizon.isDefined && maxTs != Long.MinValue)
@@ -155,7 +169,10 @@ object StreamSemanticDedup {
   /** Batch-side combine for the foreachBatch sink: this batch's vectors
     * minus every tagged vec_id. With arrival in vec_id order this equals
     * `Similarity.semanticDedup` on the replayed table (spec-asserted).
+    * Overflow MARKER rows (`dup_of = -1`) are not tags and are ignored.
     */
   def survivors(vecs: DataFrame, tags: DataFrame): DataFrame =
-    vecs.join(tags.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+    vecs.join(
+      tags.filter(col("dup_of") >= 0).select(col("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
 }

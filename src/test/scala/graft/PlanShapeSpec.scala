@@ -33,6 +33,8 @@ class PlanShapeSpec extends SparkSpec {
     // unigram LM joins in ONE corpus-constant row (total token count)
     // the same way
     "unigram_logprob_documents",
+    // bigram LM joins in the same ONE-row total for the backoff floor
+    "bigram_logprob_documents",
     // RFM segmentation joins in ONE corpus-constant row (max order
     // date) the same way
     "analytics_customer_segments",

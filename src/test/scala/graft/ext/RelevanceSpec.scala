@@ -128,4 +128,51 @@ class RelevanceSpec extends SparkSpec {
     assert(r.getLong(4) == 4L)      // unique texts (doc5 dups doc1)
     assert(r.getDouble(5) == 0.2)   // dup_rate
   }
+
+  test("bigramLogProb: exact count-ratio scores when every bigram is in vocabulary") {
+    // counts: x:2 y:3 z:1 (total 6); bigrams: (x,y):2 (y,x):1 (y,z):1
+    val df = Seq(
+      (1L, "x y x y", "en", "s1", 7L),
+      (2L, "y z", "en", "s1", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Relevance.bigramLogProb(df, vocabSize = 8, bigramVocab = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    graft.core.CacheScope.releaseAll()
+    // d1: ln(2/2) + ln(1/3) + ln(2/2) over 3 pairs = -0.3662
+    assert(out(1L) == ((4L, 3L, 0L, -0.3662)))
+    // d2: ln(c(y,z)/c(y)) = ln(1/3) = -1.0986
+    assert(out(2L) == ((2L, 1L, 0L, -1.0986)))
+  }
+
+  test("bigramLogProb: stupid backoff to the unigram model outside the bigram table") {
+    val df = Seq(
+      (1L, "x y x y", "en", "s1", 7L),
+      (2L, "y z", "en", "s1", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // bigramVocab=1 keeps only (x,y) (top count); (y,x) and (y,z) back
+    // off to alpha * P_uni(w2): ln(0.4*2/6) = -2.0149, ln(0.4*1/6) = -2.7081
+    val out = Relevance.bigramLogProb(df, vocabSize = 8, bigramVocab = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    graft.core.CacheScope.releaseAll()
+    assert(out(1L)._1 == 3L && out(1L)._2 == 1L)
+    assert(out(1L)._3 == math.rint((0.0 + math.log(0.4 * 2 / 6.0) + 0.0) / 3 * 1e4) / 1e4)
+    assert(out(2L) == ((1L, 1L, -2.7081)))
+  }
+
+  test("bigramLogProb: sub-2-token docs score 0 with zero bigrams") {
+    val df = Seq(
+      (1L, "solo", "en", "s1", 4L),
+      (2L, "", "en", "s1", 0L),
+      (3L, "a b", "en", "s1", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Relevance.bigramLogProb(df, vocabSize = 8, bigramVocab = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    graft.core.CacheScope.releaseAll()
+    assert(out(1L) == ((1L, 0L, 0L, 0.0)))
+    assert(out(2L) == ((0L, 0L, 0L, 0.0)))
+    assert(out(3L)._2 == 1L)
+  }
 }

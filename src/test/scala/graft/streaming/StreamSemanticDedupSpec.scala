@@ -108,11 +108,23 @@ class StreamSemanticDedupSpec extends SparkSpec {
       input.addData(StreamVec(1L, 0L, e0), StreamVec(2L, 1L, e0),
         StreamVec(3L, 2L, e0), StreamVec(4L, 3L, e0))
       q.processAllAvailable()
-      val tagged = spark.table("sem_overflow").collect()
-        .map(_.getAs[Long]("vec_id")).toSet
-      // 2 tagged against 1; 3 hits the cap boundary → cell goes silent;
-      // 4 admitted silently too
-      assert(tagged == Set(2L))
+      // a later batch while still overflowed: NO second marker
+      input.addData(StreamVec(5L, 4L, e0))
+      q.processAllAvailable()
+      val rows = spark.table("sem_overflow").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dup_of"),
+          r.getAs[Long]("centroid_id")))
+      // 2 tagged against 1; 3 hits the cap boundary → cell goes silent
+      // and emits ONE overflow marker; 4 and 5 admitted silently
+      assert(rows.map(_._1).toSet == Set(2L, -1L))
+      val markers = rows.filter(_._1 == -1L)
+      assert(markers.toSeq == Seq((-1L, -1L, 0L)),
+        s"exactly one marker naming the silenced cell: ${rows.toSeq}")
+      // survivors ignores markers: no real vector is named -1
+      val vecs = Seq(1L, 2L, 3L, 4L, 5L).toDF("vec_id")
+      val kept = StreamSemanticDedup.survivors(vecs, spark.table("sem_overflow"))
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 4L, 5L))
     } finally q.stop()
   }
 }
