@@ -20,7 +20,7 @@ class QueryContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles missing ORDER BY: $missing")
   }
 
-  test("declared surface matches the documented round-9 inventory") {
+  test("declared surface matches the documented round-10 inventory") {
     // r9: corpus_summary_approx converted from HLL (golden-pinned, no
     // oracle) to a KMV bottom-k sketch over the portable hash64 — now
     // DuckDB-oracle-verified like everything else. No-oracle count: 0.
@@ -31,11 +31,14 @@ class QueryContractSpec extends AnyFunSuite {
     // embedding_stats_embeddings (vector-table health),
     // source_drift_documents (crawl-over-crawl QA)
     // +1 late r9: quality_sweep_documents (minQuality tuning curve)
-    assert(SparkEntry.queries.size == 115,
-      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.12 if intentional)")
+    // +3 in r10: dedup_substring_documents (ExactSubstr span removal),
+    // media_phash_pairs_documents (aHash image near-dup),
+    // bigram_logprob_documents (stupid-backoff bigram LM)
+    assert(SparkEntry.queries.size == 118,
+      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.13 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +
-        "(every declared key is oracle-checked as of r9; update SURVEY §2.12 if intentional)")
+        "(every declared key is oracle-checked as of r9; update SURVEY §2.13 if intentional)")
   }
 
   test("no query key collides across catalog sections") {
