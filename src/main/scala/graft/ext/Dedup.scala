@@ -534,18 +534,22 @@ object Dedup {
     val occ = normed.select(col("doc_id"),
       posexplode(graft.functions.GraftFunctions.charGramHashes(col("norm"), k))
         .as(Seq("pos", "h")))
-    // global first occurrence per DUPLICATED gram: min (doc_id, pos)
-    // struct — map-side combinable, no window, no sort
-    val dups = occ.groupBy("h").agg(
-      min(struct(col("doc_id"), col("pos"))).as("first"),
-      count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .select(col("h"), col("first.doc_id").as("kdoc"), col("first.pos").as("kpos"))
-    // every non-first occurrence of a duplicated gram starts a cut
-    // window [pos, pos+k); AQE broadcasts `dups` when duplication is
-    // sparse (the common clean-corpus case)
-    val cuts = occ.join(dups, Seq("h"))
-      .filter(!(col("doc_id") === col("kdoc") && col("pos") === col("kpos")))
+    // global first occurrence per gram + multiplicity as ONE window
+    // pass clustered by the 64-bit hash: every non-first occurrence of
+    // a duplicated gram starts a cut window [pos, pos+k). Partition-only
+    // window (no ORDER BY) — WindowExec clusters by `h` alone, so the
+    // corpus's position stream shuffles and sorts ONCE. The earlier
+    // aggregate-then-join-back shape paid that shuffle TWICE the moment
+    // the duplicated-gram set outgrew the broadcast threshold (sf1
+    // measured: 821k dup grams → SMJ re-shuffled all 17.8M positions;
+    // at 100 TB the dup set is never broadcast-sized). Gram hashes are
+    // ~distinct, so the old groupBy's map-side combine bought nothing.
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val cuts = occ
+      .withColumn("_first", min(struct(col("doc_id"), col("pos"))).over(wh))
+      .withColumn("_n", count(lit(1)).over(wh))
+      .filter(col("_n") >= 2 &&
+        !(col("doc_id") === col("_first.doc_id") && col("pos") === col("_first.pos")))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
     // interval-merge fold: walk the sorted starts once, appending the
