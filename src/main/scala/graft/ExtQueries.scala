@@ -418,6 +418,15 @@ object ExtQueries {
       TextStats.langId(docs(s, dir))),
     "quality_score_documents" -> ((s: SparkSession, dir: String) =>
       TextStats.qualityScore(docs(s, dir))),
+    "gopher_rules_documents" -> ((s: SparkSession, dir: String) =>
+      // the five word-level Gopher document heuristics (Rae et al.
+      // 2021) at their published thresholds: signals + per-rule flags
+      TextStats.gopherRules(docs(s, dir))),
+    "dsir_select_documents" -> ((s: SparkSession, dir: String) =>
+      // DSIR importance-weighted data selection (Xie et al. 2023):
+      // hashed unigram+bigram bucket models, target = the corpus's own
+      // high-quality subset; top-pct selection via the histogram trick
+      Relevance.dsirSelect(docs(s, dir))),
     "fingerprint_documents" -> ((s: SparkSession, dir: String) =>
       TextStats.fingerprint(docs(s, dir))),
     "token_freq_documents" -> ((s: SparkSession, dir: String) =>
@@ -921,6 +930,94 @@ object ExtQueries {
          |  round(len / toks, 4) AS avg_word_len,
          |  $QualityScoreSql AS quality_score
          |FROM b ORDER BY doc_id""".stripMargin
+    },
+    // Gopher rules: every decision compares an EXACT integer-ratio
+    // division (IEEE-identical cross-engine); rounding is display-only.
+    // Threshold constants interpolate from TextStats (no literal drift).
+    "gopher_rules_documents" -> {
+      val stops = likeScoreSql(TextStats.GopherStopWords)
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    ($WsToksSql)::BIGINT AS n_words,
+         |    length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS n_nonws,
+         |    len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE AS n_sym,
+         |    (CASE WHEN trim(text) = '' THEN 0 ELSE
+         |      len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |          w -> regexp_matches(w, '[A-Za-z]'))) END)::BIGINT AS n_alpha,
+         |    ($stops)::BIGINT AS n_stops
+         |  FROM documents),
+         |v AS (SELECT doc_id, n_words, n_stops,
+         |    CASE WHEN n_words = 0 THEN 0.0 ELSE n_nonws / n_words END AS mean_len,
+         |    CASE WHEN n_words = 0 THEN 0.0 ELSE n_sym / n_words END AS sym_ratio,
+         |    CASE WHEN n_words = 0 THEN 0.0 ELSE n_alpha::DOUBLE / n_words END AS alpha_frac
+         |  FROM g),
+         |f AS (SELECT doc_id, n_words, mean_len, sym_ratio, alpha_frac, n_stops,
+         |    (CASE WHEN n_words BETWEEN ${TextStats.GopherMinWords}
+         |          AND ${TextStats.GopherMaxWords} THEN 1 ELSE 0 END)::BIGINT AS pass_word_count,
+         |    (CASE WHEN mean_len BETWEEN ${TextStats.GopherMinMeanWordLen}
+         |          AND ${TextStats.GopherMaxMeanWordLen} THEN 1 ELSE 0 END)::BIGINT AS pass_word_len,
+         |    (CASE WHEN sym_ratio <= ${TextStats.GopherMaxSymbolRatio} THEN 1 ELSE 0 END)::BIGINT AS pass_symbol,
+         |    (CASE WHEN alpha_frac >= ${TextStats.GopherMinAlphaFrac} THEN 1 ELSE 0 END)::BIGINT AS pass_alpha,
+         |    (CASE WHEN n_stops >= ${TextStats.GopherMinStopHits} THEN 1 ELSE 0 END)::BIGINT AS pass_stopwords
+         |  FROM v)
+         |SELECT doc_id, n_words,
+         |  round(mean_len, 4) AS mean_word_len,
+         |  round(sym_ratio, 4) AS symbol_ratio,
+         |  round(alpha_frac, 4) AS alpha_frac,
+         |  n_stops AS n_stop_hits,
+         |  pass_word_count, pass_word_len, pass_symbol, pass_alpha, pass_stopwords,
+         |  (pass_word_count * pass_word_len * pass_symbol * pass_alpha
+         |   * pass_stopwords)::BIGINT AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+    // DSIR: hashed-feature buckets via the hash64 replica over DISTINCT
+    // features (buckets is a power of two, so unsigned `h % B` equals
+    // the Spark side's signed pmod); add-1 smoothed log-ratio models;
+    // mean per-feature ratio at the 4-dp float contract; top-k by the
+    // exact integer floor k = n·pct/100, ties by doc_id
+    "dsir_select_documents" -> {
+      val b = Relevance.DsirBuckets
+      val pct = Relevance.DsirSelectPct
+      val q = Relevance.DsirTargetMinQuality
+      s"""WITH ds_l AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+         |  FROM documents),
+         |ds_qs AS (SELECT doc_id, $QualitySignalsSql FROM documents),
+         |ds_q AS (SELECT doc_id,
+         |    (CASE WHEN $QualityScoreSql >= $q THEN 1 ELSE 0 END)::BIGINT AS t
+         |  FROM ds_qs),
+         |ds_f AS (
+         |  SELECT doc_id, unnest(l) AS feat FROM ds_l
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(range(1, len(l)),
+         |      i -> l[i] || ' ' || l[i + 1])) AS feat
+         |  FROM ds_l WHERE len(l) >= 2),
+         |ds_dfeat AS (SELECT DISTINCT feat FROM ds_f),
+         |${hash64Ctes("ds", "ds_dfeat", "feat")},
+         |ds_bk AS (SELECT feat, (h % $b)::BIGINT AS bucket FROM ds_h64),
+         |ds_s AS (SELECT f.doc_id, b.bucket, q.t
+         |  FROM ds_f f JOIN ds_bk b USING (feat) JOIN ds_q q USING (doc_id)),
+         |ds_m AS (SELECT bucket, count(*)::BIGINT AS cr, sum(t)::BIGINT AS ct
+         |  FROM ds_s GROUP BY 1),
+         |ds_t AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM ds_m),
+         |ds_lr AS (SELECT bucket,
+         |    ln((ct + 1)::DOUBLE / (tt + $b)) - ln((cr + 1)::DOUBLE / (tr + $b)) AS lr
+         |  FROM ds_m CROSS JOIN ds_t),
+         |ds_w AS (SELECT doc_id, count(*)::BIGINT AS n_feats, round(avg(lr), 4) AS w
+         |  FROM ds_s JOIN ds_lr USING (bucket) GROUP BY 1),
+         |ds_all AS (SELECT d.doc_id, COALESCE(w.n_feats, 0)::BIGINT AS n_feats,
+         |    COALESCE(w.w, 0.0) AS w
+         |  FROM documents d LEFT JOIN ds_w w USING (doc_id)),
+         |ds_k AS (SELECT (count(*) * $pct) // 100 AS k FROM documents),
+         |ds_h AS (SELECT w, count(*)::BIGINT AS n FROM ds_all GROUP BY 1),
+         |ds_ha AS (SELECT w, COALESCE(sum(n) OVER (ORDER BY w DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above FROM ds_h),
+         |ds_r AS (SELECT a.doc_id, a.n_feats, a.w, ha.above,
+         |    row_number() OVER (PARTITION BY a.w ORDER BY a.doc_id) AS rn
+         |  FROM ds_all a JOIN ds_ha ha ON ha.w = a.w)
+         |SELECT doc_id, n_feats, w AS dsir_weight,
+         |  (CASE WHEN above + rn <= (SELECT k FROM ds_k) THEN 1 ELSE 0 END)::BIGINT AS selected
+         |FROM ds_r ORDER BY doc_id""".stripMargin
     },
     // token-budget selection: same quality fragment, histogram-classified
     // strata, per-row running sum ONLY inside the boundary stratum

@@ -247,6 +247,112 @@ object Relevance {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------ DSIR data selection
+
+  /** Hashed-feature bucket count for [[dsirSelect]]. A power of two, so
+    * `pmod(signed hash64, buckets)` equals the unsigned low bits and
+    * the DuckDB oracle's `h % buckets` over the UHUGEINT replica lands
+    * in the identical bucket (2⁶⁴ ≡ 0 mod 2ᵏ).
+    */
+  val DsirBuckets = 1024
+  /** Target-distribution membership: docs at/above this 4-dp quality
+    * score (the engine's shared scoring column) form the "target" side.
+    */
+  val DsirTargetMinQuality = 0.9
+  /** Fraction of the corpus selected, as an integer percent (exact
+    * `n·pct/100` floor arithmetic — no float k to drift cross-engine).
+    */
+  val DsirSelectPct = 25
+
+  /** DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every document by how much more likely its
+    * hashed-n-gram features are under a TARGET distribution than under
+    * the RAW corpus distribution, then keep the top `selectPct`% by that
+    * importance weight. Here the target is the corpus's own high-quality
+    * subset (shared 4-dp quality score ≥ `targetMinQuality`), making the
+    * operator self-contained and oracle-checkable; production swaps any
+    * target corpus into the same two bucket tables.
+    *
+    * Model: word unigrams + adjacent bigrams hashed into `buckets`
+    * buckets (the paper's hashed bag-of-n-grams), add-1 smoothed
+    * multinomials on both sides; per-doc weight = MEAN per-feature
+    * log-likelihood ratio (the paper's sum, length-normalized so
+    * selection ranks content not length), rounded 4 dp.
+    *
+    * 100 TB shape: ONE feature pass builds both models (the target is a
+    * per-row flag, so raw/target counts are one map-side-combined
+    * aggregate to ≤`buckets` rows, broadcast back); scoring re-reads the
+    * pinned narrow (doc_id, bucket, flag) stream. Selection reuses the
+    * [[Corpus.selectBudget]] histogram trick on the 4-dp weight axis:
+    * whole strata classify by two broadcast numbers, only the ONE
+    * boundary stratum pays a per-row rank — no global sort of doc rows.
+    * Ties resolve by doc_id; output is content-deterministic.
+    */
+  def dsirSelect(
+      documents: DataFrame,
+      buckets: Int = DsirBuckets,
+      targetMinQuality: Double = DsirTargetMinQuality,
+      selectPct: Int = DsirSelectPct): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two for the portable pmod: $buckets")
+    require(selectPct >= 0 && selectPct <= 100, s"pct out of range: $selectPct")
+    val ws = filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0)
+    val bigs = when(size(col("ws")) >= 2,
+      transform(sequence(lit(1), size(col("ws")) - 1), i =>
+        concat(element_at(col("ws"), i), lit(" "), element_at(col("ws"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val isTarget = (TextStats.qualityScoreColumn(col("text")) >= targetMinQuality)
+      .cast("long")
+    // pinned: the bucket models AND the scoring join both consume the
+    // narrow (doc_id, bucket, flag) stream — 17 B/feature, never text
+    val feats = graft.core.CacheScope.persist(documents
+      .select(col("doc_id"), ws.as("ws"), isTarget.as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(concat(col("ws"), bigs)).as("feat"))
+      .select(col("doc_id"), col("t"),
+        pmod(graft.functions.GraftFunctions.hash64(col("feat")), lit(buckets.toLong))
+          .as("bucket")))
+    val model = feats.groupBy("bucket").agg(
+      count(lit(1)).as("cr"), sum(col("t")).as("ct"))
+    val totals = model.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+    val lr = log((col("ct") + 1).cast("double") / (col("tt") + buckets)) -
+      log((col("cr") + 1).cast("double") / (col("tr") + buckets))
+    val weights = feats
+      .join(broadcast(model.crossJoin(broadcast(totals))
+        .select(col("bucket"), lr.as("lr"))), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), round(avg(col("lr")), 4).as("w"))
+    val allW = documents.select(col("doc_id"))
+      .join(weights, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("w"), lit(0.0)).as("w"))
+    // top-k on the 4-dp weight axis: k by exact integer floor; strata
+    // classify wholesale, only the boundary stratum ranks per-row
+    val kF = documents.agg(
+      floor(count(lit(1)) * selectPct / 100).cast("long").as("k"))
+    val hw = org.apache.spark.sql.expressions.Window.orderBy(desc("w"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val hist = allW.groupBy("w").agg(count(lit(1)).as("n"))
+      .withColumn("above", coalesce(sum("n").over(hw), lit(0L)))
+    val joined = allW.join(broadcast(hist), Seq("w"))
+      .crossJoin(broadcast(kF)) // one corpus-constant row
+    val fullIn = joined.filter(col("above") + col("n") <= col("k"))
+      .withColumn("selected", lit(1L))
+    val fullOut = joined.filter(col("above") >= col("k"))
+      .withColumn("selected", lit(0L))
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy("w").orderBy("doc_id")
+    val boundary = joined
+      .filter(col("above") < col("k") && col("above") + col("n") > col("k"))
+      .withColumn("selected",
+        when(col("above") + row_number().over(bw) <= col("k"), 1L).otherwise(0L))
+    fullIn.unionByName(fullOut).unionByName(boundary)
+      .select(col("doc_id"), col("n_feats"), col("w").as("dsir_weight"),
+        col("selected"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 for DYNAMIC query terms (a `term` column, e.g. from query
     * logs) — the inverted-index join shape: explode the corpus once
     * (persisted: tf and df consume it — pruning would otherwise defeat

@@ -145,6 +145,74 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------ Gopher rule filter
+
+  /** Gopher document-filter thresholds (Rae et al. 2021,
+    * arXiv:2112.11446 Appendix A1.1.1): the published values, not tuned
+    * to the synthetic corpus — mean-word-length / symbol / alpha rules
+    * pass it wholesale (their failure branches are spec-crafted), while
+    * the 50-word minimum and the ≥2-stopword rule split it for real.
+    * Line-based rules (bullet/ellipsis line fractions) are N/A here:
+    * the corpus carries no newlines, and a single-line corpus makes
+    * them the word-level rules' duplicates.
+    */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanWordLen = 3.0
+  val GopherMaxMeanWordLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinAlphaFrac = 0.8
+  val GopherMinStopHits = 2
+  /** Gopher's "required word" stop set, plus `a` so the ≥2 rule has a
+    * second corpus-attested member (the synthetic vocabulary carries
+    * only `the` and `a` from the published list).
+    */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "a", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher rule filter: the five word-level document heuristics of
+    * Rae et al. 2021 as one narrow projection — per-doc signal values
+    * (4-dp display), a 0/1 flag per rule, and the conjunction `keep`.
+    * Every decision compares EXACT integer-ratio divisions (IEEE-
+    * identical cross-engine); rounding is display-only, so the flags
+    * can never disagree with the shown signals' unrounded sources.
+    * No shuffle; the parquet scan prunes to (doc_id, text).
+    */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val nWords = wsTokenCount(col("text"))
+    val words = split(trim(col("text")), "\\s+")
+    val nNonWs = length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+    val nSym = regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("double")
+    val nAlpha = when(nWords === 0, lit(0L))
+      .otherwise(size(filter(words, w => w.rlike("[A-Za-z]"))).cast("bigint"))
+    val nStops = markerHits(
+      concat(lit(" "), lower(col("text")), lit(" ")), GopherStopWords)
+    val meanLen = when(nWords === 0, lit(0.0)).otherwise(nNonWs / nWords)
+    val symRatio = when(nWords === 0, lit(0.0)).otherwise(nSym / nWords)
+    val alphaFrac = when(nWords === 0, lit(0.0))
+      .otherwise(nAlpha.cast("double") / nWords)
+    def flag(c: Column): Column = when(c, lit(1L)).otherwise(lit(0L))
+    val pWords = flag(nWords.between(GopherMinWords, GopherMaxWords))
+    val pLen = flag(meanLen.between(GopherMinMeanWordLen, GopherMaxMeanWordLen))
+    val pSym = flag(symRatio <= GopherMaxSymbolRatio)
+    val pAlpha = flag(alphaFrac >= GopherMinAlphaFrac)
+    val pStops = flag(nStops >= GopherMinStopHits)
+    documents.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symRatio, 4).as("symbol_ratio"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      nStops.cast("bigint").as("n_stop_hits"),
+      pWords.as("pass_word_count"),
+      pLen.as("pass_word_len"),
+      pSym.as("pass_symbol"),
+      pAlpha.as("pass_alpha"),
+      pStops.as("pass_stopwords"),
+      (pWords * pLen * pSym * pAlpha * pStops).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text
     * (the portable stand-in for a rolling hash — identical output in any
     * engine, which a seeded rolling hash is not).

@@ -46,6 +46,9 @@ class PlanShapeSpec extends SparkSpec {
     // threshold sweep: a ≤10-row literal grid inequality-joined against
     // the ≤10⁴-row score histogram + a ONE-row totals cross join
     "quality_sweep_documents",
+    // DSIR joins in ONE corpus-constant row twice (model totals for the
+    // smoothed log-ratio; the top-k count k) — constant-size loops
+    "dsir_select_documents",
     // RangeJoin's long-interval guard: the build side is the broadcast
     // of intervals spanning > maxBinsPerInterval bins — rare by
     // construction (RangeJoin.scala long path), and exactly the rows

@@ -31,10 +31,12 @@ class QueryContractSpec extends AnyFunSuite {
     // embedding_stats_embeddings (vector-table health),
     // source_drift_documents (crawl-over-crawl QA)
     // +1 late r9: quality_sweep_documents (minQuality tuning curve)
-    // +3 in r10: dedup_substring_documents (ExactSubstr span removal),
+    // +5 in r10: dedup_substring_documents (ExactSubstr span removal),
     // media_phash_pairs_documents (aHash image near-dup),
-    // bigram_logprob_documents (stupid-backoff bigram LM)
-    assert(SparkEntry.queries.size == 118,
+    // bigram_logprob_documents (stupid-backoff bigram LM),
+    // gopher_rules_documents (Rae et al. word-level heuristics),
+    // dsir_select_documents (hashed-n-gram importance resampling)
+    assert(SparkEntry.queries.size == 120,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.13 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

@@ -175,4 +175,44 @@ class RelevanceSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, 0L, 0.0)))
     assert(out(3L)._2 == 1L)
   }
+
+  test("dsirSelect: target-vocabulary docs outrank junk, exact top-k count") {
+    // 6 high-quality docs (stopword-rich -> quality 1.0, vocabulary A)
+    // form the target side; 6 junk docs (punctuation soup, vocabulary B,
+    // disjoint) form the raw-only mass. A-bucket features are thus
+    // target-heavy, B-bucket features target-empty: every A doc must
+    // outweigh every B doc, and exactly floor(12*25/100)=3 are selected,
+    // all from A, lowest doc_ids first on the tied stratum.
+    val good = "the quick brown fox jumps over the lazy dog and runs home"
+    val junk = "zxqv!!! wkjh??? qqpz,,, vvnm;;; zxqv!!! wkjh???"
+    val rows = (1L to 6L).map(i => (i, good + " tail" + i, "en", "s", 60L)) ++
+      (7L to 12L).map(i => (i, junk + " zz" + i, "en", "s", 46L))
+    val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Relevance.dsirSelect(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == (1L to 12L).toSeq)
+    val (a, b) = out.partition(_._1 <= 6L)
+    assert(a.map(_._3).min > b.map(_._3).max,
+      s"every target-vocab doc must outweigh every junk doc: $out")
+    assert(out.count(_._4 == 1L) == 3, s"selected count: $out")
+    assert(out.filter(_._4 == 1L).forall(_._1 <= 6L))
+    // n_feats = unigrams + bigrams = 2*words - 1; the [a-z]+ tokenizer
+    // splits "tail1" at the digit, so 13 letter-run words per good doc
+    assert(out.head._2 == 2L * 13 - 1)
+  }
+
+  test("dsirSelect: zero-feature docs get weight 0 and never displace scored docs") {
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far", "en", "s", 50L),
+      (2L, "", "en", "s", 0L),
+      (3L, "123 456 789", "en", "s", 11L), // no [a-z] tokens
+      (4L, "the quick brown fox jumps over the lazy dog and runs far", "en", "s", 50L))
+    val out = Relevance.dsirSelect(rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byId = out.map(x => x._1 -> x).toMap
+    assert(byId(2L)._2 == 0L && byId(2L)._3 == 0.0)
+    assert(byId(3L)._2 == 0L && byId(3L)._3 == 0.0)
+    // k = floor(4*25/100) = 1: the single slot goes to a scored doc
+    assert(out.count(_._4 == 1L) == 1 && out.filter(_._4 == 1L).head._1 == 1L)
+  }
 }

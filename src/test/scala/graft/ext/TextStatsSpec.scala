@@ -274,4 +274,45 @@ class TextStatsSpec extends SparkSpec {
     assert(approx.getAs[Long]("p50_chars") == rankQ(0.5))
     assert(approx.getAs[Long]("p95_chars") == rankQ(0.95))
   }
+
+  test("gopherRules: each rule's failure branch fires on its crafted doc") {
+    val longGood = ("the deal was that all of them would have come along with " +
+      "us to see the long river valley and the old stone bridge " +
+      "before the market opened for the busy trading day under clear skies " +
+      "while every friendly trader set out wares of copper and " +
+      "woven cloth beside the gate where children played until dusk settled")
+    val df = docsDF(Seq(
+      (1L, longGood, "en"),                                // passes all five
+      (2L, "the of and that " * 5, "en"),                  // < 50 words
+      (3L, ("a " * 60).trim, "en"),                        // mean word len < 3
+      (4L, (("extraordinarily " * 60).trim + " the a"), "en"), // mean len > 10
+      (5L, (("# " * 30).trim + " " + ("the a of and " * 10).trim), "en"), // symbol soup
+      (6L, (("42 " * 45).trim + " " + ("the a of and with " * 3).trim), "en"), // digits: alpha frac < 0.8
+      (7L, ("word " * 60).trim, "en")))                    // no stopword pair
+    val got = TextStats.gopherRules(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("pass_word_count"), r.getAs[Long]("pass_word_len"),
+         r.getAs[Long]("pass_symbol"), r.getAs[Long]("pass_alpha"),
+         r.getAs[Long]("pass_stopwords"), r.getAs[Long]("keep"))).toMap
+    assert(got(1L) == ((1L, 1L, 1L, 1L, 1L, 1L)), s"doc1: ${got(1L)}")
+    assert(got(2L)._1 == 0L && got(2L)._6 == 0L)
+    assert(got(3L)._2 == 0L, s"doc3: ${got(3L)}")
+    assert(got(4L)._2 == 0L, s"doc4: ${got(4L)}")
+    assert(got(5L)._3 == 0L, s"doc5: ${got(5L)}")
+    assert(got(6L)._4 == 0L, s"doc6: ${got(6L)}")
+    assert(got(7L)._5 == 0L && got(7L)._1 == 1L, s"doc7: ${got(7L)}")
+  }
+
+  test("gopherRules: signals are exact ratios, empty text is all-zero") {
+    val df = docsDF(Seq((1L, "", "en"), (2L, "to be or not to be", "en")))
+    val r = TextStats.gopherRules(df).collect().map(x =>
+      x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_words") == 0L)
+    assert(r(1L).getAs[Double]("mean_word_len") == 0.0)
+    assert(r(1L).getAs[Long]("keep") == 0L)
+    // "to be or not to be": 6 words, 13 non-ws chars
+    assert(r(2L).getAs[Long]("n_words") == 6L)
+    assert(r(2L).getAs[Double]("mean_word_len") == math.rint(13.0 / 6 * 1e4) / 1e4)
+    assert(r(2L).getAs[Long]("n_stop_hits") == 2L) // "be", "to"
+  }
 }
