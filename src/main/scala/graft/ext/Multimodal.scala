@@ -193,8 +193,12 @@ object Multimodal {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("payload", BinaryType)))
+    // NULL text → NULL body: drop the row here (the oracles' string
+    // functions null-propagate the same rows away) instead of handing
+    // the builder a null buffer to crash the whole fixture job on
     val input = documents.select(col("doc_id"),
       encode(col("text"), "UTF-8").as("body"))
+      .where(col("body").isNotNull)
     implicit val enc = RowEncoder.encoderFor(outSchema)
     input.mapPartitions { rows =>
       rows.map { r =>
@@ -213,8 +217,10 @@ object Multimodal {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("payload", BinaryType)))
+    // same NULL-text guard as [[asContainerTable]]
     val input = documents.select(col("doc_id"),
       encode(col("text"), "UTF-8").as("body"))
+      .where(col("body").isNotNull)
     implicit val enc = RowEncoder.encoderFor(outSchema)
     input.mapPartitions { rows =>
       rows.map { r =>

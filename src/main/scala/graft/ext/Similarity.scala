@@ -566,7 +566,12 @@ object Similarity {
         count(lit(1)).as("n_vecs"),
         min(col("_dims")).cast("long").as("dims_min"),
         max(col("_dims")).cast("long").as("dims_max"),
-        sum(when(col("_ss") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+        // NULL embedding counts as dead alongside true zero vectors —
+        // the oracle's COALESCE(list_sum(...), 0.0) makes the same
+        // choice for both NULL and empty lists; without the coalesce a
+        // NULL row would silently fall to the live branch here
+        sum(when(coalesce(col("_ss"), lit(0.0)) === 0.0, 1L).otherwise(0L))
+          .as("n_zero_norm"),
         min(col("_norm")).as("min_norm"),
         sum(col("_norm").cast("decimal(16,6)")).cast("double").as("sum_norm"),
         max(col("_norm")).as("max_norm"))

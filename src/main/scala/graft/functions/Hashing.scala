@@ -274,7 +274,20 @@ object Hashing {
     var h = 0L
     c = 0
     while (c < 64) {
-      if (cnts(c) > 0 && sums(c) * len > total * cnts(c)) h |= (1L << c)
+      // 128-bit exact cross-multiply (sums·len vs total·cnts): a plain
+      // Long product overflows once the pixel buffer passes ~1.6 GB
+      // (worst case 255·len²/64 > 2⁶³), silently flipping bit
+      // decisions — all operands are non-negative, so the signed
+      // multiplyHigh + unsigned-low compare is the exact 128-bit order
+      if (cnts(c) > 0) {
+        val aHi = Math.multiplyHigh(sums(c), len.toLong)
+        val aLo = sums(c) * len
+        val bHi = Math.multiplyHigh(total, cnts(c))
+        val bLo = total * cnts(c)
+        if (aHi > bHi ||
+          (aHi == bHi && java.lang.Long.compareUnsigned(aLo, bLo) > 0))
+          h |= (1L << c)
+      }
       c += 1
     }
     h

@@ -197,6 +197,16 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated image must not pair at radius 3: ${pairs.toSeq}")
   }
 
+  test("fixture builders drop NULL-text docs instead of crashing the job") {
+    val docs = docsDF(Seq((1L, "real content here"), (3L, "more content")))
+      .unionByName(spark.sql("SELECT 2L AS doc_id, CAST(NULL AS STRING) AS text, " +
+        "'en' AS lang, 'src' AS source, 0L AS n_chars"))
+    assert(Multimodal.asImageTable(docs).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 3L))
+    assert(Multimodal.asContainerTable(docs).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 3L))
+  }
+
   test("phashPairs: payload column stays out of the pair join's shuffles") {
     // the banded self-join must move only (media_id, phash) — a plan
     // that shuffles payload bytes would be quadratic in IO at scale

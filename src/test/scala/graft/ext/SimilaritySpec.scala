@@ -274,6 +274,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embeddingStats: a NULL embedding counts dead, matching the oracle's coalesce") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(3.0f, 4.0f)), 0),
+      (2L, None: Option[Seq[Float]], 0), // bad ingest: NULL embedding
+      (3L, Some(Seq.empty[Float]), 0))   // empty list: also dead
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.embeddingStats(df).collect().head
+    assert(r.getAs[Long]("n_vecs") == 3L)
+    assert(r.getAs[Long]("n_zero_norm") == 2L,
+      "NULL and empty embeddings are both dead encodes")
+    assert(r.getAs[Double]("sum_norm") == 5.0) // NULL norm excluded from mass
+  }
+
   test("semanticPairs: within-cluster threshold pairs, verified brute-force") {
     val index = Similarity.buildIvfIndex(embs, nCentroids = 16, iterations = 3,
       portable = true)
