@@ -436,6 +436,11 @@ object ExtQueries {
     "bigram_freq_documents" -> ((s: SparkSession, dir: String) =>
       // BPE-style first merge: top adjacent-token pairs, built per-row
       TextStats.bigramFreq(docs(s, dir))),
+    "bpe_vocab_documents" -> ((s: SparkSession, dir: String) =>
+      // the real BPE merge table (Sennrich et al. 2016): one corpus
+      // pass to word-type counts, then the m-round driver-side merge
+      // loop over the vocabulary — oracle unrolls the stages as CTEs
+      Bpe.bpeVocab(docs(s, dir))),
     "boilerplate_ngrams_documents" -> ((s: SparkSession, dir: String) =>
       // cross-doc shared n-grams (templated-text detector): per-doc
       // distinct grams → doc-frequency rank, vocabulary-bounded shuffle
@@ -1098,6 +1103,42 @@ object ExtQueries {
         |      FROM w WHERE len(ws) >= 2)
         |SELECT bigram, count(*)::BIGINT AS n FROM b
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    // BPE merge table: the m rounds unroll as CTE stages over the
+    // word-TYPE table (never the corpus). Per stage: overlapping
+    // adjacent-pair counts weighted by word count, argmax by
+    // (count DESC, left, right) — binary collation == Java String
+    // order on this [a-z</w>]* symbol domain — then the greedy
+    // left-to-right merge as a string fold: appending `r` WITHOUT the
+    // chr(31) separator fuses it onto the trailing `l`, and a fused
+    // symbol can never immediately re-merge because that would need
+    // `l || r = l` (an empty r). Engine loop in Bpe.bpeVocab is the
+    // identical algorithm; a stage with no pairs left yields no row on
+    // either side.
+    "bpe_vocab_documents" -> {
+      val m = Bpe.DefaultMerges
+      def stage(i: Int): String =
+        s"""bp_p$i AS (SELECT p['l'] AS l, p['r'] AS r, sum(cnt)::BIGINT AS c FROM (
+           |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+           |      j -> struct_pack(l := syms[j], r := syms[j + 1]))) AS p
+           |    FROM bp_v$i WHERE len(syms) >= 2) GROUP BY 1, 2),
+           |bp_b$i AS (SELECT l, r, c FROM bp_p$i ORDER BY c DESC, l, r LIMIT 1),
+           |bp_v${i + 1} AS (SELECT word, cnt, string_split(list_reduce(syms,
+           |      (acc, x) -> CASE WHEN (acc = b.l OR ends_with(acc, chr(31) || b.l))
+           |          AND x = b.r
+           |        THEN acc || b.r ELSE acc || chr(31) || x END), chr(31)) AS syms
+           |    FROM bp_v$i CROSS JOIN bp_b$i b)""".stripMargin
+      val unions = (1 to m).map(i =>
+        s"""SELECT $i::BIGINT AS merge_rank, l AS "left", r AS "right",
+           |  l || r AS merged, c AS pair_count FROM bp_b$i""".stripMargin)
+        .mkString("\n UNION ALL\n")
+      s"""WITH bp_w AS (SELECT term AS word, count(*)::BIGINT AS cnt
+         |  FROM (${tokSql("doc_id")}) GROUP BY 1),
+         |bp_v1 AS (SELECT word, cnt,
+         |  list_append(string_split(word, ''), '${Bpe.EndOfWord}') AS syms FROM bp_w),
+         |${(1 to m).map(stage).mkString(",\n")}
+         |$unions
+         |ORDER BY merge_rank""".stripMargin
+    },
     // boilerplate detector: the SAME gram CTEs as the n-gram dedup
     // family (grams are per-doc distinct in `g`, so count(*) over `e`
     // IS the document frequency)
