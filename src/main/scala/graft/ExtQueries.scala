@@ -163,6 +163,46 @@ object ExtQueries {
     }.mkString("(", " + ", ")")
   }
 
+  /** CTE chain replicating [[Similarity.pqCodebooks]]/[[Similarity.pqEncode]]/
+    * [[Similarity.pqTopK]]'s scoring state: `pq_p` (probe), `pq_cb`
+    * (seed sub-codebooks as the first ksub vectors), `pq_enc`
+    * (per-subspace 6-dp L2 argmin, ties by code), `pq_dt` (probe ADC
+    * table, 6-dp parts), `pq_s(vec_id, label, dots, sqs)` (DECIMAL
+    * per-vector sums) and `pq_q(qn)`. `list_sum(list_transform(range(
+    * ...)))` accumulates in index order — the same left-to-right double
+    * summation as the JVM loops (the cosSql contract).
+    */
+  private lazy val PqChainCtes: String = {
+    val m = Similarity.PqSubspaces
+    val ksub = Similarity.PqSubCentroids
+    val dsub = 64 / m
+    s"""pq_p AS (SELECT embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 1),
+       |pq_cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+       |    embedding AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $ksub)),
+       |pq_a AS (SELECT e.vec_id, e.label, t.j, c.code,
+       |    round(list_sum(list_transform(range(t.j * $dsub + 1, t.j * $dsub + ${dsub + 1}),
+       |      i -> (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
+       |         * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE))), 6) AS d
+       |  FROM embeddings e CROSS JOIN range(0, $m) t(j) CROSS JOIN pq_cb c),
+       |pq_enc AS (SELECT vec_id, label, j, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+       |    FROM pq_a) WHERE rn = 1),
+       |pq_dt AS (SELECT t.j, c.code,
+       |    round(list_sum(list_transform(range(t.j * $dsub + 1, t.j * $dsub + ${dsub + 1}),
+       |      i -> c.cvec[i]::DOUBLE * pp.pe[i]::DOUBLE)), 6) AS dot6,
+       |    round(list_sum(list_transform(range(t.j * $dsub + 1, t.j * $dsub + ${dsub + 1}),
+       |      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE)), 6) AS sq6
+       |  FROM pq_cb c CROSS JOIN range(0, $m) t(j) CROSS JOIN pq_p pp),
+       |pq_s AS (SELECT e.vec_id, e.label,
+       |    sum(CAST(d.dot6 AS DECIMAL(16,6))) AS dots,
+       |    sum(CAST(d.sq6 AS DECIMAL(16,6))) AS sqs
+       |  FROM pq_enc e JOIN pq_dt d ON d.j = e.j AND d.code = e.code
+       |  GROUP BY 1, 2),
+       |pq_q AS (SELECT sqrt(list_sum(list_transform(pe, x -> x::DOUBLE * x::DOUBLE))) AS qn
+       |  FROM pq_p)""".stripMargin
+  }
+
   /** Pairwise cosine fragments (DuckDB): dot/norms accumulated per
     * element in double, mirroring `VectorOps.cosine`.
     */
@@ -576,6 +616,26 @@ object ExtQueries {
       // measures retrieval only (unlike IVF's 16-partition layout,
       // which is cheap enough to build in-query)
       Similarity.annTopK(e, Similarity.defaultProbe(e))
+    }),
+    "similarity_pq_embeddings" -> ((s: SparkSession, dir: String) => {
+      // compressed-domain ADC top-k over 8x16 product-quantized codes:
+      // the corpus's floats never enter the scoring plan — codes join a
+      // broadcast (subspace, code) lookup built from the probe
+      val e = embs(s, dir)
+      Similarity.pqTopK(e, Similarity.defaultProbe(e))
+    }),
+    "similarity_pq_recall_embeddings" -> ((s: SparkSession, dir: String) => {
+      // recall@10 of PQ ADC scoring vs oracle-green brute force: the
+      // compression carries a measured, regression-gated number
+      val e = embs(s, dir)
+      val probe = Similarity.defaultProbe(e)
+      val pq = Similarity.pqTopK(e, probe).select("vec_id")
+      val brute = Similarity.topK(e, probe).select("vec_id")
+      pq.join(brute, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10).as("k"), col("n_hits"),
+          round(col("n_hits") / lit(10.0), 4).as("recall_at_10"))
+        .orderBy("k")
     }),
     "similarity_ivf_embeddings" -> ((s: SparkSession, dir: String) => {
       // oracle-checkable variant: deterministic seed centroids, 6-dp
@@ -1505,6 +1565,34 @@ object ExtQueries {
     // seed-centroid IVF: centroids = first 16 vectors by vec_id (pure
     // SQL); assignment argmin, probe-list ranking and final ranking all
     // at 6 dp with id tie-breaks, mirroring ivfSeedTopK step for step
+    // PQ: the full chain replicated — seed sub-codebooks (first ksub
+    // vectors' slices), per-subspace 6-dp L2 argmin encode (ties by
+    // code), probe ADC table with 6-dp parts, DECIMAL(16,6) per-vector
+    // sums (order-independent), cosine-of-reconstruction at 6 dp.
+    // list_sum over list_transform(range(...)) accumulates in index
+    // order, matching the JVM i-ascending loops (the cosSql contract).
+    "similarity_pq_embeddings" -> s"""WITH $PqChainCtes
+         |SELECT s.vec_id, s.label,
+         |  CASE WHEN s.sqs = 0 OR q.qn = 0 THEN 0.0
+         |    ELSE round(s.dots::DOUBLE / (q.qn * sqrt(s.sqs::DOUBLE)), 6)
+         |  END AS pq_cosine
+         |FROM pq_s s, pq_q q
+         |ORDER BY pq_cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "similarity_pq_recall_embeddings" -> s"""WITH $PqChainCtes,
+         |pq_top AS (SELECT s.vec_id,
+         |    CASE WHEN s.sqs = 0 OR q.qn = 0 THEN 0.0
+         |      ELSE round(s.dots::DOUBLE / (q.qn * sqrt(s.sqs::DOUBLE)), 6)
+         |    END AS pq_cosine
+         |  FROM pq_s s, pq_q q
+         |  ORDER BY pq_cosine DESC, vec_id LIMIT 10),
+         |pq_brute AS (SELECT e.vec_id
+         |  FROM embeddings e, pq_p pp
+         |  ORDER BY round(${cosSql("e.embedding", "pp.pe", 64)}, 6) DESC, e.vec_id
+         |  LIMIT 10)
+         |SELECT 10 AS k, count(*)::BIGINT AS n_hits,
+         |  round(count(*) / 10.0, 4) AS recall_at_10
+         |FROM pq_top JOIN pq_brute USING (vec_id)
+         |ORDER BY k""".stripMargin,
     "similarity_ivf_embeddings" ->
       s"""WITH p AS (SELECT embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 1),
          |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings

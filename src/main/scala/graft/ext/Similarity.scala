@@ -539,6 +539,125 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** PQ geometry: `PqSubspaces` disjoint slices of the embedding, each
+    * quantized against `PqSubCentroids` sub-centroids → one byte-sized
+    * code per slice. 8×16 on the 64-dim table = 8 codes per vector —
+    * a 32× compression of the float payload, the IVF-PQ second half
+    * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 33(1)) at the scale where raw vectors stop fitting
+    * the cluster's memory.
+    */
+  val PqSubspaces = 8
+  val PqSubCentroids = 16
+
+  /** Seed sub-codebooks: the first `ksub` vectors' slices — the
+    * deterministic-seed recipe of [[seedCentroids]]/[[ivfSeedTopK]],
+    * which keeps the whole chain (codebook → encode → ADC scoring)
+    * DuckDB-oracle-expressible. Production swaps a trained codebook in
+    * through the same shape ([[kMeansCentroids]] per slice).
+    */
+  def pqCodebooks(
+      embeddings: DataFrame,
+      m: Int = PqSubspaces,
+      ksub: Int = PqSubCentroids): IndexedSeq[IndexedSeq[Array[Float]]] = {
+    val seeds = embeddings.orderBy("vec_id").limit(ksub)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    require(seeds.nonEmpty, "empty embedding table")
+    val dim = seeds(0).length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    (0 until m).map(j =>
+      seeds.toIndexedSeq.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
+  }
+
+  /** PQ encode: per subspace, the 6-dp L2 argmin over the sub-codebook
+    * (ties by code — the portable-argmin contract), emitted as an
+    * m-entry `codes` array. One narrow codegen'd literal projection —
+    * the corpus is read once and leaves as 8 small ints per row; at
+    * 100 TB THIS is the stored representation.
+    */
+  def pqEncode(
+      embeddings: DataFrame,
+      codebooks: IndexedSeq[IndexedSeq[Array[Float]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val codeCols = (0 until m).map { j =>
+      val scored = array(codebooks(j).zipWithIndex.map { case (cvec, code) =>
+        val d = (0 until dsub).map { i =>
+          val e = element_at(col("embedding"), j * dsub + i + 1).cast("double") -
+            lit(cvec(i).toDouble)
+          e * e
+        }.reduce(_ + _)
+        struct(round(d, 6).as("d"), lit(code).as("code"))
+      }: _*)
+      array_min(scored).getField("code")
+    }
+    embeddings.select(col("vec_id"), col("label"),
+      array(codeCols: _*).as("codes"))
+  }
+
+  /** Compressed-domain top-k (ADC — asymmetric distance computation):
+    * score every vector WITHOUT touching its floats. The probe builds a
+    * driver-side (subspace, code) → (q·c, |c|²) table — m·ksub rows,
+    * 6-dp-rounded — which broadcasts over the posexploded code stream;
+    * per-vector sums run in DECIMAL(16,6) (order-independent, the
+    * ivf_cell_stats recipe), and the score is the cosine of the probe
+    * against the RECONSTRUCTION: dot/(|q|·|x̂|) with |x̂|² = Σⱼ|c_j|²
+    * (subspaces are disjoint). Plan: narrow encode → broadcast
+    * equi-join on (j, code) → one aggregate → top-k; no float payload
+    * in any shuffle.
+    */
+  def pqTopK(
+      embeddings: DataFrame,
+      probe: Seq[Float],
+      m: Int = PqSubspaces,
+      ksub: Int = PqSubCentroids,
+      k: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cbs = pqCodebooks(embeddings, m, ksub)
+    val dsub = cbs.head.head.length
+    require(probe.length == m * dsub,
+      s"probe dim ${probe.length} != ${m * dsub}")
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val adc = for {
+      j <- 0 until m
+      (cvec, code) <- cbs(j).zipWithIndex
+    } yield {
+      var dot = 0.0
+      var sq = 0.0
+      var i = 0
+      while (i < dsub) {
+        dot += cvec(i).toDouble * probe(j * dsub + i).toDouble
+        sq += cvec(i).toDouble * cvec(i).toDouble
+        i += 1
+      }
+      (j, code, r6(dot), r6(sq))
+    }
+    var qn = 0.0
+    probe.foreach(x => qn += x.toDouble * x.toDouble)
+    val qnorm = math.sqrt(qn)
+    val dt = adc.toDF("j", "code", "dot6", "sq6")
+    pqEncode(embeddings, cbs)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(dt), Seq("j", "code"))
+      .groupBy("vec_id", "label")
+      .agg(
+        sum(col("dot6").cast("decimal(16,6)")).as("dots"),
+        sum(col("sq6").cast("decimal(16,6)")).as("sqs"))
+      .select(col("vec_id"), col("label"),
+        when(col("sqs") === 0.0 || lit(qnorm) === 0.0, lit(0.0))
+          .otherwise(round(col("dots").cast("double") /
+            (lit(qnorm) * sqrt(col("sqs").cast("double"))), 6))
+          .as("pq_cosine"))
+      .orderBy(col("pq_cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Per-label vector-table health report — the ingest trust check for
     * the EMBEDDING side of the corpus (the `profile_documents` analogue):
     * vector counts, dimension min/max (a ragged table breaks every

@@ -36,8 +36,9 @@ class QueryContractSpec extends AnyFunSuite {
     // bigram_logprob_documents (stupid-backoff bigram LM),
     // gopher_rules_documents (Rae et al. word-level heuristics),
     // dsir_select_documents (hashed-n-gram importance resampling),
-    // bpe_vocab_documents (Sennrich BPE merge table, unrolled-CTE oracle)
-    assert(SparkEntry.queries.size == 121,
+    // bpe_vocab_documents (Sennrich BPE merge table, unrolled-CTE oracle),
+    // similarity_pq[_recall]_embeddings (ADC product quantization)
+    assert(SparkEntry.queries.size == 123,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.13 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

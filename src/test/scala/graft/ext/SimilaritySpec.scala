@@ -23,6 +23,42 @@ class SimilaritySpec extends SparkSpec {
       .sortBy { case (id, c) => (-c, id) }.take(k).toSeq
   }
 
+  test("pqEncode: hand-derivable codes; seeds encode to themselves") {
+    import spark.implicits._
+    // dim=4, m=2 subspaces of 2 dims, ksub=2 codebook seeds (vec 0, 1).
+    // vec 2: subspace 0 near seed 1's slice, subspace 1 near seed 0's
+    val df = Seq(
+      (0L, Seq(0.0f, 0.0f, 9.0f, 9.0f), 0),
+      (1L, Seq(5.0f, 5.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(4.9f, 5.1f, 8.8f, 9.2f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cbs = Similarity.pqCodebooks(df, m = 2, ksub = 2)
+    val codes = Similarity.pqEncode(df, cbs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    assert(codes(0L) == Seq(0, 0) && codes(1L) == Seq(1, 1),
+      s"seeds must encode to their own codes: $codes")
+    assert(codes(2L) == Seq(1, 0), s"vec 2: $codes")
+  }
+
+  test("pqTopK: clustered data ranks the probe's own cluster first") {
+    import spark.implicits._
+    // two tight clusters around the two codebook seeds: reconstruction
+    // is near-exact, so ADC ordering must agree with brute force
+    def jitter(base: Seq[Float], eps: Float) = base.map(_ + eps)
+    val a = Seq(1.0f, 0.0f, 0.0f, 0.0f, 1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Seq(0.0f, 0.0f, 0.0f, 1.0f, 0.0f, 0.0f, 1.0f, 0.0f)
+    val rows = Seq(
+      (0L, a, 0), (1L, b, 1),
+      (2L, jitter(a, 0.01f), 0), (3L, jitter(a, -0.02f), 0),
+      (4L, jitter(b, 0.01f), 1), (5L, jitter(b, 0.02f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.pqTopK(rows, a, m = 2, ksub = 2, k = 6).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    // a-cluster (0, 2, 3) must rank above the b-cluster entirely
+    assert(out.take(3).map(_._1).toSet == Set(0L, 2L, 3L), s"got: ${out.toSeq}")
+    assert(out.head._2 > 0.999, s"probe's own seed reconstructs to ~1: ${out.head}")
+  }
+
   test("labelCentroids: per-label per-dimension means, exploded shape") {
     import spark.implicits._
     val df = Seq(
