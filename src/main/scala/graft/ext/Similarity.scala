@@ -572,31 +572,60 @@ object Similarity {
       seeds.toIndexedSeq.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
   }
 
-  /** PQ encode: per subspace, the 6-dp L2 argmin over the sub-codebook
-    * (ties by code — the portable-argmin contract), emitted as an
-    * m-entry `codes` array. One narrow codegen'd literal projection —
-    * the corpus is read once and leaves as 8 small ints per row; at
-    * 100 TB THIS is the stored representation.
+  /** Per-(vector, subspace) code assignments — the 6-dp L2 argmin over
+    * the sub-codebook, ties by code (the portable-argmin contract).
+    *
+    * Shape: slice the embedding into its m sub-vectors (posexplode),
+    * broadcast-join the m·ksub-row codebook on the subspace, fold the
+    * dsub-element squared difference per joined row, and take the
+    * argmin as a MAP-SIDE-COMBINED `min(struct(d, code))` aggregate —
+    * the stream is n·m·ksub small rows, the shuffle n·m after partial
+    * aggregation. (The first cut inlined the whole codebook as one
+    * m·ksub·dsub-term literal projection — narrow, but past the
+    * whole-stage-codegen method limit it evaluated INTERPRETED at
+    * ~1.6 ms/row, unusable at corpus scale; the join shape is ~5×
+    * faster here and scales with executors.)
+    */
+  private[ext] def pqAssignments(
+      embeddings: DataFrame,
+      codebooks: IndexedSeq[IndexedSeq[Array[Float]]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val cb = codebooks.zipWithIndex.flatMap { case (cents, j) =>
+      cents.zipWithIndex.map { case (cvec, code) => (j, code, cvec.toSeq) }
+    }.toDF("j", "code", "cvec")
+    val slices = array((0 until m).map(j =>
+      slice(col("embedding"), j * dsub + 1, dsub)): _*)
+    val sq = zip_with(col("subvec"), col("cvec"), (a, b) => {
+      val e = a.cast("double") - b.cast("double")
+      e * e
+    })
+    embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(slices).as(Seq("j", "subvec")))
+      .join(broadcast(cb), Seq("j"))
+      .withColumn("d", round(aggregate(sq, lit(0.0), (acc, x) => acc + x), 6))
+      .groupBy("vec_id", "label", "j")
+      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .select(col("vec_id"), col("label"), col("j"),
+        col("best.code").as("code"))
+  }
+
+  /** PQ encode: the per-subspace assignments reassembled as an m-entry
+    * `codes` array in subspace order — the corpus is read once and
+    * leaves as 8 small ints per row; at 100 TB THIS is the stored
+    * representation.
     */
   def pqEncode(
       embeddings: DataFrame,
-      codebooks: IndexedSeq[IndexedSeq[Array[Float]]]): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks.head.head.length
-    val codeCols = (0 until m).map { j =>
-      val scored = array(codebooks(j).zipWithIndex.map { case (cvec, code) =>
-        val d = (0 until dsub).map { i =>
-          val e = element_at(col("embedding"), j * dsub + i + 1).cast("double") -
-            lit(cvec(i).toDouble)
-          e * e
-        }.reduce(_ + _)
-        struct(round(d, 6).as("d"), lit(code).as("code"))
-      }: _*)
-      array_min(scored).getField("code")
-    }
-    embeddings.select(col("vec_id"), col("label"),
-      array(codeCols: _*).as("codes"))
-  }
+      codebooks: IndexedSeq[IndexedSeq[Array[Float]]]): DataFrame =
+    pqAssignments(embeddings, codebooks)
+      .groupBy("vec_id", "label")
+      .agg(sort_array(collect_list(struct(col("j"), col("code")))).as("jc"))
+      .select(col("vec_id"), col("label"),
+        transform(col("jc"), x => x.getField("code")).as("codes"))
 
   /** Compressed-domain top-k (ADC — asymmetric distance computation):
     * score every vector WITHOUT touching its floats. The probe builds a
@@ -641,9 +670,7 @@ object Similarity {
     probe.foreach(x => qn += x.toDouble * x.toDouble)
     val qnorm = math.sqrt(qn)
     val dt = adc.toDF("j", "code", "dot6", "sq6")
-    pqEncode(embeddings, cbs)
-      .select(col("vec_id"), col("label"),
-        posexplode(col("codes")).as(Seq("j", "code")))
+    pqAssignments(embeddings, cbs)
       .join(broadcast(dt), Seq("j", "code"))
       .groupBy("vec_id", "label")
       .agg(
