@@ -572,6 +572,31 @@ object Similarity {
       seeds.toIndexedSeq.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
   }
 
+  /** TRAINED sub-codebooks: per-slice portable Lloyd through the same
+    * [[kMeansCentroids]] loop the IVF index uses (each subspace trains
+    * on the corpus's j-th slice; centroid order = cid order, so codes
+    * stay deterministic). This is the production path — PQ's accuracy
+    * is a trained-codebook property (the seed recipe exists for
+    * oracle-expressibility); [[pqEncode]]/[[pqTopK]] accept either.
+    */
+  def pqCodebooksTrained(
+      embeddings: DataFrame,
+      m: Int = PqSubspaces,
+      ksub: Int = PqSubCentroids,
+      iterations: Int = 3): IndexedSeq[IndexedSeq[Array[Float]]] = {
+    val dim = embeddings.select(size(col("embedding"))).limit(1)
+      .collect()(0).getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    (0 until m).toIndexedSeq.map { j =>
+      kMeansCentroids(
+        embeddings.select(col("vec_id"),
+          slice(col("embedding"), j * dsub + 1, dsub).as("embedding")),
+        nCentroids = ksub, iterations = iterations, portable = true)
+        .sortBy(_._1).map(_._2.toArray).toIndexedSeq
+    }
+  }
+
   /** Per-(vector, subspace) code assignments — the 6-dp L2 argmin over
     * the sub-codebook, ties by code (the portable-argmin contract).
     *

@@ -40,6 +40,21 @@ class SimilaritySpec extends SparkSpec {
     assert(codes(2L) == Seq(1, 0), s"vec 2: $codes")
   }
 
+  test("pqCodebooksTrained: per-slice Lloyd shape, deterministic, encodable") {
+    val cbs = Similarity.pqCodebooksTrained(embs, iterations = 2)
+    assert(cbs.length == Similarity.PqSubspaces)
+    assert(cbs.forall(_.length == Similarity.PqSubCentroids))
+    assert(cbs.forall(_.forall(_.length == 64 / Similarity.PqSubspaces)))
+    // deterministic training: a second run is bit-identical
+    val cbs2 = Similarity.pqCodebooksTrained(embs, iterations = 2)
+    assert(cbs.zip(cbs2).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    // and the trained books feed the same encode path
+    val n = Similarity.pqEncode(embs, cbs).count()
+    assert(n == embs.count())
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("pqTopK: clustered data ranks the probe's own cluster first") {
     import spark.implicits._
     // two tight clusters around the two codebook seeds: reconstruction
