@@ -629,12 +629,13 @@ object ExtQueries {
       // compression carries a measured, regression-gated number
       val e = embs(s, dir)
       val probe = Similarity.defaultProbe(e)
-      val pq = Similarity.pqTopK(e, probe).select("vec_id")
-      val brute = Similarity.topK(e, probe).select("vec_id")
+      val pq = Similarity.pqTopK(e, probe, k = Similarity.RecallK).select("vec_id")
+      val brute = Similarity.topK(e, probe, k = Similarity.RecallK).select("vec_id")
       pq.join(brute, Seq("vec_id"))
         .agg(count(lit(1)).as("n_hits"))
-        .select(lit(10).as("k"), col("n_hits"),
-          round(col("n_hits") / lit(10.0), 4).as("recall_at_10"))
+        .select(lit(Similarity.RecallK).as("k"), col("n_hits"),
+          round(col("n_hits") / lit(Similarity.RecallK.toDouble), 4)
+            .as("recall_at_10"))
         .orderBy("k")
     }),
     "similarity_ivf_embeddings" -> ((s: SparkSession, dir: String) => {
@@ -676,12 +677,14 @@ object ExtQueries {
       // costs — the IVF analogue of similarity_ann_recall
       val e = embs(s, dir)
       val probe = Similarity.defaultProbe(e)
-      val ivf = Similarity.ivfSeedTopK(e, probe).select("vec_id")
-      val brute = Similarity.topK(e, probe).select("vec_id")
+      val ivf = Similarity.ivfSeedTopK(e, probe, k = Similarity.RecallK)
+        .select("vec_id")
+      val brute = Similarity.topK(e, probe, k = Similarity.RecallK).select("vec_id")
       ivf.join(brute, Seq("vec_id"))
         .agg(count(lit(1)).as("n_hits"))
-        .select(lit(10).as("k"), col("n_hits"),
-          round(col("n_hits") / lit(10.0), 4).as("recall_at_10"))
+        .select(lit(Similarity.RecallK).as("k"), col("n_hits"),
+          round(col("n_hits") / lit(Similarity.RecallK.toDouble), 4)
+            .as("recall_at_10"))
         .orderBy("k")
     }),
     "similarity_ann_recall_embeddings" -> ((s: SparkSession, dir: String) => {
@@ -689,12 +692,13 @@ object ExtQueries {
       // the approximation carries a MEASURED, regression-gated number
       val e = embs(s, dir)
       val probe = Similarity.defaultProbe(e)
-      val ann = Similarity.annTopK(e, probe).select("vec_id")
-      val brute = Similarity.topK(e, probe).select("vec_id")
+      val ann = Similarity.annTopK(e, probe, k = Similarity.RecallK).select("vec_id")
+      val brute = Similarity.topK(e, probe, k = Similarity.RecallK).select("vec_id")
       ann.join(brute, Seq("vec_id"))
         .agg(count(lit(1)).as("n_hits"))
-        .select(lit(10).as("k"), col("n_hits"),
-          round(col("n_hits") / lit(10.0), 4).as("recall_at_10"))
+        .select(lit(Similarity.RecallK).as("k"), col("n_hits"),
+          round(col("n_hits") / lit(Similarity.RecallK.toDouble), 4)
+            .as("recall_at_10"))
         .orderBy("k")
     }),
     "quality_sweep_documents" -> ((s: SparkSession, dir: String) =>
@@ -1584,13 +1588,13 @@ object ExtQueries {
          |      ELSE round(s.dots::DOUBLE / (q.qn * sqrt(s.sqs::DOUBLE)), 6)
          |    END AS pq_cosine
          |  FROM pq_s s, pq_q q
-         |  ORDER BY pq_cosine DESC, vec_id LIMIT 10),
+         |  ORDER BY pq_cosine DESC, vec_id LIMIT ${Similarity.RecallK}),
          |pq_brute AS (SELECT e.vec_id
          |  FROM embeddings e, pq_p pp
          |  ORDER BY round(${cosSql("e.embedding", "pp.pe", 64)}, 6) DESC, e.vec_id
-         |  LIMIT 10)
-         |SELECT 10 AS k, count(*)::BIGINT AS n_hits,
-         |  round(count(*) / 10.0, 4) AS recall_at_10
+         |  LIMIT ${Similarity.RecallK})
+         |SELECT ${Similarity.RecallK} AS k, count(*)::BIGINT AS n_hits,
+         |  round(count(*) / ${Similarity.RecallK}.0, 4) AS recall_at_10
          |FROM pq_top JOIN pq_brute USING (vec_id)
          |ORDER BY k""".stripMargin,
     "similarity_ivf_embeddings" ->
@@ -1632,7 +1636,7 @@ object ExtQueries {
          |cand AS (SELECT * FROM asg WHERE cid IN (SELECT cid FROM pr)),
          |ivf AS (SELECT vec_id FROM (
          |        SELECT vec_id, round(${cosSql("cand.embedding", "pp2.pe", 64)}, 6) AS cosine
-         |        FROM cand, p pp2 ORDER BY cosine DESC, vec_id LIMIT 10)),
+         |        FROM cand, p pp2 ORDER BY cosine DESC, vec_id LIMIT ${Similarity.RecallK})),
          |u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
          |        unnest((SELECT pe FROM p))::DOUBLE AS pv FROM embeddings),
          |sa AS (SELECT vec_id, sum(v * pv) AS dp, sum(v * v) AS na, sum(pv * pv) AS nb
@@ -1640,8 +1644,8 @@ object ExtQueries {
          |brute AS (SELECT vec_id FROM (
          |        SELECT vec_id,
          |          round(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE dp / sqrt(na * nb) END, 6) AS cosine
-         |        FROM sa ORDER BY cosine DESC, vec_id LIMIT 10))
-         |SELECT 10 AS k, count(*)::BIGINT AS n_hits, round(count(*) / 10.0, 4) AS recall_at_10
+         |        FROM sa ORDER BY cosine DESC, vec_id LIMIT ${Similarity.RecallK}))
+         |SELECT ${Similarity.RecallK} AS k, count(*)::BIGINT AS n_hits, round(count(*) / ${Similarity.RecallK}.0, 4) AS recall_at_10
          |FROM ivf JOIN brute USING (vec_id) ORDER BY k""".stripMargin,
     "similarity_ann_recall_embeddings" -> {
       val sk = sketchSql("embedding", 64, 16)
@@ -1652,7 +1656,7 @@ object ExtQueries {
          |ann AS (SELECT vec_id FROM (
          |        SELECT se.vec_id, round(${cosSql("se.embedding", "pp.pe", 64)}, 6) AS cos
          |        FROM se, pp WHERE bit_count(xor(se.sk, pp.psk)) <= 3
-         |        ORDER BY cos DESC, vec_id LIMIT 10)),
+         |        ORDER BY cos DESC, vec_id LIMIT ${Similarity.RecallK})),
          |u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
          |        unnest((SELECT pe FROM p))::DOUBLE AS pv FROM embeddings),
          |sa AS (SELECT vec_id, sum(v * pv) AS dp, sum(v * v) AS na, sum(pv * pv) AS nb
@@ -1660,8 +1664,8 @@ object ExtQueries {
          |brute AS (SELECT vec_id FROM (
          |        SELECT vec_id,
          |          round(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE dp / sqrt(na * nb) END, 6) AS cosine
-         |        FROM sa ORDER BY cosine DESC, vec_id LIMIT 10))
-         |SELECT 10 AS k, count(*)::BIGINT AS n_hits, round(count(*) / 10.0, 4) AS recall_at_10
+         |        FROM sa ORDER BY cosine DESC, vec_id LIMIT ${Similarity.RecallK}))
+         |SELECT ${Similarity.RecallK} AS k, count(*)::BIGINT AS n_hits, round(count(*) / ${Similarity.RecallK}.0, 4) AS recall_at_10
          |FROM ann JOIN brute USING (vec_id) ORDER BY k""".stripMargin
     },
     "dup_size_histogram_documents" ->

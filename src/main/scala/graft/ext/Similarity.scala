@@ -37,6 +37,16 @@ object Similarity {
   /** Brute-force cosine top-k against a constant probe vector.
     * The probe is a literal array — broadcast implicitly in the plan.
     */
+  /** k for the recall@k regression gates (ann / ivf / pq): ONE
+    * constant, interpolated into both the engine lambdas and the
+    * oracle SQL (denominator, inner LIMITs, the k row) so the metric
+    * cannot drift between sides. recall@k is defined for tables with
+    * ≥ k rows — true of every declared fixture; on a smaller table
+    * both top-k lists shrink to n and the k-denominator fraction
+    * under-states a perfect result.
+    */
+  val RecallK = 10
+
   def topK(embeddings: DataFrame, probe: Seq[Float], k: Int = 10): DataFrame = {
     val probeCol = array(probe.map(lit): _*)
     embeddings
@@ -572,27 +582,53 @@ object Similarity {
       seeds.toIndexedSeq.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
   }
 
-  /** TRAINED sub-codebooks: per-slice portable Lloyd through the same
-    * [[kMeansCentroids]] loop the IVF index uses (each subspace trains
-    * on the corpus's j-th slice; centroid order = cid order, so codes
-    * stay deterministic). This is the production path — PQ's accuracy
-    * is a trained-codebook property (the seed recipe exists for
+  /** The 6-dp L2 argmin over a centroid set — the PQ quantization
+    * objective as an assignment Column (ties by cid, the portable
+    * contract). [[nearestCentroidPortable]]'s cosine twin: PQ training
+    * must minimize the SAME squared-error its encode argmin uses
+    * (Jégou et al. 2011 train per-slice L2 k-means), or vectors train
+    * under one centroid and encode under another.
+    */
+  def nearestCentroidL2Portable(centroids: Seq[(Long, Seq[Float])]): Column = {
+    val scored = array(centroids.map { case (cid, v) =>
+      val d = v.zipWithIndex.map { case (c, i) =>
+        val e = element_at(col("embedding"), i + 1).cast("double") - lit(c.toDouble)
+        e * e
+      }.reduce(_ + _)
+      struct(round(d, 6).as("d"), lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+    array_min(scored).getField("cid")
+  }
+
+  /** TRAINED sub-codebooks: per-slice portable Lloyd with the L2
+    * assignment objective ([[nearestCentroidL2Portable]] — matching
+    * the encode argmin, NOT the IVF loop's cosine), through the shared
+    * [[kMeansLoop]]; centroid order = cid order, so codes stay
+    * deterministic. This is the production path — PQ's accuracy is a
+    * trained-codebook property (the seed recipe exists for
     * oracle-expressibility); [[pqEncode]]/[[pqTopK]] accept either.
+    * The SOURCE is scanned once: the (vec_id, embedding) projection is
+    * pinned for the duration and every slice training reads the cache
+    * (the per-slice Lloyd loops themselves serialize on their driver
+    * collects — inherent to Lloyd, not to this wrapper).
     */
   def pqCodebooksTrained(
       embeddings: DataFrame,
       m: Int = PqSubspaces,
       ksub: Int = PqSubCentroids,
       iterations: Int = 3): IndexedSeq[IndexedSeq[Array[Float]]] = {
-    val dim = embeddings.select(size(col("embedding"))).limit(1)
+    val pinned = graft.core.CacheScope.persist(
+      embeddings.select(col("vec_id"), col("embedding")))
+    val dim = pinned.select(size(col("embedding"))).limit(1)
       .collect()(0).getInt(0)
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
     (0 until m).toIndexedSeq.map { j =>
-      kMeansCentroids(
-        embeddings.select(col("vec_id"),
+      kMeansLoop(
+        pinned.select(col("vec_id"),
           slice(col("embedding"), j * dsub + 1, dsub).as("embedding")),
-        nCentroids = ksub, iterations = iterations, portable = true)
+        nCentroids = ksub, iterations = iterations, portable = true,
+        assignOf = nearestCentroidL2Portable)
         .sortBy(_._1).map(_._2.toArray).toIndexedSeq
     }
   }
@@ -668,15 +704,19 @@ object Similarity {
       probe: Seq[Float],
       m: Int = PqSubspaces,
       ksub: Int = PqSubCentroids,
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      codebooks: Option[IndexedSeq[IndexedSeq[Array[Float]]]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cbs = pqCodebooks(embeddings, m, ksub)
+    // default = the oracle-expressible seed recipe; pass
+    // [[pqCodebooksTrained]]'s books for the production path
+    val cbs = codebooks.getOrElse(pqCodebooks(embeddings, m, ksub))
+    require(cbs.length == m && cbs.forall(_.length == ksub),
+      s"codebooks shape ${cbs.length}x${cbs.headOption.map(_.length)} != ${m}x$ksub")
     val dsub = cbs.head.head.length
     require(probe.length == m * dsub,
       s"probe dim ${probe.length} != ${m * dsub}")
-    def r6(d: Double): Double =
-      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(d: Double): Double = graft.functions.VectorOps.round6(d)
     val adc = for {
       j <- 0 until m
       (cvec, code) <- cbs(j).zipWithIndex

@@ -9,6 +9,15 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   */
 object VectorOps {
 
+  /** Round-half-up at 6 dp — the JVM twin of Spark's `round(col, 6)`
+    * (BigDecimal HALF_UP). THE portable-rounding contract every
+    * driver-side 6-dp value must go through (streaming JVM argmins,
+    * PQ ADC tables): one definition, so a rounding-mode change cannot
+    * leave a second copy stale.
+    */
+  def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** [[Hashing.bandKey]] over a catalyst long-array — the SAME band-key
     * function for batch plans and streaming state keys, so their bucket
     * collision sets are identical (not merely distribution-alike).

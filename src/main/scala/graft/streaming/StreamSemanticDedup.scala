@@ -41,12 +41,11 @@ private[streaming] case class CellState(
 
 object StreamSemanticDedup {
 
-  /** Round-half-up at 6 dp — the JVM twin of Spark's `round(col, 6)`
-    * (BigDecimal HALF_UP), so stream-side scores/argmins are bit-equal
-    * to the batch plan's.
+  /** Round-half-up at 6 dp — [[VectorOps.round6]], the one shared JVM
+    * twin of Spark's `round(col, 6)`, so stream-side scores/argmins
+    * are bit-equal to the batch plan's.
     */
-  private def r6(d: Double): Double =
-    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r6(d: Double): Double = VectorOps.round6(d)
 
   /** The portable argmin of [[Similarity.nearestCentroidPortable]] in
     * plain JVM: min (−cosine@6dp, cid) — near-ties resolve by cid,

@@ -55,6 +55,32 @@ class SimilaritySpec extends SparkSpec {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("pqCodebooksTrained: L2 objective separates magnitude clusters cosine cannot") {
+    import spark.implicits._
+    // all four sub-vectors share a DIRECTION (cosine-identical) but
+    // split into two magnitude clusters — the case where training on
+    // cosine assignment and encoding by L2 argmin disagree. L2-trained
+    // books must give the two magnitude groups different codes.
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f, 1.0f, 0.0f), 0),
+      (1L, Seq(10.0f, 0.0f, 10.0f, 0.0f), 0),
+      (2L, Seq(1.2f, 0.0f, 1.2f, 0.0f), 0),
+      (3L, Seq(9.5f, 0.0f, 9.5f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cbs = Similarity.pqCodebooksTrained(rows, m = 2, ksub = 2, iterations = 2)
+    val codes = Similarity.pqEncode(rows, cbs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    assert(codes(0L) == codes(2L) && codes(1L) == codes(3L),
+      s"magnitude clusters must share codes: $codes")
+    assert(codes(0L) != codes(1L),
+      s"the two magnitude clusters must get DIFFERENT codes: $codes")
+    // and trained books flow through retrieval via the codebooks param
+    val out = Similarity.pqTopK(rows, Seq(1.0f, 0.0f, 1.0f, 0.0f),
+      m = 2, ksub = 2, k = 4, codebooks = Some(cbs)).collect()
+    assert(out.length == 4)
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("pqTopK: clustered data ranks the probe's own cluster first") {
     import spark.implicits._
     // two tight clusters around the two codebook seeds: reconstruction
