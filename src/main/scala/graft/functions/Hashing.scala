@@ -276,21 +276,23 @@ object Hashing {
     while (c < 64) {
       // 128-bit exact cross-multiply (sums·len vs total·cnts): a plain
       // Long product overflows once the pixel buffer passes ~1.6 GB
-      // (worst case 255·len²/64 > 2⁶³), silently flipping bit
-      // decisions — all operands are non-negative, so the signed
-      // multiplyHigh + unsigned-low compare is the exact 128-bit order
-      if (cnts(c) > 0) {
-        val aHi = Math.multiplyHigh(sums(c), len.toLong)
-        val aLo = sums(c) * len
-        val bHi = Math.multiplyHigh(total, cnts(c))
-        val bLo = total * cnts(c)
-        if (aHi > bHi ||
-          (aHi == bHi && java.lang.Long.compareUnsigned(aLo, bLo) > 0))
-          h |= (1L << c)
-      }
+      // (worst case 255·len²/64 > 2⁶³), silently flipping bit decisions
+      if (cnts(c) > 0 && prodGt(sums(c), len.toLong, total, cnts(c)))
+        h |= (1L << c)
       c += 1
     }
     h
+  }
+
+  /** Exact `a·b > c·d` for NON-NEGATIVE longs via the 128-bit product
+    * (signed multiplyHigh is exact for non-negative operands; the low
+    * words compare unsigned). Property-tested against BigInteger.
+    */
+  private[functions] def prodGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val aHi = Math.multiplyHigh(a, b)
+    val bHi = Math.multiplyHigh(c, d)
+    aHi > bHi ||
+      (aHi == bHi && java.lang.Long.compareUnsigned(a * b, c * d) > 0)
   }
 
   /** Band key for LSH: hash of `r` consecutive signature entries. */
