@@ -172,19 +172,21 @@ object ExtQueries {
     * ...)))` accumulates in index order — the same left-to-right double
     * summation as the JVM loops (the cosSql contract).
     */
-  private lazy val PqChainCtes: String = {
+  private val PqProbeCte: String =
+    "pq_p AS (SELECT embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 1)"
+
+  private def pqScoreCtes(src: String): String = {
     val m = Similarity.PqSubspaces
     val ksub = Similarity.PqSubCentroids
     val dsub = 64 / m
-    s"""pq_p AS (SELECT embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 1),
-       |pq_cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+    s"""pq_cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
        |    embedding AS cvec
        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $ksub)),
        |pq_a AS (SELECT e.vec_id, e.label, t.j, c.code,
        |    round(list_sum(list_transform(range(t.j * $dsub + 1, t.j * $dsub + ${dsub + 1}),
        |      i -> (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
        |         * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE))), 6) AS d
-       |  FROM embeddings e CROSS JOIN range(0, $m) t(j) CROSS JOIN pq_cb c),
+       |  FROM $src e CROSS JOIN range(0, $m) t(j) CROSS JOIN pq_cb c),
        |pq_enc AS (SELECT vec_id, label, j, code FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
        |    FROM pq_a) WHERE rn = 1),
@@ -637,6 +639,13 @@ object ExtQueries {
           round(col("n_hits") / lit(Similarity.RecallK.toDouble), 4)
             .as("recall_at_10"))
         .orderBy("k")
+    }),
+    "similarity_ivfpq_embeddings" -> ((s: SparkSession, dir: String) => {
+      // the production retrieval stack end-to-end: IVF cell restriction
+      // -> PQ ADC shortlist (compressed domain) -> exact re-rank of the
+      // shortlist only
+      val e = embs(s, dir)
+      Similarity.ivfPqTopK(e, Similarity.defaultProbe(e))
     }),
     "similarity_ivf_embeddings" -> ((s: SparkSession, dir: String) => {
       // oracle-checkable variant: deterministic seed centroids, 6-dp
@@ -1575,14 +1584,16 @@ object ExtQueries {
     // sums (order-independent), cosine-of-reconstruction at 6 dp.
     // list_sum over list_transform(range(...)) accumulates in index
     // order, matching the JVM i-ascending loops (the cosSql contract).
-    "similarity_pq_embeddings" -> s"""WITH $PqChainCtes
+    "similarity_pq_embeddings" -> s"""WITH $PqProbeCte,
+         |${pqScoreCtes("embeddings")}
          |SELECT s.vec_id, s.label,
          |  CASE WHEN s.sqs = 0 OR q.qn = 0 THEN 0.0
          |    ELSE round(s.dots::DOUBLE / (q.qn * sqrt(s.sqs::DOUBLE)), 6)
          |  END AS pq_cosine
          |FROM pq_s s, pq_q q
          |ORDER BY pq_cosine DESC, vec_id LIMIT 10""".stripMargin,
-    "similarity_pq_recall_embeddings" -> s"""WITH $PqChainCtes,
+    "similarity_pq_recall_embeddings" -> s"""WITH $PqProbeCte,
+         |${pqScoreCtes("embeddings")},
          |pq_top AS (SELECT s.vec_id,
          |    CASE WHEN s.sqs = 0 OR q.qn = 0 THEN 0.0
          |      ELSE round(s.dots::DOUBLE / (q.qn * sqrt(s.sqs::DOUBLE)), 6)
@@ -1597,6 +1608,36 @@ object ExtQueries {
          |  round(count(*) / ${Similarity.RecallK}.0, 4) AS recall_at_10
          |FROM pq_top JOIN pq_brute USING (vec_id)
          |ORDER BY k""".stripMargin,
+    // IVF-PQ with re-ranking: the cosine-argmax cell assignment +
+    // probe-cell CTEs of the ivf oracle feed the PQ scoring chain
+    // (codebooks stay FULL-table — restriction must not move the
+    // quantizer), whose shortlist the exact-cosine kernel re-ranks
+    "similarity_ivfpq_embeddings" ->
+      s"""WITH $PqProbeCte,
+         |ipq_cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |         ORDER BY vec_id LIMIT 16),
+         |ipq_a AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |        round(${cosSql("e.embedding", "c.cvec", 64)}, 6) AS d
+         |      FROM embeddings e CROSS JOIN ipq_cent c),
+         |ipq_asg AS (SELECT vec_id, label, embedding FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+         |        FROM ipq_a) WHERE rn = 1 AND cid IN (
+         |          SELECT cid FROM (
+         |            SELECT c.cid, round(${cosSql("c.cvec", "pp.pe", 64)}, 6) AS sim
+         |            FROM ipq_cent c, pq_p pp)
+         |          ORDER BY sim DESC, cid LIMIT 4)),
+         |${pqScoreCtes("ipq_asg")},
+         |ipq_short AS (SELECT vec_id FROM (
+         |    SELECT s.vec_id,
+         |      CASE WHEN s.sqs = 0 OR q.qn = 0 THEN 0.0
+         |        ELSE round(s.dots::DOUBLE / (q.qn * sqrt(s.sqs::DOUBLE)), 6)
+         |      END AS pq_cosine
+         |    FROM pq_s s, pq_q q
+         |    ORDER BY pq_cosine DESC, vec_id LIMIT ${Similarity.IvfPqShortlist}))
+         |SELECT e.vec_id, e.label,
+         |  round(${cosSql("e.embedding", "pp2.pe", 64)}, 6) AS cosine
+         |FROM embeddings e JOIN ipq_short USING (vec_id), pq_p pp2
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "similarity_ivf_embeddings" ->
       s"""WITH p AS (SELECT embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 1),
          |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings

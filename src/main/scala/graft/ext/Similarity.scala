@@ -401,6 +401,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** Shortlist size for [[ivfPqTopK]]'s exact re-rank stage —
+    * interpolated into the oracle, so engine and SQL cannot drift.
+    */
+  val IvfPqShortlist = 50
+
+  /** The production vector-retrieval stack in one operator — IVF cell
+    * restriction → PQ ADC shortlist → EXACT re-rank (Jégou et al.
+    * 2011's IVFADC with re-ranking): probe the `nProbe` nearest cells
+    * (scan nProbe/nCentroids of the corpus), score the survivors in
+    * the compressed domain only (no float payload), take a
+    * `shortlist`-sized head, and re-rank just those rows with the
+    * exact cosine kernel. At 100 TB the floats are touched for
+    * `shortlist` rows instead of the corpus — the reason IVF-PQ is the
+    * billion-scale default. Codebooks default to the oracle-expressible
+    * seed recipe over the FULL table (never the restricted candidate
+    * set — restriction must not move the quantizer); pass
+    * [[pqCodebooksTrained]]'s books for production.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      probe: Seq[Float],
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      shortlist: Int = IvfPqShortlist,
+      codebooks: Option[IndexedSeq[IndexedSeq[Array[Float]]]] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val cents = seedCentroids(embeddings, nCentroids)
+    val probeCol = array(probe.map(lit): _*)
+    val near = centroidsDF(embeddings.sparkSession, cents)
+      .withColumn("sim", round(cosine(col("cvec"), probeCol), 6))
+      .orderBy(col("sim").desc, col("centroid_id"))
+      .limit(nProbe)
+      .select("centroid_id")
+    val cand = embeddings
+      .withColumn("centroid_id", nearestCentroidPortable(cents))
+      .join(broadcast(near), Seq("centroid_id"), "left_semi")
+      .drop("centroid_id")
+    val cbs = codebooks.getOrElse(pqCodebooks(embeddings))
+    val short = pqTopK(cand, probe, k = shortlist, codebooks = Some(cbs))
+      .select("vec_id")
+    embeddings
+      .join(broadcast(short), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), probeCol), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Per-vector int8 (0–255) min–max quantization — the storage path
     * for vector corpora at scale (4× smaller than float32 before
     * compression; IVF/LSH recall is barely affected at 8 bits). Pure
@@ -709,16 +758,20 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // default = the oracle-expressible seed recipe; pass
-    // [[pqCodebooksTrained]]'s books for the production path
+    // [[pqCodebooksTrained]]'s books for the production path. Provided
+    // codebooks CARRY the geometry — m/ksub args apply only to the
+    // seed-derivation default (a passed book of a different shape is
+    // intentional, e.g. test fixtures or retuned budgets)
     val cbs = codebooks.getOrElse(pqCodebooks(embeddings, m, ksub))
-    require(cbs.length == m && cbs.forall(_.length == ksub),
-      s"codebooks shape ${cbs.length}x${cbs.headOption.map(_.length)} != ${m}x$ksub")
+    require(cbs.nonEmpty && cbs.forall(_.length == cbs.head.length),
+      s"ragged codebooks: ${cbs.map(_.length)}")
     val dsub = cbs.head.head.length
-    require(probe.length == m * dsub,
-      s"probe dim ${probe.length} != ${m * dsub}")
+    val mUse = cbs.length
+    require(probe.length == mUse * dsub,
+      s"probe dim ${probe.length} != ${mUse * dsub}")
     def r6(d: Double): Double = graft.functions.VectorOps.round6(d)
     val adc = for {
-      j <- 0 until m
+      j <- 0 until mUse
       (cvec, code) <- cbs(j).zipWithIndex
     } yield {
       var dot = 0.0

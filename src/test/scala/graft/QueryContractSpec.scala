@@ -37,8 +37,9 @@ class QueryContractSpec extends AnyFunSuite {
     // gopher_rules_documents (Rae et al. word-level heuristics),
     // dsir_select_documents (hashed-n-gram importance resampling),
     // bpe_vocab_documents (Sennrich BPE merge table, unrolled-CTE oracle),
-    // similarity_pq[_recall]_embeddings (ADC product quantization)
-    assert(SparkEntry.queries.size == 123,
+    // similarity_pq[_recall]_embeddings (ADC product quantization),
+    // similarity_ivfpq_embeddings (IVF -> PQ shortlist -> exact re-rank)
+    assert(SparkEntry.queries.size == 124,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.13 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

@@ -40,6 +40,30 @@ class SimilaritySpec extends SparkSpec {
     assert(codes(2L) == Seq(1, 0), s"vec 2: $codes")
   }
 
+  test("ivfPqTopK: re-ranked head is the exact brute order on clustered data") {
+    import spark.implicits._
+    def jitter(base: Seq[Float], eps: Float) = base.map(_ + eps)
+    val a = Seq(1.0f, 0.0f, 0.0f, 0.0f, 1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Seq(0.0f, 0.0f, 0.0f, 1.0f, 0.0f, 0.0f, 1.0f, 0.0f)
+    val rows = Seq(
+      (0L, a, 0), (1L, b, 1),
+      (2L, jitter(a, 0.01f), 0), (3L, jitter(a, -0.02f), 0),
+      (4L, jitter(b, 0.01f), 1), (5L, jitter(b, 0.02f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cbs = Similarity.pqCodebooks(rows, m = 2, ksub = 2)
+    val got = Similarity.ivfPqTopK(rows, a, k = 3, nCentroids = 2,
+      nProbe = 1, shortlist = 3, codebooks = Some(cbs)).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    // probe cell = the a-cluster; exact re-rank must return its members
+    // in true cosine order (0 first at ~1.0)
+    assert(got.map(_._1).toSet == Set(0L, 2L, 3L), s"got: ${got.toSeq}")
+    assert(got.head._1 == 0L && got.head._2 == 1.0, s"got: ${got.toSeq}")
+    // and scores are the EXACT kernel's, not the PQ approximation
+    val brute = Similarity.topK(rows, a, k = 6).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    got.foreach { case (id, c) => assert(c == brute(id), s"$id: $c vs ${brute(id)}") }
+  }
+
   test("pqCodebooksTrained: per-slice Lloyd shape, deterministic, encodable") {
     val cbs = Similarity.pqCodebooksTrained(embs, iterations = 2)
     assert(cbs.length == Similarity.PqSubspaces)
