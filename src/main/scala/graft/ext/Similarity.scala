@@ -386,15 +386,7 @@ object Similarity {
       nProbe: Int = 4): DataFrame = {
     val cents = seedCentroids(embeddings, nCentroids)
     val probeCol = array(probe.map(lit): _*)
-    val assigned = embeddings
-      .withColumn("centroid_id", nearestCentroidPortable(cents))
-    val near = centroidsDF(embeddings.sparkSession, cents)
-      .withColumn("sim", round(cosine(col("cvec"), probeCol), 6))
-      .orderBy(col("sim").desc, col("centroid_id"))
-      .limit(nProbe)
-      .select("centroid_id")
-    assigned
-      .join(broadcast(near), Seq("centroid_id"), "left_semi")
+    ivfCandidates(embeddings, cents, probeCol, nProbe)
       .select(col("vec_id"), col("label"),
         round(cosine(col("embedding"), probeCol), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -430,16 +422,17 @@ object Similarity {
     require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
     val cents = seedCentroids(embeddings, nCentroids)
     val probeCol = array(probe.map(lit): _*)
-    val near = centroidsDF(embeddings.sparkSession, cents)
-      .withColumn("sim", round(cosine(col("cvec"), probeCol), 6))
-      .orderBy(col("sim").desc, col("centroid_id"))
-      .limit(nProbe)
-      .select("centroid_id")
-    val cand = embeddings
-      .withColumn("centroid_id", nearestCentroidPortable(cents))
-      .join(broadcast(near), Seq("centroid_id"), "left_semi")
+    val cand = ivfCandidates(embeddings, cents, probeCol, nProbe)
       .drop("centroid_id")
-    val cbs = codebooks.getOrElse(pqCodebooks(embeddings))
+    // default books slice from the ALREADY-collected centroid seeds
+    // when they cover ksub (the common 16/16 case) — no second
+    // first-k collect job over the corpus
+    val cbs = codebooks.getOrElse {
+      if (cents.length >= PqSubCentroids)
+        pqBooksFromSeeds(
+          cents.take(PqSubCentroids).map(_._2.toArray).toIndexedSeq, PqSubspaces)
+      else pqCodebooks(embeddings)
+    }
     val short = pqTopK(cand, probe, k = shortlist, codebooks = Some(cbs))
       .select("vec_id")
     embeddings
@@ -620,15 +613,46 @@ object Similarity {
   def pqCodebooks(
       embeddings: DataFrame,
       m: Int = PqSubspaces,
-      ksub: Int = PqSubCentroids): IndexedSeq[IndexedSeq[Array[Float]]] = {
-    val seeds = embeddings.orderBy("vec_id").limit(ksub)
-      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      ksub: Int = PqSubCentroids): IndexedSeq[IndexedSeq[Array[Float]]] =
+    pqBooksFromSeeds(
+      embeddings.orderBy("vec_id").limit(ksub)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+        .toIndexedSeq,
+      m)
+
+  /** The sub-codebook slicing over already-collected seed vectors —
+    * shared by [[pqCodebooks]] and [[ivfPqTopK]] (which reuses its IVF
+    * centroid collect instead of re-scanning for seeds).
+    */
+  private def pqBooksFromSeeds(
+      seeds: IndexedSeq[Array[Float]], m: Int): IndexedSeq[IndexedSeq[Array[Float]]] = {
     require(seeds.nonEmpty, "empty embedding table")
     val dim = seeds(0).length
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
     (0 until m).map(j =>
-      seeds.toIndexedSeq.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
+      seeds.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
+  }
+
+  /** The IVF candidate restriction shared by [[ivfSeedTopK]] and
+    * [[ivfPqTopK]]: assign every vector to its portable seed-centroid
+    * cell and semi-join the `nProbe` cells nearest the probe — ONE
+    * recipe, so a tie-break or probe-ranking fix can never diverge the
+    * two operators' cell restriction.
+    */
+  private def ivfCandidates(
+      embeddings: DataFrame,
+      cents: Seq[(Long, Seq[Float])],
+      probeCol: Column,
+      nProbe: Int): DataFrame = {
+    val near = centroidsDF(embeddings.sparkSession, cents)
+      .withColumn("sim", round(cosine(col("cvec"), probeCol), 6))
+      .orderBy(col("sim").desc, col("centroid_id"))
+      .limit(nProbe)
+      .select("centroid_id")
+    embeddings
+      .withColumn("centroid_id", nearestCentroidPortable(cents))
+      .join(broadcast(near), Seq("centroid_id"), "left_semi")
   }
 
   /** The 6-dp L2 argmin over a centroid set — the PQ quantization
@@ -766,6 +790,9 @@ object Similarity {
     require(cbs.nonEmpty && cbs.forall(_.length == cbs.head.length),
       s"ragged codebooks: ${cbs.map(_.length)}")
     val dsub = cbs.head.head.length
+    require(cbs.forall(_.forall(_.length == dsub)),
+      "ragged sub-centroid dims: every sub-centroid must have the " +
+        s"subspace width $dsub")
     val mUse = cbs.length
     require(probe.length == mUse * dsub,
       s"probe dim ${probe.length} != ${mUse * dsub}")
