@@ -122,6 +122,42 @@ object ExtQueries {
   private val WsToksSql =
     """CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"""
 
+  /** Shared BPE training CTE chain (word-type counts top-V-truncated
+    * like the engine's bounded collect, then `m` unrolled merge
+    * stages): `bp_w`, `bp_v1..{m+1}`, and per-stage winners
+    * `bp_b1..m` — consumed by BOTH the vocab and encode oracles, so
+    * the trained table can never drift between them. Per stage:
+    * overlapping adjacent-pair counts weighted by word count, argmax
+    * by (count DESC, left, right) — binary collation == Java String
+    * order on this [a-z</w>]* symbol domain — then the greedy
+    * left-to-right merge as a string fold: appending `r` WITHOUT the
+    * chr(31) separator fuses it onto the trailing `l`, and a fused
+    * symbol can never immediately re-merge because that would need
+    * `l || r = l` (an empty r). Engine loop in Bpe.mergeLoop is the
+    * identical algorithm; a stage with no pairs left yields no row on
+    * either side.
+    */
+  private def bpeTrainCtes(m: Int): String = {
+    def stage(i: Int): String =
+      s"""bp_p$i AS (SELECT p['l'] AS l, p['r'] AS r, sum(cnt)::BIGINT AS c FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |      j -> struct_pack(l := syms[j], r := syms[j + 1]))) AS p
+         |    FROM bp_v$i WHERE len(syms) >= 2) GROUP BY 1, 2),
+         |bp_b$i AS (SELECT l, r, c FROM bp_p$i ORDER BY c DESC, l, r LIMIT 1),
+         |bp_v${i + 1} AS (SELECT word, cnt, string_split(list_reduce(syms,
+         |      (acc, x) -> CASE WHEN (acc = b.l OR ends_with(acc, chr(31) || b.l))
+         |          AND x = b.r
+         |        THEN acc || b.r ELSE acc || chr(31) || x END), chr(31)) AS syms
+         |    FROM bp_v$i CROSS JOIN bp_b$i b)""".stripMargin
+    s"""bp_w AS (SELECT word, cnt FROM (
+       |    SELECT term AS word, count(*)::BIGINT AS cnt
+       |    FROM (${tokSql("doc_id")}) GROUP BY 1)
+       |  ORDER BY cnt DESC, word LIMIT ${Bpe.DefaultMaxWordTypes}),
+       |bp_v1 AS (SELECT word, cnt,
+       |  list_append(string_split(word, ''), '${Bpe.EndOfWord}') AS syms FROM bp_w),
+       |${(1 to m).map(stage).mkString(",\n")}""".stripMargin
+  }
+
   private def likeScoreSql(words: Seq[String]): String =
     words.map(w => s"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
       .mkString(" + ")
@@ -480,9 +516,16 @@ object ExtQueries {
       TextStats.bigramFreq(docs(s, dir))),
     "bpe_vocab_documents" -> ((s: SparkSession, dir: String) =>
       // the real BPE merge table (Sennrich et al. 2016): one corpus
-      // pass to word-type counts, then the m-round driver-side merge
-      // loop over the vocabulary — oracle unrolls the stages as CTEs
+      // pass to word-type counts (top-V-truncated BEFORE the bounded
+      // driver collect), then the m-round driver-side merge loop over
+      // the vocabulary — oracle unrolls the stages as CTEs
       Bpe.bpeVocab(docs(s, dir))),
+    "bpe_encode_documents" -> ((s: SparkSession, dir: String) =>
+      // the trained merge table APPLIED: per-doc tokenizer-true BPE
+      // token counts — the greedy fold runs once per word TYPE, then
+      // joins back to per-(doc, word) counts; the corpus text is never
+      // re-scanned per merge
+      Bpe.bpeEncode(docs(s, dir))),
     "boilerplate_ngrams_documents" -> ((s: SparkSession, dir: String) =>
       // cross-doc shared n-grams (templated-text detector): per-doc
       // distinct grams → doc-frequency rank, vocabulary-bounded shuffle
@@ -1013,7 +1056,10 @@ object ExtQueries {
     // division (IEEE-identical cross-engine); rounding is display-only.
     // Threshold constants interpolate from TextStats (no literal drift).
     "gopher_rules_documents" -> {
-      val stops = likeScoreSql(TextStats.GopherStopWords)
+      // tokenized stop-word membership (the paper's semantics — "the,"
+      // counts): letter-run tokens, one hit per stop word present
+      val stopList =
+        TextStats.GopherStopWords.map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH g AS (
          |  SELECT doc_id,
          |    ($WsToksSql)::BIGINT AS n_words,
@@ -1022,7 +1068,8 @@ object ExtQueries {
          |    (CASE WHEN trim(text) = '' THEN 0 ELSE
          |      len(list_filter(string_split_regex(trim(text), '\\s+'),
          |          w -> regexp_matches(w, '[A-Za-z]'))) END)::BIGINT AS n_alpha,
-         |    ($stops)::BIGINT AS n_stops
+         |    len(list_filter($stopList, sw -> list_contains(
+         |      string_split_regex(lower(text), '[^a-z]+'), sw)))::BIGINT AS n_stops
          |  FROM documents),
          |v AS (SELECT doc_id, n_words, n_stops,
          |    CASE WHEN n_words = 0 THEN 0.0 ELSE n_nonws / n_words END AS mean_len,
@@ -1189,28 +1236,42 @@ object ExtQueries {
     // either side.
     "bpe_vocab_documents" -> {
       val m = Bpe.DefaultMerges
-      def stage(i: Int): String =
-        s"""bp_p$i AS (SELECT p['l'] AS l, p['r'] AS r, sum(cnt)::BIGINT AS c FROM (
-           |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
-           |      j -> struct_pack(l := syms[j], r := syms[j + 1]))) AS p
-           |    FROM bp_v$i WHERE len(syms) >= 2) GROUP BY 1, 2),
-           |bp_b$i AS (SELECT l, r, c FROM bp_p$i ORDER BY c DESC, l, r LIMIT 1),
-           |bp_v${i + 1} AS (SELECT word, cnt, string_split(list_reduce(syms,
-           |      (acc, x) -> CASE WHEN (acc = b.l OR ends_with(acc, chr(31) || b.l))
-           |          AND x = b.r
-           |        THEN acc || b.r ELSE acc || chr(31) || x END), chr(31)) AS syms
-           |    FROM bp_v$i CROSS JOIN bp_b$i b)""".stripMargin
       val unions = (1 to m).map(i =>
         s"""SELECT $i::BIGINT AS merge_rank, l AS "left", r AS "right",
            |  l || r AS merged, c AS pair_count FROM bp_b$i""".stripMargin)
         .mkString("\n UNION ALL\n")
-      s"""WITH bp_w AS (SELECT term AS word, count(*)::BIGINT AS cnt
-         |  FROM (${tokSql("doc_id")}) GROUP BY 1),
-         |bp_v1 AS (SELECT word, cnt,
-         |  list_append(string_split(word, ''), '${Bpe.EndOfWord}') AS syms FROM bp_w),
-         |${(1 to m).map(stage).mkString(",\n")}
+      s"""WITH ${bpeTrainCtes(m)}
          |$unions
          |ORDER BY merge_rank""".stripMargin
+    },
+    // encode = the SAME training CTE chain (merge winners bp_b1..m),
+    // applied over ALL word types (the top-V bound limits TRAINING
+    // memory, not encode coverage) by a parallel ap_v fold chain; a
+    // LEFT JOIN ON TRUE keeps types alive through an exhausted (empty)
+    // merge stage, mirroring the engine's fold over ≤ m trained merges
+    "bpe_encode_documents" -> {
+      val m = Bpe.DefaultMerges
+      def applyStage(i: Int): String =
+        s"""ap_v${i + 1} AS (SELECT word, CASE WHEN b.l IS NULL THEN syms
+           |    ELSE string_split(list_reduce(syms,
+           |      (acc, x) -> CASE WHEN (acc = b.l OR ends_with(acc, chr(31) || b.l))
+           |          AND x = b.r
+           |        THEN acc || b.r ELSE acc || chr(31) || x END), chr(31)) END AS syms
+           |    FROM ap_v$i LEFT JOIN bp_b$i b ON TRUE)""".stripMargin
+      s"""WITH ${bpeTrainCtes(m)},
+         |en_c AS (SELECT doc_id, term AS word, count(*)::BIGINT AS cnt
+         |  FROM (${tokSql("doc_id")}) GROUP BY 1, 2),
+         |ap_v1 AS (SELECT word,
+         |  list_append(string_split(word, ''), '${Bpe.EndOfWord}') AS syms
+         |  FROM (SELECT DISTINCT word FROM en_c)),
+         |${(1 to m).map(applyStage).mkString(",\n")}
+         |SELECT d.doc_id AS doc_id,
+         |  coalesce(sum(c.cnt), 0)::BIGINT AS n_words,
+         |  coalesce(sum(c.cnt * len(t.syms)), 0)::BIGINT AS bpe_tokens
+         |FROM documents d
+         |LEFT JOIN en_c c ON d.doc_id = c.doc_id
+         |LEFT JOIN ap_v${m + 1} t ON c.word = t.word
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
     },
     // boilerplate detector: the SAME gram CTEs as the n-gram dedup
     // family (grams are per-doc distinct in `g`, so count(*) over `e`
@@ -2398,8 +2459,13 @@ object ExtQueries {
         s"($half >> $sh) & $mask"
       }.mkString("[", ", ", "]")
       val bandList = (0 until bands).mkString("[", ", ", "]")
+      // octet_length = length pins the ASCII-only fixture assumption
+      // (unicode(char) == UTF-8 byte only there): a non-ASCII doc drops
+      // out of the oracle and FAILS the row-count gate loudly instead
+      // of silently drifting the byte walk
       s"""WITH ph_d AS (SELECT doc_id AS media_id, text FROM documents
-         |    WHERE length(text) > 0),
+         |    WHERE length(text) > 0
+         |      AND octet_length(encode(text)) = length(text)),
          |ph_b AS (SELECT media_id, text, unnest(range(0, length(text))) AS i
          |    FROM ph_d),
          |ph_by AS (SELECT media_id,

@@ -1,22 +1,27 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Byte-pair-encoding merge-table training (Sennrich et al. 2016,
-  * arXiv:1508.07909) — the tokenizer artifact a training-data pipeline
-  * actually produces, one step past the seed statistics the surface
-  * already carries (`token_freq` unigrams, `bigram_freq` = the first
-  * merge's candidates).
+/** Byte-pair-encoding merge-table training AND application (Sennrich
+  * et al. 2016, arXiv:1508.07909) — the tokenizer artifact a
+  * training-data pipeline actually produces, one step past the seed
+  * statistics the surface already carries (`token_freq` unigrams,
+  * `bigram_freq` = the first merge's candidates), plus the encode pass
+  * that makes every downstream token budget tokenizer-TRUE.
   *
   * Shape: ONE corpus pass (the lowercase letter-run tokenizer shared
   * with [[Relevance]]) aggregates to word-type counts — vocabulary-
-  * bounded, Zipf-small relative to the corpus — and the m-round merge
-  * loop then runs DRIVER-SIDE over word types only, exactly how
-  * production BPE trainers work (the corpus is never re-scanned per
-  * merge; each round is O(|types| · avg word length)). The collect is
-  * bounded by the vocabulary, not the corpus — the same justification
-  * class as the engine's other audited bounded collects.
+  * bounded, Zipf-small relative to the corpus — truncated by a
+  * DISTRIBUTED top-`maxWordTypes` (count desc, word asc — the
+  * `unigramLogProb` top-V recipe) BEFORE the driver collect, so the
+  * driver working set is constant-bounded by configuration, never by
+  * corpus content (typo/concatenation long-tail types are exactly the
+  * low-count rows the truncation sheds, and production BPE trainers
+  * prune the same way). The m-round merge loop then runs DRIVER-SIDE
+  * over ≤ `maxWordTypes` types only, exactly how production BPE
+  * trainers work (the corpus is never re-scanned per merge; each round
+  * is O(|types| · avg word length)).
   *
   * Determinism contract (mirrored exactly by the DuckDB oracle's
   * unrolled per-stage CTEs): pair counts include every adjacent
@@ -26,29 +31,63 @@ import org.apache.spark.sql.functions._
   * Java String and DuckDB's binary collation share); merges apply
   * greedily left-to-right, non-overlapping (a symbol formed this round
   * never immediately re-merges: `l + r == l` would need an empty `r`).
+  * The type truncation shares the same total order (count desc, word
+  * asc), so a binding bound is deterministic on both sides too.
   */
 object Bpe {
 
   val DefaultMerges = 8
   val EndOfWord = "</w>"
 
-  /** The learned merge table: `merge_rank, left, right, merged,
-    * pair_count` for the first `merges` BPE merges over the corpus
-    * (fewer rows iff the vocabulary exhausts its pairs first).
+  /** Symbol separator for the string-fold form of the greedy merge —
+    * the oracle's chr(31); never occurs in the [a-z</w>]* domain.
     */
-  def bpeVocab(documents: DataFrame, merges: Int = DefaultMerges): DataFrame = {
-    require(merges >= 1, s"need at least one merge: $merges")
-    val spark = documents.sparkSession
-    import spark.implicits._
-    val wordCounts: Array[(String, Long)] = documents
+  val Sep = "\u001f"
+
+  /** Driver-collect bound on the word-TYPE table (top-V by count desc,
+    * word asc). 2²⁰ types × ~16 B ≈ tens of MB of driver heap at worst
+    * — constant in corpus size. Deliberately far above the synthetic
+    * fixtures' 31 types, so the declared keys are bit-stable whether or
+    * not a deployment tightens it.
+    */
+  val DefaultMaxWordTypes = 1 << 20
+
+  /** (word, count) per letter-run word type — the one corpus pass both
+    * training entry points share.
+    */
+  private def wordTypeCounts(documents: DataFrame): DataFrame =
+    documents
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Distributed top-V truncation + bounded collect of the type table.
+    * The ONLY `.collect()` in the family; its size is `maxWordTypes`
+    * by construction.
+    */
+  private def collectTypes(
+      typeCounts: DataFrame, maxWordTypes: Int): Array[(String, Long)] =
+    typeCounts
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(maxWordTypes)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  /** One learned merge: rank (1-based), pair, fused symbol, pair count
+    * at selection time.
+    */
+  final case class Merge(rank: Int, l: String, r: String, merged: String, cnt: Long)
+
+  /** The reference merge loop over a collected type table — pure
+    * driver-side function of its input, shared by [[bpeVocab]] and
+    * [[bpeEncode]]. Returns ≤ `merges` rounds (fewer iff the
+    * vocabulary exhausts its pairs first).
+    */
+  private[ext] def mergeLoop(
+      wordCounts: Array[(String, Long)], merges: Int): Seq[Merge] = {
     var vocab: Array[(Array[String], Long)] = wordCounts.map { case (w, c) =>
       (w.map(_.toString).toArray :+ EndOfWord, c)
     }
-    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    val out = Seq.newBuilder[Merge]
     var rank = 1
     var exhausted = false
     while (rank <= merges && !exhausted) {
@@ -61,7 +100,7 @@ object Bpe {
       else {
         val ((l, r), c) = pairCounts.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
         val merged = l + r
-        out += ((rank.toLong, l, r, merged, c))
+        out += Merge(rank, l, r, merged, c)
         vocab = vocab.map { case (syms, cnt) =>
           val b = Array.newBuilder[String]
           var i = 0
@@ -76,7 +115,112 @@ object Bpe {
       }
     }
     out.result()
+  }
+
+  /** Train and return the merge list (driver-side values) — the
+    * artifact [[bpeEncode]] broadcasts into its plan.
+    */
+  private[ext] def trainMerges(
+      documents: DataFrame,
+      merges: Int = DefaultMerges,
+      maxWordTypes: Int = DefaultMaxWordTypes): Seq[Merge] = {
+    require(merges >= 1, s"need at least one merge: $merges")
+    require(maxWordTypes >= 1, s"need a positive type bound: $maxWordTypes")
+    mergeLoop(collectTypes(wordTypeCounts(documents), maxWordTypes), merges)
+  }
+
+  /** The learned merge table: `merge_rank, left, right, merged,
+    * pair_count` for the first `merges` BPE merges over the corpus
+    * (fewer rows iff the vocabulary exhausts its pairs first).
+    */
+  def bpeVocab(
+      documents: DataFrame,
+      merges: Int = DefaultMerges,
+      maxWordTypes: Int = DefaultMaxWordTypes): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    trainMerges(documents, merges, maxWordTypes)
+      .map(m => (m.rank.toLong, m.l, m.r, m.merged, m.cnt))
       .toDF("merge_rank", "left", "right", "merged", "pair_count")
       .orderBy("merge_rank")
+  }
+
+  /** A word's initial symbol list: its characters plus [[EndOfWord]]. */
+  private def initialSyms(word: Column): Column =
+    concat(
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
+      array(lit(EndOfWord)))
+
+  /** One greedy left-to-right merge round as a string fold — the EXACT
+    * fold the oracle runs in DuckDB (`list_reduce` with the chr(31)
+    * accumulator): appending `r` WITHOUT the separator fuses it onto a
+    * trailing `l` (whole-symbol-anchored via the separator), and a
+    * symbol fused this round can never immediately re-merge because
+    * that would need an empty `r`.
+    */
+  private def applyMerge(syms: Column, l: String, r: String): Column = {
+    val folded = aggregate(
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      element_at(syms, 1),
+      (acc, x) =>
+        when((acc === lit(l) || acc.endsWith(Sep + l)) && x === lit(r),
+          concat(acc, x))
+          .otherwise(concat(acc, lit(Sep), x)))
+    split(folded, Sep)
+  }
+
+  /** Apply a trained merge list to a symbol-array column, in rank
+    * order.
+    */
+  private[ext] def applyMerges(syms: Column, ms: Seq[Merge]): Column =
+    ms.foldLeft(syms)((s, m) => applyMerge(s, m.l, m.r))
+
+  /** Tokenizer-TRUE per-document token counts: train the merge table
+    * ([[trainMerges]] — bounded collect), then encode every document
+    * with it. Output: `doc_id, n_words, bpe_tokens` (letter-run word
+    * count and total BPE symbol count including the per-word
+    * [[EndOfWord]]); docs with no letter-run words count 0/0.
+    *
+    * Scale shape: ONE corpus explode aggregated to per-(doc, word)
+    * counts (map-side combine collapses within-doc repeats before the
+    * wire); the greedy merge fold runs once per word TYPE (a
+    * vocabulary-bounded frame, not the corpus — the interpreted
+    * higher-order fold touches ≤ |types| rows), and the per-type token
+    * width joins back to the per-doc counts by word. The corpus text
+    * itself is never re-scanned per merge and never shuffled at char
+    * width; at 100 TB the join's build side is the type table, which
+    * AQE sizes (broadcast when the vocabulary allows, shuffle join
+    * past it — correctness identical).
+    */
+  def bpeEncode(
+      documents: DataFrame,
+      merges: Int = DefaultMerges,
+      maxWordTypes: Int = DefaultMaxWordTypes): DataFrame = {
+    // pinned: the exploded per-(doc, word) counts feed type counting
+    // (training), the type frame (encoding), AND the final join
+    val pairs = graft.core.CacheScope.persist(
+      documents
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt")))
+    val ms = mergeLoop(
+      collectTypes(pairs.groupBy("w").agg(sum("cnt").as("cnt")), maxWordTypes),
+      merges)
+    // encode runs over ALL word types (the truncation bounds TRAINING
+    // memory, not encode coverage — an out-of-top-V word still encodes
+    // under the learned merges, exactly like production tokenizers)
+    val encoded = pairs.select("w").distinct()
+      .withColumn("toks",
+        size(applyMerges(initialSyms(col("w")), ms)).cast("bigint"))
+    val perDoc = pairs.join(encoded, Seq("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("toks")).as("bpe_tokens"))
+    documents.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+      .orderBy("doc_id")
   }
 }

@@ -568,10 +568,13 @@ object Dedup {
       acc => concat(kept(acc),
         col("norm").substr(cur(acc) + 1,
           greatest(length(col("norm")) - cur(acc), lit(0)))))
+    // NULL-text docs: norm is NULL, so the fold's concat null-propagates
+    // — coalesce to the oracle's '' / 0 instead of a latent hash desync
+    // the moment the fixture gains a NULL-text row
     normed.join(cuts, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        length(col("norm")).cast("bigint").as("n_chars"),
-        keptText.as("text_kept"))
+        coalesce(length(col("norm")), lit(0)).cast("bigint").as("n_chars"),
+        coalesce(keptText, lit("")).as("text_kept"))
       .withColumn("n_kept_chars", length(col("text_kept")).cast("bigint"))
       .select("doc_id", "n_chars", "n_kept_chars", "text_kept")
       .orderBy("doc_id")

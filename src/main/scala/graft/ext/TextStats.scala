@@ -170,12 +170,27 @@ object TextStats {
   val GopherStopWords: Seq[String] =
     Seq("the", "a", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Membership count of `words` among a text's letter-run tokens —
+    * the paper-faithful "document contains the word" check (Rae et al.
+    * tokenize; a required word adjacent to punctuation — "the," /
+    * "with." — still counts). The letter-run tokenizer strips
+    * punctuation by construction, unlike the padded-LIKE battery
+    * ([[markerHits]]) the scoring heuristics keep for cheapness.
+    */
+  private def tokenHits(text: Column, words: Seq[String]): Column = {
+    val toks = split(lower(text), "[^a-z]+")
+    words.map(w => when(array_contains(toks, w), lit(1)).otherwise(lit(0)))
+      .reduce(_ + _)
+  }
+
   /** Gopher rule filter: the five word-level document heuristics of
     * Rae et al. 2021 as one narrow projection — per-doc signal values
     * (4-dp display), a 0/1 flag per rule, and the conjunction `keep`.
     * Every decision compares EXACT integer-ratio divisions (IEEE-
     * identical cross-engine); rounding is display-only, so the flags
     * can never disagree with the shown signals' unrounded sources.
+    * Stop-word hits use the TOKENIZED membership check ([[tokenHits]])
+    * — the paper's semantics, where "the," and "with." count.
     * No shuffle; the parquet scan prunes to (doc_id, text).
     */
   def gopherRules(documents: DataFrame): DataFrame = {
@@ -185,8 +200,7 @@ object TextStats {
     val nSym = regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("double")
     val nAlpha = when(nWords === 0, lit(0L))
       .otherwise(size(filter(words, w => w.rlike("[A-Za-z]"))).cast("bigint"))
-    val nStops = markerHits(
-      concat(lit(" "), lower(col("text")), lit(" ")), GopherStopWords)
+    val nStops = tokenHits(col("text"), GopherStopWords)
     val meanLen = when(nWords === 0, lit(0.0)).otherwise(nNonWs / nWords)
     val symRatio = when(nWords === 0, lit(0.0)).otherwise(nSym / nWords)
     val alphaFrac = when(nWords === 0, lit(0.0))

@@ -36,6 +36,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * [[StreamSessionize.sessionize]]): buckets idle longer than
   * `idleTimeout` are evicted, so a near-dup arriving within the horizon
   * is dropped and the store never grows beyond the live horizon.
+  *
+  * Overflow silence and RE-ARMING: an overflowed bucket admits
+  * everything without tagging. With NO timeout configured that silence
+  * is UNBOUNDED — the bucket never dedups again for the query's
+  * lifetime (configure eviction in production). With idle/event-time
+  * eviction, the overflowed state is REMOVED at timeout and the next
+  * arrival starts a fresh, armed bucket — dedup re-arms after a quiet
+  * period (spec-asserted in StreamNearDupSpec).
   */
 case class StreamDoc(doc_id: Long, ts: Long, text: String)
 

@@ -77,8 +77,12 @@ object StreamSemanticDedup {
     * would be wrong), and with no timeout configured it stays silent
     * for the query's lifetime, so the marker is the operator's way of
     * making "no duplicates" distinguishable from "stopped looking".
-    * Downstream consumers filter `dup_of >= 0` for real tags
-    * ([[survivors]] does); monitoring alerts on `vec_id = -1`.
+    * Downstream consumers MUST go through [[realTags]] (the
+    * `dup_of >= 0` contract filter — [[survivors]] does); monitoring
+    * reads [[overflowMarkers]]. With idle/event-time eviction
+    * configured, timeout REMOVES the overflowed state and the next
+    * arrival starts a fresh, armed cell — dedup re-arms after a quiet
+    * period (spec-asserted); without eviction the silence is unbounded.
     */
   def semanticTags(
       vecs: Dataset[StreamVec],
@@ -165,13 +169,30 @@ object StreamSemanticDedup {
       }
   }
 
+  /** TAG-STREAM CONTRACT: [[semanticTags]]'s output interleaves real
+    * duplicate tags (`dup_of >= 0`) with in-band overflow MARKER rows
+    * (`vec_id = -1, dup_of = -1`). EVERY consumer that joins, counts,
+    * or aggregates tags by `vec_id` must go through [[realTags]] (or
+    * replicate its `dup_of >= 0` filter) — ingesting the sentinel as
+    * data silently corrupts counts and joins. [[overflowMarkers]] is
+    * the monitoring face of the same stream.
+    */
+  def realTags(tags: DataFrame): DataFrame = tags.filter(col("dup_of") >= 0)
+
+  /** The overflow MARKER rows only — one per (cell, overflow episode);
+    * alert on any row: that cell has stopped deduplicating until its
+    * state evicts (see [[semanticTags]]).
+    */
+  def overflowMarkers(tags: DataFrame): DataFrame =
+    tags.filter(col("vec_id") === -1L)
+
   /** Batch-side combine for the foreachBatch sink: this batch's vectors
     * minus every tagged vec_id. With arrival in vec_id order this equals
     * `Similarity.semanticDedup` on the replayed table (spec-asserted).
-    * Overflow MARKER rows (`dup_of = -1`) are not tags and are ignored.
+    * Consumes the stream through [[realTags]] — the contract filter.
     */
   def survivors(vecs: DataFrame, tags: DataFrame): DataFrame =
     vecs.join(
-      tags.filter(col("dup_of") >= 0).select(col("vec_id")).distinct(),
+      realTags(tags).select(col("vec_id")).distinct(),
       Seq("vec_id"), "left_anti")
 }

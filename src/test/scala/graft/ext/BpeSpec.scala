@@ -60,4 +60,70 @@ class BpeSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getString(2)))
     assert(got.toSeq == Seq(("a", "b"), ("ab", "</w>"))) // then no pairs left
   }
+
+  test("bpeEncode: hand-computed tokenizer-true counts on the Sennrich corpus") {
+    // 4 merges learned: (e,s),(es,t),(est,</w>),(l,o) — see the vocab
+    // spec. Applied: low -> [lo w </w>] 3; lower -> [lo w e r </w>] 5;
+    // newest -> [n e w est</w>] 4; widest -> [w i d est</w>] 4.
+    val docs = docsDF(Seq(
+      (1L, ("low " * 5).trim),
+      (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim),
+      (4L, ("widest " * 3).trim)))
+    val got = Bpe.bpeEncode(docs, merges = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, 15L), (2L, 2L, 10L), (3L, 6L, 24L), (4L, 3L, 12L)))
+  }
+
+  test("bpeEncode: BPE counts diverge from whitespace counts on a crafted doc") {
+    // "lowest" never appears in training but encodes under the learned
+    // merges: l o w e s t </w> -(e,s)(es,t)(est,</w>)(l,o)-> [lo w est</w>]
+    // = 3 symbols per occurrence — a token budget on ws counts (2) vs
+    // BPE counts (6) disagrees 3x on this doc.
+    val docs = docsDF(Seq(
+      (1L, ("low " * 5).trim),
+      (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim),
+      (4L, ("widest " * 3).trim),
+      (5L, "lowest lowest")))
+    val got = Bpe.bpeEncode(docs, merges = 4)
+      .filter("doc_id = 5").collect().head
+    val (nWords, bpeToks) = (got.getLong(1), got.getLong(2))
+    assert(nWords == 2L && bpeToks == 6L)
+    assert(bpeToks != nWords, "BPE budget must not collapse to the ws count")
+  }
+
+  test("bpeEncode: greedy application is non-overlapping on odd runs") {
+    // merges=1 learns (a,a); "aaaaa" applies greedily LTR:
+    // a a a a a </w> -> [aa aa a </w>] = 4 symbols (never [aa a aa ...])
+    val docs = docsDF(Seq((1L, "aaaaa")))
+    val got = Bpe.bpeEncode(docs, merges = 1).collect().head
+    assert(got.getLong(1) == 1L && got.getLong(2) == 4L)
+  }
+
+  test("maxWordTypes bounds training but never encode coverage") {
+    // top-1 type is "aaaa" (2 occurrences); "b" is OUTSIDE the training
+    // bound yet still encodes (to [b </w>] = 2 symbols — no merge
+    // applies). Merges trained on {aaaa:2} alone: (a,a) then
+    // (aa,</w>) (tie (aa,aa)/(aa,</w>) resolves right-lexicographic:
+    // '<' < 'a').
+    val docs = docsDF(Seq((1L, "aaaa aaaa b")))
+    val vocab = Bpe.bpeVocab(docs, merges = 2, maxWordTypes = 1).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(vocab.toSeq == Seq(("a", "a"), ("aa", "</w>")))
+    val got = Bpe.bpeEncode(docs, merges = 2, maxWordTypes = 1).collect().head
+    // aaaa -> [aa aa</w>]? No: (a,a) greedy -> [aa aa </w>], then
+    // (aa,</w>) fuses the tail -> [aa aa</w>] = 2 symbols; b -> 2.
+    assert(got.getLong(1) == 3L && got.getLong(2) == 6L)
+  }
+
+  test("a non-binding maxWordTypes leaves the merge table bit-stable") {
+    val docs = docsDF(Seq(
+      (1L, ("low " * 5).trim), (2L, ("newest " * 6).trim)))
+    val a = Bpe.bpeVocab(docs, merges = 3).collect().map(_.toSeq)
+    val b = Bpe.bpeVocab(docs, merges = 3, maxWordTypes = 1000000)
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
 }
