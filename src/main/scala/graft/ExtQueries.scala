@@ -62,6 +62,14 @@ object ExtQueries {
     */
   val BigramVocabSize: Int = 512
 
+  /** Probe-selection modulus for the declared batch kNN-join key —
+    * shared by the Spark call site and the oracle SQL. Every
+    * `vec_id % 97 == 0` corpus vector becomes a probe row (≈1% of the
+    * corpus at any SF), so the probe TABLE carries multiple rows and
+    * the per-probe windows rank real groups in every oracle check.
+    */
+  val KnnProbeModulus: Int = 97
+
   /** Pair threshold for the declared sketch-quality key — shared by the
     * Spark call site and the oracle SQL (with Hashing.MinHashK /
     * Dedup.Bands) so retuning the sketch cannot desync the one key
@@ -697,6 +705,16 @@ object ExtQueries {
       // the trained variant below
       val e = embs(s, dir)
       Similarity.ivfSeedTopK(e, Similarity.defaultProbe(e))
+    }),
+    "similarity_knn_join_embeddings" -> ((s: SparkSession, dir: String) => {
+      // batch kNN JOIN: probes as DATA (every vec_id % KnnProbeModulus
+      // row) through the shared per-probe IVF kernel — ONE join plan,
+      // no per-probe driver loop; the kernel is the same one the
+      // streaming retrieval face serves with
+      val e = embs(s, dir)
+      val probes = e.filter(col("vec_id") % KnnProbeModulus === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      Similarity.knnJoin(e, probes)
     }),
     "similarity_ivf_trained_embeddings" -> ((s: SparkSession, dir: String) => {
       val e = embs(s, dir)
@@ -1699,6 +1717,34 @@ object ExtQueries {
          |  round(${cosSql("e.embedding", "pp2.pe", 64)}, 6) AS cosine
          |FROM embeddings e JOIN ipq_short USING (vec_id), pq_p pp2
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // batch kNN join: the similarity_ivf CTE chain with the single
+    // literal probe generalized to a probe TABLE — per-probe cell
+    // ranking and final top-k as row_number windows partitioned by
+    // probe_id, every comparison at 6 dp with id tie-breaks
+    "similarity_knn_join_embeddings" ->
+      s"""WITH kp AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+         |    WHERE vec_id % $KnnProbeModulus = 0),
+         |kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |    ORDER BY vec_id LIMIT 16),
+         |kasg AS (SELECT vec_id, label, embedding, cid FROM (
+         |    SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.embedding", "c.cvec", 64)}, 6) DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN kcent c) WHERE rn = 1),
+         |kpr AS (SELECT probe_id, cid FROM (
+         |    SELECT p.probe_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY round(${cosSql("c.cvec", "p.pe", 64)}, 6) DESC, c.cid) AS rn
+         |    FROM kcent c CROSS JOIN kp p) WHERE rn <= 4),
+         |kc AS (SELECT pr.probe_id, a.vec_id, a.label,
+         |      round(${cosSql("a.embedding", "p.pe", 64)}, 6) AS cosine
+         |    FROM kasg a JOIN kpr pr ON a.cid = pr.cid
+         |                JOIN kp p ON p.probe_id = pr.probe_id)
+         |SELECT probe_id, vec_id, label, cosine FROM (
+         |  SELECT kc.*, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cosine DESC, vec_id) AS rn FROM kc)
+         |WHERE rn <= 10
+         |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin,
     "similarity_ivf_embeddings" ->
       s"""WITH p AS (SELECT embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 1),
          |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings

@@ -443,6 +443,191 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch kNN JOIN — probes as DATA: for every row of a probe TABLE
+    * (`probe_id`, `embedding`), the `k` nearest corpus vectors by
+    * cosine among the probe's `nProbe` closest seed-centroid cells.
+    * The retrieval shape of RAG lookup batches, kNN-graph
+    * construction, and dedup-probe sweeps — [[ivfSeedTopK]] with the
+    * single literal probe generalized to a join, no per-probe driver
+    * loop. Every ranking (probe-cell, final top-k) compares at 6 dp
+    * with id tie-breaks, the family's oracle-portability contract.
+    */
+  def knnJoin(
+      embeddings: DataFrame,
+      probes: DataFrame,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val cents = seedCentroids(embeddings, nCentroids)
+    knnJoinAssigned(probes, ivfAssignPortableTo(embeddings, cents), cents,
+      k, nProbe)
+  }
+
+  /** The shared per-probe IVF retrieval kernel behind [[knnJoin]] and
+    * the streaming face (`StreamSimilarity.topKBatch` delegates here —
+    * ONE kernel, so a ranking or tie-break fix can never diverge the
+    * batch key from the serving path).
+    *
+    * Plan, per batch of probes:
+    *   - per-probe centroid ranking is a LITERAL expression over the
+    *     broadcast centroid matrix (k×dim, driver-resident — the
+    *     argmin-as-array_min trick of batch IVF assignment): narrow,
+    *     no exchange, no per-centroid row blowup;
+    *   - the probed cells collapse to ≤ nCentroids distinct ids — the
+    *     ONE driver collect in the kernel, bounded by the INDEX size
+    *     (never the corpus or the probe count) — pushed as literals,
+    *     so against a [[writeClustered]] layout they prune FILES;
+    *   - probe×cell pairs broadcast to the corpus side (a probe batch
+    *     is small by contract), candidates join on `centroid_id`, and
+    *     the per-probe top-k is a rank window partitioned by
+    *     `probe_id` (probe-bounded partitions, never corpus-bounded).
+    */
+  def knnJoinAssigned(
+      probes: DataFrame,
+      assigned: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    require(centroids.nonEmpty, "need a trained/seeded centroid set")
+    val scored = array(centroids.map { case (cid, v) =>
+      val cvec = array(v.map(lit): _*)
+      struct(round(-cosine(col("embedding"), cvec), 6).as("d"),
+        lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+    val probeCells = probes.select(
+      col("probe_id"), col("embedding").as("_pe"),
+      explode(transform(slice(array_sort(scored), 1, nProbe),
+        x => x.getField("cid"))).as("centroid_id"))
+    val cellIds = probeCells.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val candidates = assigned
+      .filter(col("centroid_id").isin(cellIds: _*))
+      .join(broadcast(probeCells), Seq("centroid_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    candidates
+      .select(col("probe_id"), col("vec_id"), col("label"),
+        round(cosine(col("_pe"), col("embedding")), 6).as("cosine"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
+  }
+
+  /** [[knnJoin]] upgraded to the PRODUCTION retrieval stack — the
+    * [[ivfPqTopK]] composition (IVF cell restriction → PQ ADC
+    * shortlist → exact re-rank) with probes as DATA: per-probe
+    * equality with `ivfPqTopK` is bit-exact (spec-asserted), so the
+    * declared capstone key and the streaming serving face
+    * (`StreamSimilarity.topKBatchPq`) share ONE kernel.
+    *
+    * Plan, beyond [[knnJoinAssigned]]'s cell stage:
+    *   - candidate (probe, vector) pairs carry IDS ONLY — no float
+    *     payload in the candidate join or the ADC aggregate;
+    *   - PQ codes are computed ONCE per distinct candidate vector
+    *     (encoding is restriction-independent), never per pair;
+    *   - the per-probe ADC table (probe × m·ksub rows: 6-dp-rounded
+    *     sub-dot and sub-norm parts — index-ascending accumulation,
+    *     the cross-engine float contract) broadcasts over the code
+    *     stream; per-(probe, vector) sums run in DECIMAL(16,6),
+    *     order-independent;
+    *   - floats are touched only for each probe's `shortlist` re-rank
+    *     rows — at 100 TB the corpus is read as 8 small ints/row.
+    */
+  def knnJoinPq(
+      embeddings: DataFrame,
+      probes: DataFrame,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      shortlist: Int = IvfPqShortlist,
+      codebooks: Option[IndexedSeq[IndexedSeq[Array[Float]]]] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = seedCentroids(embeddings, nCentroids)
+    val cbs = codebooks.getOrElse {
+      if (cents.length >= PqSubCentroids)
+        pqBooksFromSeeds(
+          cents.take(PqSubCentroids).map(_._2.toArray).toIndexedSeq, PqSubspaces)
+      else pqCodebooks(embeddings)
+    }
+    val m = cbs.length
+    val dsub = cbs.head.head.length
+    // per-probe probed cells — the knnJoinAssigned ranking (bounded
+    // ≤ nCentroids cell-id collect, pushed as literals)
+    val scored = array(cents.map { case (cid, v) =>
+      val cvec = array(v.map(lit): _*)
+      struct(round(-cosine(col("embedding"), cvec), 6).as("d"),
+        lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+    val probeCells = probes.select(
+      col("probe_id"), col("embedding").as("_pe"),
+      explode(transform(slice(array_sort(scored), 1, nProbe),
+        x => x.getField("cid"))).as("centroid_id"))
+    val cellIds = probeCells.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // pinned: candidate vectors feed the pair join AND the PQ encode
+    val assigned = graft.core.CacheScope.persist(
+      embeddings
+        .withColumn("centroid_id", nearestCentroidPortable(cents))
+        .filter(col("centroid_id").isin(cellIds: _*)))
+    val pairs = assigned.select("vec_id", "label", "centroid_id")
+      .join(broadcast(probeCells.select("probe_id", "centroid_id")),
+        Seq("centroid_id"))
+      .select("probe_id", "vec_id", "label")
+    val codes = pqAssignments(
+      assigned.select("vec_id", "label", "embedding"), cbs)
+      .select("vec_id", "j", "code")
+    // per-probe ADC parts: q_j·c and |c|² at 6 dp, both accumulated in
+    // ascending index order (zip_with/aggregate — the JVM-loop twin)
+    val cb = cbs.zipWithIndex.flatMap { case (centsj, j) =>
+      centsj.zipWithIndex.map { case (cvec, code) => (j, code, cvec.toSeq) }
+    }.toDF("j", "code", "cvec")
+    val probeSlices = probes.select(col("probe_id"),
+      posexplode(array((0 until m).map(j =>
+        slice(col("embedding"), j * dsub + 1, dsub)): _*)).as(Seq("j", "qsub")))
+    val adc = probeSlices.join(broadcast(cb), Seq("j"))
+      .select(col("probe_id"), col("j"), col("code"),
+        round(aggregate(
+          zip_with(col("qsub"), col("cvec"),
+            (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x), 6).as("dot6"),
+        round(aggregate(col("cvec"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")), 6).as("sq6"))
+    val qn = probes.select(col("probe_id"),
+      sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("qnorm"))
+    val ws = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("pq_cosine").desc, col("vec_id"))
+    val short = pairs.join(codes, Seq("vec_id"))
+      .join(broadcast(adc), Seq("probe_id", "j", "code"))
+      .groupBy("probe_id", "vec_id")
+      .agg(
+        sum(col("dot6").cast("decimal(16,6)")).as("dots"),
+        sum(col("sq6").cast("decimal(16,6)")).as("sqs"))
+      .join(broadcast(qn), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        when(col("sqs") === 0.0 || col("qnorm") === 0.0, lit(0.0))
+          .otherwise(round(col("dots").cast("double") /
+            (col("qnorm") * sqrt(col("sqs").cast("double"))), 6))
+          .as("pq_cosine"))
+      .withColumn("_rn", row_number().over(ws))
+      .filter(col("_rn") <= shortlist)
+      .select("probe_id", "vec_id")
+    val wr = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    embeddings.join(short, Seq("vec_id"))
+      .join(broadcast(probes.select(col("probe_id"), col("embedding").as("_pe"))),
+        Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+        round(cosine(col("_pe"), col("embedding")), 6).as("cosine"))
+      .withColumn("_rn", row_number().over(wr))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
+  }
+
   /** Per-vector int8 (0–255) min–max quantization — the storage path
     * for vector corpora at scale (4× smaller than float32 before
     * compression; IVF/LSH recall is barely affected at 8 bits). Pure

@@ -45,35 +45,47 @@ object StreamSimilarity {
       assigned: DataFrame,
       centroids: Seq[(Long, Seq[Float])],
       k: Int = 10,
-      nProbe: Int = 4): DataFrame = {
-    require(centroids.nonEmpty, "need a trained/seeded centroid set")
-    val scored = array(centroids.map { case (cid, v) =>
-      val cvec = array(v.map(lit): _*)
-      struct(round(-Similarity.cosine(col("embedding"), cvec), 6).as("d"),
-        lit(cid).as("cid"))
-    }.toIndexedSeq: _*)
-    val probeCells = probes.select(
-      col("probe_id"), col("embedding").as("_pe"),
-      explode(transform(slice(array_sort(scored), 1, nProbe),
-        x => x.getField("cid"))).as("centroid_id"))
-    // the union of probed cells is bounded by the index size — its
-    // collect ships ≤ nCentroids longs, and the literal list prunes
-    // FILES when `assigned` is a writeClustered layout
-    val cellIds = probeCells.select("centroid_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val candidates = assigned
-      .filter(col("centroid_id").isin(cellIds: _*))
-      .join(broadcast(probeCells), Seq("centroid_id"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cosine").desc, col("vec_id"))
-    candidates
-      .select(col("probe_id"), col("vec_id"), col("label"),
-        round(Similarity.cosine(col("_pe"), col("embedding")), 6).as("cosine"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .drop("_rn")
-      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
-  }
+      nProbe: Int = 4): DataFrame =
+    // ONE retrieval kernel with the declared batch key
+    // (`similarity_knn_join_embeddings`): the plan-shape notes and the
+    // bounded cell-id collect live on [[Similarity.knnJoinAssigned]]
+    Similarity.knnJoinAssigned(probes, assigned, centroids, k, nProbe)
+
+  /** The PRODUCTION retrieval stack per micro-batch — IVF cell
+    * restriction → PQ ADC shortlist → exact re-rank
+    * ([[Similarity.knnJoinPq]], the `similarity_ivfpq` composition
+    * with probes as data): per-probe results equal
+    * `Similarity.ivfPqTopK` bit-for-bit (spec-asserted), so the
+    * serving face and the declared capstone key share one kernel.
+    * Floats are touched only for each probe's `shortlist` re-rank
+    * rows — the micro-batch cost a billion-scale corpus needs.
+    */
+  def topKBatchPq(
+      probes: DataFrame,
+      embeddings: DataFrame,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      shortlist: Int = Similarity.IvfPqShortlist): DataFrame =
+    Similarity.knnJoinPq(embeddings, probes, k, nCentroids, nProbe, shortlist)
+
+  /** [[topKSink]]'s production twin: every micro-batch is answered
+    * with [[topKBatchPq]] (IVF-PQ with re-ranking) and handed to
+    * `sink`.
+    */
+  def topKPqSink(
+      probeStream: DataFrame,
+      embeddings: DataFrame,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      shortlist: Int = Similarity.IvfPqShortlist)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    probeStream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty)
+        sink(topKBatchPq(batch, embeddings, k, nCentroids, nProbe, shortlist), id)
+      ()
+    }
 
   /** Attach the retrieval sink to a probe stream: every micro-batch is
     * answered with [[topKBatch]] against the static corpus and handed

@@ -212,6 +212,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall") // deterministic given seeded planes
   }
 
+  test("knnJoin: each probe's block equals the single-probe IVF operator") {
+    // probes as DATA through ONE join plan must reproduce the declared
+    // single-probe operator per probe — same cells, same ranking
+    val probes = embs.filter("vec_id % 97 = 0")
+      .selectExpr("vec_id AS probe_id", "embedding")
+    val joined = Similarity.knnJoin(embs, probes, k = 5).collect()
+    val probeRows = probes.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(probeRows.length > 1, "fixture must provide multiple probes")
+    probeRows.foreach { case (pid, pvec) =>
+      val single = Similarity.ivfSeedTopK(embs, pvec, k = 5).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val block = joined.filter(_.getLong(0) == pid)
+        .map(r => (r.getLong(1), r.getDouble(3))).toSeq
+      assert(block == single, s"probe $pid diverged")
+    }
+  }
+
+  test("knnJoinPq: each probe's block equals ivfPqTopK bit-for-bit") {
+    // the streaming serving face (topKBatchPq delegates here) must
+    // reproduce the declared IVF-PQ capstone per probe EXACTLY — same
+    // cells, same ADC parts (6-dp index-ascending), same shortlist,
+    // same re-rank
+    val probes = embs.filter("vec_id % 97 = 0")
+      .selectExpr("vec_id AS probe_id", "embedding")
+    val joined = Similarity.knnJoinPq(embs, probes, k = 5).collect()
+    val probeRows = probes.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(probeRows.length > 1, "fixture must provide multiple probes")
+    probeRows.foreach { case (pid, pvec) =>
+      val single = Similarity.ivfPqTopK(embs, pvec, k = 5).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val block = joined.filter(_.getLong(0) == pid)
+        .map(r => (r.getLong(1), r.getDouble(3))).toSeq
+      assert(block == single, s"probe $pid diverged from ivfPqTopK")
+    }
+  }
+
   test("buildIvfIndex scans the source once, regardless of iteration count") {
     // the Lloyd loop pins its (vec_id, embedding) projection: every
     // per-iteration query must read THROUGH the cache (InMemoryTableScan

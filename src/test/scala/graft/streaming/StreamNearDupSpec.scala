@@ -89,6 +89,44 @@ class StreamNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("an overflowed bucket re-arms after event-time eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hour = 3600L * 1000000 // µs
+    val B = 1000 * hour
+    val input = MemoryStream[StreamDoc]
+    val q = StreamNearDup.nearDupTags(input.toDS(), threshold = 0.5,
+      maxBucket = 2, eventTimeHorizon = Some("1 hour"))
+      .writeStream.format("memory").queryName("neardup_rearm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // fill + overflow the base-text buckets → silent
+      input.addData(StreamDoc(1L, B, base), StreamDoc(2L, B + 1, base))
+      q.processAllAvailable()
+      input.addData(StreamDoc(3L, B + 2, base), StreamDoc(4L, B + 3, base))
+      q.processAllAvailable()
+      // an unrelated-bucket arrival advances the watermark past the
+      // overflowed buckets' eviction timestamps...
+      input.addData(StreamDoc(10L, B + 4 * hour, other))
+      q.processAllAvailable()
+      // ...and the NEXT batch (no data for those buckets) fires their
+      // timeout — the overflowed state is REMOVED, not kept silent
+      input.addData(StreamDoc(11L, B + 4 * hour + 1, other + " okay"))
+      q.processAllAvailable()
+      // a fresh base-text pair lands in a fresh, ARMED bucket: tagged
+      input.addData(StreamDoc(20L, B + 4 * hour + 2, base),
+        StreamDoc(21L, B + 4 * hour + 3, base + " lambda"))
+      q.processAllAvailable()
+      val tags = spark.table("neardup_rearm").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"))).toSet
+      assert(!tags.exists(t => t._1 == 3L || t._1 == 4L),
+        s"overflow period must stay silent: $tags")
+      assert(!tags.exists(_._1 == 20L), "first post-eviction doc is admitted")
+      assert(tags.contains((21L, 20L)),
+        s"dedup must re-arm after the quiet period: $tags")
+    } finally q.stop()
+  }
+
   test("replayed table: streaming survivors equal batch minHashDedup") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

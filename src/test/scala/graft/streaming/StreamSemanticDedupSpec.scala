@@ -95,6 +95,52 @@ class StreamSemanticDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("an overflowed cell re-arms after event-time eviction (marker included)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hour = 3600L * 1000000 // µs
+    val B = 1000 * hour
+    val e0 = Seq.fill(64)(1.0f)
+    val e1 = Seq.fill(64)(-1.0f)
+    val cents = Seq(0L -> e0.toSeq, 1L -> e1.toSeq)
+    val input = MemoryStream[StreamVec]
+    val q = StreamSemanticDedup.semanticTags(input.toDS(), cents,
+      maxCell = 2, eventTimeHorizon = Some("1 hour"))
+      .writeStream.format("memory").queryName("sem_rearm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // overflow cell 0: 2 tagged vs 1, 3 crosses the cap (ONE marker),
+      // 4 admitted silently
+      input.addData(StreamVec(1L, B, e0), StreamVec(2L, B + 1, e0),
+        StreamVec(3L, B + 2, e0), StreamVec(4L, B + 3, e0))
+      q.processAllAvailable()
+      // a cell-1 arrival advances the watermark past cell 0's eviction
+      // timestamp; the NEXT batch (no cell-0 data) fires the timeout
+      input.addData(StreamVec(10L, B + 4 * hour, e1))
+      q.processAllAvailable()
+      input.addData(StreamVec(11L, B + 4 * hour + 1, e1))
+      q.processAllAvailable()
+      // fresh cell-0 state: dedup is ARMED again
+      input.addData(StreamVec(20L, B + 4 * hour + 2, e0))
+      q.processAllAvailable()
+      input.addData(StreamVec(21L, B + 4 * hour + 3, e0))
+      q.processAllAvailable()
+      val tags = spark.table("sem_rearm").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dup_of"))).toSet
+      assert(tags.contains((21L, 20L)),
+        s"dedup must re-arm after the quiet period: $tags")
+      assert(!tags.exists(_._1 == 4L), "overflow period stays silent")
+      // the MARKER re-arms with the state: a second overflow episode
+      // after eviction emits a second marker row
+      input.addData(StreamVec(22L, B + 4 * hour + 4, e0))
+      q.processAllAvailable()
+      val markers = StreamSemanticDedup.overflowMarkers(spark.table("sem_rearm"))
+        .collect().map(_.getAs[Long]("centroid_id")).toSeq
+      assert(markers == Seq(0L, 0L),
+        s"one marker per overflow episode expected, got $markers")
+    } finally q.stop()
+  }
+
   test("cell overflow goes silent (admits) instead of tagging against truncated memory") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
