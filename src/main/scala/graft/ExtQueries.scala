@@ -1029,6 +1029,12 @@ object ExtQueries {
       // oracle recomputes the hash from the generator's body bytes — a
       // differential test of the pixel walk
       Multimodal.phashPairs(Multimodal.asImageTable(docs(s, dir)))),
+    "media_audiohash_pairs_documents" -> ((s: SparkSession, dir: String) =>
+      // content-level AUDIO near-dup: sign-of-energy-delta hash over
+      // the WAV payloads' parsed PCM bodies, banded pair join over the
+      // audio-only fixture; the oracle recomputes the hash from the
+      // generator's sample bytes — a differential test of the PCM walk
+      Multimodal.audioHashPairs(Multimodal.asAudioTable(docs(s, dir)))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2542,6 +2548,67 @@ object ExtQueries {
          |       (bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)))::INTEGER
          |         AS hamming
          |FROM ph_pairs
+         |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= $maxH
+         |ORDER BY media_id_a, media_id_b""".stripMargin
+    },
+    // audio content near-dup: the oracle rebuilds each WAV payload's
+    // sign-of-energy-delta hash from the generator's PCM bytes (body =
+    // the document's UTF-8 text at sample offset 44; 16-bit LE samples
+    // from consecutive byte pairs via unicode() — ASCII-guarded like
+    // the phash oracle, so a fixture change fails the row gate
+    // loudly). All-empty windows coalesce to 0 via the range-65 spine;
+    // the hash splits into lo/hi halves, then the SAME banding + cap +
+    // bit_count(xor) chain as the image key, at the AudioBands /
+    // AudioMaxBucket / AudioMaxHamming constants.
+    "media_audiohash_pairs_documents" -> {
+      val cap = Multimodal.AudioMaxBucket
+      val bands = Multimodal.AudioBands
+      val maxH = Multimodal.AudioMaxHamming
+      val bitsPer = 64 / bands
+      val mask = (1L << bitsPer) - 1
+      val bandKeys = (0 until bands).map { i =>
+        val (half, sh) = if (i * bitsPer < 32) ("lo", i * bitsPer)
+          else ("hi", i * bitsPer - 32)
+        s"($half >> $sh) & $mask"
+      }.mkString("[", ", ", "]")
+      val bandList = (0 until bands).mkString("[", ", ", "]")
+      s"""WITH au_d AS (SELECT doc_id AS media_id, text,
+         |      (length(text) // 2)::BIGINT AS n FROM documents
+         |    WHERE length(text) >= 2
+         |      AND octet_length(encode(text)) = length(text)),
+         |au_b AS (SELECT media_id, n, text, unnest(range(0, n)) AS k FROM au_d),
+         |au_s AS (SELECT media_id, (k * 65) // n AS w,
+         |      abs(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END) AS amp
+         |    FROM (SELECT media_id, n, k,
+         |        unicode(substr(text, (2 * k + 1)::INTEGER, 1))::BIGINT
+         |        + 256 * unicode(substr(text, (2 * k + 2)::INTEGER, 1))::BIGINT AS raw
+         |      FROM au_b)),
+         |au_w AS (SELECT media_id, unnest(range(0, 65)) AS w FROM au_d),
+         |au_e0 AS (SELECT media_id, w, sum(amp)::BIGINT AS e FROM au_s GROUP BY 1, 2),
+         |au_e AS (SELECT media_id, w, coalesce(e, 0) AS e
+         |    FROM au_w LEFT JOIN au_e0 USING (media_id, w)),
+         |au_h AS (SELECT a.media_id,
+         |      sum(CASE WHEN b.e > a.e AND a.w < 32
+         |               THEN (1::BIGINT << a.w::INTEGER) ELSE 0 END)::BIGINT AS lo,
+         |      sum(CASE WHEN b.e > a.e AND a.w >= 32
+         |               THEN (1::BIGINT << (a.w - 32)::INTEGER) ELSE 0 END)::BIGINT AS hi
+         |    FROM au_e a JOIN au_e b ON a.media_id = b.media_id AND b.w = a.w + 1
+         |    WHERE a.w < 64 GROUP BY 1),
+         |au_bk AS (SELECT media_id, lo, hi, unnest($bandList) AS band,
+         |      unnest($bandKeys) AS bkey FROM au_h),
+         |au_big AS (SELECT band, bkey FROM au_bk
+         |      GROUP BY band, bkey HAVING count(*) > $cap),
+         |au_cap AS (SELECT b.* FROM au_bk b WHERE NOT EXISTS (
+         |      SELECT 1 FROM au_big o WHERE o.band = b.band AND o.bkey = b.bkey)),
+         |au_pairs AS (SELECT DISTINCT a.media_id AS media_id_a,
+         |        b.media_id AS media_id_b, a.lo AS lo_a, a.hi AS hi_a,
+         |        b.lo AS lo_b, b.hi AS hi_b
+         |      FROM au_cap a JOIN au_cap b ON a.band = b.band AND a.bkey = b.bkey
+         |                                 AND a.media_id < b.media_id)
+         |SELECT media_id_a, media_id_b,
+         |       (bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)))::INTEGER
+         |         AS hamming
+         |FROM au_pairs
          |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= $maxH
          |ORDER BY media_id_a, media_id_b""".stripMargin
     },

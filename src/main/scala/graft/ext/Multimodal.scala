@@ -162,16 +162,20 @@ object Multimodal {
       le16(1) ++ le16(24) ++ le(0) ++ le(body.length) ++
       le(2835) ++ le(2835) ++ le(0) ++ le(0) ++ body
 
+  /** WAV: RIFF/WAVE + canonical fmt(16) + data chunk around the body. */
+  private[ext] def wavBytes(id: Long, body: Array[Byte]): Array[Byte] = {
+    val rate = Gen.wavRate(id); val ch = Gen.wavChannels(id)
+    "RIFF".getBytes ++ le(36 + body.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le(16) ++ le16(1) ++ le16(ch) ++ le(rate) ++
+      le(rate * ch * 2) ++ le16(ch * 2) ++ le16(16) ++
+      "data".getBytes ++ le(body.length) ++ body
+  }
+
   /** Valid (if minimal) container bytes around an opaque body. */
   private[ext] def buildContainer(id: Long, body: Array[Byte]): Array[Byte] = {
     (id % 3) match {
       case 0 => bmpBytes(id, body)
-      case 1 => // WAV: RIFF/WAVE + fmt(16) + data
-        val rate = Gen.wavRate(id); val ch = Gen.wavChannels(id)
-        "RIFF".getBytes ++ le(36 + body.length) ++ "WAVE".getBytes ++
-          "fmt ".getBytes ++ le(16) ++ le16(1) ++ le16(ch) ++ le(rate) ++
-          le(rate * ch * 2) ++ le16(ch * 2) ++ le16(16) ++
-          "data".getBytes ++ le(body.length) ++ body
+      case 1 => wavBytes(id, body)
       case _ => // AVI: RIFF/'AVI ' + LIST hdrl + avih(56) main header.
         // The avih declares 56 bytes and EMITS 56 (10 field DWORDs + 4
         // reserved zero DWORDs), so a chunk-walking parser sees
@@ -226,6 +230,28 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         Row(id, bmpBytes(id, r.getAs[Array[Byte]](1)))
+      }
+    }
+  }
+
+  /** Every document wrapped as a REAL WAV payload (text bytes as the
+    * 16-bit PCM sample buffer) — the audio-only corpus fixture for the
+    * content-level dedup path ([[audioHashPairs]]), the
+    * [[asImageTable]] twin.
+    */
+  def asAudioTable(documents: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    // same NULL-text guard as [[asContainerTable]]
+    val input = documents.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("body"))
+      .where(col("body").isNotNull)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, wavBytes(id, r.getAs[Array[Byte]](1)))
       }
     }
   }
@@ -336,30 +362,85 @@ object Multimodal {
       media: DataFrame,
       maxHamming: Int = PhashMaxHamming,
       bands: Int = PhashBands,
-      maxBucket: Int = PhashMaxBucket): DataFrame = {
+      maxBucket: Int = PhashMaxBucket): DataFrame =
+    // pinned inside hammingPairs: census + both sides of the self-join
+    // — the mapPartitions container build + hash must not run thrice
+    hammingPairs(aHash(media), "phash", maxHamming, bands, maxBucket)
+
+  /** Declared-key parameters for [[audioHashPairs]] (the
+    * [[PhashMaxHamming]] pattern). 8×8-bit bands: the energy-delta
+    * bits are near-uniform across a corpus (unlike pixel-stat phash
+    * bits), so wider band keys keep bucket sizes ~n/256 per band —
+    * radius 6 of 64 sits in the synthetic distribution's near tail
+    * (hundreds of pairs at verify SF), and 6 < 8 bands keeps the
+    * pigeonhole recall-complete.
+    */
+  val AudioMaxHamming = 6
+  val AudioBands = 8
+  val AudioMaxBucket = 256
+
+  /** Per-payload audio content-hash column: the codegen'd
+    * [[graft.functions.Hashing.audioHash64]] sign-of-energy-delta hash
+    * over each WAV payload's PCM body (container parsed for the data
+    * offset — the hash is over decoded samples, not container bytes).
+    * Non-WAV and malformed payloads yield null and are dropped.
+    */
+  def audioHash(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"),
+        graft.functions.GraftFunctions.audioHash64(col("payload")).as("ahash"))
+      .filter(col("ahash").isNotNull)
+
+  /** Content-level AUDIO near-dup pairs: tracks whose energy-envelope
+    * hash is within `maxHamming` bits — the audio face of
+    * [[phashPairs]] (re-encoded/level-shifted copies survive the
+    * envelope hash; byte checksums miss them). Same
+    * multi-index-hashing pigeonhole plan, same cap, same one-shuffle
+    * bound — via the SAME [[hammingPairs]] kernel, so a banding or
+    * cap fix lands on every modality at once.
+    */
+  def audioHashPairs(
+      media: DataFrame,
+      maxHamming: Int = AudioMaxHamming,
+      bands: Int = AudioBands,
+      maxBucket: Int = AudioMaxBucket): DataFrame =
+    hammingPairs(audioHash(media), "ahash", maxHamming, bands, maxBucket)
+
+  /** The shared 64-bit-Hamming pair kernel of [[phashPairs]] and
+    * [[audioHashPairs]]: split each hash into `bands` equal chunks —
+    * any pair within Hamming `bands − 1` agrees on ≥1 whole chunk, so
+    * with `bands > maxHamming` the (band, chunk-value) equi-join is
+    * recall-COMPLETE at the radius; one shuffle, never all-pairs.
+    * Degenerate chunks capped by the broadcast-anti-join guard; exact
+    * Hamming via bit_count(xor) on candidates only. The payload column
+    * never reaches the join — only (media_id, 64-bit hash) shuffles.
+    */
+  private def hammingPairs(
+      hashed: DataFrame,
+      hashCol: String,
+      maxHamming: Int,
+      bands: Int,
+      maxBucket: Int): DataFrame = {
     require(bands >= 1 && 64 % bands == 0, s"bands ($bands) must divide 64")
     require(bands > maxHamming,
       s"pigeonhole completeness needs bands ($bands) > maxHamming ($maxHamming)")
-    val chunks = bands
-    val bitsPer = 64 / chunks
-    // pinned: census + both sides of the self-join — the mapPartitions
-    // container build + hash must not run three times
-    val hashed = graft.core.CacheScope.persist(aHash(media))
-    val banded = hashed.select(col("media_id"), col("phash"),
-      explode(array((0 until chunks).map { i =>
+    val bitsPer = 64 / bands
+    val pinned = graft.core.CacheScope.persist(hashed)
+    val banded = pinned.select(col("media_id"), col(hashCol),
+      explode(array((0 until bands).map { i =>
         struct(lit(i).as("band"),
-          shiftright(col("phash"), i * bitsPer)
+          shiftright(col(hashCol), i * bitsPer)
             .bitwiseAND(lit((1L << bitsPer) - 1)).as("bkey"))
       }: _*)).as("b"))
-      .select(col("media_id"), col("phash"), col("b.band"), col("b.bkey"))
+      .select(col("media_id"), col(hashCol), col("b.band"), col("b.bkey"))
     val oversized = banded.groupBy("band", "bkey").count()
       .filter(col("count") > maxBucket)
       .select("band", "bkey")
     val capped = banded.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
     val a = capped.select(col("band"), col("bkey"),
-      col("media_id").as("media_id_a"), col("phash").as("ph_a"))
+      col("media_id").as("media_id_a"), col(hashCol).as("ph_a"))
     val b = capped.select(col("band"), col("bkey"),
-      col("media_id").as("media_id_b"), col("phash").as("ph_b"))
+      col("media_id").as("media_id_b"), col(hashCol).as("ph_b"))
     a.join(b, Seq("band", "bkey"))
       .filter(col("media_id_a") < col("media_id_b"))
       .dropDuplicates("media_id_a", "media_id_b")

@@ -259,6 +259,40 @@ case class AHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `audiohash64(payload)`: 64-bit sign-of-energy-delta content hash of
+  * a WAV payload's PCM body ([[Hashing.audioHash64]]); null for
+  * non-WAV / malformed payloads (same custom-codegen reason as
+  * [[AHash64Expr]]: the kernel's null result must set the null flag).
+  */
+case class AudioHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_audiohash64"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary argument, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.audioHash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("audiohash")
+      s"""java.lang.Long $tmp = graft.functions.Hashing.audioHash64($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AudioHash64Expr =
+    copy(child = newChild)
+}
+
 /** `hyperplane_sketch(v)`: sign-bit LSH sketch (seeded planes) packed
   * into a BIGINT; `dim`/`planes` are plan-time constants.
   */

@@ -43,6 +43,9 @@ object GraftFunctions {
   def aHash64(c: Column): Column =
     GraftBridge.column(AHash64Expr(GraftBridge.expression(c)))
 
+  def audioHash64(c: Column): Column =
+    GraftBridge.column(AudioHash64Expr(GraftBridge.expression(c)))
+
   /** Plan-time integer constant for SQL-facing builders (K, n, dim…):
     * any foldable integral expression qualifies (`2`, `1+1`, …).
     */
@@ -97,6 +100,7 @@ object GraftFunctions {
     fn("graft_char_gram_hashes", "(text, k)", 2, 2)(es =>
       CharGramHashesExpr(es.head, litInt("graft_char_gram_hashes", es(1)))),
     fn("graft_ahash64", "(payload)", 1, 1)(es => AHash64Expr(es.head)),
+    fn("graft_audiohash64", "(payload)", 1, 1)(es => AudioHash64Expr(es.head)),
   )
 
   /** Register the functions for SQL use on an existing session

@@ -284,6 +284,52 @@ object Hashing {
     h
   }
 
+  /** 64-bit audio content hash over a WAV payload's PCM body — the
+    * acoustic-fingerprint analogue of [[aHash64]] (sign-of-energy-delta
+    * over fixed windows, the core of chromaprint-family fingerprints
+    * reduced to one frame): parse the RIFF/WAVE container (the
+    * canonical 16-byte-fmt layout: data chunk at offset 36, samples at
+    * 44 — the shape [[graft.ext.Multimodal]]'s generator and any
+    * standard PCM encoder emit), read the body as signed 16-bit LE
+    * samples, split into 65 contiguous windows (window of sample k =
+    * ⌊k·65/n⌋), and set bit w iff window w+1's total |amplitude|
+    * exceeds window w's. All-integer arithmetic — any engine replays
+    * it bit-for-bit. Re-encoded/level-shifted copies land within a few
+    * bits (the energy ENVELOPE survives; absolute levels cancel in the
+    * deltas); unrelated audio differs in ~32.
+    *
+    * Returns null (boxed) for anything that is not a well-formed
+    * canonical WAV with a non-empty sample body — per-payload fault
+    * tolerance, like the container decoder.
+    */
+  def audioHash64(p: Array[Byte]): java.lang.Long = {
+    if (p == null || p.length < 46) return null
+    def tag(off: Int, s: String): Boolean =
+      s.indices.forall(i => p(off + i) == s.charAt(i).toByte)
+    if (!(tag(0, "RIFF") && tag(8, "WAVE") && tag(36, "data"))) return null
+    val dataLen = (p(40) & 0xffL) | ((p(41) & 0xffL) << 8) |
+      ((p(42) & 0xffL) << 16) | ((p(43) & 0xffL) << 24)
+    val avail = math.min(dataLen, (p.length - 44).toLong)
+    val n = (avail / 2).toInt
+    if (n <= 0) return null
+    val e = new Array[Long](65)
+    var k = 0
+    while (k < n) {
+      val off = 44 + 2 * k
+      var s = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+      if (s >= 32768) s -= 65536
+      e(((k.toLong * 65L) / n).toInt) += math.abs(s)
+      k += 1
+    }
+    var h = 0L
+    var w = 0
+    while (w < 64) {
+      if (e(w + 1) > e(w)) h |= (1L << w)
+      w += 1
+    }
+    h
+  }
+
   /** Exact `a·b > c·d` for NON-NEGATIVE longs via the 128-bit product
     * (signed multiplyHigh is exact for non-negative operands; the low
     * words compare unsigned). Property-tested against BigInteger.

@@ -177,6 +177,60 @@ class MultimodalSpec extends SparkSpec {
     assert(Hashing.aHash64(null) == null)
   }
 
+  test("audioHash64 kernel: known PCM envelope, null on non-WAV/empty, scale-invariant") {
+    import graft.functions.Hashing
+    // 65 samples of strictly increasing amplitude -> one sample per
+    // window, every delta positive -> all 64 bits set
+    def pcm(f: Int => Int): Array[Byte] =
+      (0 until 65).flatMap { k =>
+        val s = f(k); Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+      }.toArray
+    val up = Multimodal.wavBytes(1L, pcm(k => k + 1))
+    assert(Hashing.audioHash64(up) == -1L) // 0xFFFF...F
+    // strictly decreasing -> no delta positive -> 0
+    assert(Hashing.audioHash64(Multimodal.wavBytes(1L, pcm(k => 65 - k))) == 0L)
+    // a scaled copy (re-encode at double gain) keeps the SIGN pattern:
+    // identical hash — the content-dedup property byte checksums lack
+    assert(Hashing.audioHash64(Multimodal.wavBytes(4L, pcm(k => 2 * (k + 1)))) == -1L)
+    // negative samples count by |amplitude|
+    assert(Hashing.audioHash64(Multimodal.wavBytes(1L, pcm(k => -(k + 1)))) == -1L)
+    // non-WAV, truncated, empty-body payloads -> null
+    assert(Hashing.audioHash64(Multimodal.bmpBytes(0L, pcm(_ + 1))) == null)
+    assert(Hashing.audioHash64("RIFF".getBytes) == null)
+    assert(Hashing.audioHash64(Multimodal.wavBytes(1L, Array.emptyByteArray)) == null)
+    assert(Hashing.audioHash64(Multimodal.wavBytes(1L, Array[Byte](7))) == null) // <1 sample
+    assert(Hashing.audioHash64(null) == null)
+  }
+
+  test("audioHashPairs: same/near envelopes pair, unrelated do not") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again and again"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again and agaiN"
+    val docs = docsDF(Seq(
+      (1L, near1), (2L, near2),
+      (3L, "completely different content about database query optimizers"),
+      (4L, near1)))
+    val media = Multimodal.asAudioTable(docs)
+    val pairs = Multimodal.audioHashPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    graft.core.CacheScope.releaseAll()
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 4L)), s"identical audio must pair: ${pairs.toSeq}")
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 4L))).get._3 == 0)
+    assert(pairSet.contains((1L, 2L)) && pairSet.contains((2L, 4L)),
+      s"near-identical audio must pair: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated audio (hamming ~30) must not pair at radius 6: ${pairs.toSeq}")
+  }
+
+  test("asAudioTable payloads decode as WAV with the generator's fields") {
+    val docs = docsDF(Seq((5L, "some text as pcm body here"), (8L, "x" * 80)))
+    val decoded = Multimodal.decodeContainers(Multimodal.asAudioTable(docs))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+    assert(decoded.forall(_._2 == "wav"), s"every payload is a WAV: ${decoded.toSeq}")
+    // sample rate follows the generator formula (8000 + (id % 5) * 8000)
+    assert(decoded.map(d => d._1 -> d._3).toMap.apply(5L) == 8000L)
+  }
+
   test("phashPairs: near-identical images pair at low hamming, unrelated do not") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again and again"
     val near2 = "the quick brown fox jumps over the lazy dog again and again and agaiN"
