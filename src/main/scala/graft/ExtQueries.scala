@@ -166,6 +166,38 @@ object ExtQueries {
        |${(1 to m).map(stage).mkString(",\n")}""".stripMargin
   }
 
+  /** [[bpeTrainCtes]] extended with the ENCODE chain: per-(doc, word)
+    * counts `en_c`, the parallel `ap_v1..{m+1}` greedy-fold chain over
+    * ALL word types (the top-V bound limits training memory, not
+    * encode coverage; a LEFT JOIN ON TRUE keeps types alive through an
+    * exhausted merge stage), and the per-doc totals
+    * `en_t(doc_id, n_words, bpe_tokens)` — shared by the encode oracle
+    * and every tokenizer-true consumer (curate_bpe).
+    */
+  private def bpeEncodeCtes(m: Int): String = {
+    def applyStage(i: Int): String =
+      s"""ap_v${i + 1} AS (SELECT word, CASE WHEN b.l IS NULL THEN syms
+         |    ELSE string_split(list_reduce(syms,
+         |      (acc, x) -> CASE WHEN (acc = b.l OR ends_with(acc, chr(31) || b.l))
+         |          AND x = b.r
+         |        THEN acc || b.r ELSE acc || chr(31) || x END), chr(31)) END AS syms
+         |    FROM ap_v$i LEFT JOIN bp_b$i b ON TRUE)""".stripMargin
+    s"""${bpeTrainCtes(m)},
+       |en_c AS (SELECT doc_id, term AS word, count(*)::BIGINT AS cnt
+       |  FROM (${tokSql("doc_id")}) GROUP BY 1, 2),
+       |ap_v1 AS (SELECT word,
+       |  list_append(string_split(word, ''), '${Bpe.EndOfWord}') AS syms
+       |  FROM (SELECT DISTINCT word FROM en_c)),
+       |${(1 to m).map(applyStage).mkString(",\n")},
+       |en_t AS (SELECT d.doc_id AS doc_id,
+       |    coalesce(sum(c.cnt), 0)::BIGINT AS n_words,
+       |    coalesce(sum(c.cnt * len(t.syms)), 0)::BIGINT AS bpe_tokens
+       |  FROM documents d
+       |  LEFT JOIN en_c c ON d.doc_id = c.doc_id
+       |  LEFT JOIN ap_v${m + 1} t ON c.word = t.word
+       |  GROUP BY d.doc_id)""".stripMargin
+  }
+
   private def likeScoreSql(words: Seq[String]): String =
     words.map(w => s"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
       .mkString(" + ")
@@ -847,6 +879,11 @@ object ExtQueries {
       // by doc_id — score-histogram classification, so only ONE score
       // stratum ever pays a per-row running sum
       Corpus.selectBudget(docs(s, dir))),
+    "curate_bpe_documents" -> ((s: SparkSession, dir: String) =>
+      // tokenizer-TRUE budget selection: same selection kernel, per-doc
+      // cost = the trained BPE encode — the end-to-end proof that the
+      // tokenizer artifact feeds the selection math
+      Corpus.selectBudgetBpe(docs(s, dir))),
     "curate_documents" -> ((s: SparkSession, dir: String) =>
       // full pipeline: redact → quality-filter → dedup → sample
       Corpus.curate(docs(s, dir))),
@@ -1273,29 +1310,41 @@ object ExtQueries {
     // memory, not encode coverage) by a parallel ap_v fold chain; a
     // LEFT JOIN ON TRUE keeps types alive through an exhausted (empty)
     // merge stage, mirroring the engine's fold over ≤ m trained merges
-    "bpe_encode_documents" -> {
-      val m = Bpe.DefaultMerges
-      def applyStage(i: Int): String =
-        s"""ap_v${i + 1} AS (SELECT word, CASE WHEN b.l IS NULL THEN syms
-           |    ELSE string_split(list_reduce(syms,
-           |      (acc, x) -> CASE WHEN (acc = b.l OR ends_with(acc, chr(31) || b.l))
-           |          AND x = b.r
-           |        THEN acc || b.r ELSE acc || chr(31) || x END), chr(31)) END AS syms
-           |    FROM ap_v$i LEFT JOIN bp_b$i b ON TRUE)""".stripMargin
-      s"""WITH ${bpeTrainCtes(m)},
-         |en_c AS (SELECT doc_id, term AS word, count(*)::BIGINT AS cnt
-         |  FROM (${tokSql("doc_id")}) GROUP BY 1, 2),
-         |ap_v1 AS (SELECT word,
-         |  list_append(string_split(word, ''), '${Bpe.EndOfWord}') AS syms
-         |  FROM (SELECT DISTINCT word FROM en_c)),
-         |${(1 to m).map(applyStage).mkString(",\n")}
-         |SELECT d.doc_id AS doc_id,
-         |  coalesce(sum(c.cnt), 0)::BIGINT AS n_words,
-         |  coalesce(sum(c.cnt * len(t.syms)), 0)::BIGINT AS bpe_tokens
-         |FROM documents d
-         |LEFT JOIN en_c c ON d.doc_id = c.doc_id
-         |LEFT JOIN ap_v${m + 1} t ON c.word = t.word
-         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    "bpe_encode_documents" ->
+      s"""WITH ${bpeEncodeCtes(Bpe.DefaultMerges)}
+         |SELECT doc_id, n_words, bpe_tokens FROM en_t
+         |ORDER BY doc_id""".stripMargin,
+    // tokenizer-TRUE budget selection: the select_budget chain with the
+    // per-doc cost swapped from the ws proxy to the trained BPE encode
+    // (the full en_t CTE chain) — budgets spent in training-run units
+    "curate_bpe_documents" -> {
+      val budget = Corpus.SelectBudgetBpeTokens
+      s"""WITH ${bpeEncodeCtes(Bpe.DefaultMerges)},
+         |cb_b AS (
+         |  SELECT doc_id, lang, source,
+         |    $QualitySignalsSql
+         |  FROM documents),
+         |cb_q AS (SELECT cb_b.doc_id, lang, source, en_t.bpe_tokens AS n_tokens,
+         |    $QualityScoreSql AS quality_score
+         |  FROM cb_b JOIN en_t ON cb_b.doc_id = en_t.doc_id),
+         |cb_h AS (SELECT quality_score, sum(n_tokens)::BIGINT AS t
+         |  FROM cb_q GROUP BY 1),
+         |cb_hc AS (SELECT quality_score, t,
+         |    coalesce(sum(t) OVER (ORDER BY quality_score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS above
+         |  FROM cb_h),
+         |cb_j AS (SELECT cb_q.*, cb_hc.t, cb_hc.above
+         |  FROM cb_q JOIN cb_hc USING (quality_score)),
+         |cb_bnd AS (SELECT doc_id, lang, source, quality_score, n_tokens, above,
+         |    sum(n_tokens) OVER (PARTITION BY quality_score ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM cb_j WHERE above < $budget AND above + t >= $budget)
+         |SELECT doc_id, lang, source, quality_score, n_tokens
+         |FROM cb_j WHERE above < $budget AND above + t < $budget
+         |UNION ALL
+         |SELECT doc_id, lang, source, quality_score, n_tokens
+         |FROM cb_bnd WHERE above + cum - n_tokens < $budget
+         |ORDER BY doc_id""".stripMargin
     },
     // boilerplate detector: the SAME gram CTEs as the n-gram dedup
     // family (grams are per-doc distinct in `g`, so count(*) over `e`

@@ -39,11 +39,6 @@ object Bpe {
   val DefaultMerges = 8
   val EndOfWord = "</w>"
 
-  /** Symbol separator for the string-fold form of the greedy merge —
-    * the oracle's chr(31); never occurs in the [a-z</w>]* domain.
-    */
-  val Sep = "\u001f"
-
   /** Driver-collect bound on the word-TYPE table (top-V by count desc,
     * word asc). 2²⁰ types × ~16 B ≈ tens of MB of driver heap at worst
     * — constant in corpus size. Deliberately far above the synthetic
@@ -145,35 +140,19 @@ object Bpe {
       .orderBy("merge_rank")
   }
 
-  /** A word's initial symbol list: its characters plus [[EndOfWord]]. */
-  private def initialSyms(word: Column): Column =
-    concat(
-      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
-      array(lit(EndOfWord)))
-
-  /** One greedy left-to-right merge round as a string fold — the EXACT
-    * fold the oracle runs in DuckDB (`list_reduce` with the chr(31)
-    * accumulator): appending `r` WITHOUT the separator fuses it onto a
-    * trailing `l` (whole-symbol-anchored via the separator), and a
-    * symbol fused this round can never immediately re-merge because
-    * that would need an empty `r`.
+  /** Per-word-type BPE symbol count under a trained merge list — the
+    * codegen'd [[graft.functions.BpeCountExpr]] (one JVM greedy loop
+    * per word; a nested higher-order fold would re-reference its input
+    * 3-4× per round and grow a ~4^m-node expression tree — the
+    * codegen-cliff failure mode, paid at analysis time even on a tiny
+    * type frame). The JVM loop is the same greedy left-to-right
+    * non-overlapping apply as [[mergeLoop]]'s vocab update and the
+    * oracle's chr(31) `list_reduce` fold, pinned by the hand-computed
+    * encode specs and the oracle hash gate.
     */
-  private def applyMerge(syms: Column, l: String, r: String): Column = {
-    val folded = aggregate(
-      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
-      element_at(syms, 1),
-      (acc, x) =>
-        when((acc === lit(l) || acc.endsWith(Sep + l)) && x === lit(r),
-          concat(acc, x))
-          .otherwise(concat(acc, lit(Sep), x)))
-    split(folded, Sep)
-  }
-
-  /** Apply a trained merge list to a symbol-array column, in rank
-    * order.
-    */
-  private[ext] def applyMerges(syms: Column, ms: Seq[Merge]): Column =
-    ms.foldLeft(syms)((s, m) => applyMerge(s, m.l, m.r))
+  private def bpeCountCol(word: Column, ms: Seq[Merge]): Column =
+    graft.functions.GraftFunctions.bpeCount(word, EndOfWord,
+      ms.map(_.l).toArray, ms.map(_.r).toArray)
 
   /** Tokenizer-TRUE per-document token counts: train the merge table
     * ([[trainMerges]] — bounded collect), then encode every document
@@ -183,10 +162,10 @@ object Bpe {
     *
     * Scale shape: ONE corpus explode aggregated to per-(doc, word)
     * counts (map-side combine collapses within-doc repeats before the
-    * wire); the greedy merge fold runs once per word TYPE (a
-    * vocabulary-bounded frame, not the corpus — the interpreted
-    * higher-order fold touches ≤ |types| rows), and the per-type token
-    * width joins back to the per-doc counts by word. The corpus text
+    * wire); the greedy merge apply runs once per word TYPE (a
+    * vocabulary-bounded frame, not the corpus — the codegen'd
+    * [[bpeCountCol]] kernel touches ≤ |types| rows), and the per-type
+    * token width joins back to the per-doc counts by word. The corpus text
     * itself is never re-scanned per merge and never shuffled at char
     * width; at 100 TB the join's build side is the type table, which
     * AQE sizes (broadcast when the vocabulary allows, shuffle join
@@ -212,7 +191,7 @@ object Bpe {
     // under the learned merges, exactly like production tokenizers)
     val encoded = pairs.select("w").distinct()
       .withColumn("toks",
-        size(applyMerges(initialSyms(col("w")), ms)).cast("bigint"))
+        bpeCountCol(col("w"), ms))
     val perDoc = pairs.join(encoded, Seq("w"))
       .groupBy("doc_id")
       .agg(sum(col("cnt")).as("n_words"),

@@ -585,7 +585,6 @@ object Corpus {
   def selectBudget(
       documents: DataFrame,
       budgetTokens: Long = SelectBudgetTokens): DataFrame = {
-    require(budgetTokens >= 0, s"budget must be >= 0: $budgetTokens")
     // pinned: the regex-heavy scoring pass (stopword LIKE battery +
     // punctuation scrub over text) runs ONCE — histogram, whole-strata
     // and boundary branches all reread the narrow (id, score, tokens)
@@ -594,6 +593,42 @@ object Corpus {
       col("doc_id"), col("lang"), col("source"),
       TextStats.qualityScoreColumn(col("text")).as("quality_score"),
       TextStats.wsTokenCount(col("text")).as("n_tokens")))
+    budgetSelect(scored, budgetTokens)
+  }
+
+  /** Default budget for [[selectBudgetBpe]]: the [[SelectBudgetTokens]]
+    * fraction of the corpus (~37%) restated in BPE symbols (the 8-merge
+    * table leaves ~4.6 BPE tokens per word on the synthetic corpus), so
+    * the boundary-stratum branch carries weight exactly like the ws key.
+    */
+  val SelectBudgetBpeTokens = 46000L
+
+  /** [[selectBudget]] with TOKENIZER-TRUE costs: the per-doc token
+    * count is the trained BPE encode ([[Bpe.bpeEncode]] — the corpus's
+    * own merge table applied), not the whitespace proxy. This is the
+    * end-to-end demonstration that the tokenizer artifact feeds the
+    * selection math: budgets are spent in the same units the training
+    * run will pay. Same histogram-classified selection kernel
+    * ([[budgetSelect]]) — a selection fix lands on both keys at once.
+    */
+  def selectBudgetBpe(
+      documents: DataFrame,
+      budgetTokens: Long = SelectBudgetBpeTokens): DataFrame = {
+    val bpe = Bpe.bpeEncode(documents)
+      .select(col("doc_id"), col("bpe_tokens").as("n_tokens"))
+    val scored = graft.core.CacheScope.persist(documents.select(
+      col("doc_id"), col("lang"), col("source"),
+      TextStats.qualityScoreColumn(col("text")).as("quality_score"))
+      .join(bpe, Seq("doc_id")))
+    budgetSelect(scored, budgetTokens)
+  }
+
+  /** The histogram-classified greedy-prefix selection shared by
+    * [[selectBudget]] and [[selectBudgetBpe]]; `scored` carries
+    * `(doc_id, lang, source, quality_score, n_tokens)`.
+    */
+  private def budgetSelect(scored: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0: $budgetTokens")
     // (score → Σtokens) histogram; tokens strictly ABOVE each score
     val hw = Window.orderBy(desc("quality_score"))
       .rowsBetween(Window.unboundedPreceding, -1)

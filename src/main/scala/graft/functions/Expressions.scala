@@ -293,6 +293,72 @@ case class AudioHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The BPE greedy-apply kernel shared by [[BpeCountExpr]] — one JVM
+  * loop per word instead of a merge-count-deep nested higher-order
+  * fold (the HOF form re-references its input 3-4× per round, so the
+  * expression TREE grows ~4^m nodes — the codegen-cliff failure mode,
+  * paid at analysis time even on a 31-row frame).
+  */
+object BpeApply {
+
+  /** Symbol count of `word` after applying the merge list greedily
+    * left-to-right in rank order (chars + an end-of-word marker; the
+    * marker is symbol-atomic, its literal text never inspected). The
+    * EXACT algorithm of graft.ext.Bpe.mergeLoop's apply step and the
+    * oracle's chr(31) list_reduce fold, spec-pinned against both.
+    */
+  def encodedCount(
+      word: UTF8String, eow: String,
+      ls: Array[String], rs: Array[String]): Long = {
+    val w = word.toString
+    var syms = new Array[String](w.length + 1)
+    var i = 0
+    while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    syms(w.length) = eow
+    var m = 0
+    while (m < ls.length) {
+      val l = ls(m); val r = rs(m); val merged = l + r
+      val b = new Array[String](syms.length)
+      var n = 0
+      var j = 0
+      while (j < syms.length) {
+        if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+          b(n) = merged; n += 1; j += 2
+        } else { b(n) = syms(j); n += 1; j += 1 }
+      }
+      syms = java.util.Arrays.copyOf(b, n)
+      m += 1
+    }
+    syms.length.toLong
+  }
+}
+
+/** `bpe_count(word)`: BPE symbol count of a word under a TRAINED merge
+  * list (plan-time constant, broadcast in the closure) — the encode
+  * kernel of `Bpe.bpeEncode`, evaluated once per word TYPE.
+  */
+case class BpeCountExpr(
+    child: Expression, eow: String, ls: Array[String], rs: Array[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bpe_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeApply.encodedCount(input.asInstanceOf[UTF8String], eow, ls, rs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val eowRef = ctx.addReferenceObj("eow", eow, "java.lang.String")
+    val lsRef = ctx.addReferenceObj("ls", ls, "java.lang.String[]")
+    val rsRef = ctx.addReferenceObj("rs", rs, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeApply.encodedCount($c, $eowRef, $lsRef, $rsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCountExpr =
+    copy(child = newChild)
+}
+
 /** `hyperplane_sketch(v)`: sign-bit LSH sketch (seeded planes) packed
   * into a BIGINT; `dim`/`planes` are plan-time constants.
   */

@@ -46,6 +46,13 @@ object GraftFunctions {
   def audioHash64(c: Column): Column =
     GraftBridge.column(AudioHash64Expr(GraftBridge.expression(c)))
 
+  /** BPE symbol count of a word column under a trained merge list
+    * (plan-time constant) — `Bpe.bpeEncode`'s per-type kernel.
+    */
+  def bpeCount(
+      c: Column, eow: String, ls: Array[String], rs: Array[String]): Column =
+    GraftBridge.column(BpeCountExpr(GraftBridge.expression(c), eow, ls, rs))
+
   /** Plan-time integer constant for SQL-facing builders (K, n, dim…):
     * any foldable integral expression qualifies (`2`, `1+1`, …).
     */

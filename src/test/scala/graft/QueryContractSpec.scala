@@ -39,12 +39,13 @@ class QueryContractSpec extends AnyFunSuite {
     // bpe_vocab_documents (Sennrich BPE merge table, unrolled-CTE oracle),
     // similarity_pq[_recall]_embeddings (ADC product quantization),
     // similarity_ivfpq_embeddings (IVF -> PQ shortlist -> exact re-rank)
-    // +3 in r11: bpe_encode_documents (trained merge table applied —
+    // +4 in r11: bpe_encode_documents (trained merge table applied —
     // tokenizer-true per-doc BPE token counts),
     // similarity_knn_join_embeddings (probe-TABLE batch kNN join —
     // the streaming retrieval kernel as a declared key),
-    // media_audiohash_pairs_documents (PCM energy-envelope near-dup)
-    assert(SparkEntry.queries.size == 127,
+    // media_audiohash_pairs_documents (PCM energy-envelope near-dup),
+    // curate_bpe_documents (budget selection on tokenizer-true costs)
+    assert(SparkEntry.queries.size == 128,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.13 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

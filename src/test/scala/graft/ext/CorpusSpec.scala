@@ -437,6 +437,31 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("selectBudgetBpe: same greedy rule, costs are the trained BPE counts") {
+    val real = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val budget = 23000L // ~the ws spec's 5000 restated in BPE symbols
+    val sel = Corpus.selectBudgetBpe(real, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+    assert(sel.nonEmpty)
+    // reference: the SAME global greedy, priced by bpeEncode
+    val all = TextStats.qualityScore(real)
+      .select("doc_id", "quality_score")
+      .join(Bpe.bpeEncode(real).select("doc_id", "bpe_tokens"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+    var cum = 0L
+    val want = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for ((id, _, t) <- all) { if (cum < budget) want += id; cum += t }
+    assert(sel.map(_._1).toSet == want.toSet,
+      s"selection mismatch: got ${sel.length}, want ${want.size}")
+    // BPE pricing genuinely differs from the ws proxy: the same budget
+    // NUMBER under ws pricing keeps a different (larger) set
+    val wsSel = Corpus.selectBudget(real, budget).collect().map(_.getLong(0)).toSet
+    assert(wsSel != sel.map(_._1).toSet,
+      "BPE-priced selection must diverge from ws-priced at the same budget")
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("selectBudget: greedy quality-desc prefix, boundary by doc_id, exact budget rule") {
     val real = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
     val budget = 5000L
