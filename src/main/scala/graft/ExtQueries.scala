@@ -62,13 +62,19 @@ object ExtQueries {
     */
   val BigramVocabSize: Int = 512
 
-  /** Probe-selection modulus for the declared batch kNN-join key —
-    * shared by the Spark call site and the oracle SQL. Every
-    * `vec_id % 97 == 0` corpus vector becomes a probe row (≈1% of the
-    * corpus at any SF), so the probe TABLE carries multiple rows and
-    * the per-probe windows rank real groups in every oracle check.
+  /** Probe selection for the declared batch kNN-join key — shared by
+    * the Spark call site and the oracle SQL. Every `vec_id % 97 == 0`
+    * corpus vector is a probe candidate, capped at the first
+    * [[KnnProbeLimit]] by vec_id: the key measures the operator's
+    * SERVING contract (a bounded probe batch against a growing corpus
+    * — cost linear in the corpus), not a fixture artifact where probes
+    * scale with the data (probes ∝ n AND corpus ∝ n is quadratic by
+    * construction: measured 73× at 10× data before the cap; SCALE.md).
+    * At the verify SF the modulus yields 6 probes, under the cap — the
+    * declared result is unchanged by it.
     */
   val KnnProbeModulus: Int = 97
+  val KnnProbeLimit: Int = 16
 
   /** Pair threshold for the declared sketch-quality key — shared by the
     * Spark call site and the oracle SQL (with Hashing.MinHashK /
@@ -745,6 +751,7 @@ object ExtQueries {
       // streaming retrieval face serves with
       val e = embs(s, dir)
       val probes = e.filter(col("vec_id") % KnnProbeModulus === 0)
+        .orderBy("vec_id").limit(KnnProbeLimit)
         .select(col("vec_id").as("probe_id"), col("embedding"))
       Similarity.knnJoin(e, probes)
     }),
@@ -1778,7 +1785,8 @@ object ExtQueries {
     // probe_id, every comparison at 6 dp with id tie-breaks
     "similarity_knn_join_embeddings" ->
       s"""WITH kp AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
-         |    WHERE vec_id % $KnnProbeModulus = 0),
+         |    WHERE vec_id % $KnnProbeModulus = 0
+         |    ORDER BY vec_id LIMIT $KnnProbeLimit),
          |kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
          |    ORDER BY vec_id LIMIT 16),
          |kasg AS (SELECT vec_id, label, embedding, cid FROM (

@@ -16,7 +16,9 @@ super-linear runtime at sf1 is an ENGINE property, not a data artifact:
   no exact-duplicate vector explosion).
 
 Dev tool only (driver-side python); the Scala library never calls this.
-Usage: python3 tools/gen_sf1.py [outdir]   (default /tmp/testdata/sf1)
+Usage: python3 tools/gen_sf1.py [outdir] [replicas]
+       (default /tmp/testdata/sf1, 10 replicas; 100 -> a ~1.6 GB sf10
+       for the two-decade scale probes in SCALE.md)
 """
 import os
 import re
@@ -28,7 +30,7 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata/sf1"
-REPLICAS = 10
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 KEY_SHIFT = 10_000_000        # per-replica shift for dim/doc/vec/user keys
 ORDER_SHIFT = 100_000_000     # per-replica shift for order/event ids
 
