@@ -1079,6 +1079,14 @@ object ExtQueries {
       // audio-only fixture; the oracle recomputes the hash from the
       // generator's sample bytes — a differential test of the PCM walk
       Multimodal.audioHashPairs(Multimodal.asAudioTable(docs(s, dir)))),
+    "media_videohash_pairs_documents" -> ((s: SparkSession, dir: String) =>
+      // content-level VIDEO near-dup: temporal-brightness signature
+      // over the AVI payloads' frame data (frame count parsed from the
+      // avih header drives the slicing), banded pair join over the
+      // video-only fixture; the oracle recomputes the hash from the
+      // generator's frame formula — a differential test of the frame
+      // walk, completing the image/audio/video content-dedup triple
+      Multimodal.videoHashPairs(Multimodal.asVideoTable(docs(s, dir)))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2666,6 +2674,68 @@ object ExtQueries {
          |       (bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)))::INTEGER
          |         AS hamming
          |FROM au_pairs
+         |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= $maxH
+         |ORDER BY media_id_a, media_id_b""".stripMargin
+    },
+    // video content near-dup: the oracle rebuilds each AVI payload's
+    // temporal-brightness hash from the generator's frame formula
+    // (frames = FrBase + id % FrMod — the value the engine parses out
+    // of the avih header, so the query differential-tests the parser;
+    // body = the document's UTF-8 text, ASCII-guarded like the phash
+    // oracle). 65 sampled frames of bpf = len // frames bytes each,
+    // brightness = unsigned byte sum, sign-of-delta bits into lo/hi
+    // halves, then the SAME banding + cap + bit_count(xor) chain at
+    // the VideoBands / VideoMaxBucket / VideoMaxHamming constants.
+    "media_videohash_pairs_documents" -> {
+      val cap = Multimodal.VideoMaxBucket
+      val bands = Multimodal.VideoBands
+      val maxH = Multimodal.VideoMaxHamming
+      val bitsPer = 64 / bands
+      val mask = (1L << bitsPer) - 1
+      val frB = Multimodal.Gen.FrBase
+      val frM = Multimodal.Gen.FrMod
+      val bandKeys = (0 until bands).map { i =>
+        val (half, sh) = if (i * bitsPer < 32) ("lo", i * bitsPer)
+          else ("hi", i * bitsPer - 32)
+        s"($half >> $sh) & $mask"
+      }.mkString("[", ", ", "]")
+      val bandList = (0 until bands).mkString("[", ", ", "]")
+      s"""WITH vh_d AS (SELECT doc_id AS media_id, text,
+         |      length(text)::BIGINT AS len,
+         |      ($frB + doc_id % $frM)::BIGINT AS frames FROM documents
+         |    WHERE length(text) >= $frB + doc_id % $frM
+         |      AND octet_length(encode(text)) = length(text)),
+         |vh_t AS (SELECT media_id, text, frames, len // frames AS bpf,
+         |      unnest(range(0, 65)) AS t FROM vh_d),
+         |vh_j AS (SELECT media_id, t, bpf, text,
+         |      (t * (frames - 1)) // 64 AS fi,
+         |      unnest(range(0, bpf)) AS j FROM vh_t),
+         |vh_b AS (SELECT media_id, t,
+         |      sum(unicode(substr(text, (fi * bpf + j + 1)::INTEGER, 1)))::BIGINT
+         |        AS b
+         |    FROM vh_j GROUP BY 1, 2),
+         |vh_h AS (SELECT a.media_id,
+         |      sum(CASE WHEN bb.b > a.b AND a.t < 32
+         |               THEN (1::BIGINT << a.t::INTEGER) ELSE 0 END)::BIGINT AS lo,
+         |      sum(CASE WHEN bb.b > a.b AND a.t >= 32
+         |               THEN (1::BIGINT << (a.t - 32)::INTEGER) ELSE 0 END)::BIGINT AS hi
+         |    FROM vh_b a JOIN vh_b bb ON a.media_id = bb.media_id AND bb.t = a.t + 1
+         |    WHERE a.t < 64 GROUP BY 1),
+         |vh_bk AS (SELECT media_id, lo, hi, unnest($bandList) AS band,
+         |      unnest($bandKeys) AS bkey FROM vh_h),
+         |vh_big AS (SELECT band, bkey FROM vh_bk
+         |      GROUP BY band, bkey HAVING count(*) > $cap),
+         |vh_cap AS (SELECT b.* FROM vh_bk b WHERE NOT EXISTS (
+         |      SELECT 1 FROM vh_big o WHERE o.band = b.band AND o.bkey = b.bkey)),
+         |vh_pairs AS (SELECT DISTINCT a.media_id AS media_id_a,
+         |        b.media_id AS media_id_b, a.lo AS lo_a, a.hi AS hi_a,
+         |        b.lo AS lo_b, b.hi AS hi_b
+         |      FROM vh_cap a JOIN vh_cap b ON a.band = b.band AND a.bkey = b.bkey
+         |                                 AND a.media_id < b.media_id)
+         |SELECT media_id_a, media_id_b,
+         |       (bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)))::INTEGER
+         |         AS hamming
+         |FROM vh_pairs
          |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= $maxH
          |ORDER BY media_id_a, media_id_b""".stripMargin
     },

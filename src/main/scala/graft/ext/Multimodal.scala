@@ -171,22 +171,26 @@ object Multimodal {
       "data".getBytes ++ le(body.length) ++ body
   }
 
+  /** AVI: RIFF/'AVI ' + LIST hdrl + avih(56) main header. The avih
+    * declares 56 bytes and EMITS 56 (10 field DWORDs + 4 reserved zero
+    * DWORDs), so a chunk-walking parser sees consistent sizes:
+    * LIST = 4 + 8 + 56 = 68, RIFF = 80 + body.
+    */
+  private[ext] def aviBytes(id: Long, body: Array[Byte]): Array[Byte] =
+    "RIFF".getBytes ++ le(80 + body.length) ++ "AVI ".getBytes ++
+      "LIST".getBytes ++ le(68) ++ "hdrl".getBytes ++
+      "avih".getBytes ++ le(56) ++
+      le(Gen.aviUsecPerFrame(id)) ++ le(0) ++ le(0) ++ le(0) ++
+      le(Gen.aviFrames(id)) ++ le(0) ++ le(1) ++ le(0) ++
+      le(Gen.bmpWidth(id)) ++ le(Gen.bmpHeight(id)) ++
+      le(0) ++ le(0) ++ le(0) ++ le(0) ++ body
+
   /** Valid (if minimal) container bytes around an opaque body. */
   private[ext] def buildContainer(id: Long, body: Array[Byte]): Array[Byte] = {
     (id % 3) match {
       case 0 => bmpBytes(id, body)
       case 1 => wavBytes(id, body)
-      case _ => // AVI: RIFF/'AVI ' + LIST hdrl + avih(56) main header.
-        // The avih declares 56 bytes and EMITS 56 (10 field DWORDs + 4
-        // reserved zero DWORDs), so a chunk-walking parser sees
-        // consistent sizes: LIST = 4 + 8 + 56 = 68, RIFF = 80 + body.
-        "RIFF".getBytes ++ le(80 + body.length) ++ "AVI ".getBytes ++
-          "LIST".getBytes ++ le(68) ++ "hdrl".getBytes ++
-          "avih".getBytes ++ le(56) ++
-          le(Gen.aviUsecPerFrame(id)) ++ le(0) ++ le(0) ++ le(0) ++
-          le(Gen.aviFrames(id)) ++ le(0) ++ le(1) ++ le(0) ++
-          le(Gen.bmpWidth(id)) ++ le(Gen.bmpHeight(id)) ++
-          le(0) ++ le(0) ++ le(0) ++ le(0) ++ body
+      case _ => aviBytes(id, body)
     }
   }
 
@@ -252,6 +256,29 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         Row(id, wavBytes(id, r.getAs[Array[Byte]](1)))
+      }
+    }
+  }
+
+  /** Every document wrapped as a REAL AVI payload (text bytes as the
+    * frame data, the generator's declared frame count in the avih
+    * header) — the video-only corpus fixture for the content-level
+    * dedup path ([[videoHashPairs]]), the [[asImageTable]] /
+    * [[asAudioTable]] third sibling.
+    */
+  def asVideoTable(documents: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    // same NULL-text guard as [[asContainerTable]]
+    val input = documents.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("body"))
+      .where(col("body").isNotNull)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, aviBytes(id, r.getAs[Array[Byte]](1)))
       }
     }
   }
@@ -405,6 +432,48 @@ object Multimodal {
       bands: Int = AudioBands,
       maxBucket: Int = AudioMaxBucket): DataFrame =
     hammingPairs(audioHash(media), "ahash", maxHamming, bands, maxBucket)
+
+  /** Declared-key parameters for [[videoHashPairs]] (the
+    * [[PhashMaxHamming]] pattern). The frame-sampled brightness bits
+    * decorrelate faster across synthetic documents than the audio
+    * envelope bits (measured min cross-doc hamming 7 at the verify SF),
+    * so the radius sits at 13 — the distribution's near tail, keeping
+    * the banding/cap/verify paths loaded with real rows in every
+    * oracle check — with 16×4-bit bands for pigeonhole completeness
+    * (16 > 13, complete to radius 15), the [[PhashBands]] geometry.
+    * Production video dedup at tighter radii keeps the same plan.
+    */
+  val VideoMaxHamming = 13
+  val VideoBands = 16
+  val VideoMaxBucket = 256
+
+  /** Per-payload video content-hash column: the codegen'd
+    * [[graft.functions.Hashing.videoHash64]] temporal-brightness
+    * signature over each AVI payload's frame data (container parsed
+    * for the declared frame count — the hash is over frame-sampled
+    * content, not container bytes). Non-AVI and malformed payloads
+    * yield null and are dropped.
+    */
+  def videoHash(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"),
+        graft.functions.GraftFunctions.videoHash64(col("payload")).as("vhash"))
+      .filter(col("vhash").isNotNull)
+
+  /** Content-level VIDEO near-dup pairs: clips whose temporal
+    * brightness signature is within `maxHamming` bits — the video face
+    * of [[phashPairs]]/[[audioHashPairs]] (re-graded/re-encoded copies
+    * survive the frame-sampled signature; byte checksums miss them).
+    * Same multi-index-hashing pigeonhole plan, same cap, same
+    * one-shuffle bound — via the SAME [[hammingPairs]] kernel, so a
+    * banding or cap fix lands on every modality at once.
+    */
+  def videoHashPairs(
+      media: DataFrame,
+      maxHamming: Int = VideoMaxHamming,
+      bands: Int = VideoBands,
+      maxBucket: Int = VideoMaxBucket): DataFrame =
+    hammingPairs(videoHash(media), "vhash", maxHamming, bands, maxBucket)
 
   /** The shared 64-bit-Hamming pair kernel of [[phashPairs]] and
     * [[audioHashPairs]]: split each hash into `bands` equal chunks —

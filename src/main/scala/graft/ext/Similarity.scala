@@ -1193,6 +1193,139 @@ object Similarity {
       superK: Int = 0): IvfIndex =
     IvfIndex(kMeansCentroidsFast(embeddings, nCentroids, iterations, superK))
 
+  // ------------------------- assignment as DATA (the k ≫ 10³ path)
+
+  /** Two-level assignment with the LEAF argmin as a broadcast JOIN
+    * instead of a literal CASE chain — centroids as DATA, for the
+    * k-regime where the literal plan cannot be built at all.
+    *
+    * When to use which (measured, SCALE.md round-11): at k = 1600
+    * (sf10, k ∝ n) the literal [[nearestCentroidTwoLevel]] stays the
+    * faster evaluation — 21 s vs 49 s per full-corpus pass — because
+    * the join pays n·superProbe·√k ROW expansion (each candidate row
+    * materializes through the join and argmin aggregate, dragging the
+    * embedding along) where the literal path evaluates the same kernel
+    * count with zero row growth. The join variant exists for the
+    * regime the literal plan cannot reach: plan SIZE is
+    * O(superProbe·k·dim) literal nodes, and somewhere past
+    * k·dim ≈ 10⁵ terms plan construction/compilation itself becomes
+    * the bottleneck (SemDeDup's 50k clusters × dim 768 is far past
+    * it). Here the plan is O(√k·dim): stage A ranks the ≈√k
+    * super-centroids as literals, stage B explodes the `superProbe`
+    * probed super ids and broadcast-joins the (sid, cid, cvec) member
+    * TABLE — one cosine kernel per candidate row, map-side-combined
+    * `min(struct(d, cid))` argmin, ONE n-row exchange; k never enters
+    * the plan.
+    *
+    * EXACT agreement with the literal path (spec-pinned): identical
+    * centroid floats flow through the same [[cosine]] kernel, and
+    * `min(struct(d, cid))` is the same (d asc, cid asc) argmin
+    * `array_min` applies — the aggregation is order-free, so the
+    * assignment is bit-stable however tasks interleave.
+    */
+  def ivfAssignTwoLevelJoin(
+      embeddings: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      superK: Int = 0,
+      superProbe: Int = SuperProbeDefault): DataFrame =
+    twoLevelJoinAssigned(embeddings, centroids, superK, superProbe,
+      carry = Seq("label"))
+      .select("vec_id", "embedding", "label", "centroid_id")
+
+  /** Shared join-assignment kernel: `df` must carry `vec_id` and
+    * `embedding`; `carry` lists further columns to pass through the
+    * per-vector argmin aggregate (constant within a vec_id group).
+    */
+  private def twoLevelJoinAssigned(
+      df: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      superK: Int,
+      superProbe: Int,
+      carry: Seq[String]): DataFrame = {
+    require(superProbe >= 1, s"superProbe must be >= 1: $superProbe")
+    val extra = carry.filterNot(_ == "embedding")
+    val k0 =
+      if (superK > 0) superK
+      else math.max(1, math.round(math.sqrt(centroids.size.toDouble)).toInt)
+    val cells = superCells(centroids, k0)
+    if (cells.size <= superProbe)
+      // probing every cell IS the flat argmin — and at this size the
+      // literal plan sits safely under the codegen cliff
+      df.withColumn("centroid_id", nearestCentroid(centroids))
+        .select(col("vec_id") +: col("embedding") +: col("centroid_id") +:
+          extra.map(col): _*)
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val memberDf = cells.zipWithIndex.flatMap { case ((_, ms), si) =>
+        ms.map { case (cid, v) => (si, cid, v) }
+      }.toDF("sid", "cid", "cvec")
+      val ranked = array_sort(array(cells.zipWithIndex.map { case ((sv, _), si) =>
+        struct((-cosine(col("embedding"), array(sv.map(lit): _*))).as("d"),
+          lit(si).as("sid"))
+      }.toIndexedSeq: _*))
+      val probeSids = array(
+        (1 to superProbe).map(p => element_at(ranked, p).getField("sid")): _*)
+      val candidate = struct(
+        (-cosine(col("embedding"), col("cvec"))).as("d"), col("cid").as("cid"))
+      df.select(col("vec_id") +: col("embedding") +:
+          explode(probeSids).as("sid") +: extra.map(col): _*)
+        .join(broadcast(memberDf), Seq("sid"))
+        .groupBy("vec_id")
+        .agg(min(candidate).as("_s"),
+          first(col("embedding")).as("embedding") +:
+            extra.map(c => first(col(c)).as(c)): _*)
+        .select(col("vec_id") +: col("embedding") +:
+          col("_s").getField("cid").as("centroid_id") +: extra.map(col): _*)
+    }
+  }
+
+  /** SemDeDup's own training recipe (Abbas et al. 2023 cluster on a
+    * subset/approximately): Lloyd over a DETERMINISTIC hash-addressed
+    * sample of ≈ nCentroids·samplePerCell vectors, assigned with the
+    * literal two-level argmin ([[kMeansCentroidsFast]]'s loop — the
+    * faster evaluation at practical k; see [[ivfAssignTwoLevelJoin]]
+    * for the k-regime where literals stop being buildable). With
+    * k ∝ n the full-corpus train pass is O(n·√k) per iteration — the
+    * measured n^1.5 law (SCALE.md round-11); sampling caps the rows at
+    * samplePerCell per cell, so training is O(k·samplePerCell·√k)
+    * regardless of corpus size. The returned centroids feed the same
+    * full-corpus assignment every other path uses.
+    *
+    * The sample filter is `xxhash64(vec_id) % modulus == 0` — stable
+    * across runs and executors, no shuffle, no RNG. If the corpus is
+    * smaller than the target the sample degenerates to the full table.
+    */
+  def kMeansCentroidsSampled(
+      embeddings: DataFrame,
+      nCentroids: Int,
+      iterations: Int = 3,
+      samplePerCell: Int = 32,
+      superK: Int = 0): Seq[(Long, Seq[Float])] = {
+    require(samplePerCell >= 1, s"samplePerCell must be >= 1: $samplePerCell")
+    val proj = embeddings.select(col("vec_id"), col("embedding"))
+    val n = proj.count()
+    val target = nCentroids.toLong * samplePerCell
+    val modulus = math.max(1L, n / math.max(1L, target))
+    val sample =
+      if (modulus <= 1) proj
+      else proj.filter(pmod(xxhash64(col("vec_id")), lit(modulus)) === 0)
+    kMeansCentroidsFast(sample, nCentroids, iterations, superK)
+  }
+
+  /** Index build with sampled training — the 100 TB SemDeDup build when
+    * nCentroids ∝ corpus (training cost bounded by the sample, not the
+    * corpus).
+    */
+  def buildIvfIndexSampled(
+      embeddings: DataFrame,
+      nCentroids: Int,
+      iterations: Int = 3,
+      samplePerCell: Int = 32,
+      superK: Int = 0): IvfIndex =
+    IvfIndex(kMeansCentroidsSampled(
+      embeddings, nCentroids, iterations, samplePerCell, superK))
+
   // ------------------------------------------------- semantic dedup
 
   /** Cosine threshold for semantic duplicates. SemDeDup sweeps
@@ -1252,6 +1385,34 @@ object Similarity {
         ivfAssignTwoLevelTo(embeddings, index.centroids, superK)
           .select(col("centroid_id"), col("vec_id"), col("embedding"))),
       minCos)
+
+  /** [[semanticPairsHier]] with the JOIN assignment
+    * ([[ivfAssignTwoLevelJoin]]) — bit-identical pairs (the assignment
+    * is spec-pinned equal), with the plan carrying O(√k·dim) literals
+    * instead of O(superProbe·k·dim): the variant for the k-regime
+    * where the literal plan stops being buildable (see
+    * [[ivfAssignTwoLevelJoin]] for the measured trade at practical k).
+    */
+  def semanticPairsHierJoin(
+      embeddings: DataFrame,
+      index: IvfIndex,
+      minCos: Double = SemDedupMinCos,
+      superK: Int = 0): DataFrame =
+    semanticPairsFrom(
+      graft.core.CacheScope.persist(
+        twoLevelJoinAssigned(embeddings, index.centroids, superK,
+          SuperProbeDefault, carry = Seq.empty)
+          .select(col("centroid_id"), col("vec_id"), col("embedding"))),
+      minCos)
+
+  /** [[semanticDedupHier]] over the join-assignment path. */
+  def semanticDedupHierJoin(
+      embeddings: DataFrame,
+      index: IvfIndex,
+      minCos: Double = SemDedupMinCos,
+      superK: Int = 0): DataFrame =
+    semanticDedupFrom(embeddings,
+      semanticPairsHierJoin(embeddings, index, minCos, superK))
 
   /** Within-cell pair kernel shared by the flat and hierarchical
     * assignment paths: co-located self-join on `centroid_id`, 6-dp

@@ -293,6 +293,40 @@ case class AudioHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `videohash64(payload)`: 64-bit temporal-brightness content hash of
+  * an AVI payload's frame data ([[Hashing.videoHash64]]); null for
+  * non-AVI / malformed payloads (same custom-codegen reason as
+  * [[AHash64Expr]]: the kernel's null result must set the null flag).
+  */
+case class VideoHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_videohash64"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary argument, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.videoHash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("videohash")
+      s"""java.lang.Long $tmp = graft.functions.Hashing.videoHash64($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VideoHash64Expr =
+    copy(child = newChild)
+}
+
 /** The BPE greedy-apply kernel shared by [[BpeCountExpr]] — one JVM
   * loop per word instead of a merge-count-deep nested higher-order
   * fold (the HOF form re-references its input 3-4× per round, so the

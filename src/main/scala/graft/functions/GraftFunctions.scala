@@ -46,6 +46,9 @@ object GraftFunctions {
   def audioHash64(c: Column): Column =
     GraftBridge.column(AudioHash64Expr(GraftBridge.expression(c)))
 
+  def videoHash64(c: Column): Column =
+    GraftBridge.column(VideoHash64Expr(GraftBridge.expression(c)))
+
   /** BPE symbol count of a word column under a trained merge list
     * (plan-time constant) — `Bpe.bpeEncode`'s per-type kernel.
     */
@@ -108,6 +111,7 @@ object GraftFunctions {
       CharGramHashesExpr(es.head, litInt("graft_char_gram_hashes", es(1)))),
     fn("graft_ahash64", "(payload)", 1, 1)(es => AHash64Expr(es.head)),
     fn("graft_audiohash64", "(payload)", 1, 1)(es => AudioHash64Expr(es.head)),
+    fn("graft_videohash64", "(payload)", 1, 1)(es => VideoHash64Expr(es.head)),
   )
 
   /** Register the functions for SQL use on an existing session

@@ -330,6 +330,56 @@ object Hashing {
     h
   }
 
+  /** 64-bit video content hash over an AVI payload's frame data — the
+    * temporal-activity signature of video copy detection reduced to
+    * all-integer ops: parse the RIFF/'AVI ' container
+    * ([[graft.ext.Multimodal]]'s minimal-header layout: avih main
+    * header with dwTotalFrames at offset 48, frame data at 88), slice
+    * the body into the DECLARED number of frames (bytesPerFrame =
+    * ⌊len/frames⌋ — the header genuinely drives the hash: the same
+    * body under a different declared frame count fingerprints
+    * differently), sample 65 evenly spaced frames (slot t reads frame
+    * ⌊t·(frames−1)/64⌋), take each sampled frame's total brightness
+    * (unsigned byte sum), and set bit w iff slot w+1 is brighter than
+    * slot w. Uniform per-byte brightness shifts cancel in the deltas
+    * (equal frame sizes), so re-graded copies land within a few bits;
+    * unrelated footage differs in ~32. All-integer — any engine
+    * replays it bit-for-bit.
+    *
+    * Returns null (boxed) for anything that is not a well-formed
+    * minimal AVI with ≥1 whole frame of data — per-payload fault
+    * tolerance, like the container decoder.
+    */
+  def videoHash64(p: Array[Byte]): java.lang.Long = {
+    if (p == null || p.length < 89) return null
+    def tag(off: Int, s: String): Boolean =
+      s.indices.forall(i => p(off + i) == s.charAt(i).toByte)
+    if (!(tag(0, "RIFF") && tag(8, "AVI ") && tag(24, "avih"))) return null
+    val frames = ((p(48) & 0xffL) | ((p(49) & 0xffL) << 8) |
+      ((p(50) & 0xffL) << 16) | ((p(51) & 0xffL) << 24)).toInt
+    val len = p.length - 88
+    if (frames <= 0 || len < frames) return null
+    val bpf = len / frames
+    val b = new Array[Long](65)
+    var t = 0
+    while (t < 65) {
+      val fi = (t.toLong * (frames - 1) / 64).toInt
+      var j = 0
+      var s = 0L
+      val off = 88 + fi * bpf
+      while (j < bpf) { s += (p(off + j) & 0xff); j += 1 }
+      b(t) = s
+      t += 1
+    }
+    var h = 0L
+    var w = 0
+    while (w < 64) {
+      if (b(w + 1) > b(w)) h |= (1L << w)
+      w += 1
+    }
+    h
+  }
+
   /** Exact `a·b > c·d` for NON-NEGATIVE longs via the 128-bit product
     * (signed multiplyHigh is exact for non-negative operands; the low
     * words compare unsigned). Property-tested against BigInteger.

@@ -44,9 +44,11 @@ class QueryContractSpec extends AnyFunSuite {
     // similarity_knn_join_embeddings (probe-TABLE batch kNN join —
     // the streaming retrieval kernel as a declared key),
     // media_audiohash_pairs_documents (PCM energy-envelope near-dup),
-    // curate_bpe_documents (budget selection on tokenizer-true costs)
-    assert(SparkEntry.queries.size == 128,
-      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.13 if intentional)")
+    // curate_bpe_documents (budget selection on tokenizer-true costs),
+    // media_videohash_pairs_documents (temporal-brightness AVI
+    // near-dup — the image/audio/video content-dedup triple complete)
+    assert(SparkEntry.queries.size == 129,
+      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.14 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +
         "(every declared key is oracle-checked as of r9; update SURVEY §2.13 if intentional)")

@@ -202,6 +202,68 @@ class MultimodalSpec extends SparkSpec {
     assert(Hashing.audioHash64(null) == null)
   }
 
+  test("videoHash64 kernel: known brightness pattern, header-driven, null on non-AVI") {
+    import graft.functions.Hashing
+    // id 41 -> frames = 24 + 41 % 240 = 65: a 65-byte body is one byte
+    // per frame and slot t samples frame t exactly — hand-computable
+    def body(f: Int => Int): Array[Byte] =
+      (0 until 65).map(k => f(k).toByte).toArray
+    val up = Multimodal.aviBytes(41L, body(k => k + 1))
+    assert(Hashing.videoHash64(up) == -1L) // strictly brighter -> all set
+    assert(Hashing.videoHash64(Multimodal.aviBytes(41L, body(k => 65 - k))) == 0L)
+    // a uniformly re-graded copy (+5 brightness per byte) keeps every
+    // delta sign: identical hash — the content-dedup property
+    val wave = body(k => 10 + (k % 7) * 9)
+    val shifted = wave.map(b => (b + 5).toByte)
+    val hw = Hashing.videoHash64(Multimodal.aviBytes(41L, wave))
+    assert(hw != null &&
+      hw == Hashing.videoHash64(Multimodal.aviBytes(41L, shifted)))
+    // the PARSED header drives the slicing: same 130-byte body under a
+    // different declared frame count fingerprints differently
+    val longBody = (0 until 130).map(k => ((k * 37 + 11) % 120).toByte).toArray
+    val h41 = Hashing.videoHash64(Multimodal.aviBytes(41L, longBody))  // 65 frames
+    val h42 = Hashing.videoHash64(Multimodal.aviBytes(42L, longBody))  // 66 frames
+    assert(h41 != null && h42 != null && h41 != h42,
+      s"frame count must enter the hash: $h41 vs $h42")
+    // non-AVI, truncated, fewer bytes than declared frames -> null
+    assert(Hashing.videoHash64(Multimodal.wavBytes(1L, body(_ + 1))) == null)
+    assert(Hashing.videoHash64("RIFF".getBytes) == null)
+    assert(Hashing.videoHash64(Multimodal.aviBytes(41L, Array.emptyByteArray)) == null)
+    assert(Hashing.videoHash64(Multimodal.aviBytes(42L, body(_ + 1))) == null) // 65 < 66 frames
+    assert(Hashing.videoHash64(null) == null)
+  }
+
+  test("videoHashPairs: same content+frame-count pairs, unrelated does not") {
+    // ids congruent mod 240 declare the SAME frame count, so identical
+    // footage re-published under another id hashes identically; id 3's
+    // unrelated text lands ~32 bits away
+    val near1 = "the quick brown fox jumps over the lazy dog again and again and again"
+    val near2 = "the quick brown fox jumps over the lazy dog again and aGain and again"
+    val docs = docsDF(Seq(
+      (1L, near1), (241L, near1), (481L, near2),
+      (3L, "completely different content about database query optimizers")))
+    val media = Multimodal.asVideoTable(docs)
+    val pairs = Multimodal.videoHashPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    graft.core.CacheScope.releaseAll()
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 241L)), s"identical clips must pair: ${pairs.toSeq}")
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 241L))).get._3 == 0)
+    assert(pairSet.contains((1L, 481L)) && pairSet.contains((241L, 481L)),
+      s"near-identical clips (same frame count) must pair: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated clip (hamming ~32) must not pair at radius 13: ${pairs.toSeq}")
+  }
+
+  test("asVideoTable payloads decode as AVI with the generator's fields") {
+    val docs = docsDF(Seq((5L, "frame data bytes here payloadish " * 3), (8L, "y" * 80)))
+    val decoded = Multimodal.decodeContainers(Multimodal.asVideoTable(docs))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(7)))
+    assert(decoded.forall(_._2 == "avi"), s"every payload is an AVI: ${decoded.toSeq}")
+    // frame count follows the generator formula (24 + id % 240)
+    assert(decoded.map(d => d._1 -> d._3).toMap.apply(5L) == 29L)
+  }
+
   test("audioHashPairs: same/near envelopes pair, unrelated do not") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again and again"
     val near2 = "the quick brown fox jumps over the lazy dog again and again and agaiN"

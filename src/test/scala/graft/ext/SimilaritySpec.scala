@@ -574,4 +574,77 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == all -- dropsWanted)
     assert(kept.nonEmpty)
   }
+
+  test("join assignment: bit-identical to the literal two-level path") {
+    val index = Similarity.buildIvfIndex(embs, nCentroids = 16, iterations = 3,
+      portable = true)
+    val literal = Similarity.ivfAssignTwoLevelTo(embs, index.centroids)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val joined = Similarity.ivfAssignTwoLevelJoin(embs, index.centroids)
+    assert(joined.columns.toSet ==
+      Set("vec_id", "embedding", "label", "centroid_id"))
+    val got = joined.select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same floats through the same cosine kernel, same (d, cid) argmin
+    // ordering — the join evaluation must not move a single vector
+    assert(got == literal)
+  }
+
+  test("semanticPairsHierJoin: identical pair rows to semanticPairsHier") {
+    val index = Similarity.buildIvfIndex(embs, nCentroids = 16, iterations = 3,
+      portable = true)
+    val lit = Similarity.semanticPairsHier(embs, index).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val jn = Similarity.semanticPairsHierJoin(embs, index).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(jn.nonEmpty && jn.toSeq == lit.toSeq)
+  }
+
+  test("sampled trainer: recovers well-separated clusters; sampling path is sound") {
+    import spark.implicits._
+    // 4 orthogonal tight clusters (dim 8), cluster = vec_id % 4 so the
+    // first 4 ids — the seed rows — span all 4 clusters
+    val dim = 8
+    val rows = (0 until 200).map { id =>
+      val c = id % 4
+      val base = Array.tabulate(dim)(d => if (d == c * 2) 10.0f else 0.0f)
+      base(dim - 1) = (id % 7) * 0.01f // deterministic jitter
+      (id.toLong, base.toSeq, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+
+    // samplePerCell past n/k → modulus 1 → the full-table degenerate
+    // sample, so seeds are ids 0..3 (one per cluster) and Lloyd must
+    // separate them exactly: each cluster one centroid, all distinct
+    val full = Similarity.kMeansCentroidsSampled(
+      df, nCentroids = 4, iterations = 3, samplePerCell = 1000)
+    assert(full.size == 4 && full.forall(_._2.length == dim))
+    val assignedFull = Similarity.ivfAssignTwoLevelJoin(df, full)
+      .select("label", "centroid_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    val byCluster = assignedFull.groupBy(_._1).map { case (c, xs) =>
+      c -> xs.map(_._2).toSet
+    }
+    byCluster.foreach { case (c, cids) =>
+      assert(cids.size == 1, s"cluster $c split across centroids $cids")
+    }
+    assert(byCluster.values.flatten.toSet.size == 4,
+      s"4 seeded clusters must train 4 distinct centroids: $byCluster")
+
+    // a genuinely binding sample (modulus 200/(4·8) = 6): training sees
+    // ~n/6 rows; the result must still be a usable index over the FULL
+    // corpus — k centroids, and every vector assigned to a trained id
+    val sampled = Similarity.kMeansCentroidsSampled(
+      df, nCentroids = 4, iterations = 3, samplePerCell = 8)
+    assert(sampled.size == 4 && sampled.forall(_._2.length == dim))
+    val validIds = sampled.map(_._1).toSet
+    val assignedSampled = Similarity.ivfAssignTwoLevelJoin(df, sampled)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(assignedSampled.length == 200)
+    assignedSampled.foreach { case (id, cid) =>
+      assert(validIds(cid), s"vec $id assigned to untrained centroid $cid")
+    }
+  }
 }
