@@ -445,6 +445,67 @@ object ExtQueries {
     * hash-approximation tolerance), and slices ORDER the oracle toward
     * readability over kernel mimicry.
     */
+  /** Unrolled CTE chain replaying [[Relevance.trainQualityClassifier]]
+    * gradient-for-gradient (the Lloyd/BPE unrolled-stage recipe applied
+    * to SGD): hashed features → 6-dp frequencies → per-iteration
+    * margin (DECIMAL(16,6) sums of 6-dp parts) → 6-dp sigmoid →
+    * DECIMAL(28,12) gradient sums → 6-dp weight update. Ends with
+    * `clf_w{T}` / `clf_b{T}` (the trained weights/bias) plus the
+    * shared feature CTEs (`clf_x`, `clf_q`, `clf_nd`) for the apply
+    * key. Iteration 1 starts from an EMPTY weight table (w = 0, the
+    * engine's init) via the WHERE-false seed CTE.
+    */
+  private def clfTrainCtes(
+      buckets: Int, iterations: Int, lrate: Double, minQ: Double): String = {
+    val base =
+      s"""clf_l AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+         |  FROM documents),
+         |clf_qs AS (SELECT doc_id, $QualitySignalsSql FROM documents),
+         |clf_q AS (SELECT doc_id,
+         |    (CASE WHEN $QualityScoreSql >= $minQ THEN 1 ELSE 0 END)::BIGINT AS y
+         |  FROM clf_qs),
+         |clf_f AS (
+         |  SELECT doc_id, unnest(l) AS feat FROM clf_l
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(range(1, len(l)),
+         |      i -> l[i] || ' ' || l[i + 1])) AS feat
+         |  FROM clf_l WHERE len(l) >= 2),
+         |clf_dfeat AS (SELECT DISTINCT feat FROM clf_f),
+         |${hash64Ctes("clf", "clf_dfeat", "feat")},
+         |clf_bk AS (SELECT feat, (h % $buckets)::BIGINT AS bucket FROM clf_h64),
+         |clf_cnt AS (SELECT doc_id, bucket, count(*)::BIGINT AS c
+         |  FROM clf_f JOIN clf_bk USING (feat) GROUP BY 1, 2),
+         |clf_x AS (SELECT doc_id, bucket,
+         |    round(c::DOUBLE / sum(c) OVER (PARTITION BY doc_id), 6) AS x
+         |  FROM clf_cnt),
+         |clf_nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |clf_w0 AS (SELECT NULL::BIGINT AS bucket, NULL::DOUBLE AS wt WHERE false),
+         |clf_b0 AS (SELECT 0.0 AS bias)""".stripMargin
+    val steps = (1 to iterations).map { i =>
+      val p = i - 1
+      s"""clf_z$i AS (SELECT x.doc_id,
+         |    sum(CAST(round(x.x * w.wt, 6) AS DECIMAL(16,6))) AS zs
+         |  FROM clf_x x JOIN clf_w$p w USING (bucket) GROUP BY 1),
+         |clf_e$i AS (SELECT q.doc_id,
+         |    (round(1.0 / (1.0 + exp(-(coalesce(z.zs::DOUBLE, 0.0)
+         |        + (SELECT bias FROM clf_b$p)))), 6) - q.y::DOUBLE) AS e
+         |  FROM clf_q q LEFT JOIN clf_z$i z USING (doc_id)),
+         |clf_g$i AS (SELECT x.bucket,
+         |    sum(CAST(round(ee.e * x.x, 12) AS DECIMAL(28,12))) AS gs
+         |  FROM clf_x x JOIN clf_e$i ee USING (doc_id) GROUP BY 1),
+         |clf_w$i AS (SELECT g.bucket,
+         |    round(coalesce(w.wt, 0.0)
+         |      - $lrate * (g.gs::DOUBLE / (SELECT n FROM clf_nd)), 6) AS wt
+         |  FROM clf_g$i g LEFT JOIN clf_w$p w USING (bucket)),
+         |clf_b$i AS (SELECT round((SELECT bias FROM clf_b$p)
+         |      - $lrate * ((sum(CAST(ee.e AS DECIMAL(16,6)))::DOUBLE)
+         |        / (SELECT n FROM clf_nd)), 6) AS bias
+         |  FROM clf_e$i ee)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
   private def minhashPairCtes(k: Int, bands: Int): String = {
     val r = k / bands
     val cap = Dedup.MaxBucket
@@ -551,6 +612,17 @@ object ExtQueries {
       // hashed unigram+bigram bucket models, target = the corpus's own
       // high-quality subset; top-pct selection via the histogram trick
       Relevance.dsirSelect(docs(s, dir))),
+    "quality_classifier_documents" -> ((s: SparkSession, dir: String) =>
+      // the trained DISCRIMINATIVE quality filter (the GPT-3/LLaMA
+      // pipeline's classifier step): full-batch logistic regression on
+      // the DSIR hashed features under the portable 6-dp/DECIMAL
+      // contract; the oracle replays every gradient step as unrolled
+      // CTE stages (the Lloyd/BPE recipe applied to SGD)
+      Relevance.trainQualityClassifier(docs(s, dir))),
+    "classifier_select_documents" -> ((s: SparkSession, dir: String) =>
+      // the trained classifier APPLIED: per-doc 6-dp sigmoid score +
+      // top-pct selection via the shared histogram-classified rank
+      Relevance.classifierSelect(docs(s, dir))),
     "fingerprint_documents" -> ((s: SparkSession, dir: String) =>
       TextStats.fingerprint(docs(s, dir))),
     "token_freq_documents" -> ((s: SparkSession, dir: String) =>
@@ -1219,6 +1291,50 @@ object ExtQueries {
          |SELECT doc_id, n_feats, w AS dsir_weight,
          |  (CASE WHEN above + rn <= (SELECT k FROM ds_k) THEN 1 ELSE 0 END)::BIGINT AS selected
          |FROM ds_r ORDER BY doc_id""".stripMargin
+    },
+    // trained quality classifier: the full gradient trajectory replayed
+    // as unrolled CTE stages; output = all buckets (untouched at 0.0)
+    // plus the bias at bucket -1 — fixed cardinality, ordered
+    "quality_classifier_documents" -> {
+      val b = Relevance.DsirBuckets
+      val t = Relevance.ClfIterations
+      s"""WITH ${clfTrainCtes(b, t, Relevance.ClfLearningRate,
+             Relevance.DsirTargetMinQuality)},
+         |clf_spine AS (SELECT unnest(range(0, $b)) AS bucket)
+         |SELECT bucket, weight FROM (
+         |  SELECT (-1)::BIGINT AS bucket, (SELECT bias FROM clf_b$t) AS weight
+         |  UNION ALL
+         |  SELECT s.bucket, coalesce(w.wt, 0.0) AS weight
+         |  FROM clf_spine s LEFT JOIN clf_w$t w USING (bucket))
+         |ORDER BY bucket""".stripMargin
+    },
+    // the classifier applied: 6-dp sigmoid score per doc + top-pct
+    // selection on the score axis (the dsir histogram-rank tail)
+    "classifier_select_documents" -> {
+      val b = Relevance.DsirBuckets
+      val t = Relevance.ClfIterations
+      val pct = Relevance.ClfSelectPct
+      s"""WITH ${clfTrainCtes(b, t, Relevance.ClfLearningRate,
+             Relevance.DsirTargetMinQuality)},
+         |clf_zf AS (SELECT x.doc_id,
+         |    sum(CAST(round(x.x * w.wt, 6) AS DECIMAL(16,6))) AS zs,
+         |    count(*)::BIGINT AS n_b
+         |  FROM clf_x x JOIN clf_w$t w USING (bucket) GROUP BY 1),
+         |clf_sc AS (SELECT q.doc_id, coalesce(z.n_b, 0)::BIGINT AS n_buckets,
+         |    round(1.0 / (1.0 + exp(-(coalesce(z.zs::DOUBLE, 0.0)
+         |      + (SELECT bias FROM clf_b$t)))), 6) AS clf_score
+         |  FROM clf_q q LEFT JOIN clf_zf z USING (doc_id)),
+         |clf_k AS (SELECT (count(*) * $pct) // 100 AS k FROM documents),
+         |clf_h AS (SELECT clf_score, count(*)::BIGINT AS n FROM clf_sc GROUP BY 1),
+         |clf_ha AS (SELECT clf_score, COALESCE(sum(n) OVER (ORDER BY clf_score DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above FROM clf_h),
+         |clf_r AS (SELECT a.doc_id, a.n_buckets, a.clf_score, ha.above,
+         |    row_number() OVER (PARTITION BY a.clf_score ORDER BY a.doc_id) AS rn
+         |  FROM clf_sc a JOIN clf_ha ha ON ha.clf_score = a.clf_score)
+         |SELECT doc_id, n_buckets, clf_score,
+         |  (CASE WHEN above + rn <= (SELECT k FROM clf_k) THEN 1 ELSE 0 END)::BIGINT
+         |    AS selected
+         |FROM clf_r ORDER BY doc_id""".stripMargin
     },
     // token-budget selection: same quality fragment, histogram-classified
     // strata, per-row running sum ONLY inside the boundary stratum

@@ -49,6 +49,9 @@ class PlanShapeSpec extends SparkSpec {
     // DSIR joins in ONE corpus-constant row twice (model totals for the
     // smoothed log-ratio; the top-k count k) — constant-size loops
     "dsir_select_documents",
+    // the classifier's top-pct tail joins in the same ONE-row k via the
+    // shared topPctBy kernel — a constant-size loop
+    "classifier_select_documents",
     // RangeJoin's long-interval guard: the build side is the broadcast
     // of intervals spanning > maxBinsPerInterval bins — rare by
     // construction (RangeJoin.scala long path), and exactly the rows

@@ -46,8 +46,11 @@ class QueryContractSpec extends AnyFunSuite {
     // media_audiohash_pairs_documents (PCM energy-envelope near-dup),
     // curate_bpe_documents (budget selection on tokenizer-true costs),
     // media_videohash_pairs_documents (temporal-brightness AVI
-    // near-dup — the image/audio/video content-dedup triple complete)
-    assert(SparkEntry.queries.size == 129,
+    // near-dup — the image/audio/video content-dedup triple complete),
+    // quality_classifier_documents + classifier_select_documents
+    // (trained discriminative quality filter: portable full-batch
+    // logistic regression, gradient trajectory oracle-replayed)
+    assert(SparkEntry.queries.size == 131,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.14 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

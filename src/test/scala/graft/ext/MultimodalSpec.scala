@@ -264,6 +264,28 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.map(d => d._1 -> d._3).toMap.apply(5L) == 29L)
   }
 
+  test("media content hashes callable from SQL, agree with the JVM kernels") {
+    import graft.functions.{GraftFunctions, Hashing}
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val body = (0 until 130).map(k => ((k * 37 + 11) % 120).toByte).toArray
+    val rows = Seq(
+      (1L, Multimodal.bmpBytes(0L, body)),
+      (2L, Multimodal.wavBytes(1L, body)),
+      (3L, Multimodal.aviBytes(41L, body))).toDF("id", "payload")
+    val got = rows.selectExpr("id",
+        "graft_ahash64(payload) AS ah",
+        "graft_audiohash64(payload) AS au",
+        "graft_videohash64(payload) AS vh")
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    // each SQL hash agrees with the kernel on its modality and is null
+    // on the other two (the per-payload fault-tolerance contract)
+    assert(got(1L) == ((Hashing.aHash64(Multimodal.bmpBytes(0L, body)), null, null)))
+    assert(got(2L) == ((null, Hashing.audioHash64(Multimodal.wavBytes(1L, body)), null)))
+    assert(got(3L) == ((null, null, Hashing.videoHash64(Multimodal.aviBytes(41L, body)))))
+    assert(got(3L)._3 != null)
+  }
+
   test("audioHashPairs: same/near envelopes pair, unrelated do not") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again and again"
     val near2 = "the quick brown fox jumps over the lazy dog again and again and agaiN"

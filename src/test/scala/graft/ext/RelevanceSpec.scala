@@ -201,6 +201,114 @@ class RelevanceSpec extends SparkSpec {
     assert(out.head._2 == 2L * 13 - 1)
   }
 
+  test("quality classifier: separable vocabularies train sign-separated weights") {
+    val good = "the quick brown fox jumps over the lazy dog and runs home"
+    val junk = "zxqv!!! wkjh??? qqpz,,, vvnm;;; zxqv!!! wkjh???"
+    val rows = (1L to 6L).map(i => (i, good + " tail" + i, "en", "s", 60L)) ++
+      (7L to 12L).map(i => (i, junk + " zz" + i, "en", "s", 46L))
+    val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = Relevance.trainQualityClassifier(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    graft.core.CacheScope.releaseAll()
+    // fixed cardinality: bias at -1 plus every bucket, ordered
+    assert(w.map(_._1).toSeq == (-1L +: (0L until 1024L)).toSeq)
+    // vocab-A buckets (shared by all good docs) must train positive,
+    // vocab-B buckets negative: check via the buckets of two marker
+    // features present in every good / every junk doc
+    def bucketOf(feat: String): Long = {
+      val h = graft.functions.Hashing.hash64(feat)
+      ((h % 1024) + 1024) % 1024
+    }
+    val wMap = w.toMap
+    assert(wMap(bucketOf("quick")) > 0, s"target-vocab weight: ${wMap(bucketOf("quick"))}")
+    assert(wMap(bucketOf("zxqv")) < 0, s"junk-vocab weight: ${wMap(bucketOf("zxqv"))}")
+  }
+
+  test("classifierSelect: target docs outscore junk, exact top-k count") {
+    val good = "the quick brown fox jumps over the lazy dog and runs home"
+    val junk = "zxqv!!! wkjh??? qqpz,,, vvnm;;; zxqv!!! wkjh???"
+    val rows = (1L to 6L).map(i => (i, good + " tail" + i, "en", "s", 60L)) ++
+      (7L to 12L).map(i => (i, junk + " zz" + i, "en", "s", 46L))
+    val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Relevance.classifierSelect(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    graft.core.CacheScope.releaseAll()
+    assert(out.map(_._1).toSeq == (1L to 12L).toSeq)
+    val (a, b) = out.partition(_._1 <= 6L)
+    assert(a.map(_._3).min > b.map(_._3).max,
+      s"every target doc must outscore every junk doc: ${out.toSeq}")
+    assert(out.count(_._4 == 1L) == 3, s"selected count: ${out.toSeq}")
+    assert(out.filter(_._4 == 1L).forall(_._1 <= 6L))
+  }
+
+  test("quality classifier: engine weights equal a driver-side gradient replay") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs home", "en", "s", 57L),
+      (2L, "zxqv!!! wkjh??? qqpz,,, vvnm;;;", "en", "s", 31L),
+      (3L, "the lazy dog naps and the quick fox watches him closely", "en", "s", 55L),
+      (4L, "", "en", "s", 0L))
+    val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // rebuild the engine's inputs through the same public pieces
+    val wsE = filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0)
+    val bigsE = when(size(col("ws")) >= 2,
+      transform(sequence(lit(1), size(col("ws")) - 1), i =>
+        concat(element_at(col("ws"), i), lit(" "), element_at(col("ws"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val feats = df.select(col("doc_id"), wsE.as("ws"))
+      .select(col("doc_id"), explode(concat(col("ws"), bigsE)).as("feat"))
+      .select(col("doc_id"),
+        pmod(graft.functions.GraftFunctions.hash64(col("feat")), lit(1024L)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val x = {
+      val tot = feats.groupBy(_._1).map { case (d, fs) => d -> fs.map(_._3).sum }
+      feats.map { case (d, b, c) =>
+        (d, b, graft.functions.VectorOps.round6(c.toDouble / tot(d)))
+      }
+    }
+    val y = df.select(col("doc_id"),
+        (graft.ext.TextStats.qualityScoreColumn(col("text")) >= 0.9).cast("long").as("y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sequential full-batch replay under the same portable contract
+    val n = rows.size
+    var w = Map.empty[Long, Double]
+    var bias = 0.0
+    for (_ <- 0 until Relevance.ClfIterations) {
+      val zMicros = x.groupBy(_._1).map { case (d, fs) =>
+        d -> fs.map { case (_, b, xv) =>
+          math.round(graft.functions.VectorOps.round6(xv * w.getOrElse(b, 0.0)) * 1e6)
+        }.sum
+      }
+      val e = y.map { case (d, yd) =>
+        val z = zMicros.getOrElse(d, 0L).toDouble / 1e6 + bias
+        d -> (graft.functions.VectorOps.round6(1.0 / (1.0 + math.exp(-z))) - yd)
+      }
+      val g = x.groupBy(_._2).map { case (b, fs) =>
+        b -> fs.map { case (d, _, xv) =>
+          BigDecimal(e(d) * xv).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble
+      }
+      val gBias = e.values
+        .map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      w = (w.keySet ++ g.keySet).iterator.map { b =>
+        b -> graft.functions.VectorOps.round6(
+          w.getOrElse(b, 0.0) - Relevance.ClfLearningRate * (g.getOrElse(b, 0.0) / n))
+      }.toMap
+      bias = graft.functions.VectorOps.round6(
+        bias - Relevance.ClfLearningRate * (gBias / n))
+    }
+    val got = Relevance.trainQualityClassifier(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    graft.core.CacheScope.releaseAll()
+    assert(got(-1L) == bias, s"bias: got ${got(-1L)}, replay $bias")
+    (0L until 1024L).foreach { b =>
+      assert(got(b) == w.getOrElse(b, 0.0),
+        s"bucket $b: got ${got(b)}, replay ${w.getOrElse(b, 0.0)}")
+    }
+  }
+
   test("dsirSelect: zero-feature docs get weight 0 and never displace scored docs") {
     val rows = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs far", "en", "s", 50L),
