@@ -506,6 +506,29 @@ object ExtQueries {
     (base +: steps).mkString(",\n")
   }
 
+  /** Banding arrays for the hamming-pair media oracles — the engine's
+    * [[graft.ext.Multimodal.hammingPairs]] combo enumeration mirrored
+    * symbol for symbol: (comboList, comboKeys) SQL array literals
+    * where combo index ↔ the same lexicographic `combinations(arity)`
+    * order the engine explodes, and the composite key is the same
+    * shift-or fold over the combo's band values (each band read from
+    * the lo/hi 32-bit half that holds it — bitsPer divides 32, so no
+    * band straddles the halves).
+    */
+  private def hammingComboArrays(bands: Int, arity: Int): (String, String) = {
+    val bitsPer = 64 / bands
+    val mask = (1L << bitsPer) - 1
+    def keyExpr(i: Int): String = {
+      val (half, sh) = if (i * bitsPer < 32) ("lo", i * bitsPer)
+        else ("hi", i * bitsPer - 32)
+      s"(($half >> $sh) & $mask)"
+    }
+    val combos = (0 until bands).combinations(arity).toSeq
+    val comboKeys = combos.map(_.map(keyExpr).reduceLeft((a, b) =>
+      s"(($a << $bitsPer) | $b)")).mkString("[", ", ", "]")
+    (combos.indices.mkString("[", ", ", "]"), comboKeys)
+  }
+
   private def minhashPairCtes(k: Int, bands: Int): String = {
     val r = k / bands
     val cap = Dedup.MaxBucket
@@ -2684,14 +2707,9 @@ object ExtQueries {
       val cap = Multimodal.PhashMaxBucket
       val bands = Multimodal.PhashBands
       val maxH = Multimodal.PhashMaxHamming
-      val bitsPer = 64 / bands
-      val mask = (1L << bitsPer) - 1
-      val bandKeys = (0 until bands).map { i =>
-        val (half, sh) = if (i * bitsPer < 32) ("lo", i * bitsPer)
-          else ("hi", i * bitsPer - 32)
-        s"($half >> $sh) & $mask"
-      }.mkString("[", ", ", "]")
-      val bandList = (0 until bands).mkString("[", ", ", "]")
+      // arity stays 1: radius 15 of 16 bands leaves exactly one clean
+      // band, so band-combination amplification is impossible here
+      val (bandList, bandKeys) = hammingComboArrays(bands, 1)
       // octet_length = length pins the ASCII-only fixture assumption
       // (unicode(char) == UTF-8 byte only there): a non-ASCII doc drops
       // out of the oracle and FAILS the row-count gate loudly instead
@@ -2745,14 +2763,10 @@ object ExtQueries {
       val cap = Multimodal.AudioMaxBucket
       val bands = Multimodal.AudioBands
       val maxH = Multimodal.AudioMaxHamming
-      val bitsPer = 64 / bands
-      val mask = (1L << bitsPer) - 1
-      val bandKeys = (0 until bands).map { i =>
-        val (half, sh) = if (i * bitsPer < 32) ("lo", i * bitsPer)
-          else ("hi", i * bitsPer - 32)
-        s"($half >> $sh) & $mask"
-      }.mkString("[", ", ", "]")
-      val bandList = (0 until bands).mkString("[", ", ", "]")
+      // C(8,2) = 28 band-pair composite keys (AudioBandArity) — the
+      // same amplified banding the engine explodes
+      val (bandList, bandKeys) =
+        hammingComboArrays(bands, Multimodal.AudioBandArity)
       s"""WITH au_d AS (SELECT doc_id AS media_id, text,
          |      (length(text) // 2)::BIGINT AS n FROM documents
          |    WHERE length(text) >= 2
@@ -2806,16 +2820,12 @@ object ExtQueries {
       val cap = Multimodal.VideoMaxBucket
       val bands = Multimodal.VideoBands
       val maxH = Multimodal.VideoMaxHamming
-      val bitsPer = 64 / bands
-      val mask = (1L << bitsPer) - 1
       val frB = Multimodal.Gen.FrBase
       val frM = Multimodal.Gen.FrMod
-      val bandKeys = (0 until bands).map { i =>
-        val (half, sh) = if (i * bitsPer < 32) ("lo", i * bitsPer)
-          else ("hi", i * bitsPer - 32)
-        s"($half >> $sh) & $mask"
-      }.mkString("[", ", ", "]")
-      val bandList = (0 until bands).mkString("[", ", ", "]")
+      // C(16,2) = 120 band-pair composite keys (VideoBandArity) — the
+      // same amplified banding the engine explodes
+      val (bandList, bandKeys) =
+        hammingComboArrays(bands, Multimodal.VideoBandArity)
       s"""WITH vh_d AS (SELECT doc_id AS media_id, text,
          |      length(text)::BIGINT AS len,
          |      ($frB + doc_id % $frM)::BIGINT AS frames FROM documents

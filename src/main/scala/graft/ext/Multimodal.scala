@@ -406,6 +406,17 @@ object Multimodal {
   val AudioBands = 8
   val AudioMaxBucket = 256
 
+  /** Band-combination arity for [[audioHashPairs]]: radius 6 of 8
+    * bands leaves ≥2 clean bands in any qualifying pair, so composite
+    * keys over all C(8,2) = 28 band PAIRS stay recall-complete while
+    * multiplying key cardinality 256× (16-bit composite keys) — the
+    * single-band 8-bit key has 256 values REGARDLESS of corpus size,
+    * so by 50k tracks the oversized-bucket cap was deleting 68% of
+    * banding rows (measured, SCALE.md round-11). Bucket load scales as
+    * n·C(b,a)/slots: ~0.8 at 50k, ~8 at 500k — headroom through sf10.
+    */
+  val AudioBandArity = 2
+
   /** Per-payload audio content-hash column: the codegen'd
     * [[graft.functions.Hashing.audioHash64]] sign-of-energy-delta hash
     * over each WAV payload's PCM body (container parsed for the data
@@ -430,8 +441,10 @@ object Multimodal {
       media: DataFrame,
       maxHamming: Int = AudioMaxHamming,
       bands: Int = AudioBands,
-      maxBucket: Int = AudioMaxBucket): DataFrame =
-    hammingPairs(audioHash(media), "ahash", maxHamming, bands, maxBucket)
+      maxBucket: Int = AudioMaxBucket,
+      arity: Int = AudioBandArity): DataFrame =
+    hammingPairs(audioHash(media), "ahash", maxHamming, bands, maxBucket,
+      arity)
 
   /** Declared-key parameters for [[videoHashPairs]] (the
     * [[PhashMaxHamming]] pattern). The frame-sampled brightness bits
@@ -446,6 +459,21 @@ object Multimodal {
   val VideoMaxHamming = 13
   val VideoBands = 16
   val VideoMaxBucket = 256
+
+  /** Band-combination arity for [[videoHashPairs]]: the 4-bit band
+    * key has 16 values regardless of corpus size, so single-band
+    * buckets saturate the cap fast — measured 64% of banding rows
+    * deleted at 5k clips and 99.5% at 50k (recall silently collapsing
+    * to zero; SCALE.md round-11). Radius 13 of 16 bands leaves ≥3
+    * clean bands, so composite keys over all C(16,2) = 120 band PAIRS
+    * (8-bit keys, 30,720 slots — 256× the single-band cardinality)
+    * stay recall-complete; bucket load ~1.6 at 50k clips. The same
+    * radius supports arity 3 (C(16,3) = 560 combos, 2.3M slots) for
+    * the next decade. Image phash CANNOT take this remedy: radius 15
+    * of 16 bands leaves exactly 1 clean band — its scale path is a
+    * longer hash (256-bit aHash → 32×8-bit bands), not amplification.
+    */
+  val VideoBandArity = 2
 
   /** Per-payload video content-hash column: the codegen'd
     * [[graft.functions.Hashing.videoHash64]] temporal-brightness
@@ -472,50 +500,96 @@ object Multimodal {
       media: DataFrame,
       maxHamming: Int = VideoMaxHamming,
       bands: Int = VideoBands,
-      maxBucket: Int = VideoMaxBucket): DataFrame =
-    hammingPairs(videoHash(media), "vhash", maxHamming, bands, maxBucket)
+      maxBucket: Int = VideoMaxBucket,
+      arity: Int = VideoBandArity): DataFrame =
+    hammingPairs(videoHash(media), "vhash", maxHamming, bands, maxBucket,
+      arity)
 
-  /** The shared 64-bit-Hamming pair kernel of [[phashPairs]] and
-    * [[audioHashPairs]]: split each hash into `bands` equal chunks —
-    * any pair within Hamming `bands − 1` agrees on ≥1 whole chunk, so
-    * with `bands > maxHamming` the (band, chunk-value) equi-join is
+  /** The shared 64-bit-Hamming pair kernel of [[phashPairs]],
+    * [[audioHashPairs]] and [[videoHashPairs]]: split each hash into
+    * `bands` equal chunks and key candidates by every combination of
+    * `arity` chunks — a pair within Hamming `maxHamming` dirties at
+    * most `maxHamming` chunks, leaving ≥ `bands − maxHamming` clean
+    * ones, so with `bands − maxHamming ≥ arity` some all-clean
+    * combination exists and the (combo, composite-key) equi-join is
     * recall-COMPLETE at the radius; one shuffle, never all-pairs.
-    * Degenerate chunks capped by the broadcast-anti-join guard; exact
-    * Hamming via bit_count(xor) on candidates only. The payload column
-    * never reaches the join — only (media_id, 64-bit hash) shuffles.
+    * `arity > 1` is LSH amplification for high radii: composite keys
+    * multiply bucket cardinality by `2^((arity−1)·bitsPer)`, which is
+    * what keeps the oversized-bucket cap from silently deleting the
+    * whole corpus once `n` outgrows `bands · 2^bitsPer` single-band
+    * slots (the video key's 4-bit bands saturate at ~4k clips —
+    * measured, SCALE.md round-11). Degenerate buckets capped by the
+    * broadcast-anti-join guard; exact Hamming via bit_count(xor) on
+    * candidates only. The payload column never reaches the join —
+    * only (media_id, 64-bit hash) shuffles.
     */
-  private def hammingPairs(
+  private[graft] def hammingPairs(
       hashed: DataFrame,
       hashCol: String,
       maxHamming: Int,
       bands: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int,
+      arity: Int = 1): DataFrame = {
     require(bands >= 1 && 64 % bands == 0, s"bands ($bands) must divide 64")
-    require(bands > maxHamming,
-      s"pigeonhole completeness needs bands ($bands) > maxHamming ($maxHamming)")
+    require(arity >= 1 && bands - maxHamming >= arity,
+      s"pigeonhole completeness needs bands - maxHamming " +
+        s"($bands - $maxHamming) >= arity ($arity)")
     val bitsPer = 64 / bands
+    def bandVal(i: Int) =
+      shiftright(col(hashCol), i * bitsPer)
+        .bitwiseAND(lit((1L << bitsPer) - 1))
+    val combos = (0 until bands).combinations(arity).toSeq
     val pinned = graft.core.CacheScope.persist(hashed)
-    val banded = pinned.select(col("media_id"), col(hashCol),
-      explode(array((0 until bands).map { i =>
-        struct(lit(i).as("band"),
-          shiftright(col(hashCol), i * bitsPer)
-            .bitwiseAND(lit((1L << bitsPer) - 1)).as("bkey"))
+    // exact-dup collapse before the LSH join: band and self-join
+    // DISTINCT hashes only (2–4× fewer rows on real corpora — the
+    // candidate volume, quadratic per bucket, drops by its square);
+    // the id multiset re-enters at expansion, where each unordered
+    // hash pair maps to a unique id-pair set. Output is IDENTICAL to
+    // the row-level formulation: the cap binds on sum(cnt) — the same
+    // row count the uncollapsed bucket would hold — and a pair (i, j)
+    // survives iff some uncapped bucket holds both hashes, the same
+    // condition row-level banding tests.
+    val groups = graft.core.CacheScope.persist(
+      pinned.groupBy(col(hashCol)).agg(count(lit(1)).as("cnt")))
+    val banded = groups.select(col(hashCol), col("cnt"),
+      explode(array(combos.zipWithIndex.map { case (combo, ci) =>
+        struct(lit(ci).as("band"),
+          combo.map(bandVal).reduceLeft((acc, v) =>
+            shiftleft(acc, bitsPer).bitwiseOR(v)).as("bkey"))
       }: _*)).as("b"))
-      .select(col("media_id"), col(hashCol), col("b.band"), col("b.bkey"))
-    val oversized = banded.groupBy("band", "bkey").count()
-      .filter(col("count") > maxBucket)
+      .select(col(hashCol), col("cnt"), col("b.band"), col("b.bkey"))
+    val oversized = banded.groupBy("band", "bkey")
+      .agg(sum("cnt").as("bucket_rows"))
+      .filter(col("bucket_rows") > maxBucket)
       .select("band", "bkey")
     val capped = banded.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
-    val a = capped.select(col("band"), col("bkey"),
-      col("media_id").as("media_id_a"), col(hashCol).as("ph_a"))
-    val b = capped.select(col("band"), col("bkey"),
-      col("media_id").as("media_id_b"), col(hashCol).as("ph_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("media_id_a") < col("media_id_b"))
-      .dropDuplicates("media_id_a", "media_id_b")
+    val a = capped.select(col("band"), col("bkey"), col(hashCol).as("ph_a"))
+    val b = capped.select(col("band"), col("bkey"), col(hashCol).as("ph_b"))
+    // radius filter BEFORE the dedup shuffle: bit_count(xor) is
+    // codegen'd and runs map-side on the join output, so only true
+    // hash pairs (× their combo multiplicity) reach dropDuplicates —
+    // at high arity the candidate stream is orders of magnitude larger
+    // than the pair set, and shuffling it was the kernel's cost
+    // ceiling (measured 461 s → 130 s for the filter reorder, → 22 s
+    // with the dup collapse, on the 50k-clip probe; SCALE.md round-11)
+    val hashPairs = a.join(b, Seq("band", "bkey"))
+      .filter(col("ph_a") <= col("ph_b"))
       .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select("media_id_a", "media_id_b", "hamming")
+      .dropDuplicates("ph_a", "ph_b")
+      .select("ph_a", "ph_b", "hamming")
+    // expansion: ph_a = ph_b (hamming 0 within an exact-dup group)
+    // yields the group's id pairs; ph_a < ph_b yields the id cross
+    // product, canonicalized to media_id_a < media_id_b
+    hashPairs
+      .join(pinned.select(col(hashCol).as("ph_a"),
+        col("media_id").as("id_l")), Seq("ph_a"))
+      .join(pinned.select(col(hashCol).as("ph_b"),
+        col("media_id").as("id_r")), Seq("ph_b"))
+      .filter(col("ph_a") < col("ph_b") || col("id_l") < col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("media_id_a"),
+        greatest(col("id_l"), col("id_r")).as("media_id_b"),
+        col("hamming"))
       .orderBy("media_id_a", "media_id_b")
   }
 

@@ -255,6 +255,75 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated clip (hamming ~32) must not pair at radius 13: ${pairs.toSeq}")
   }
 
+  test("hammingPairs amplification: arity 2 equals arity 1 when no cap " +
+      "binds, restores pairs the saturated single-band cap deletes") {
+    import spark.implicits._
+    // synthetic 64-bit hashes — direct control of every band. The
+    // near-pair (ids 9001/9002, hamming 2, dirty bands {1, 8}); the
+    // crowd is ADVERSARIAL to single-band keys: for every band b, 22
+    // rows share the pair's value in band b but differ from it (and
+    // from each other's groups) by ≥1 in every other band — so each
+    // crowd row sits ≥15 bits from the pair (never a true near-dup)
+    // yet every single-band bucket the pair occupies holds 24 > cap
+    // rows, while every band-PAIR composite bucket of the near-pair
+    // holds exactly 2.
+    val a = 0x7A7A5C5C3E3E1F1FL
+    def bandVal(h: Long, b: Int): Long = (h >>> (4 * b)) & 15L
+    val crowd = for {
+      b <- 0 until 16
+      j <- 0 until 22
+    } yield {
+      val h = (0 until 16).foldLeft(0L) { (acc, k) =>
+        val v = if (k == b) bandVal(a, k)
+        else (bandVal(a, k) + 1 + (j % 14)) & 15L
+        acc | (v << (4 * k))
+      }
+      (10000L + b * 100 + j, h)
+    }
+    val rows = crowd ++ Seq((9001L, a), (9002L, a ^ (1L << 7) ^ (1L << 33)))
+    val hashed = rows.toDF("media_id", "vhash")
+    def pairs(arity: Int, cap: Int) =
+      Multimodal.hammingPairs(hashed, "vhash", 13, 16, cap, arity)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no cap binding (cap > corpus): both arities are recall-complete
+    // at the radius, so outputs are IDENTICAL sets
+    val uncapped1 = pairs(1, 100000)
+    assert(uncapped1 == pairs(2, 100000),
+      "arity must not change the uncapped output — both are complete")
+    assert(uncapped1.contains((9001L, 9002L)))
+    // cap 20 binding: every single-band bucket the pair occupies holds
+    // 24 rows and is deleted — the recall collapse the probe measured
+    // at corpus scale; composite keys keep the pair's buckets at 2
+    assert(!pairs(1, 20).contains((9001L, 9002L)),
+      "fixture must demonstrate the single-band recall collapse")
+    assert(pairs(2, 20).contains((9001L, 9002L)),
+      "arity-2 composite keys must restore the capped-away pair")
+    graft.core.CacheScope.releaseAll()
+  }
+
+  test("hammingPairs amplification: worst-case spread at the radius " +
+      "stays recall-complete; arity beyond bands - maxHamming rejected") {
+    import spark.implicits._
+    // adversarial placement: 13 flipped bits in 13 DIFFERENT bands
+    // (bits 0,4,8,...,48) leaves exactly 3 clean bands {13,14,15} —
+    // the pigeonhole minimum. C(3,2) = 3 clean band pairs remain, so
+    // arity 2 must still emit the pair.
+    val base = 0x5D5D2B2B4E4E1717L
+    val dirty = (0 until 13).foldLeft(base)((h, i) => h ^ (1L << (i * 4)))
+    val hashed = Seq((1L, base), (2L, dirty)).toDF("media_id", "vhash")
+    val got = Multimodal.hammingPairs(hashed, "vhash", 13, 16, 256, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 2L, 13)),
+      s"worst-case 13-band spread must survive arity-2 banding: ${got.toSeq}")
+    // one more dirty band (14 of 16) leaves only 2 clean bands — the
+    // completeness precondition fails and the kernel must refuse the
+    // configuration rather than silently lose recall
+    intercept[IllegalArgumentException] {
+      Multimodal.hammingPairs(hashed, "vhash", 14, 16, 256, 3)
+    }
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("asVideoTable payloads decode as AVI with the generator's fields") {
     val docs = docsDF(Seq((5L, "frame data bytes here payloadish " * 3), (8L, "y" * 80)))
     val decoded = Multimodal.decodeContainers(Multimodal.asVideoTable(docs))
