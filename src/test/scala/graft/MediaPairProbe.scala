@@ -33,7 +33,7 @@ object MediaPairProbe {
           ("audio", Multimodal.audioHash(Multimodal.asAudioTable(docs)),
             "ahash", Multimodal.AudioBands, Multimodal.AudioMaxBucket,
             Multimodal.AudioMaxHamming));
-          arity <- 1 to 2) {
+          arity <- 1 to math.min(3, bands - radius)) {
         val bitsPer = 64 / bands
         val combos = (0 until bands).combinations(arity).toSeq
         val banded = hashed.select(
