@@ -850,6 +850,20 @@ object ExtQueries {
         .select(col("vec_id").as("probe_id"), col("embedding"))
       Similarity.knnJoin(e, probes)
     }),
+    "similarity_knn_join_pq_embeddings" -> ((s: SparkSession, dir: String) => {
+      // the retrieval capstone as a declared key: the batch kNN JOIN
+      // through the PRODUCTION stack (IVF cell restriction -> PQ ADC
+      // shortlist in the compressed domain -> exact re-rank of
+      // survivors), probes as DATA — the exact kernel the streaming
+      // serving face (StreamSimilarity.topKBatchPq) runs, here
+      // oracle-gated end to end; same bounded probe batch as the
+      // exact-kernel key above
+      val e = embs(s, dir)
+      val probes = e.filter(col("vec_id") % KnnProbeModulus === 0)
+        .orderBy("vec_id").limit(KnnProbeLimit)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      Similarity.knnJoinPq(e, probes)
+    }),
     "similarity_ivf_trained_embeddings" -> ((s: SparkSession, dir: String) => {
       val e = embs(s, dir)
       // the production path: explicit index-build step (offline at
@@ -1955,6 +1969,81 @@ object ExtQueries {
          |    ORDER BY cosine DESC, vec_id) AS rn FROM kc)
          |WHERE rn <= 10
          |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin,
+    // batch kNN join through the PRODUCTION stack: the knn_join CTE
+    // chain composed with the ivfpq scoring chain generalized per
+    // probe — PQ codes once per candidate vector (kenc over the
+    // union-of-probed-cells restriction, matching the engine's cached
+    // `assigned`), ADC parts 6-dp per (probe, j, code), DECIMAL(16,6)
+    // per-(probe, vec) sums, shortlist + exact re-rank as per-probe
+    // row_number windows with the family's id tie-breaks
+    "similarity_knn_join_pq_embeddings" -> {
+      val m = Similarity.PqSubspaces
+      val ksub = Similarity.PqSubCentroids
+      val dsub = 64 / m
+      s"""WITH kp AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+         |    WHERE vec_id % $KnnProbeModulus = 0
+         |    ORDER BY vec_id LIMIT $KnnProbeLimit),
+         |kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |    ORDER BY vec_id LIMIT 16),
+         |kasg AS (SELECT vec_id, label, embedding, cid FROM (
+         |    SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.embedding", "c.cvec", 64)}, 6) DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN kcent c) WHERE rn = 1),
+         |kpr AS (SELECT probe_id, cid FROM (
+         |    SELECT p.probe_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY round(${cosSql("c.cvec", "p.pe", 64)}, 6) DESC, c.cid) AS rn
+         |    FROM kcent c CROSS JOIN kp p) WHERE rn <= 4),
+         |kcand AS (SELECT vec_id, embedding FROM kasg
+         |    WHERE cid IN (SELECT cid FROM kpr)),
+         |pq_cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         |    embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $ksub)),
+         |kenc AS (SELECT vec_id, j, code FROM (
+         |    SELECT e.vec_id, t.j, c.code,
+         |      row_number() OVER (PARTITION BY e.vec_id, t.j ORDER BY
+         |        round(list_sum(list_transform(range(t.j * $dsub + 1, t.j * $dsub + ${dsub + 1}),
+         |          i -> (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
+         |             * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE))), 6), c.code) AS rn
+         |    FROM kcand e CROSS JOIN range(0, $m) t(j) CROSS JOIN pq_cb c) WHERE rn = 1),
+         |kdt AS (SELECT p.probe_id, t.j, c.code,
+         |    round(list_sum(list_transform(range(t.j * $dsub + 1, t.j * $dsub + ${dsub + 1}),
+         |      i -> c.cvec[i]::DOUBLE * p.pe[i]::DOUBLE)), 6) AS dot6,
+         |    round(list_sum(list_transform(range(t.j * $dsub + 1, t.j * $dsub + ${dsub + 1}),
+         |      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE)), 6) AS sq6
+         |  FROM pq_cb c CROSS JOIN range(0, $m) t(j) CROSS JOIN kp p),
+         |kq AS (SELECT probe_id,
+         |    sqrt(list_sum(list_transform(pe, x -> x::DOUBLE * x::DOUBLE))) AS qn
+         |  FROM kp),
+         |kpairs AS (SELECT pr.probe_id, a.vec_id
+         |    FROM kasg a JOIN kpr pr ON a.cid = pr.cid),
+         |ks AS (SELECT kpairs.probe_id, kpairs.vec_id,
+         |    sum(CAST(d.dot6 AS DECIMAL(16,6))) AS dots,
+         |    sum(CAST(d.sq6 AS DECIMAL(16,6))) AS sqs
+         |  FROM kpairs
+         |    JOIN kenc e ON e.vec_id = kpairs.vec_id
+         |    JOIN kdt d ON d.probe_id = kpairs.probe_id
+         |              AND d.j = e.j AND d.code = e.code
+         |  GROUP BY 1, 2),
+         |kshort AS (SELECT probe_id, vec_id FROM (
+         |    SELECT s.probe_id, s.vec_id,
+         |      row_number() OVER (PARTITION BY s.probe_id ORDER BY
+         |        CASE WHEN s.sqs = 0 OR q.qn = 0 THEN 0.0
+         |          ELSE round(s.dots::DOUBLE / (q.qn * sqrt(s.sqs::DOUBLE)), 6)
+         |        END DESC, s.vec_id) AS rn
+         |    FROM ks s JOIN kq q ON q.probe_id = s.probe_id)
+         |  WHERE rn <= ${Similarity.IvfPqShortlist}),
+         |kfin AS (SELECT sh.probe_id, e.vec_id, e.label,
+         |      round(${cosSql("e.embedding", "p.pe", 64)}, 6) AS cosine
+         |    FROM embeddings e JOIN kshort sh ON sh.vec_id = e.vec_id
+         |      JOIN kp p ON p.probe_id = sh.probe_id)
+         |SELECT probe_id, vec_id, label, cosine FROM (
+         |  SELECT kfin.*, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cosine DESC, vec_id) AS rn FROM kfin)
+         |WHERE rn <= 10
+         |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin
+    },
     "similarity_ivf_embeddings" ->
       s"""WITH p AS (SELECT embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 1),
          |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings

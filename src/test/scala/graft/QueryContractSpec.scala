@@ -49,8 +49,10 @@ class QueryContractSpec extends AnyFunSuite {
     // near-dup — the image/audio/video content-dedup triple complete),
     // quality_classifier_documents + classifier_select_documents
     // (trained discriminative quality filter: portable full-batch
-    // logistic regression, gradient trajectory oracle-replayed)
-    assert(SparkEntry.queries.size == 131,
+    // logistic regression, gradient trajectory oracle-replayed),
+    // similarity_knn_join_pq_embeddings (the batch kNN join through
+    // the production IVF->PQ-ADC->re-rank stack, probes as data)
+    assert(SparkEntry.queries.size == 132,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.14 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +
