@@ -287,6 +287,117 @@ object ExtQueries {
        |  FROM pq_p)""".stripMargin
   }
 
+  /** The stupid-backoff bigram-LM CTE chain (`bl_l` … `bl_agg`:
+    * per-doc 4-dp mean logprob under the corpus-trained model), shared
+    * by the `bigram_logprob` and `perplexity_buckets` oracles so the
+    * LM the buckets rank by can never drift from the declared LM key.
+    */
+  private lazy val bigramLmCtes: String = {
+    val alpha = Relevance.BackoffAlpha
+    s"""bl_l AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+       |  FROM documents),
+       |bl_pairs AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(l)),
+       |      i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS p
+       |    FROM bl_l WHERE len(l) >= 2)),
+       |bl_tok AS (SELECT unnest(l) AS term FROM bl_l),
+       |bl_cnt AS (SELECT term, count(*)::BIGINT AS cnt FROM bl_tok GROUP BY 1),
+       |bl_tot AS (SELECT sum(cnt)::BIGINT AS total FROM bl_cnt),
+       |bl_voc AS (SELECT term, cnt FROM (
+       |    SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rn
+       |    FROM bl_cnt) WHERE rn <= $UnigramVocabSize),
+       |bl_big AS (SELECT w1, w2, bcnt FROM (
+       |    SELECT w1, w2, count(*)::BIGINT AS bcnt,
+       |      row_number() OVER (ORDER BY count(*) DESC, w1, w2) AS rn
+       |    FROM bl_pairs GROUP BY w1, w2) WHERE rn <= $BigramVocabSize),
+       |bl_bigp AS (SELECT b.w1, b.w2, b.bcnt, c.cnt AS pcnt
+       |    FROM bl_big b JOIN bl_cnt c ON c.term = b.w1),
+       |bl_sc AS (SELECT p.doc_id,
+       |      CASE WHEN bp.w1 IS NOT NULL THEN ln(bp.bcnt::DOUBLE / bp.pcnt)
+       |           ELSE ln($alpha * COALESCE(v.cnt, 1)::DOUBLE / t.total) END AS lp,
+       |      CASE WHEN bp.w1 IS NULL THEN 1 ELSE 0 END AS bo
+       |    FROM bl_pairs p
+       |    LEFT JOIN bl_bigp bp ON bp.w1 = p.w1 AND bp.w2 = p.w2
+       |    LEFT JOIN bl_voc v ON v.term = p.w2 CROSS JOIN bl_tot t),
+       |bl_agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |      sum(bo)::BIGINT AS n_backoff, round(avg(lp), 4) AS logprob
+       |    FROM bl_sc GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The batch-kNN-through-IVF-PQ CTE chain (`kp` probes …
+    * `kfin` exact-re-ranked shortlist rows), shared by the
+    * `similarity_knn_join_pq` and `similarity_knn_join_recall` oracles
+    * so the production retrieval stack and its recall gate can never
+    * drift: PQ codes once per candidate over the union-of-probed-cells
+    * restriction (the engine's cached `assigned`), 6-dp ADC parts per
+    * (probe, j, code), DECIMAL(16,6) per-(probe, vec) sums, per-probe
+    * shortlist windows with the family's id tie-breaks.
+    */
+  private lazy val knnPqCtes: String = {
+    val m = Similarity.PqSubspaces
+    val ksub = Similarity.PqSubCentroids
+    val dsub = 64 / m
+    s"""kp AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+       |    WHERE vec_id % $KnnProbeModulus = 0
+       |    ORDER BY vec_id LIMIT $KnnProbeLimit),
+       |kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |    ORDER BY vec_id LIMIT 16),
+       |kasg AS (SELECT vec_id, label, embedding, cid FROM (
+       |    SELECT e.vec_id, e.label, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${cosSql("e.embedding", "c.cvec", 64)}, 6) DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN kcent c) WHERE rn = 1),
+       |kpr AS (SELECT probe_id, cid FROM (
+       |    SELECT p.probe_id, c.cid,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY round(${cosSql("c.cvec", "p.pe", 64)}, 6) DESC, c.cid) AS rn
+       |    FROM kcent c CROSS JOIN kp p) WHERE rn <= 4),
+       |kcand AS (SELECT vec_id, embedding FROM kasg
+       |    WHERE cid IN (SELECT cid FROM kpr)),
+       |pq_cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+       |    embedding AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $ksub)),
+       |kenc AS (SELECT vec_id, j, code FROM (
+       |    SELECT e.vec_id, t.j, c.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, t.j ORDER BY
+       |        round(list_sum(list_transform(range(t.j * $dsub + 1, t.j * $dsub + ${dsub + 1}),
+       |          i -> (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
+       |             * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE))), 6), c.code) AS rn
+       |    FROM kcand e CROSS JOIN range(0, $m) t(j) CROSS JOIN pq_cb c) WHERE rn = 1),
+       |kdt AS (SELECT p.probe_id, t.j, c.code,
+       |    round(list_sum(list_transform(range(t.j * $dsub + 1, t.j * $dsub + ${dsub + 1}),
+       |      i -> c.cvec[i]::DOUBLE * p.pe[i]::DOUBLE)), 6) AS dot6,
+       |    round(list_sum(list_transform(range(t.j * $dsub + 1, t.j * $dsub + ${dsub + 1}),
+       |      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE)), 6) AS sq6
+       |  FROM pq_cb c CROSS JOIN range(0, $m) t(j) CROSS JOIN kp p),
+       |kq AS (SELECT probe_id,
+       |    sqrt(list_sum(list_transform(pe, x -> x::DOUBLE * x::DOUBLE))) AS qn
+       |  FROM kp),
+       |kpairs AS (SELECT pr.probe_id, a.vec_id
+       |    FROM kasg a JOIN kpr pr ON a.cid = pr.cid),
+       |ks AS (SELECT kpairs.probe_id, kpairs.vec_id,
+       |    sum(CAST(d.dot6 AS DECIMAL(16,6))) AS dots,
+       |    sum(CAST(d.sq6 AS DECIMAL(16,6))) AS sqs
+       |  FROM kpairs
+       |    JOIN kenc e ON e.vec_id = kpairs.vec_id
+       |    JOIN kdt d ON d.probe_id = kpairs.probe_id
+       |              AND d.j = e.j AND d.code = e.code
+       |  GROUP BY 1, 2),
+       |kshort AS (SELECT probe_id, vec_id FROM (
+       |    SELECT s.probe_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.probe_id ORDER BY
+       |        CASE WHEN s.sqs = 0 OR q.qn = 0 THEN 0.0
+       |          ELSE round(s.dots::DOUBLE / (q.qn * sqrt(s.sqs::DOUBLE)), 6)
+       |        END DESC, s.vec_id) AS rn
+       |    FROM ks s JOIN kq q ON q.probe_id = s.probe_id)
+       |  WHERE rn <= ${Similarity.IvfPqShortlist}),
+       |kfin AS (SELECT sh.probe_id, e.vec_id, e.label,
+       |      round(${cosSql("e.embedding", "p.pe", 64)}, 6) AS cosine
+       |    FROM embeddings e JOIN kshort sh ON sh.vec_id = e.vec_id
+       |      JOIN kp p ON p.probe_id = sh.probe_id)""".stripMargin
+  }
+
   /** Pairwise cosine fragments (DuckDB): dot/norms accumulated per
     * element in double, mirroring `VectorOps.cosine`.
     */
@@ -717,6 +828,13 @@ object ExtQueries {
       // and backoff-to-floor paths all carry weight in the oracle check
       Relevance.bigramLogProb(docs(s, dir),
         vocabSize = UnigramVocabSize, bigramVocab = BigramVocabSize)),
+    "perplexity_buckets_documents" -> ((s: SparkSession, dir: String) =>
+      // CCNet's head/middle/tail split (Wenzek et al. 2019): per-lang
+      // perplexity terciles under the trained bigram LM, via the
+      // per-group histogram classification (no per-language doc sort
+      // — multilingual skew is the 100 TB failure mode here)
+      Relevance.perplexityBuckets(docs(s, dir),
+        vocabSize = UnigramVocabSize, bigramVocab = BigramVocabSize)),
     // -- dedup --
     "dedup_exact_documents" -> ((s: SparkSession, dir: String) =>
       Dedup.exact(docs(s, dir))),
@@ -863,6 +981,30 @@ object ExtQueries {
         .orderBy("vec_id").limit(KnnProbeLimit)
         .select(col("vec_id").as("probe_id"), col("embedding"))
       Similarity.knnJoinPq(e, probes)
+    }),
+    "similarity_knn_join_recall_embeddings" -> ((s: SparkSession, dir: String) => {
+      // serving-quality gate for the production stack: per-probe
+      // recall@10 of the IVF->PQ-ADC->re-rank batch join against the
+      // brute-force exact top-10 over the SAME capped probe batch —
+      // the cell-restriction + compression loss carries a measured,
+      // regression-gated number PER PROBE (the single-seed pq_recall
+      // figure can't see per-query variance)
+      val e = embs(s, dir)
+      val probes = e.filter(col("vec_id") % KnnProbeModulus === 0)
+        .orderBy("vec_id").limit(KnnProbeLimit)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val pq = Similarity.knnJoinPq(e, probes, k = Similarity.RecallK)
+        .select("probe_id", "vec_id")
+      val exact = Similarity.knnJoinExact(e, probes, k = Similarity.RecallK)
+        .select("probe_id", "vec_id")
+      val hits = pq.join(exact, Seq("probe_id", "vec_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+      probes.select("probe_id").join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) /
+            lit(Similarity.RecallK.toDouble), 4).as("recall_at_10"))
+        .orderBy("probe_id")
     }),
     "similarity_ivf_trained_embeddings" -> ((s: SparkSession, dir: String) => {
       val e = embs(s, dir)
@@ -1653,36 +1795,7 @@ object ExtQueries {
     // the same total orders, every probability a ratio of exact
     // integers (or BackoffAlpha times one); mean at 4 dp
     "bigram_logprob_documents" -> {
-      val alpha = Relevance.BackoffAlpha
-      s"""WITH bl_l AS (SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
-         |  FROM documents),
-         |bl_pairs AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(l)),
-         |      i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS p
-         |    FROM bl_l WHERE len(l) >= 2)),
-         |bl_tok AS (SELECT unnest(l) AS term FROM bl_l),
-         |bl_cnt AS (SELECT term, count(*)::BIGINT AS cnt FROM bl_tok GROUP BY 1),
-         |bl_tot AS (SELECT sum(cnt)::BIGINT AS total FROM bl_cnt),
-         |bl_voc AS (SELECT term, cnt FROM (
-         |    SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rn
-         |    FROM bl_cnt) WHERE rn <= $UnigramVocabSize),
-         |bl_big AS (SELECT w1, w2, bcnt FROM (
-         |    SELECT w1, w2, count(*)::BIGINT AS bcnt,
-         |      row_number() OVER (ORDER BY count(*) DESC, w1, w2) AS rn
-         |    FROM bl_pairs GROUP BY w1, w2) WHERE rn <= $BigramVocabSize),
-         |bl_bigp AS (SELECT b.w1, b.w2, b.bcnt, c.cnt AS pcnt
-         |    FROM bl_big b JOIN bl_cnt c ON c.term = b.w1),
-         |bl_sc AS (SELECT p.doc_id,
-         |      CASE WHEN bp.w1 IS NOT NULL THEN ln(bp.bcnt::DOUBLE / bp.pcnt)
-         |           ELSE ln($alpha * COALESCE(v.cnt, 1)::DOUBLE / t.total) END AS lp,
-         |      CASE WHEN bp.w1 IS NULL THEN 1 ELSE 0 END AS bo
-         |    FROM bl_pairs p
-         |    LEFT JOIN bl_bigp bp ON bp.w1 = p.w1 AND bp.w2 = p.w2
-         |    LEFT JOIN bl_voc v ON v.term = p.w2 CROSS JOIN bl_tot t),
-         |bl_agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-         |      sum(bo)::BIGINT AS n_backoff, round(avg(lp), 4) AS logprob
-         |    FROM bl_sc GROUP BY doc_id)
+      s"""WITH $bigramLmCtes
          |SELECT d.doc_id,
          |  len(list_filter(string_split_regex(lower(d.text), '[^a-z]+'), x -> x <> ''))::BIGINT
          |    AS n_tokens,
@@ -1692,6 +1805,26 @@ object ExtQueries {
          |FROM documents d LEFT JOIN bl_agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+    // CCNet terciles: rank within language by (logprob desc, doc_id) —
+    // the oracle's per-lang row_number IS the engine's histogram
+    // classification's defining rule (wholesale strata + boundary
+    // ranks reproduce exactly this rank assignment)
+    "perplexity_buckets_documents" ->
+      s"""WITH $bigramLmCtes,
+         |px_s AS (SELECT d.doc_id, d.lang, COALESCE(a.logprob, 0.0) AS logprob
+         |    FROM documents d LEFT JOIN bl_agg a USING (doc_id)),
+         |px_n AS (SELECT lang, count(*)::BIGINT AS n_lang,
+         |    CAST(floor(count(*) / 3.0) AS BIGINT) AS k FROM px_s GROUP BY 1),
+         |px_r AS (SELECT s.doc_id, s.lang, s.logprob,
+         |    row_number() OVER (PARTITION BY s.lang
+         |      ORDER BY s.logprob DESC, s.doc_id) AS rk,
+         |    n.n_lang, n.k
+         |  FROM px_s s JOIN px_n n USING (lang))
+         |SELECT doc_id, lang, logprob,
+         |  CASE WHEN rk <= k THEN 'head'
+         |       WHEN rk <= n_lang - k THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM px_r ORDER BY doc_id""".stripMargin,
     // TF-IDF: every intermediate (tf, df, N) is an exact integer; the
     // score is one multiply of one ln() rounded at 4 dp — cross-engine
     // deterministic like the cosine/jaccard families
@@ -1976,74 +2109,38 @@ object ExtQueries {
     // `assigned`), ADC parts 6-dp per (probe, j, code), DECIMAL(16,6)
     // per-(probe, vec) sums, shortlist + exact re-rank as per-probe
     // row_number windows with the family's id tie-breaks
-    "similarity_knn_join_pq_embeddings" -> {
-      val m = Similarity.PqSubspaces
-      val ksub = Similarity.PqSubCentroids
-      val dsub = 64 / m
-      s"""WITH kp AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
-         |    WHERE vec_id % $KnnProbeModulus = 0
-         |    ORDER BY vec_id LIMIT $KnnProbeLimit),
-         |kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-         |    ORDER BY vec_id LIMIT 16),
-         |kasg AS (SELECT vec_id, label, embedding, cid FROM (
-         |    SELECT e.vec_id, e.label, e.embedding, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(${cosSql("e.embedding", "c.cvec", 64)}, 6) DESC, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN kcent c) WHERE rn = 1),
-         |kpr AS (SELECT probe_id, cid FROM (
-         |    SELECT p.probe_id, c.cid,
-         |      row_number() OVER (PARTITION BY p.probe_id
-         |        ORDER BY round(${cosSql("c.cvec", "p.pe", 64)}, 6) DESC, c.cid) AS rn
-         |    FROM kcent c CROSS JOIN kp p) WHERE rn <= 4),
-         |kcand AS (SELECT vec_id, embedding FROM kasg
-         |    WHERE cid IN (SELECT cid FROM kpr)),
-         |pq_cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
-         |    embedding AS cvec
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $ksub)),
-         |kenc AS (SELECT vec_id, j, code FROM (
-         |    SELECT e.vec_id, t.j, c.code,
-         |      row_number() OVER (PARTITION BY e.vec_id, t.j ORDER BY
-         |        round(list_sum(list_transform(range(t.j * $dsub + 1, t.j * $dsub + ${dsub + 1}),
-         |          i -> (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
-         |             * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE))), 6), c.code) AS rn
-         |    FROM kcand e CROSS JOIN range(0, $m) t(j) CROSS JOIN pq_cb c) WHERE rn = 1),
-         |kdt AS (SELECT p.probe_id, t.j, c.code,
-         |    round(list_sum(list_transform(range(t.j * $dsub + 1, t.j * $dsub + ${dsub + 1}),
-         |      i -> c.cvec[i]::DOUBLE * p.pe[i]::DOUBLE)), 6) AS dot6,
-         |    round(list_sum(list_transform(range(t.j * $dsub + 1, t.j * $dsub + ${dsub + 1}),
-         |      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE)), 6) AS sq6
-         |  FROM pq_cb c CROSS JOIN range(0, $m) t(j) CROSS JOIN kp p),
-         |kq AS (SELECT probe_id,
-         |    sqrt(list_sum(list_transform(pe, x -> x::DOUBLE * x::DOUBLE))) AS qn
-         |  FROM kp),
-         |kpairs AS (SELECT pr.probe_id, a.vec_id
-         |    FROM kasg a JOIN kpr pr ON a.cid = pr.cid),
-         |ks AS (SELECT kpairs.probe_id, kpairs.vec_id,
-         |    sum(CAST(d.dot6 AS DECIMAL(16,6))) AS dots,
-         |    sum(CAST(d.sq6 AS DECIMAL(16,6))) AS sqs
-         |  FROM kpairs
-         |    JOIN kenc e ON e.vec_id = kpairs.vec_id
-         |    JOIN kdt d ON d.probe_id = kpairs.probe_id
-         |              AND d.j = e.j AND d.code = e.code
-         |  GROUP BY 1, 2),
-         |kshort AS (SELECT probe_id, vec_id FROM (
-         |    SELECT s.probe_id, s.vec_id,
-         |      row_number() OVER (PARTITION BY s.probe_id ORDER BY
-         |        CASE WHEN s.sqs = 0 OR q.qn = 0 THEN 0.0
-         |          ELSE round(s.dots::DOUBLE / (q.qn * sqrt(s.sqs::DOUBLE)), 6)
-         |        END DESC, s.vec_id) AS rn
-         |    FROM ks s JOIN kq q ON q.probe_id = s.probe_id)
-         |  WHERE rn <= ${Similarity.IvfPqShortlist}),
-         |kfin AS (SELECT sh.probe_id, e.vec_id, e.label,
-         |      round(${cosSql("e.embedding", "p.pe", 64)}, 6) AS cosine
-         |    FROM embeddings e JOIN kshort sh ON sh.vec_id = e.vec_id
-         |      JOIN kp p ON p.probe_id = sh.probe_id)
+    "similarity_knn_join_pq_embeddings" ->
+      s"""WITH $knnPqCtes
          |SELECT probe_id, vec_id, label, cosine FROM (
          |  SELECT kfin.*, row_number() OVER (PARTITION BY probe_id
          |    ORDER BY cosine DESC, vec_id) AS rn FROM kfin)
          |WHERE rn <= 10
-         |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin
-    },
+         |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin,
+    // per-probe recall@10 of the production stack vs brute force: the
+    // PQ top-10 (the kfin window, k = RecallK) intersects each probe's
+    // exact top-10 over the same capped batch; probes with an empty
+    // intersection still emit a row (LEFT JOIN, 0 hits)
+    "similarity_knn_join_recall_embeddings" ->
+      s"""WITH $knnPqCtes,
+         |kr_pq AS (SELECT probe_id, vec_id FROM (
+         |    SELECT kfin.*, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cosine DESC, vec_id) AS rn FROM kfin)
+         |  WHERE rn <= ${Similarity.RecallK}),
+         |kr_ex AS (SELECT probe_id, vec_id FROM (
+         |    SELECT p.probe_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY round(${cosSql("p.pe", "e.embedding", 64)}, 6) DESC,
+         |          e.vec_id) AS rn
+         |    FROM embeddings e CROSS JOIN kp p)
+         |  WHERE rn <= ${Similarity.RecallK}),
+         |kr_h AS (SELECT q.probe_id, count(*)::BIGINT AS n_hits
+         |    FROM kr_pq q JOIN kr_ex x
+         |      ON x.probe_id = q.probe_id AND x.vec_id = q.vec_id
+         |    GROUP BY 1)
+         |SELECT p.probe_id, COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+         |  round(COALESCE(h.n_hits, 0) / ${Similarity.RecallK}.0, 4) AS recall_at_10
+         |FROM kp p LEFT JOIN kr_h h ON h.probe_id = p.probe_id
+         |ORDER BY p.probe_id""".stripMargin,
     "similarity_ivf_embeddings" ->
       s"""WITH p AS (SELECT embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 1),
          |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings

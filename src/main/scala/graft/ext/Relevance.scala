@@ -247,6 +247,73 @@ object Relevance {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------- CCNet perplexity buckets
+
+  /** CCNet's perplexity bucketing (Wenzek et al. 2019, arXiv:1911.00359
+    * §4.3): split each LANGUAGE's documents into head/middle/tail
+    * terciles by language-model score — the curation step that lets a
+    * pipeline train on "head" web text and discard or down-weight the
+    * tail. The LM is the corpus-trained stupid-backoff bigram model
+    * ([[bigramLogProb]] — higher mean logprob = lower perplexity =
+    * closer to the head, matching the paper's orientation).
+    *
+    * Bucket rule (deterministic, oracle-replayable): rank docs within
+    * a language by (logprob desc, doc_id asc); with k = ⌊n/3⌋, rank ≤ k
+    * is `head`, rank > n−k is `tail`, else `middle` (tiny languages
+    * degenerate to all-`middle` — k = 0 — rather than erroring).
+    *
+    * Scale shape — the [[topPctBy]] histogram-classification trick per
+    * GROUP: no per-language sort of doc rows (a window partitioned by
+    * `lang` would funnel whole languages through single tasks — the
+    * exact skew a 100 TB multilingual corpus maximizes). Instead the
+    * 4-dp score axis aggregates to a per-(lang, score) histogram
+    * (vocabulary-bounded: ≤ langs × distinct-4-dp-scores rows), the
+    * tercile cuts classify score strata WHOLESALE against its
+    * broadcast, and only the ≤ 2 boundary strata per language pay a
+    * per-row rank (ties by doc_id). The scored stream is pinned so the
+    * histogram and the classify join consume identical 4-dp values.
+    */
+  def perplexityBuckets(
+      documents: DataFrame,
+      vocabSize: Int = 1024,
+      bigramVocab: Int = 4096): DataFrame = {
+    val scored = graft.core.CacheScope.persist(
+      bigramLogProb(documents, vocabSize, bigramVocab)
+        .select(col("doc_id"), col("logprob"))
+        .join(documents.select("doc_id", "lang"), Seq("doc_id")))
+    val hist = scored.groupBy("lang", "logprob").agg(count(lit(1)).as("n"))
+    val hw = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(desc("logprob"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val histC = hist.withColumn("above", coalesce(sum("n").over(hw), lit(0L)))
+    val nl = scored.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val j = scored.join(broadcast(histC), Seq("lang", "logprob"))
+      .join(broadcast(nl), Seq("lang"))
+    val kCut = floor(col("n_lang") / 3).cast("long")
+    val tailCut = col("n_lang") - kCut
+    val fullHead = col("above") + col("n") <= kCut
+    val fullMiddle = col("above") >= kCut && col("above") + col("n") <= tailCut
+    val fullTail = col("above") >= tailCut
+    val whole = j.filter(fullHead || fullMiddle || fullTail)
+      .withColumn("bucket",
+        when(fullHead, lit("head")).when(fullTail, lit("tail"))
+          .otherwise(lit("middle")))
+    // boundary strata only: a rank window partitioned by (lang, score)
+    // — stratum-sized partitions, never language-sized
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "logprob").orderBy("doc_id")
+    val boundary = j.filter(!(fullHead || fullMiddle || fullTail))
+      .withColumn("_rk", col("above") + row_number().over(bw))
+      .withColumn("bucket",
+        when(col("_rk") <= kCut, lit("head"))
+          .when(col("_rk") <= tailCut, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("_rk")
+    whole.unionByName(boundary)
+      .select(col("doc_id"), col("lang"), col("logprob"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------ DSIR data selection
 
   /** Hashed-feature bucket count for [[dsirSelect]]. A power of two, so

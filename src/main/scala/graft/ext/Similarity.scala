@@ -514,6 +514,33 @@ object Similarity {
       .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
   }
 
+  /** Brute-force per-probe exact top-k with probes as DATA — the
+    * ground-truth kernel for batch recall evaluation ([[topK]]'s
+    * contract per probe, [[knnJoin]]'s output shape). The bounded
+    * probe batch (small by the serving contract) broadcasts and
+    * cross-joins the corpus ONCE — a BroadcastNestedLoopJoin by
+    * design: exact recall ground truth is linear in the corpus by
+    * definition, and the inner loop is probe-batch-sized (a constant).
+    * An EVALUATION shape (recall gates, index-quality audits), never
+    * a serving path — serve through [[knnJoin]]/[[knnJoinPq]].
+    */
+  def knnJoinExact(
+      embeddings: DataFrame,
+      probes: DataFrame,
+      k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    embeddings
+      .crossJoin(broadcast(probes.select(
+        col("probe_id"), col("embedding").as("_pe"))))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+        round(cosine(col("_pe"), col("embedding")), 6).as("cosine"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
+  }
+
   /** [[knnJoin]] upgraded to the PRODUCTION retrieval stack — the
     * [[ivfPqTopK]] composition (IVF cell restriction → PQ ADC
     * shortlist → exact re-rank) with probes as DATA: per-probe

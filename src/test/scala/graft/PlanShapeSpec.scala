@@ -35,6 +35,9 @@ class PlanShapeSpec extends SparkSpec {
     "unigram_logprob_documents",
     // bigram LM joins in the same ONE-row total for the backoff floor
     "bigram_logprob_documents",
+    // CCNet buckets score with that same bigram LM (the ONE-row total
+    // is inherited); the tercile classify itself is hash-joined
+    "perplexity_buckets_documents",
     // RFM segmentation joins in ONE corpus-constant row (max order
     // date) the same way
     "analytics_customer_segments",
@@ -52,6 +55,11 @@ class PlanShapeSpec extends SparkSpec {
     // the classifier's top-pct tail joins in the same ONE-row k via the
     // shared topPctBy kernel — a constant-size loop
     "classifier_select_documents",
+    // recall ground truth: the bounded probe batch (≤16 by the serving
+    // contract) broadcasts and cross-joins the corpus ONCE — exact
+    // recall evaluation is corpus-linear by definition, and the inner
+    // loop is probe-batch-sized (an evaluation shape, never serving)
+    "similarity_knn_join_recall_embeddings",
     // RangeJoin's long-interval guard: the build side is the broadcast
     // of intervals spanning > maxBinsPerInterval bins — rare by
     // construction (RangeJoin.scala long path), and exactly the rows

@@ -51,8 +51,12 @@ class QueryContractSpec extends AnyFunSuite {
     // (trained discriminative quality filter: portable full-batch
     // logistic regression, gradient trajectory oracle-replayed),
     // similarity_knn_join_pq_embeddings (the batch kNN join through
-    // the production IVF->PQ-ADC->re-rank stack, probes as data)
-    assert(SparkEntry.queries.size == 132,
+    // the production IVF->PQ-ADC->re-rank stack, probes as data),
+    // similarity_knn_join_recall_embeddings (per-probe recall@10 of
+    // that stack vs brute-force ground truth over the same batch),
+    // perplexity_buckets_documents (CCNet head/middle/tail terciles
+    // per language under the trained bigram LM)
+    assert(SparkEntry.queries.size == 134,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.14 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

@@ -176,6 +176,71 @@ class RelevanceSpec extends SparkSpec {
     assert(out(3L)._2 == 1L)
   }
 
+  test("perplexityBuckets: per-language terciles equal a driver-side rank replay") {
+    // 6 en docs of graded fluency + 5 fr docs: expected buckets come
+    // from an EXACT driver-side replay of the rank rule (logprob desc,
+    // doc_id; k = n/3) over the engine's own bigramLogProb scores —
+    // the histogram classification must reproduce it row for row
+    val df = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "en", "s1", 32L),
+      (2L, "alpha beta alpha beta", "en", "s1", 21L),
+      (3L, "alpha beta gamma delta", "en", "s1", 22L),
+      (4L, "delta gamma beta alpha", "en", "s1", 22L),
+      (5L, "epsilon zeta eta theta", "en", "s1", 22L),
+      (6L, "theta eta zeta epsilon", "en", "s1", 22L),
+      (7L, "un deux un deux un deux", "fr", "s2", 23L),
+      (8L, "un deux trois quatre", "fr", "s2", 20L),
+      (9L, "quatre trois deux un", "fr", "s2", 20L),
+      (10L, "cinq six sept huit", "fr", "s2", 18L),
+      (11L, "huit sept six cinq", "fr", "s2", 18L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val scores = Relevance.bigramLogProb(df, vocabSize = 64, bigramVocab = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val langs = Map(1L -> "en", 2L -> "en", 3L -> "en", 4L -> "en",
+      5L -> "en", 6L -> "en", 7L -> "fr", 8L -> "fr", 9L -> "fr",
+      10L -> "fr", 11L -> "fr")
+    val expected = langs.groupBy(_._2).flatMap { case (_, docs) =>
+      val ranked = docs.keys.toSeq.sortBy(id => (-scores(id), id))
+      val n = ranked.length; val k = n / 3
+      ranked.zipWithIndex.map { case (id, i) =>
+        id -> (if (i < k) "head" else if (i < n - k) "middle" else "tail")
+      }
+    }
+    val out = Relevance.perplexityBuckets(df, vocabSize = 64, bigramVocab = 64)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    graft.core.CacheScope.releaseAll()
+    assert(out == expected, s"engine $out vs replay $expected")
+    assert(out.count { case (id, b) => langs(id) == "en" && b == "head" } == 2)
+    assert(out.count { case (id, b) => langs(id) == "fr" && b == "tail" } == 1)
+  }
+
+  test("perplexityBuckets: tied scores split by doc_id through the boundary path") {
+    // 6 identical docs = ONE score stratum straddling both cuts: the
+    // boundary rank (doc_id asc) must hand 2 to head, 2 to middle,
+    // 2 to tail — deterministically, lowest ids first
+    val df = (1L to 6L).map(i =>
+      (i, "alpha beta alpha", "en", "s1", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Relevance.perplexityBuckets(df, vocabSize = 8, bigramVocab = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    graft.core.CacheScope.releaseAll()
+    assert(out == Map(1L -> "head", 2L -> "head", 3L -> "middle",
+      4L -> "middle", 5L -> "tail", 6L -> "tail"), out.toString)
+  }
+
+  test("perplexityBuckets: languages under 3 docs degenerate to all-middle") {
+    // k = floor(n/3) = 0: no head, no tail — never an error on the
+    // long tail of tiny languages a multilingual crawl always has
+    val df = Seq(
+      (1L, "alpha beta gamma", "xx", "s1", 16L),
+      (2L, "beta alpha", "xx", "s1", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Relevance.perplexityBuckets(df, vocabSize = 8, bigramVocab = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    graft.core.CacheScope.releaseAll()
+    assert(out == Map(1L -> "middle", 2L -> "middle"), out.toString)
+  }
+
   test("dsirSelect: target-vocabulary docs outrank junk, exact top-k count") {
     // 6 high-quality docs (stopword-rich -> quality 1.0, vocabulary A)
     // form the target side; 6 junk docs (punctuation soup, vocabulary B,

@@ -229,6 +229,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnJoinExact: each probe's block equals brute-force topK") {
+    // the recall gate's ground-truth kernel: per probe, the exact
+    // corpus-wide top-k under the same (round 6-dp desc, vec_id)
+    // contract as the single-probe topK
+    val probes = embs.filter("vec_id % 97 = 0")
+      .selectExpr("vec_id AS probe_id", "embedding")
+    val joined = Similarity.knnJoinExact(embs, probes, k = 5).collect()
+    val probeRows = probes.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(probeRows.length > 1, "fixture must provide multiple probes")
+    probeRows.foreach { case (pid, pvec) =>
+      val single = Similarity.topK(embs, pvec, k = 5).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val block = joined.filter(_.getLong(0) == pid)
+        .map(r => (r.getLong(1), r.getDouble(3))).toSeq
+      assert(block == single, s"probe $pid diverged from topK")
+    }
+  }
+
   test("knnJoinPq: each probe's block equals ivfPqTopK bit-for-bit") {
     // the streaming serving face (topKBatchPq delegates here) must
     // reproduce the declared IVF-PQ capstone per probe EXACTLY — same
