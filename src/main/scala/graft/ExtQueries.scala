@@ -288,20 +288,32 @@ object ExtQueries {
   }
 
   /** The stupid-backoff bigram-LM CTE chain (`bl_l` … `bl_agg`:
-    * per-doc 4-dp mean logprob under the corpus-trained model), shared
-    * by the `bigram_logprob` and `perplexity_buckets` oracles so the
-    * LM the buckets rank by can never drift from the declared LM key.
+    * per-doc 4-dp mean logprob), shared by the `bigram_logprob`,
+    * `perplexity_buckets` and `bigram_apply` oracles so neither the
+    * bucketing LM nor the frozen-model scorer can drift from the
+    * declared LM key. Model tables train over `modelWhere` rows, the
+    * scored pairs come from `scoreWhere` rows — both TRUE reproduces
+    * the self-scoring chain; an even/odd split is the
+    * train-once-apply-many oracle.
     */
-  private lazy val bigramLmCtes: String = {
+  private def bigramLmCtes(
+      modelWhere: String = "TRUE", scoreWhere: String = "TRUE"): String = {
     val alpha = Relevance.BackoffAlpha
-    s"""bl_l AS (SELECT doc_id,
+    s"""bl_ml AS (SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
-       |  FROM documents),
+       |  FROM documents WHERE $modelWhere),
+       |bl_l AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+       |  FROM documents WHERE $scoreWhere),
+       |bl_mpairs AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(l)),
+       |      i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS p
+       |    FROM bl_ml WHERE len(l) >= 2)),
        |bl_pairs AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(l)),
        |      i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS p
        |    FROM bl_l WHERE len(l) >= 2)),
-       |bl_tok AS (SELECT unnest(l) AS term FROM bl_l),
+       |bl_tok AS (SELECT unnest(l) AS term FROM bl_ml),
        |bl_cnt AS (SELECT term, count(*)::BIGINT AS cnt FROM bl_tok GROUP BY 1),
        |bl_tot AS (SELECT sum(cnt)::BIGINT AS total FROM bl_cnt),
        |bl_voc AS (SELECT term, cnt FROM (
@@ -310,7 +322,7 @@ object ExtQueries {
        |bl_big AS (SELECT w1, w2, bcnt FROM (
        |    SELECT w1, w2, count(*)::BIGINT AS bcnt,
        |      row_number() OVER (ORDER BY count(*) DESC, w1, w2) AS rn
-       |    FROM bl_pairs GROUP BY w1, w2) WHERE rn <= $BigramVocabSize),
+       |    FROM bl_mpairs GROUP BY w1, w2) WHERE rn <= $BigramVocabSize),
        |bl_bigp AS (SELECT b.w1, b.w2, b.bcnt, c.cnt AS pcnt
        |    FROM bl_big b JOIN bl_cnt c ON c.term = b.w1),
        |bl_sc AS (SELECT p.doc_id,
@@ -835,6 +847,20 @@ object ExtQueries {
       // — multilingual skew is the 100 TB failure mode here)
       Relevance.perplexityBuckets(docs(s, dir),
         vocabSize = UnigramVocabSize, bigramVocab = BigramVocabSize)),
+    "bigram_apply_documents" -> ((s: SparkSession, dir: String) => {
+      // train-once-apply-many made real for the LM family (the BPE
+      // treatment): the model trains on the EVEN doc_ids only and
+      // scores the held-out ODD docs through the frozen-model
+      // expression — one narrow codegen'd projection, zero shuffles
+      // before the final sort (vs the self-scoring key's in-plan
+      // train-and-score). OOV words and unseen bigrams genuinely
+      // exercise the backoff paths: the halves share most vocabulary
+      // but not all of it
+      val d = docs(s, dir)
+      val model = Relevance.bigramModel(d.filter(col("doc_id") % 2 === 0),
+        vocabSize = UnigramVocabSize, bigramVocab = BigramVocabSize)
+      Relevance.bigramApply(d.filter(col("doc_id") % 2 === 1), model)
+    }),
     // -- dedup --
     "dedup_exact_documents" -> ((s: SparkSession, dir: String) =>
       Dedup.exact(docs(s, dir))),
@@ -1795,7 +1821,7 @@ object ExtQueries {
     // the same total orders, every probability a ratio of exact
     // integers (or BackoffAlpha times one); mean at 4 dp
     "bigram_logprob_documents" -> {
-      s"""WITH $bigramLmCtes
+      s"""WITH ${bigramLmCtes()}
          |SELECT d.doc_id,
          |  len(list_filter(string_split_regex(lower(d.text), '[^a-z]+'), x -> x <> ''))::BIGINT
          |    AS n_tokens,
@@ -1805,12 +1831,28 @@ object ExtQueries {
          |FROM documents d LEFT JOIN bl_agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+    // frozen-model apply: the SAME chain with the model CTEs trained
+    // on the even doc_ids and the scored pairs from the odd docs —
+    // a differential test of the engine's codegen'd JVM scorer
+    // against the exploded-join evaluation, model frozen on both sides
+    "bigram_apply_documents" ->
+      s"""WITH ${bigramLmCtes(
+             modelWhere = "doc_id % 2 = 0", scoreWhere = "doc_id % 2 = 1")}
+         |SELECT d.doc_id,
+         |  len(list_filter(string_split_regex(lower(d.text), '[^a-z]+'), x -> x <> ''))::BIGINT
+         |    AS n_tokens,
+         |  COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  COALESCE(a.n_backoff, 0)::BIGINT AS n_backoff,
+         |  COALESCE(a.logprob, 0.0) AS logprob
+         |FROM (SELECT * FROM documents WHERE doc_id % 2 = 1) d
+         |LEFT JOIN bl_agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // CCNet terciles: rank within language by (logprob desc, doc_id) —
     // the oracle's per-lang row_number IS the engine's histogram
     // classification's defining rule (wholesale strata + boundary
     // ranks reproduce exactly this rank assignment)
     "perplexity_buckets_documents" ->
-      s"""WITH $bigramLmCtes,
+      s"""WITH ${bigramLmCtes()},
          |px_s AS (SELECT d.doc_id, d.lang, COALESCE(a.logprob, 0.0) AS logprob
          |    FROM documents d LEFT JOIN bl_agg a USING (doc_id)),
          |px_n AS (SELECT lang, count(*)::BIGINT AS n_lang,

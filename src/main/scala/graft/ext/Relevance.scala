@@ -247,6 +247,88 @@ object Relevance {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------- frozen bigram model (apply)
+
+  /** A trained stupid-backoff bigram LM as driver-resident lookup
+    * tables — the model ARTIFACT of train-once-apply-many serving
+    * (the BPE-merge-table / PQ-codebook class): size is bounded by
+    * configuration (`bigramVocab` pair entries + `vocabSize` unigram
+    * entries), never by the corpus, so the collect that builds it is
+    * the audited bounded kind and the broadcast that ships it is a
+    * few KB per executor.
+    */
+  case class BigramModelLocal(
+      bigramLp: java.util.HashMap[String, java.lang.Double],
+      vocabCnt: java.util.HashMap[String, java.lang.Long],
+      alpha: Double,
+      total: Long)
+
+  /** Train [[BigramModelLocal]] on `documents` — the model half of
+    * [[bigramLogProb]] factored out as a parallel API (the declared
+    * self-scoring key keeps its one-pass train-and-score plan
+    * untouched; RelevanceSpec pins that apply-with-self-trained-model
+    * reproduces it row for row). Two corpus aggregates (unigram and
+    * bigram counts), both map-side combinable; the only collects are
+    * the two vocabulary-capped model tables and the one-row total.
+    */
+  def bigramModel(
+      documents: DataFrame,
+      vocabSize: Int = 1024,
+      bigramVocab: Int = 4096): BigramModelLocal = {
+    require(vocabSize >= 1 && bigramVocab >= 1, "vocabularies must be non-empty")
+    val wsCol = filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0)
+    val pairs = documents
+      .select(col("doc_id"), wsCol.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(
+        transform(sequence(lit(1), size(col("ws")) - 1), i =>
+          struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // self-managed persist (not CacheScope): training ENDS in actions
+    // here, so the lifecycle completes inside this call — three
+    // consumers (total, vocab cut, pcnt join), one release
+    val counts = exploded(documents)
+      .groupBy("term").agg(count(lit(1)).as("cnt")).persist()
+    try {
+      val total = counts.agg(coalesce(sum("cnt"), lit(0L))).collect()(0).getLong(0)
+      val vocab = new java.util.HashMap[String, java.lang.Long]()
+      counts.orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+        .collect().foreach(r => vocab.put(r.getString(0), r.getLong(1)))
+      val bigrams = new java.util.HashMap[String, java.lang.Double]()
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
+        .orderBy(col("bcnt").desc, col("w1"), col("w2")).limit(bigramVocab)
+        .join(counts.select(col("term").as("w1"), col("cnt").as("pcnt")), Seq("w1"))
+        .collect().foreach { r =>
+          bigrams.put(r.getString(0) + " " + r.getString(1),
+            math.log(r.getLong(2).toDouble / r.getLong(3).toDouble))
+        }
+      BigramModelLocal(bigrams, vocab, BackoffAlpha, total)
+    } finally counts.unpersist(blocking = false)
+  }
+
+  /** Score `documents` under a FROZEN model — [[bigramLogProb]]'s
+    * output contract (same columns, same 4-dp score) from ONE narrow
+    * codegen'd projection (`functions.BigramScoreExpr`: the model
+    * tables ride into generated code as reference objects): text read
+    * once, no pair explode, no model join, ZERO shuffles before the
+    * final sort. The serving shape a 100 TB apply pass needs — the
+    * training corpus paid its aggregation once, at
+    * [[bigramModel]]-build time.
+    */
+  def bigramApply(documents: DataFrame, model: BigramModelLocal): DataFrame = {
+    val s = graft.functions.GraftFunctions.bigramScore(
+      col("text"), model.bigramLp, model.vocabCnt, model.alpha, model.total)
+    documents
+      .select(col("doc_id"), s.as("_s"))
+      .select(col("doc_id"),
+        element_at(col("_s"), 1).cast("bigint").as("n_tokens"),
+        coalesce(element_at(col("_s"), 2).cast("bigint"), lit(0L)).as("n_bigrams"),
+        coalesce(element_at(col("_s"), 3).cast("bigint"), lit(0L)).as("n_backoff"),
+        coalesce(element_at(col("_s"), 4), lit(0.0)).as("logprob"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------- CCNet perplexity buckets
 
   /** CCNet's perplexity bucketing (Wenzek et al. 2019, arXiv:1911.00359
@@ -313,6 +395,22 @@ object Relevance {
       .select(col("doc_id"), col("lang"), col("logprob"), col("bucket"))
       .orderBy("doc_id")
   }
+
+  /** Export per-language score thresholds from a [[perplexityBuckets]]
+    * reference run, for ONLINE classification
+    * (`streaming.StreamPerplexity`): headCut = the middle bucket's max
+    * logprob (scores strictly above are head-grade), tailCut = its min
+    * (strictly below is tail). Every language has a non-empty middle
+    * by construction (k = ⌊n/3⌋ < n), so both aggregates are total.
+    * The collect is one row per reference language — bounded by the
+    * language inventory, not the corpus.
+    */
+  def perplexityCutoffs(buckets: DataFrame): Map[String, (Double, Double)] =
+    buckets.filter(col("bucket") === "middle")
+      .groupBy("lang")
+      .agg(max("logprob").as("head_cut"), min("logprob").as("tail_cut"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
 
   // ------------------------------------------------ DSIR data selection
 

@@ -49,6 +49,15 @@ object GraftFunctions {
   def videoHash64(c: Column): Column =
     GraftBridge.column(VideoHash64Expr(GraftBridge.expression(c)))
 
+  def bigramScore(
+      text: Column,
+      bigramLp: java.util.HashMap[String, java.lang.Double],
+      vocabCnt: java.util.HashMap[String, java.lang.Long],
+      alpha: Double,
+      total: Long): Column =
+    GraftBridge.column(BigramScoreExpr(
+      GraftBridge.expression(text), bigramLp, vocabCnt, alpha, total))
+
   /** BPE symbol count of a word column under a trained merge list
     * (plan-time constant) — `Bpe.bpeEncode`'s per-type kernel.
     */

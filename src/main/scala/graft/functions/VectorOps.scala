@@ -18,6 +18,14 @@ object VectorOps {
   def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Round-half-up at 4 dp — the LM-score twin of [[round6]] (the
+    * 4-dp `round(avg(ln …))` contract of the LM/DSIR score family),
+    * for JVM kernels that must reproduce those scores off-plan
+    * ([[BigramScore]]).
+    */
+  def round4(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** [[Hashing.bandKey]] over a catalyst long-array — the SAME band-key
     * function for batch plans and streaming state keys, so their bucket
     * collision sets are identical (not merely distribution-alike).

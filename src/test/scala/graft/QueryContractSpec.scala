@@ -55,8 +55,10 @@ class QueryContractSpec extends AnyFunSuite {
     // similarity_knn_join_recall_embeddings (per-probe recall@10 of
     // that stack vs brute-force ground truth over the same batch),
     // perplexity_buckets_documents (CCNet head/middle/tail terciles
-    // per language under the trained bigram LM)
-    assert(SparkEntry.queries.size == 134,
+    // per language under the trained bigram LM),
+    // bigram_apply_documents (train-once-apply-many: the frozen model
+    // scores held-out docs through one codegen'd projection)
+    assert(SparkEntry.queries.size == 135,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.14 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

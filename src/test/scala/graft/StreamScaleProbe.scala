@@ -87,6 +87,20 @@ object StreamScaleProbe {
           docRows.toSeq.map(r => BudgetDoc(r._1, r._3, r._4, r._2)),
           in => StreamSelectBudget.selectStream(
             in.toDF(), budgetTokens = Long.MaxValue).toDF())
+      case "perplexity" =>
+        // the stateless frozen-model face: model + cutoffs train once
+        // on the corpus (outside the timed window), then every row is
+        // one codegen'd projection — the face's throughput ceiling is
+        // the micro-batch scheduling overhead, not the kernel
+        val df = graft.io.Sources.table(spark, sfDir, "documents")
+        val cutoffs = graft.ext.Relevance.perplexityCutoffs(
+          graft.ext.Relevance.perplexityBuckets(df))
+        graft.core.CacheScope.releaseAll()
+        val model = graft.ext.Relevance.bigramModel(df)
+        drive[PerpDoc]("perplexity",
+          docRows.toSeq.map(r => PerpDoc(r._1, r._3, r._4, r._2)),
+          in => StreamPerplexity.classifyStream(
+            in.toDF(), model, cutoffs, defaultCutoffs = (0.0, 0.0)))
       case other => sys.error(s"unknown face: $other")
     }
     spark.stop()

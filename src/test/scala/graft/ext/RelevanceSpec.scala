@@ -176,6 +176,61 @@ class RelevanceSpec extends SparkSpec {
     assert(out(3L)._2 == 1L)
   }
 
+  test("bigramApply with a self-trained model equals bigramLogProb row-for-row") {
+    // THE drift guard for the parallel API: scoring the training
+    // corpus under its own frozen model must reproduce the declared
+    // self-scoring key bit-for-bit (same tokens, same backoff
+    // branches, same pair-order accumulation, same 4-dp round)
+    val d = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val batch = Relevance.bigramLogProb(d, vocabSize = 24, bigramVocab = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    graft.core.CacheScope.releaseAll()
+    val model = Relevance.bigramModel(d, vocabSize = 24, bigramVocab = 512)
+    val applied = Relevance.bigramApply(d, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(applied == batch, "frozen-model apply diverged from the declared key")
+  }
+
+  test("bigramApply: frozen model scores held-out text, OOV hits the backoff floor") {
+    // model trained on docs 1-2 only: "alpha beta" is in-table
+    // (lp = ln(2/2) = 0 backed by alpha-count 2... hand-derived below);
+    // doc 3 pairs: (alpha, beta) in-table; (beta, zzz) backs off to the
+    // OOV floor ln(alpha·1/total) — zzz is unseen by the model
+    val train = Seq(
+      (1L, "alpha beta", "en", "s1", 10L),
+      (2L, "alpha beta", "en", "s1", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val model = Relevance.bigramModel(train, vocabSize = 8, bigramVocab = 8)
+    assert(model.total == 4L) // alpha x2, beta x2
+    val held = Seq((3L, "alpha beta zzz", "en", "s1", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Relevance.bigramApply(held, model).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // pairs: (alpha,beta) lp = ln(2/2) = 0; (beta,zzz) OOV floor
+    // ln(0.4 * 1 / 4) = ln(0.1); mean = ln(0.1)/2, 4 dp
+    val expected = BigDecimal(math.log(Relevance.BackoffAlpha * 1.0 / 4.0) / 2.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 2L, 1L)),
+      s"counts: $r")
+    assert(r.getDouble(4) == expected, s"logprob ${r.getDouble(4)} vs $expected")
+  }
+
+  test("bigramApply plans ZERO shuffles before the final sort") {
+    // the serving posture IS the point of the frozen model: scoring
+    // must be one narrow projection — the only exchange in the whole
+    // plan is the final orderBy's range partition (no aggregate, no
+    // join, no broadcast — the model is a codegen reference object)
+    val d = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val model = Relevance.bigramModel(d, vocabSize = 24, bigramVocab = 512)
+    val plan = Relevance.bigramApply(d, model).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected ONLY the final sort's exchange:\n$plan")
+    assert(!plan.contains("BroadcastExchange"), s"model must not join:\n$plan")
+  }
+
   test("perplexityBuckets: per-language terciles equal a driver-side rank replay") {
     // 6 en docs of graded fluency + 5 fr docs: expected buckets come
     // from an EXACT driver-side replay of the rank rule (logprob desc,
