@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   * every document whose 4-dp score does not TIE a cutoff value
   * (boundary ties are rank-split in batch, threshold-binned here —
   * spec-pinned both ways); languages absent from the reference fall
-  * back to `defaultCutoffs`.
+  * back to `defaultCutoffs` — including a NULL `lang`, which the batch
+  * operator instead DROPS (its classify join is inner on `lang`): a
+  * stream face must tag every arriving row, so unlabeled docs bin by
+  * the default cuts rather than vanishing.
   *
   * Shape: completely STATELESS — the model rides into generated code
   * as reference objects (`functions.BigramScoreExpr`, the
