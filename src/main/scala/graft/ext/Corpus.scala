@@ -658,4 +658,55 @@ object Corpus {
         col("quality_score"), col("n_tokens")))
       .orderBy("doc_id")
   }
+
+  // ------------------------------------------------- shard materializer
+
+  /** The pipeline TERMINAL: materialize a packed corpus
+    * ([[packGreedy]]'s assignment) as one storage partition per pack
+    * plus a manifest the trainer — and any resume or audit job — can
+    * trust without re-reading the data. Layout under `outDir`:
+    * `shards/pack_id=<id>/…parquet` (partition-pruned reads: a trainer
+    * node fetches ITS packs by directory, never scanning neighbors)
+    * and `manifest/` with one row per pack: `(pack_id, n_docs,
+    * n_tokens, checksum)`.
+    *
+    * The manifest is computed from a READ-BACK of the written files,
+    * not from the input plan, so it attests what is ON DISK — write
+    * faults, partial overwrites and later tampering all surface as a
+    * checksum mismatch instead of a silent training-data gap. The
+    * checksum is order-independent (a DECIMAL sum of per-row
+    * `hash64(doc_id ⧺ text)`), so it is stable under partition count
+    * and row order — re-running the writer over the same corpus is
+    * manifest-idempotent (spec-pinned). The cost is one extra columnar
+    * read of the shards; at full scale an operator can trade that
+    * audit for speed by manifesting from the input — this
+    * implementation deliberately keeps the audit default.
+    *
+    * Returns the manifest (as re-read from `outDir/manifest` — the
+    * caller holds exactly what a later job will see).
+    */
+  def writeShards(
+      documents: DataFrame,
+      packed: DataFrame,
+      outDir: String): DataFrame = {
+    val spark = documents.sparkSession
+    documents.select("doc_id", "text", "lang")
+      .join(packed.select("doc_id", "n_tokens", "pack_id"), Seq("doc_id"))
+      .write.mode("overwrite").partitionBy("pack_id")
+      .parquet(s"$outDir/shards")
+    spark.read.parquet(s"$outDir/shards")
+      .groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        // text coalesced: a NULL-text row must still contribute its
+        // doc_id to the checksum (concat-with-NULL hashes to NULL and
+        // the sum would silently skip the row)
+        sum(graft.functions.GraftFunctions.hash64(
+          concat(col("doc_id").cast("string"), lit(" "),
+            coalesce(col("text"), lit(""))))
+          .cast("decimal(38,0)")).as("checksum"))
+      .write.mode("overwrite").parquet(s"$outDir/manifest")
+    spark.read.parquet(s"$outDir/manifest").orderBy("pack_id")
+  }
 }

@@ -12,6 +12,52 @@ class CorpusSpec extends SparkSpec {
         "length(text) AS n_chars")
   }
 
+  test("writeShards: files + manifest attest exactly the packed corpus; re-run idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val df = docsDF((1L to 12L).map(i => (i, s"tok$i " * i.toInt)))
+    val packed = Corpus.packGreedy(df, budgetTokens = 8, shardsPerStratum = 2)
+    val manifest = Corpus.writeShards(df, packed, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).toBigInteger)).toSeq
+    // every pack is a partition directory; reading back recovers the
+    // joined rows exactly (set equality — row order is storage's)
+    val expected = df.select("doc_id", "text", "lang")
+      .join(packed.select("doc_id", "n_tokens", "pack_id"), Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4))).toSet
+    val back = spark.read.parquet(s"$dir/shards")
+      .select("doc_id", "text", "lang", "n_tokens", "pack_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(back == expected, "read-back shards diverge from the packed corpus")
+    assert(manifest.map(_._1).toSet ==
+      packed.select("pack_id").distinct().collect().map(_.getString(0)).toSet)
+    // manifest rows recompute from the files
+    manifest.foreach { case (pid, nDocs, nToks, _) =>
+      val rows = back.filter(_._5 == pid)
+      assert(rows.size.toLong == nDocs, s"$pid n_docs")
+      assert(rows.map(_._4).sum == nToks, s"$pid n_tokens")
+    }
+    // a second run over the same corpus is manifest-idempotent
+    // (order-independent checksum: stable under partitioning and order)
+    val again = Corpus.writeShards(df, packed, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).toBigInteger)).toSeq
+    assert(again == manifest, "re-run changed the manifest")
+    // the checksum genuinely covers CONTENT: a corpus differing in one
+    // character produces a different checksum for that pack only
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString
+    val df2 = docsDF((1L to 12L).map(i =>
+      (i, if (i == 5L) s"tok${i}X " * i.toInt else s"tok$i " * i.toInt)))
+    val m2 = Corpus.writeShards(df2, Corpus.packGreedy(df2, 8, 2), dir2)
+      .collect().map(r => (r.getString(0), r.getDecimal(3).toBigInteger)).toMap
+    val m1 = manifest.map(t => t._1 -> t._4).toMap
+    val doc5Pack = packed.filter("doc_id = 5").collect()(0).getString(3)
+    assert(m2(doc5Pack) != m1(doc5Pack), "content change must move the checksum")
+    assert(m1.keySet.filter(_ != doc5Pack).forall(p => m2.get(p).contains(m1(p))),
+      "unrelated packs must keep their checksums")
+  }
+
   test("segmentDedup: keep-first across corpus, reassembly in order, empty drops") {
     val df = docsDF(Seq(
       (1L, "a b c d e"),         // seg0 "a b c", seg1 "d e" — all first
