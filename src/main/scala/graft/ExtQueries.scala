@@ -299,20 +299,29 @@ object ExtQueries {
   private def bigramLmCtes(
       modelWhere: String = "TRUE", scoreWhere: String = "TRUE"): String = {
     val alpha = Relevance.BackoffAlpha
+    // identical predicates (the self-scoring keys): the score-side
+    // CTEs ALIAS the model side instead of re-deriving them, so the
+    // oracle pays the regex scan + pair explode once, not twice
+    val scoreSide =
+      if (scoreWhere == modelWhere)
+        """bl_l AS (SELECT * FROM bl_ml),
+          |bl_pairs AS (SELECT * FROM bl_mpairs),""".stripMargin
+      else
+        s"""bl_l AS (SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+           |  FROM documents WHERE $scoreWhere),
+           |bl_pairs AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+           |    SELECT doc_id, unnest(list_transform(range(1, len(l)),
+           |      i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS p
+           |    FROM bl_l WHERE len(l) >= 2)),""".stripMargin
     s"""bl_ml AS (SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
        |  FROM documents WHERE $modelWhere),
-       |bl_l AS (SELECT doc_id,
-       |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
-       |  FROM documents WHERE $scoreWhere),
        |bl_mpairs AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(l)),
        |      i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS p
        |    FROM bl_ml WHERE len(l) >= 2)),
-       |bl_pairs AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
-       |    SELECT doc_id, unnest(list_transform(range(1, len(l)),
-       |      i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS p
-       |    FROM bl_l WHERE len(l) >= 2)),
+       |$scoreSide
        |bl_tok AS (SELECT unnest(l) AS term FROM bl_ml),
        |bl_cnt AS (SELECT term, count(*)::BIGINT AS cnt FROM bl_tok GROUP BY 1),
        |bl_tot AS (SELECT sum(cnt)::BIGINT AS total FROM bl_cnt),
@@ -1853,7 +1862,8 @@ object ExtQueries {
     // ranks reproduce exactly this rank assignment)
     "perplexity_buckets_documents" ->
       s"""WITH ${bigramLmCtes()},
-         |px_s AS (SELECT d.doc_id, d.lang, COALESCE(a.logprob, 0.0) AS logprob
+         |px_s AS (SELECT d.doc_id, COALESCE(d.lang, '') AS lang,
+         |      COALESCE(a.logprob, 0.0) AS logprob
          |    FROM documents d LEFT JOIN bl_agg a USING (doc_id)),
          |px_n AS (SELECT lang, count(*)::BIGINT AS n_lang,
          |    CAST(floor(count(*) / 3.0) AS BIGINT) AS k FROM px_s GROUP BY 1),

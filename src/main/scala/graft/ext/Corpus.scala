@@ -690,10 +690,22 @@ object Corpus {
       packed: DataFrame,
       outDir: String): DataFrame = {
     val spark = documents.sparkSession
-    documents.select("doc_id", "text", "lang")
-      .join(packed.select("doc_id", "n_tokens", "pack_id"), Seq("doc_id"))
-      .write.mode("overwrite").partitionBy("pack_id")
-      .parquet(s"$outDir/shards")
+    // pinned STATIC overwrite for the shard root: under a session-wide
+    // dynamic mode (which Loader's MERGE paths legitimately set), a
+    // re-run producing FEWER packs would leave the vanished packs'
+    // directories on disk — and the read-back manifest would then
+    // attest stale data as valid. The terminal's contract is "the
+    // shard root IS the packed corpus", which is exactly static
+    // overwrite. (Loader-style save/set/restore.)
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(confKey)
+    spark.conf.set(confKey, "static")
+    try
+      documents.select("doc_id", "text", "lang")
+        .join(packed.select("doc_id", "n_tokens", "pack_id"), Seq("doc_id"))
+        .write.mode("overwrite").partitionBy("pack_id")
+        .parquet(s"$outDir/shards")
+    finally spark.conf.set(confKey, prev)
     spark.read.parquet(s"$outDir/shards")
       .groupBy("pack_id")
       .agg(

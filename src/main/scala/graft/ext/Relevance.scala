@@ -292,6 +292,14 @@ object Relevance {
       .groupBy("term").agg(count(lit(1)).as("cnt")).persist()
     try {
       val total = counts.agg(coalesce(sum("cnt"), lit(0L))).collect()(0).getLong(0)
+      // a tokenless training corpus yields total = 0, and every later
+      // backoff would compute ln(alpha·c/0) = +Inf — which round4's
+      // BigDecimal rejects as an OPAQUE NumberFormatException deep in
+      // generated code (or a failed micro-batch on the streaming
+      // face). Fail HERE, at build time, with the cause named.
+      require(total > 0,
+        "bigram model training corpus has no [a-z]+ tokens — " +
+          "cannot train a backoff distribution (total token count is 0)")
       val vocab = new java.util.HashMap[String, java.lang.Long]()
       counts.orderBy(col("cnt").desc, col("term")).limit(vocabSize)
         .collect().foreach(r => vocab.put(r.getString(0), r.getLong(1)))
@@ -359,10 +367,15 @@ object Relevance {
       documents: DataFrame,
       vocabSize: Int = 1024,
       bigramVocab: Int = 4096): DataFrame = {
+    // NULL lang coalesces to the sentinel language "" instead of
+    // silently vanishing through the null-rejecting classify join —
+    // unlabeled docs rank among themselves and STAY IN THE OUTPUT
+    // (the substringDedup NULL-text lesson, applied before it bites)
     val scored = graft.core.CacheScope.persist(
       bigramLogProb(documents, vocabSize, bigramVocab)
         .select(col("doc_id"), col("logprob"))
-        .join(documents.select("doc_id", "lang"), Seq("doc_id")))
+        .join(documents.select(col("doc_id"),
+          coalesce(col("lang"), lit("")).as("lang")), Seq("doc_id")))
     val hist = scored.groupBy("lang", "logprob").agg(count(lit(1)).as("n"))
     val hw = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(desc("logprob"))

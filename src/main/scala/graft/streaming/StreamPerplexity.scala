@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   * every document whose 4-dp score does not TIE a cutoff value
   * (boundary ties are rank-split in batch, threshold-binned here —
   * spec-pinned both ways); languages absent from the reference fall
-  * back to `defaultCutoffs` — including a NULL `lang`, which the batch
-  * operator instead DROPS (its classify join is inner on `lang`): a
-  * stream face must tag every arriving row, so unlabeled docs bin by
-  * the default cuts rather than vanishing.
+  * back to `defaultCutoffs`. A NULL `lang` coalesces to the sentinel
+  * language "" on BOTH sides — the batch operator ranks unlabeled
+  * docs among themselves under that key, so a reference run that had
+  * unlabeled docs exports "" cutoffs and the stream looks them up;
+  * with no such reference entry, unlabeled docs bin by the defaults.
   *
   * Shape: completely STATELESS — the model rides into generated code
   * as reference objects (`functions.BigramScoreExpr`, the
@@ -60,7 +61,8 @@ object StreamPerplexity {
     val headCut = coalesce(element_at(col("_c"), 1), lit(defaultCutoffs._1))
     val tailCut = coalesce(element_at(col("_c"), 2), lit(defaultCutoffs._2))
     stream
-      .select(col("doc_id"), col("lang"), scored.as("_s"))
+      .select(col("doc_id"),
+        coalesce(col("lang"), lit("")).as("lang"), scored.as("_s"))
       .select(col("doc_id"), col("lang"), lp.as("logprob"),
         element_at(cutMap, col("lang")).as("_c"))
       .select(col("doc_id"), col("lang"), col("logprob"),

@@ -283,6 +283,24 @@ class RelevanceSpec extends SparkSpec {
       4L -> "middle", 5L -> "tail", 6L -> "tail"), out.toString)
   }
 
+  test("perplexityBuckets: NULL-lang docs rank under the sentinel language, never dropped") {
+    // the null-rejecting-join silent-row-loss class, guarded: unlabeled
+    // docs coalesce to lang "" and rank among themselves
+    val df = Seq(
+      (1L, "alpha beta alpha beta", null.asInstanceOf[String], "s1", 20L),
+      (2L, "alpha beta", null.asInstanceOf[String], "s1", 10L),
+      (3L, "alpha beta gamma", "en", "s1", 16L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Relevance.perplexityBuckets(df, vocabSize = 8, bigramVocab = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+    graft.core.CacheScope.releaseAll()
+    assert(out.length == 3, s"no doc may vanish: ${out.toSeq}")
+    assert(out.filter(_._2 == "").map(_._1).toSet == Set(1L, 2L),
+      s"unlabeled docs carry the sentinel language: ${out.toSeq}")
+    // the 2-doc sentinel language degenerates to all-middle (k = 0)
+    assert(out.filter(_._2 == "").forall(_._3 == "middle"), out.toSeq.toString)
+  }
+
   test("perplexityBuckets: languages under 3 docs degenerate to all-middle") {
     // k = floor(n/3) = 0: no head, no tail — never an error on the
     // long tail of tiny languages a multilingual crawl always has
