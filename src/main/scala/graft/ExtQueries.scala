@@ -1041,6 +1041,20 @@ object ExtQueries {
             lit(Similarity.RecallK.toDouble), 4).as("recall_at_10"))
         .orderBy("probe_id")
     }),
+    "hard_negatives_embeddings" -> ((s: SparkSession, dir: String) => {
+      // hard-negative mining for contrastive training (DPR/ANCE): the
+      // batch kNN-join kernel with the anchor's label carried through
+      // the cell expansion and a label != probe_label filter on the
+      // candidate stream — the confusable near-misses an embedding
+      // model trains its decision boundary on; same capped probe batch
+      // as the retrieval keys
+      val e = embs(s, dir)
+      val probes = e.filter(col("vec_id") % KnnProbeModulus === 0)
+        .orderBy("vec_id").limit(KnnProbeLimit)
+        .select(col("vec_id").as("probe_id"), col("embedding"),
+          col("label").as("probe_label"))
+      Similarity.hardNegatives(e, probes)
+    }),
     "similarity_ivf_trained_embeddings" -> ((s: SparkSession, dir: String) => {
       val e = embs(s, dir)
       // the production path: explicit index-build step (offline at
@@ -2150,6 +2164,36 @@ object ExtQueries {
          |    FROM kasg a JOIN kpr pr ON a.cid = pr.cid
          |                JOIN kp p ON p.probe_id = pr.probe_id)
          |SELECT probe_id, vec_id, label, cosine FROM (
+         |  SELECT kc.*, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cosine DESC, vec_id) AS rn FROM kc)
+         |WHERE rn <= 10
+         |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin,
+    // hard-negative mining: the knn_join CTE chain with the anchor's
+    // label carried into kp and a label <> probe_label filter on the
+    // candidate set before the per-probe rank window
+    "hard_negatives_embeddings" ->
+      s"""WITH kp AS (SELECT vec_id AS probe_id, label AS probe_label,
+         |      embedding AS pe FROM embeddings
+         |    WHERE vec_id % $KnnProbeModulus = 0
+         |    ORDER BY vec_id LIMIT $KnnProbeLimit),
+         |kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |    ORDER BY vec_id LIMIT 16),
+         |kasg AS (SELECT vec_id, label, embedding, cid FROM (
+         |    SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.embedding", "c.cvec", 64)}, 6) DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN kcent c) WHERE rn = 1),
+         |kpr AS (SELECT probe_id, cid FROM (
+         |    SELECT p.probe_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY round(${cosSql("c.cvec", "p.pe", 64)}, 6) DESC, c.cid) AS rn
+         |    FROM kcent c CROSS JOIN kp p) WHERE rn <= 4),
+         |kc AS (SELECT pr.probe_id, p.probe_label, a.vec_id, a.label,
+         |      round(${cosSql("a.embedding", "p.pe", 64)}, 6) AS cosine
+         |    FROM kasg a JOIN kpr pr ON a.cid = pr.cid
+         |                JOIN kp p ON p.probe_id = pr.probe_id
+         |    WHERE a.label <> p.probe_label)
+         |SELECT probe_id, probe_label, vec_id, label, cosine FROM (
          |  SELECT kc.*, row_number() OVER (PARTITION BY probe_id
          |    ORDER BY cosine DESC, vec_id) AS rn FROM kc)
          |WHERE rn <= 10

@@ -489,15 +489,7 @@ object Similarity {
       k: Int = 10,
       nProbe: Int = 4): DataFrame = {
     require(centroids.nonEmpty, "need a trained/seeded centroid set")
-    val scored = array(centroids.map { case (cid, v) =>
-      val cvec = array(v.map(lit): _*)
-      struct(round(-cosine(col("embedding"), cvec), 6).as("d"),
-        lit(cid).as("cid"))
-    }.toIndexedSeq: _*)
-    val probeCells = probes.select(
-      col("probe_id"), col("embedding").as("_pe"),
-      explode(transform(slice(array_sort(scored), 1, nProbe),
-        x => x.getField("cid"))).as("centroid_id"))
+    val probeCells = probeCellsOf(probes, centroids, nProbe)
     val cellIds = probeCells.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
     val candidates = assigned
@@ -583,15 +575,7 @@ object Similarity {
     val dsub = cbs.head.head.length
     // per-probe probed cells — the knnJoinAssigned ranking (bounded
     // ≤ nCentroids cell-id collect, pushed as literals)
-    val scored = array(cents.map { case (cid, v) =>
-      val cvec = array(v.map(lit): _*)
-      struct(round(-cosine(col("embedding"), cvec), 6).as("d"),
-        lit(cid).as("cid"))
-    }.toIndexedSeq: _*)
-    val probeCells = probes.select(
-      col("probe_id"), col("embedding").as("_pe"),
-      explode(transform(slice(array_sort(scored), 1, nProbe),
-        x => x.getField("cid"))).as("centroid_id"))
+    val probeCells = probeCellsOf(probes, cents, nProbe)
     val cellIds = probeCells.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
     // pinned: candidate vectors feed the pair join AND the PQ encode
@@ -650,6 +634,92 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"), col("label"),
         round(cosine(col("_pe"), col("embedding")), 6).as("cosine"))
       .withColumn("_rn", row_number().over(wr))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
+  }
+
+  /** Per-probe probed-cell expansion — the stage shared by
+    * [[knnJoinAssigned]], [[knnJoinPq]], and [[hardNegativesAssigned]]
+    * (ONE definition, so a cell-ranking or tie-break fix moves all
+    * three): the broadcast centroid matrix ranks per probe as a single
+    * LITERAL expression (narrow, no exchange, no per-centroid row
+    * blowup), and the top `nProbe` cell ids explode to one row per
+    * (probe, probed cell). `carry` names extra probe columns to keep
+    * through the expansion (e.g. the probe's label for negative
+    * mining).
+    */
+  private def probeCellsOf(
+      probes: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      nProbe: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val scored = array(centroids.map { case (cid, v) =>
+      val cvec = array(v.map(lit): _*)
+      struct(round(-cosine(col("embedding"), cvec), 6).as("d"),
+        lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+    probes.select(
+      col("probe_id") +: col("embedding").as("_pe") +: carry.map(col) :+
+        explode(transform(slice(array_sort(scored), 1, nProbe),
+          x => x.getField("cid"))).as("centroid_id"): _*)
+  }
+
+  /** Hard-NEGATIVE mining — the contrastive-training data-prep step of
+    * the dense-retriever lineage (DPR, Karpukhin et al. 2020,
+    * arXiv:2004.04906 §3.2; ANCE, Xiong et al. 2020, arXiv:2007.00808
+    * mines negatives from exactly this kind of ANN index): for every
+    * anchor in a probe TABLE (`probe_id`, `embedding`, `probe_label`),
+    * the `k` corpus vectors MOST similar to the anchor whose label
+    * DIFFERS — the confusable near-misses that teach an embedding
+    * model its decision boundary, which random negatives never touch.
+    *
+    * Same serving shape as [[knnJoin]] (the IVF kernel with probes as
+    * data): negatives are mined from the anchor's `nProbe` nearest
+    * cells — the ANN-restricted mining that ANCE §4 runs per
+    * checkpoint, not a corpus scan. The label filter runs on the
+    * candidate stream BEFORE the per-probe rank window, so a
+    * same-label-dense cell costs candidate rows, never window rows.
+    */
+  def hardNegatives(
+      embeddings: DataFrame,
+      probes: DataFrame,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val cents = seedCentroids(embeddings, nCentroids)
+    hardNegativesAssigned(probes, ivfAssignPortableTo(embeddings, cents),
+      cents, k, nProbe)
+  }
+
+  /** [[hardNegatives]] over a pre-assigned corpus — [[knnJoinAssigned]]
+    * with the anchor's label carried through the cell expansion and a
+    * `label != probe_label` filter on the candidate stream. Every
+    * ranking compares at 6 dp with id tie-breaks (the family's
+    * oracle-portability contract); the one driver collect is the
+    * ≤ nCentroids probed-cell-id set.
+    */
+  def hardNegativesAssigned(
+      probes: DataFrame,
+      assigned: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    require(centroids.nonEmpty, "need a trained/seeded centroid set")
+    val probeCells =
+      probeCellsOf(probes, centroids, nProbe, carry = Seq("probe_label"))
+    val cellIds = probeCells.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val candidates = assigned
+      .filter(col("centroid_id").isin(cellIds: _*))
+      .join(broadcast(probeCells), Seq("centroid_id"))
+      .filter(col("label") =!= col("probe_label"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    candidates
+      .select(col("probe_id"), col("probe_label"), col("vec_id"),
+        col("label"), round(cosine(col("_pe"), col("embedding")), 6).as("cosine"))
+      .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .drop("_rn")
       .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))

@@ -57,8 +57,10 @@ class QueryContractSpec extends AnyFunSuite {
     // perplexity_buckets_documents (CCNet head/middle/tail terciles
     // per language under the trained bigram LM),
     // bigram_apply_documents (train-once-apply-many: the frozen model
-    // scores held-out docs through one codegen'd projection)
-    assert(SparkEntry.queries.size == 135,
+    // scores held-out docs through one codegen'd projection),
+    // hard_negatives_embeddings (contrastive-training negative mining:
+    // the kNN-join kernel + a label != probe_label candidate filter)
+    assert(SparkEntry.queries.size == 136,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.14 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

@@ -266,6 +266,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: different-label filter holds; block equals filtered IVF ranking") {
+    // per anchor: every mined row's label must differ from the
+    // anchor's, and the block must equal the single-probe IVF ranking
+    // over the same probed cells with same-label rows removed — the
+    // kernel is knnJoin + one filter, nothing else
+    val probes = embs.filter("vec_id % 97 = 0")
+      .selectExpr("vec_id AS probe_id", "embedding", "label AS probe_label")
+    val mined = Similarity.hardNegatives(embs, probes, k = 5).collect()
+    val probeRows = probes.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    assert(probeRows.length > 1, "fixture must provide multiple probes")
+    assert(mined.nonEmpty, "fixture must yield hard negatives")
+    mined.foreach { r =>
+      val plabel = r.getInt(1)
+      assert(r.getInt(3) != plabel,
+        s"probe ${r.getLong(0)} mined a SAME-label row ${r.getLong(2)}")
+    }
+    probeRows.foreach { case (pid, pvec, plabel) =>
+      // ground truth: the full candidate ranking of the probed cells
+      // (ivfSeedTopK with corpus-sized k), same-label rows dropped
+      val want = Similarity.ivfSeedTopK(embs, pvec, k = Int.MaxValue)
+        .collect()
+        .filter(_.getInt(1) != plabel)
+        .take(5)
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val block = mined.filter(_.getLong(0) == pid)
+        .map(r => (r.getLong(2), r.getDouble(4))).toSeq
+      assert(block == want, s"probe $pid diverged from filtered IVF ranking")
+    }
+  }
+
   test("buildIvfIndex scans the source once, regardless of iteration count") {
     // the Lloyd loop pins its (vec_id, embedding) projection: every
     // per-iteration query must read THROUGH the cache (InMemoryTableScan
