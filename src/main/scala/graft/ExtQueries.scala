@@ -76,6 +76,13 @@ object ExtQueries {
   val KnnProbeModulus: Int = 97
   val KnnProbeLimit: Int = 16
 
+  /** Output dimensionality for the declared Johnson–Lindenstrauss
+    * projection key — shared by the Spark call site and the oracle SQL.
+    * 16 of 64 dims: a real 4× cut (not a no-op), and √16 is exact in
+    * double so the ±1/√kOut weights are bit-identical cross-engine.
+    */
+  val RpOutDims: Int = 16
+
   /** Pair threshold for the declared sketch-quality key — shared by the
     * Spark call site and the oracle SQL (with Hashing.MinHashK /
     * Dedup.Bands) so retuning the sketch cannot desync the one key
@@ -1243,6 +1250,12 @@ object ExtQueries {
     }),
     "quantize_embeddings" -> ((s: SparkSession, dir: String) =>
       Similarity.quantizeInt8(embs(s, dir))),
+    "embedding_project_embeddings" -> ((s: SparkSession, dir: String) =>
+      // Johnson–Lindenstrauss sign projection (Achlioptas 2003):
+      // 64 -> RpOutDims dims as ONE codegen'd narrow projection — no
+      // shuffle, no projection-matrix join; hash-seeded signs and
+      // 6-dp micro-unit parts make it engine-reproducible exactly
+      Similarity.randomProjection(embs(s, dir), RpOutDims)),
     "label_centroids_embeddings" -> ((s: SparkSession, dir: String) =>
       Similarity.labelCentroids(embs(s, dir))),
     "ivf_cell_stats_embeddings" -> ((s: SparkSession, dir: String) =>
@@ -2387,6 +2400,25 @@ object ExtQueries {
         |    CAST(CASE WHEN mx = mn THEN 0 ELSE
         |      least(255, floor((v::DOUBLE - mn) * 256.0 / (mx - mn))) END AS BIGINT)::VARCHAR), ',') AS q_csv
         |FROM b ORDER BY vec_id""".stripMargin,
+    // JL sign projection: the hash-seeded ±1/√kOut matrix regenerated
+    // through the hash64 replica over the same 'rp:j:i' key strings,
+    // parts rounded to 6 dp and summed in DECIMAL (order-independent —
+    // matches the engine's exact micro-unit accumulation)
+    "embedding_project_embeddings" -> {
+      val w = s"1.0 / sqrt(${RpOutDims}.0)"
+      s"""WITH rp_keys AS (SELECT j, i, 'rp:' || j || ':' || (i - 1) AS k
+         |    FROM range(0, $RpOutDims) t(j) CROSS JOIN range(1, 65) u(i)),
+         |${hash64Ctes("rpk", "rp_keys", "k")},
+         |rp_sgn AS (SELECT kk.j, kk.i,
+         |      CASE WHEN h.h % 2 = 1 THEN $w ELSE -($w) END AS wgt
+         |    FROM rp_keys kk JOIN rpk_h64 h ON h.k = kk.k),
+         |rp_parts AS (SELECT e.vec_id, sg.j,
+         |      CAST(round(e.embedding[sg.i]::DOUBLE * sg.wgt, 6)
+         |        AS DECIMAL(16,6)) AS part
+         |    FROM embeddings e CROSS JOIN rp_sgn sg)
+         |SELECT vec_id, j, round(sum(part)::DOUBLE, 6) AS proj
+         |FROM rp_parts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "range_join_sessions" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),
          |s AS (SELECT event_id, user_id, ts,

@@ -725,6 +725,30 @@ object Similarity {
       .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
   }
 
+  /** Johnson–Lindenstrauss compression of the embedding column —
+    * Achlioptas 2003's ±1 sign projection (JCSS 66(4)), the cheap
+    * dimensionality cut in FRONT of every O(dim) embedding operator
+    * (SemDeDup pair scans, k-means training, LSH sketching): pairwise
+    * distances are preserved within the JL distortion bound at a
+    * dim/kOut cost reduction for everything downstream.
+    *
+    * Plan: ONE codegen'd kernel call per row ([[graft.functions.VectorOps.randomProject]])
+    * then posexplode — narrow, shuffle-free, no join against a
+    * projection-matrix table (the hash-seeded sign matrix is a
+    * plan-time constant; at 100 TB the matrix never moves, only the
+    * data). Output stays EXPLODED (vec_id, j, proj) — the flat
+    * oracle-comparable shape of the embedding family; parts are 6-dp
+    * micro-unit exact, so the projection is engine-reproducible
+    * bit-for-bit, not merely approximately.
+    */
+  def randomProjection(embeddings: DataFrame, kOut: Int): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        posexplode(graft.functions.GraftFunctions.randomProject(
+          col("embedding"), kOut)).as(Seq("j", "proj")))
+      .select(col("vec_id"), col("j").cast("bigint").as("j"), col("proj"))
+      .orderBy("vec_id", "j")
+
   /** Per-vector int8 (0–255) min–max quantization — the storage path
     * for vector corpora at scale (4× smaller than float32 before
     * compression; IVF/LSH recall is barely affected at 8 bits). Pure

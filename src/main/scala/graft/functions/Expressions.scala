@@ -393,6 +393,33 @@ case class BpeCountExpr(
     copy(child = newChild)
 }
 
+/** `random_project(vec)`: Johnson–Lindenstrauss ±1 sign projection of
+  * an array<float> embedding to `kOut` dimensions
+  * ([[VectorOps.randomProject]]: hash-seeded deterministic signs,
+  * 6-dp micro-unit exact accumulation); `kOut` is a plan-time
+  * constant. One codegen'd kernel call per row — the narrow,
+  * shuffle-free compression stage in front of the O(dim) embedding
+  * family.
+  */
+case class RandomProjectExpr(child: Expression, kOut: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_random_project"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(VectorOps.randomProject(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], kOut))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorOps.randomProject($c, $kOut))")
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProjectExpr =
+    copy(child = newChild)
+}
+
 /** `hyperplane_sketch(v)`: sign-bit LSH sketch (seeded planes) packed
   * into a BIGINT; `dim`/`planes` are plan-time constants.
   */

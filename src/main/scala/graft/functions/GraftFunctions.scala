@@ -30,6 +30,10 @@ object GraftFunctions {
   def hyperplaneSketch(v: Column, dim: Int, planes: Int): Column =
     GraftBridge.column(HyperplaneSketchExpr(GraftBridge.expression(v), dim, planes))
 
+  /** Johnson–Lindenstrauss ±1 sign projection to `kOut` dims. */
+  def randomProject(v: Column, kOut: Int): Column =
+    GraftBridge.column(RandomProjectExpr(GraftBridge.expression(v), kOut))
+
   def bandKey(sig: Column, band: Int, r: Int): Column =
     GraftBridge.column(BandKeyExpr(GraftBridge.expression(sig), band, r))
 
@@ -118,6 +122,8 @@ object GraftFunctions {
         litInt("graft_winnow_fps", es(2)))),
     fn("graft_char_gram_hashes", "(text, k)", 2, 2)(es =>
       CharGramHashesExpr(es.head, litInt("graft_char_gram_hashes", es(1)))),
+    fn("graft_random_project", "(vec, k)", 2, 2)(es =>
+      RandomProjectExpr(es.head, litInt("graft_random_project", es(1)))),
     fn("graft_ahash64", "(payload)", 1, 1)(es => AHash64Expr(es.head)),
     fn("graft_audiohash64", "(payload)", 1, 1)(es => AudioHash64Expr(es.head)),
     fn("graft_videohash64", "(payload)", 1, 1)(es => VideoHash64Expr(es.head)),

@@ -72,6 +72,51 @@ object VectorOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  // --------------------------------------------- JL random projection
+
+  /** Deterministic ±1/√kOut sign matrix for [[randomProject]], cached
+    * per (dim, kOut): sign(j, i) = bit 0 of `Hashing.hash64("rp:j:i")`
+    * — hash-derived, so there is no RNG state to ship and any engine
+    * with the hash64 replica (ExtQueries.hash64Ctes) regenerates the
+    * SAME matrix from the same key strings.
+    */
+  private val rpWeightCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  def rpWeights(dim: Int, kOut: Int): Array[Array[Double]] =
+    rpWeightCache.computeIfAbsent((dim, kOut), { case (d, ko) =>
+      val s = 1.0 / math.sqrt(ko.toDouble)
+      Array.tabulate(ko, d)((j, i) =>
+        if ((Hashing.hash64(s"rp:$j:$i") & 1L) == 1L) s else -s)
+    })
+
+  /** Johnson–Lindenstrauss SIGN random projection (Achlioptas 2003's
+    * database-friendly ±1 variant, JCSS 66(4)): out_j = Σ_i v_i ·
+    * (±1/√kOut), with every term rounded to 6 dp ([[round6]]) and
+    * accumulated EXACTLY in integer micro-units — order-independent by
+    * construction, so a decimal SUM of the same 6-dp parts in any
+    * engine reproduces each output bit-for-bit (the PQ-ADC contract
+    * applied to projection).
+    */
+  def randomProject(v: ArrayData, kOut: Int): Array[Double] = {
+    val dim = v.numElements()
+    val w = rpWeights(dim, kOut)
+    val out = new Array[Double](kOut)
+    var j = 0
+    while (j < kOut) {
+      val wj = w(j)
+      var micros = 0L
+      var i = 0
+      while (i < dim) {
+        micros += math.round(round6(v.getFloat(i).toDouble * wj(i)) * 1e6)
+        i += 1
+      }
+      out(j) = round6(micros / 1e6)
+      j += 1
+    }
+    out
+  }
+
   /** Seeded gaussian hyperplane matrices, cached per (dim, planes). */
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()

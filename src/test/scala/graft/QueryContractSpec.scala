@@ -59,8 +59,10 @@ class QueryContractSpec extends AnyFunSuite {
     // bigram_apply_documents (train-once-apply-many: the frozen model
     // scores held-out docs through one codegen'd projection),
     // hard_negatives_embeddings (contrastive-training negative mining:
-    // the kNN-join kernel + a label != probe_label candidate filter)
-    assert(SparkEntry.queries.size == 136,
+    // the kNN-join kernel + a label != probe_label candidate filter),
+    // embedding_project_embeddings (Johnson–Lindenstrauss sign
+    // projection: hash-seeded ±1/√k matrix, exact 6-dp accumulation)
+    assert(SparkEntry.queries.size == 137,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.14 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

@@ -297,6 +297,65 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("randomProjection: exact driver-side replay; JL distances correlate") {
+    // (1) every output value must equal an exact micro-unit replay of
+    // the hash-seeded sign projection (the portable contract); (2) the
+    // sign matrix must genuinely mix signs; (3) the JL property must
+    // hold on the fixture: pairwise distances in projected space
+    // correlate strongly with the originals
+    val kOut = 16
+    val got = Similarity.randomProjection(embs, kOut).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val vecs = embs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(got.size == vecs.size * kOut)
+    val dim = vecs.head._2.length
+    val w = graft.functions.VectorOps.rpWeights(dim, kOut)
+    assert(w.flatten.count(_ > 0) > 0 && w.flatten.count(_ < 0) > 0,
+      "hash-seeded sign matrix must mix signs")
+    vecs.foreach { case (id, v) =>
+      (0 until kOut).foreach { j =>
+        var micros = 0L
+        (0 until dim).foreach { i =>
+          micros += math.round(
+            graft.functions.VectorOps.round6(v(i).toDouble * w(j)(i)) * 1e6)
+        }
+        val want = graft.functions.VectorOps.round6(micros / 1e6)
+        assert(got((id, j.toLong)) == want, s"vec $id dim $j diverged")
+      }
+    }
+    // JL sanity: Pearson correlation of squared pairwise distances
+    // over the first 30 vectors (deterministic fixture + seeded
+    // signs), and the JL LAW itself — distortion shrinks as kOut
+    // grows, so the correlation at 3× the dims must beat it
+    val ids = vecs.keys.toSeq.sorted.take(30)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def distCorr(ko: Int): Double = {
+      val p = Similarity.randomProjection(embs, ko).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val pairs = for {
+        x <- ids.indices; y <- (x + 1) until ids.size
+      } yield {
+        val (ia, ib) = (ids(x), ids(y))
+        (d2(vecs(ia).map(_.toDouble), vecs(ib).map(_.toDouble)),
+          d2((0 until ko).map(j => p((ia, j.toLong))).toArray,
+            (0 until ko).map(j => p((ib, j.toLong))).toArray))
+      }
+      val n = pairs.size.toDouble
+      val (mx, my) = (pairs.map(_._1).sum / n, pairs.map(_._2).sum / n)
+      val cov = pairs.map { case (a, b) => (a - mx) * (b - my) }.sum
+      val sx = math.sqrt(pairs.map(p => (p._1 - mx) * (p._1 - mx)).sum)
+      val sy = math.sqrt(pairs.map(p => (p._2 - my) * (p._2 - my)).sum)
+      cov / (sx * sy)
+    }
+    val c16 = distCorr(kOut)
+    val c48 = distCorr(48)
+    assert(c16 > 0.3, s"JL distance correlation too weak at 16 dims: $c16")
+    assert(c48 > c16,
+      s"distortion must shrink with kOut (JL law): corr16=$c16 corr48=$c48")
+  }
+
   test("buildIvfIndex scans the source once, regardless of iteration count") {
     // the Lloyd loop pins its (vec_id, embedding) projection: every
     // per-iteration query must read THROUGH the cache (InMemoryTableScan
