@@ -91,4 +91,80 @@ class StreamSelectBudgetSpec extends SparkSpec {
     assert(got.isEmpty)
     assert(stateRows == 1L)
   }
+
+  private def runSharded(
+      batches: Seq[Seq[BudgetDoc]], budget: Long, shards: Int, name: String) = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[BudgetDoc]
+    val q = StreamSelectBudget.selectStreamSharded(input.toDF(), budget, shards)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      (spark.table(name).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getDouble(3), r.getLong(4), r.getInt(5))).toSeq,
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum)
+    } finally q.stop()
+  }
+
+  private def shardOf(docId: Long, shards: Int): Int = {
+    val h = graft.functions.Hashing.hash64(docId.toString)
+    (((h % shards) + shards) % shards).toInt
+  }
+
+  test("sharded with one shard IS the global face, row for row") {
+    val rows = docs(1 to 6, rich) ++ docs(7 to 10, poor)
+    val budget = 30L
+    val (global, _) = runStream(Seq(rows), budget, "sbs_g")
+    val (sharded, stateRows) = runSharded(Seq(rows), budget, 1, "sbs_1")
+    assert(sharded.map(t => (t._1, t._2, t._3, t._4, t._5)) == global)
+    assert(sharded.forall(_._6 == 0))
+    assert(stateRows == 1L)
+  }
+
+  test("sharded: each stratum replays the batch operator under its sub-budget") {
+    // whole corpus in one micro-batch: every shard's block must equal
+    // batch selectBudget over THAT shard's docs with THAT shard's
+    // sub-budget — the parallel fold is N independent copies of the
+    // declared greedy rule, nothing else
+    val rows = docs(1 to 24, rich) ++ docs(25 to 40, poor)
+    val budget = 101L // not divisible by 4: remainder spread is exercised
+    val shards = 4
+    val (got, stateRows) = runSharded(Seq(rows), budget, shards, "sbs_4")
+    assert(stateRows == shards.toLong, "one state row per stratum")
+    val base = budget / shards
+    val rem = (budget % shards).toInt
+    (0 until shards).foreach { sh =>
+      val myBudget = base + (if (sh < rem) 1L else 0L)
+      val mine = rows.filter(d => shardOf(d.doc_id, shards) == sh)
+      assert(mine.nonEmpty, s"fixture must populate shard $sh")
+      val want = batchRef(mine, myBudget)
+      val block = got.filter(_._6 == sh)
+        .map(t => (t._1, t._2, t._3, t._4, t._5))
+      assert(block == want, s"shard $sh diverged from its batch replay")
+    }
+    // shard assignment is content-addressed: recomputable from doc_id
+    got.foreach(t => assert(t._6 == shardOf(t._1, shards)))
+  }
+
+  test("sharded: sub-budgets persist independently across micro-batches") {
+    // batch 1 exhausts every shard's sub-budget; batch 2's docs must
+    // all be rejected shard-locally (no cross-shard borrowing)
+    val first = docs(1 to 20, rich)
+    val second = docs(21 to 28, rich)
+    val budget = 48L
+    val shards = 2
+    val (got, _) = runSharded(Seq(first, second), budget, shards, "sbs_p")
+    assert(got.nonEmpty)
+    assert(got.map(_._1).forall(_ <= 20L),
+      s"batch-2 docs admitted after sub-budgets were spent: ${got.map(_._1)}")
+    (0 until shards).foreach { sh =>
+      val myBudget = budget / shards + (if (sh < (budget % shards).toInt) 1L else 0L)
+      val mine = first.filter(d => shardOf(d.doc_id, shards) == sh)
+      val block = got.filter(_._6 == sh).map(t => (t._1, t._2, t._3, t._4, t._5))
+      assert(block == batchRef(mine, myBudget), s"shard $sh diverged")
+    }
+  }
 }
