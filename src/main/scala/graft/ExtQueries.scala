@@ -1062,6 +1062,18 @@ object ExtQueries {
           col("label").as("probe_label"))
       Similarity.hardNegatives(e, probes)
     }),
+    "knn_classify_embeddings" -> ((s: SparkSession, dir: String) => {
+      // leave-one-out kNN classification over the shared IVF kernel:
+      // the embedding-quality evaluation — each probe classified by
+      // the majority label of its k nearest neighbors (self excluded;
+      // ties break to the smallest label); same capped probe batch
+      val e = embs(s, dir)
+      val probes = e.filter(col("vec_id") % KnnProbeModulus === 0)
+        .orderBy("vec_id").limit(KnnProbeLimit)
+        .select(col("vec_id").as("probe_id"), col("embedding"),
+          col("label").as("probe_label"))
+      Similarity.knnClassify(e, probes)
+    }),
     "similarity_ivf_trained_embeddings" -> ((s: SparkSession, dir: String) => {
       val e = embs(s, dir)
       // the production path: explicit index-build step (offline at
@@ -2211,6 +2223,43 @@ object ExtQueries {
          |    ORDER BY cosine DESC, vec_id) AS rn FROM kc)
          |WHERE rn <= 10
          |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin,
+    // leave-one-out kNN classification: the knn_join CTE chain with a
+    // vec_id <> probe_id exclusion, then one vote aggregate per probe
+    // (majority label, smallest label breaking ties)
+    "knn_classify_embeddings" ->
+      s"""WITH kp AS (SELECT vec_id AS probe_id, label AS probe_label,
+         |      embedding AS pe FROM embeddings
+         |    WHERE vec_id % $KnnProbeModulus = 0
+         |    ORDER BY vec_id LIMIT $KnnProbeLimit),
+         |kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |    ORDER BY vec_id LIMIT 16),
+         |kasg AS (SELECT vec_id, label, embedding, cid FROM (
+         |    SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.embedding", "c.cvec", 64)}, 6) DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN kcent c) WHERE rn = 1),
+         |kpr AS (SELECT probe_id, cid FROM (
+         |    SELECT p.probe_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY round(${cosSql("c.cvec", "p.pe", 64)}, 6) DESC, c.cid) AS rn
+         |    FROM kcent c CROSS JOIN kp p) WHERE rn <= 4),
+         |kn AS (SELECT probe_id, probe_label, vec_id, label FROM (
+         |    SELECT pr.probe_id, p.probe_label, a.vec_id, a.label,
+         |      row_number() OVER (PARTITION BY pr.probe_id
+         |        ORDER BY round(${cosSql("a.embedding", "p.pe", 64)}, 6) DESC,
+         |          a.vec_id) AS rn
+         |    FROM kasg a JOIN kpr pr ON a.cid = pr.cid
+         |                JOIN kp p ON p.probe_id = pr.probe_id
+         |    WHERE a.vec_id <> pr.probe_id) WHERE rn <= 10),
+         |kv AS (SELECT probe_id, probe_label, label,
+         |      count(*)::BIGINT AS n_votes
+         |    FROM kn GROUP BY 1, 2, 3)
+         |SELECT probe_id, probe_label, label AS predicted_label, n_votes,
+         |  (CASE WHEN label = probe_label THEN 1 ELSE 0 END)::BIGINT AS correct
+         |FROM (SELECT kv.*, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY n_votes DESC, label) AS rn FROM kv)
+         |WHERE rn = 1
+         |ORDER BY probe_id""".stripMargin,
     // batch kNN join through the PRODUCTION stack: the knn_join CTE
     // chain composed with the ivfpq scoring chain generalized per
     // probe — PQ codes once per candidate vector (kenc over the

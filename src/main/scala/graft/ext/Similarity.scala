@@ -487,19 +487,42 @@ object Similarity {
       assigned: DataFrame,
       centroids: Seq[(Long, Seq[Float])],
       k: Int = 10,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4): DataFrame =
+    knnNeighbors(probes, assigned, centroids, k, nProbe)
+
+  /** The per-probe IVF neighbor kernel behind [[knnJoinAssigned]],
+    * [[hardNegativesAssigned]], and [[knnClassify]] — ONE body, so a
+    * ranking or tie-break fix can never diverge the faces: probed
+    * cells via [[probeCellsOf]] (bounded ≤ nCentroids cell-id
+    * collect, pushed as literals), candidates join on `centroid_id`
+    * with the probe×cell pairs broadcast, an optional candidate
+    * predicate (label exclusion, self exclusion) applied BEFORE the
+    * per-probe rank window, and the top-k as a `probe_id`-partitioned
+    * row_number (probe-bounded partitions, never corpus-bounded).
+    * `carry` columns ride from the probe table into the output,
+    * between `probe_id` and `vec_id`.
+    */
+  private def knnNeighbors(
+      probes: DataFrame,
+      assigned: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      k: Int,
+      nProbe: Int,
+      carry: Seq[String] = Nil,
+      candidateKeep: Option[Column] = None): DataFrame = {
     require(centroids.nonEmpty, "need a trained/seeded centroid set")
-    val probeCells = probeCellsOf(probes, centroids, nProbe)
+    val probeCells = probeCellsOf(probes, centroids, nProbe, carry)
     val cellIds = probeCells.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val candidates = assigned
+    val joined = assigned
       .filter(col("centroid_id").isin(cellIds: _*))
       .join(broadcast(probeCells), Seq("centroid_id"))
+    val candidates = candidateKeep.fold(joined)(joined.filter)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("vec_id"))
     candidates
-      .select(col("probe_id"), col("vec_id"), col("label"),
-        round(cosine(col("_pe"), col("embedding")), 6).as("cosine"))
+      .select(col("probe_id") +: carry.map(col) :++ Seq(col("vec_id"),
+        col("label"), round(cosine(col("_pe"), col("embedding")), 6).as("cosine")): _*)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .drop("_rn")
@@ -704,25 +727,49 @@ object Similarity {
       assigned: DataFrame,
       centroids: Seq[(Long, Seq[Float])],
       k: Int = 10,
+      nProbe: Int = 4): DataFrame =
+    knnNeighbors(probes, assigned, centroids, k, nProbe,
+      carry = Seq("probe_label"),
+      candidateKeep = Some(col("label") =!= col("probe_label")))
+
+  /** k-NN CLASSIFICATION over the IVF kernel — the standard
+    * embedding-quality evaluation (Fix & Hodges 1951's rule at
+    * ANN-index scale): each probe is classified by the MAJORITY label
+    * of its `k` nearest corpus neighbors, the probe's own row
+    * excluded (leave-one-out — without the exclusion a corpus probe
+    * trivially votes for itself and the accuracy is meaningless).
+    * Output per probe: the true label, the predicted label (max
+    * votes, smallest label breaking ties — deterministic
+    * cross-engine), the winning vote count, and a 0/1 `correct` flag
+    * ready for aggregation into an accuracy gate.
+    *
+    * All heavy lifting is [[knnNeighbors]] (the shared serving
+    * kernel); the vote is one probe-bounded aggregate over ≤ k rows
+    * per probe — integer counts, exactly portable.
+    */
+  def knnClassify(
+      embeddings: DataFrame,
+      probes: DataFrame,
+      k: Int = 10,
+      nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    require(centroids.nonEmpty, "need a trained/seeded centroid set")
-    val probeCells =
-      probeCellsOf(probes, centroids, nProbe, carry = Seq("probe_label"))
-    val cellIds = probeCells.select("centroid_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val candidates = assigned
-      .filter(col("centroid_id").isin(cellIds: _*))
-      .join(broadcast(probeCells), Seq("centroid_id"))
-      .filter(col("label") =!= col("probe_label"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
-      .orderBy(col("cosine").desc, col("vec_id"))
-    candidates
-      .select(col("probe_id"), col("probe_label"), col("vec_id"),
-        col("label"), round(cosine(col("_pe"), col("embedding")), 6).as("cosine"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .drop("_rn")
-      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
+    val cents = seedCentroids(embeddings, nCentroids)
+    val neigh = knnNeighbors(probes, ivfAssignPortableTo(embeddings, cents),
+      cents, k, nProbe,
+      carry = Seq("probe_label"),
+      candidateKeep = Some(col("vec_id") =!= col("probe_id")))
+    val votes = neigh.groupBy("probe_id", "probe_label", "label")
+      .agg(count(lit(1)).as("n_votes"))
+    val wv = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("n_votes").desc, col("label").asc)
+    votes
+      .withColumn("_rn", row_number().over(wv))
+      .filter(col("_rn") === 1)
+      .select(col("probe_id"), col("probe_label"),
+        col("label").as("predicted_label"), col("n_votes"),
+        when(col("label") === col("probe_label"), lit(1L)).otherwise(lit(0L))
+          .as("correct"))
+      .orderBy("probe_id")
   }
 
   /** Johnson–Lindenstrauss compression of the embedding column —

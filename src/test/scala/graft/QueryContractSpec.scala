@@ -61,8 +61,10 @@ class QueryContractSpec extends AnyFunSuite {
     // hard_negatives_embeddings (contrastive-training negative mining:
     // the kNN-join kernel + a label != probe_label candidate filter),
     // embedding_project_embeddings (Johnson–Lindenstrauss sign
-    // projection: hash-seeded ±1/√k matrix, exact 6-dp accumulation)
-    assert(SparkEntry.queries.size == 137,
+    // projection: hash-seeded ±1/√k matrix, exact 6-dp accumulation),
+    // knn_classify_embeddings (leave-one-out majority-vote kNN over
+    // the shared IVF kernel — the embedding-quality gate)
+    assert(SparkEntry.queries.size == 138,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.14 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

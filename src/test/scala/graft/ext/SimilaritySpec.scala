@@ -297,6 +297,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnClassify: leave-one-out majority vote replays driver-side") {
+    // per probe: neighbors = the probed-cell ranking with the probe's
+    // own row excluded; prediction = max votes, smallest label on
+    // ties. The self-exclusion must be visible (a corpus probe's
+    // nearest neighbor is itself at cosine 1.0)
+    val probes = embs.filter("vec_id % 97 = 0")
+      .selectExpr("vec_id AS probe_id", "embedding", "label AS probe_label")
+    val got = Similarity.knnClassify(embs, probes, k = 5).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val probeRows = probes.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    assert(probeRows.length > 1 && got.size == probeRows.length)
+    probeRows.foreach { case (pid, pvec, plabel) =>
+      val neigh = Similarity.ivfSeedTopK(embs, pvec, k = Int.MaxValue)
+        .collect()
+        .filter(_.getLong(0) != pid)
+        .take(5)
+        .map(_.getInt(1))
+      val (predicted, nVotes) = neigh.groupBy(identity).view
+        .mapValues(_.length).toSeq
+        .sortBy { case (l, n) => (-n, l) }.head
+      val (gLabel, gPred, gVotes, gCorrect) = got(pid)
+      assert(gLabel == plabel)
+      assert(gPred == predicted && gVotes == nVotes.toLong,
+        s"probe $pid: got ($gPred, $gVotes), want ($predicted, $nVotes)")
+      assert(gCorrect == (if (predicted == plabel) 1L else 0L))
+    }
+  }
+
   test("randomProjection: exact driver-side replay; JL distances correlate") {
     // (1) every output value must equal an exact micro-unit replay of
     // the hash-seeded sign projection (the portable contract); (2) the
