@@ -426,6 +426,30 @@ object ExtQueries {
        |      JOIN kp p ON p.probe_id = sh.probe_id)""".stripMargin
   }
 
+  /** The JL-projection CTE chain (`rp_keys` … `rp_out(vec_id, j,
+    * proj)`), shared by the `embedding_project` and
+    * `embedding_project_recall` oracles so the projection and its
+    * recall gate can never drift: the ±1/√kOut sign matrix regenerated
+    * through the hash64 replica over the engine's 'rp:j:i' key
+    * strings, parts rounded to 6 dp, summed in DECIMAL
+    * (order-independent — the engine's exact micro-unit accumulation).
+    */
+  private lazy val rpProjCtes: String = {
+    val w = s"1.0 / sqrt(${RpOutDims}.0)"
+    s"""rp_keys AS (SELECT j, i, 'rp:' || j || ':' || (i - 1) AS k
+       |    FROM range(0, $RpOutDims) t(j) CROSS JOIN range(1, 65) u(i)),
+       |${hash64Ctes("rpk", "rp_keys", "k")},
+       |rp_sgn AS (SELECT kk.j, kk.i,
+       |      CASE WHEN h.h % 2 = 1 THEN $w ELSE -($w) END AS wgt
+       |    FROM rp_keys kk JOIN rpk_h64 h ON h.k = kk.k),
+       |rp_parts AS (SELECT e.vec_id, sg.j,
+       |      CAST(round(e.embedding[sg.i]::DOUBLE * sg.wgt, 6)
+       |        AS DECIMAL(16,6)) AS part
+       |    FROM embeddings e CROSS JOIN rp_sgn sg),
+       |rp_out AS (SELECT vec_id, j, round(sum(part)::DOUBLE, 6) AS proj
+       |    FROM rp_parts GROUP BY 1, 2)""".stripMargin
+  }
+
   /** Pairwise cosine fragments (DuckDB): dot/norms accumulated per
     * element in double, mirroring `VectorOps.cosine`.
     */
@@ -1268,6 +1292,17 @@ object ExtQueries {
       // shuffle, no projection-matrix join; hash-seeded signs and
       // 6-dp micro-unit parts make it engine-reproducible exactly
       Similarity.randomProjection(embs(s, dir), RpOutDims)),
+    "embedding_project_recall_embeddings" -> ((s: SparkSession, dir: String) => {
+      // the projection's quality gate: per-probe recall@10 of exact
+      // top-k retrieval in 16-dim projected space vs the full 64-dim
+      // ground truth over the capped probe batch — the number that
+      // decides whether the JL cut can prefilter the embedding family
+      val e = embs(s, dir)
+      val probes = e.filter(col("vec_id") % KnnProbeModulus === 0)
+        .orderBy("vec_id").limit(KnnProbeLimit)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      Similarity.projectionRecall(e, probes, RpOutDims)
+    }),
     "label_centroids_embeddings" -> ((s: SparkSession, dir: String) =>
       Similarity.labelCentroids(embs(s, dir))),
     "ivf_cell_stats_embeddings" -> ((s: SparkSession, dir: String) =>
@@ -2453,21 +2488,45 @@ object ExtQueries {
     // through the hash64 replica over the same 'rp:j:i' key strings,
     // parts rounded to 6 dp and summed in DECIMAL (order-independent —
     // matches the engine's exact micro-unit accumulation)
-    "embedding_project_embeddings" -> {
-      val w = s"1.0 / sqrt(${RpOutDims}.0)"
-      s"""WITH rp_keys AS (SELECT j, i, 'rp:' || j || ':' || (i - 1) AS k
-         |    FROM range(0, $RpOutDims) t(j) CROSS JOIN range(1, 65) u(i)),
-         |${hash64Ctes("rpk", "rp_keys", "k")},
-         |rp_sgn AS (SELECT kk.j, kk.i,
-         |      CASE WHEN h.h % 2 = 1 THEN $w ELSE -($w) END AS wgt
-         |    FROM rp_keys kk JOIN rpk_h64 h ON h.k = kk.k),
-         |rp_parts AS (SELECT e.vec_id, sg.j,
-         |      CAST(round(e.embedding[sg.i]::DOUBLE * sg.wgt, 6)
-         |        AS DECIMAL(16,6)) AS part
-         |    FROM embeddings e CROSS JOIN rp_sgn sg)
-         |SELECT vec_id, j, round(sum(part)::DOUBLE, 6) AS proj
-         |FROM rp_parts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
+    "embedding_project_embeddings" ->
+      s"""WITH $rpProjCtes
+         |SELECT vec_id, j, proj FROM rp_out ORDER BY 1, 2""".stripMargin,
+    // JL projection recall gate: projected-space exact top-k (cosine
+    // over the kOut-dim lists rebuilt by the shared rp chain) vs the
+    // full-dim exact top-k, intersected per probe — both per-probe
+    // row_number windows with the family's 6-dp + id tie-breaks
+    "embedding_project_recall_embeddings" ->
+      s"""WITH $rpProjCtes,
+         |rp_vec AS (SELECT vec_id, list(proj ORDER BY j) AS pv
+         |    FROM rp_out GROUP BY vec_id),
+         |kp AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+         |    WHERE vec_id % $KnnProbeModulus = 0
+         |    ORDER BY vec_id LIMIT $KnnProbeLimit),
+         |kpp AS (SELECT p.probe_id, v.pv AS ppv
+         |    FROM kp p JOIN rp_vec v ON v.vec_id = p.probe_id),
+         |pj AS (SELECT probe_id, vec_id FROM (
+         |    SELECT q.probe_id, v.vec_id,
+         |      row_number() OVER (PARTITION BY q.probe_id
+         |        ORDER BY round(${cosSql("q.ppv", "v.pv", RpOutDims)}, 6) DESC,
+         |          v.vec_id) AS rn
+         |    FROM rp_vec v CROSS JOIN kpp q)
+         |  WHERE rn <= ${Similarity.RecallK}),
+         |ex AS (SELECT probe_id, vec_id FROM (
+         |    SELECT p.probe_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY round(${cosSql("p.pe", "e.embedding", 64)}, 6) DESC,
+         |          e.vec_id) AS rn
+         |    FROM embeddings e CROSS JOIN kp p)
+         |  WHERE rn <= ${Similarity.RecallK}),
+         |h AS (SELECT pj.probe_id, count(*)::BIGINT AS n_hits
+         |    FROM pj JOIN ex ON ex.probe_id = pj.probe_id
+         |      AND ex.vec_id = pj.vec_id
+         |    GROUP BY 1)
+         |SELECT p.probe_id, COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+         |  round(COALESCE(h.n_hits, 0) / ${Similarity.RecallK}.0, 4)
+         |    AS recall_at_${Similarity.RecallK}
+         |FROM kp p LEFT JOIN h ON h.probe_id = p.probe_id
+         |ORDER BY p.probe_id""".stripMargin,
     "range_join_sessions" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),
          |s AS (SELECT event_id, user_id, ts,

@@ -796,6 +796,61 @@ object Similarity {
       .select(col("vec_id"), col("j").cast("bigint").as("j"), col("proj"))
       .orderBy("vec_id", "j")
 
+  /** Cosine over two array<double> columns — composable built-ins,
+    * EVALUATION path only (the float hot path is the codegen'd
+    * kernel): ascending-index double accumulation, the exact contract
+    * the oracle's list_sum replays.
+    */
+  private def cosineD(a: Column, b: Column): Column = {
+    val dp = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v * v)
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v * v)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dp / sqrt(na * nb))
+  }
+
+  /** Per-probe recall@k of PROJECTED-space retrieval against full-dim
+    * ground truth — the measurement that decides whether
+    * [[randomProjection]]'s kOut is usable as a cheap prefilter for
+    * the O(dim) embedding family: for each probe in the bounded
+    * batch, the exact top-k by cosine over the kOut-dim projections
+    * intersected with the exact top-k over the original vectors.
+    * Both sides are evaluation shapes (broadcast-bounded cross joins,
+    * the [[knnJoinExact]] design — recall ground truth is
+    * corpus-linear by definition); the projected side reads dim/kOut
+    * of the vector bytes, which is the saving being measured.
+    */
+  def projectionRecall(
+      embeddings: DataFrame,
+      probes: DataFrame,
+      kOut: Int,
+      k: Int = RecallK): DataFrame = {
+    val pc = embeddings.select(col("vec_id"),
+      graft.functions.GraftFunctions.randomProject(col("embedding"), kOut)
+        .as("pv"))
+    val pp = probes.select(col("probe_id"),
+      graft.functions.GraftFunctions.randomProject(col("embedding"), kOut)
+        .as("ppv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val projTop = pc.crossJoin(broadcast(pp))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosineD(col("ppv"), col("pv")), 6).as("pcos"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select("probe_id", "vec_id")
+    val exact = knnJoinExact(embeddings, probes, k)
+      .select("probe_id", "vec_id")
+    val hits = projTop.join(exact, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+    probes.select("probe_id").join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 4)
+          .as(s"recall_at_$k"))
+      .orderBy("probe_id")
+  }
+
   /** Per-vector int8 (0–255) min–max quantization — the storage path
     * for vector corpora at scale (4× smaller than float32 before
     * compression; IVF/LSH recall is barely affected at 8 bits). Pure

@@ -55,6 +55,10 @@ class PlanShapeSpec extends SparkSpec {
     // the classifier's top-pct tail joins in the same ONE-row k via the
     // shared topPctBy kernel — a constant-size loop
     "classifier_select_documents",
+    // JL projection recall gate: BOTH sides are evaluation shapes —
+    // the bounded probe batch cross-joins the corpus once in projected
+    // space and once at full dim (the knnJoinExact design ×2)
+    "embedding_project_recall_embeddings",
     // recall ground truth: the bounded probe batch (≤16 by the serving
     // contract) broadcasts and cross-joins the corpus ONCE — exact
     // recall evaluation is corpus-linear by definition, and the inner

@@ -63,8 +63,10 @@ class QueryContractSpec extends AnyFunSuite {
     // embedding_project_embeddings (Johnson–Lindenstrauss sign
     // projection: hash-seeded ±1/√k matrix, exact 6-dp accumulation),
     // knn_classify_embeddings (leave-one-out majority-vote kNN over
-    // the shared IVF kernel — the embedding-quality gate)
-    assert(SparkEntry.queries.size == 138,
+    // the shared IVF kernel — the embedding-quality gate),
+    // embedding_project_recall_embeddings (per-probe recall@10 of
+    // projected-space retrieval vs full-dim ground truth)
+    assert(SparkEntry.queries.size == 139,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.14 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

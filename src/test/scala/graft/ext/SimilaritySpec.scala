@@ -386,6 +386,57 @@ class SimilaritySpec extends SparkSpec {
       s"distortion must shrink with kOut (JL law): corr16=$c16 corr48=$c48")
   }
 
+  test("projectionRecall: per-probe intersection replays driver-side") {
+    // the gate's mechanics, not a recall target: each probe's n_hits
+    // must equal |top-k(projected cosine) ∩ top-k(full cosine)|
+    // recomputed driver-side from the collected vectors and the same
+    // hash-seeded sign matrix (at the fixture's near-random 64-dim
+    // embeddings a 4× JL cut measures LOW recall — the honest reading
+    // is "16 dims cannot prefilter top-10 here", which is exactly
+    // what the gate exists to detect)
+    val kOut = 16
+    val k = 5
+    val probes = embs.filter("vec_id % 97 = 0")
+      .selectExpr("vec_id AS probe_id", "embedding")
+    val got = Similarity.projectionRecall(embs, probes, kOut, k).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val vecs = embs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val dim = vecs.head._2.length
+    val w = graft.functions.VectorOps.rpWeights(dim, kOut)
+    def proj(v: Array[Float]): Array[Double] =
+      (0 until kOut).map { j =>
+        var micros = 0L
+        (0 until dim).foreach { i =>
+          micros += math.round(
+            graft.functions.VectorOps.round6(v(i).toDouble * w(j)(i)) * 1e6)
+        }
+        graft.functions.VectorOps.round6(micros / 1e6)
+      }.toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dp / (na * nb)
+    }
+    def topk(score: Long => Double): Set[Long] =
+      vecs.keys.toSeq
+        .map(id => (id, graft.functions.VectorOps.round6(score(id))))
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+    val projected = vecs.map { case (id, v) => id -> proj(v) }
+    probes.collect().foreach { r =>
+      val pid = r.getLong(0)
+      val pv = r.getSeq[Float](1).toArray
+      val full = topk(id => cos(pv.map(_.toDouble), vecs(id).map(_.toDouble)))
+      val cut = topk(id => cos(proj(pv), projected(id)))
+      val wantHits = (full intersect cut).size.toLong
+      val (gotHits, gotRecall) = got(pid)
+      assert(gotHits == wantHits, s"probe $pid: $gotHits vs $wantHits")
+      assert(gotRecall ==
+        graft.functions.VectorOps.round4(wantHits.toDouble / k))
+    }
+  }
+
   test("buildIvfIndex scans the source once, regardless of iteration count") {
     // the Lloyd loop pins its (vec_id, embedding) projection: every
     // per-iteration query must read THROUGH the cache (InMemoryTableScan
