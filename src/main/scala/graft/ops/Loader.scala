@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{AnalysisException, DataFrame}
-import org.apache.spark.sql.functions.{broadcast, col, concat, concat_ws, count, lit}
+import org.apache.spark.sql.{AnalysisException, Column, DataFrame}
+import org.apache.spark.sql.functions.{broadcast, col, concat, concat_ws, count, lit, shiftleft, shiftright, when}
 
 /** Load-type semantics of the reference's incremental-load library
   * (gcp_function.py:115-166), re-expressed as single shuffle-bounded
@@ -437,6 +437,74 @@ object Loader {
         overfull.size
       }
     }
+  }
+
+  /** Range buckets per z-order column: 2^ZorderBits. 4 bits × up to
+    * two hot filter columns keeps the interleaved key in 8 bits —
+    * enough for file-level clustering (files, not rows, are the
+    * pruning unit), and the per-column boundary collect stays ≤ 15
+    * values.
+    */
+  val ZorderBits = 4
+
+  /** Z-ORDER layout rewrite — the OPTIMIZE ZORDER BY analogue of the
+    * transactional table formats (Delta's zorder rewrite, Iceberg's
+    * sort-order file rewrite), for MULTI-column scan pruning where a
+    * plain sort can only serve its leading column: each z column maps
+    * to a 2^bits range-bucket id (exact distributed quantiles — the
+    * RangePartitioner recipe; the only driver data is ≤ 2^bits − 1
+    * boundary values per column), the bucket bits INTERLEAVE into one
+    * Morton key, and the table rewrites range-partitioned + sorted by
+    * that key. Every output file then covers a tight hyper-rectangle
+    * of the z-column space, so parquet min/max stats (row-group and
+    * file footers) prune scans filtered on ANY z column, not just the
+    * first — quantile buckets (not uniform width) keep the rectangles
+    * balanced under skew.
+    *
+    * Snapshot-swap rewrite, crash-recoverable via [[recoverFromSwap]];
+    * inherently O(|table|) like the unpartitioned compact — a
+    * maintenance-cadence operation, not a per-batch one. NULLs sort
+    * into bucket 0 (present in the first files' range like any other
+    * low value).
+    *
+    * @return number of data files after the rewrite
+    */
+  def zorder(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      zcols: Seq[String],
+      nFiles: Int,
+      bits: Int = ZorderBits): Int = {
+    require(zcols.nonEmpty, "need at least one z-order column")
+    require(nFiles >= 1, s"need at least one output file: $nFiles")
+    require(bits >= 1 && bits * zcols.size <= 31,
+      s"interleaved key must fit an int: $bits bits x ${zcols.size} cols")
+    val target = spark.table(table)
+    val info = org.apache.spark.sql.GraftBridge.tableInfo(spark, table)
+    val nBuckets = 1 << bits
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val zExpr = zcols.zipWithIndex.map { case (c, idx) =>
+      // exact (relativeError 0) quantile boundaries, computed in one
+      // distributed pass; bucket id = boundaries strictly below value
+      val bounds = target.stat.approxQuantile(c, probs, 0.0)
+      val bucket = bounds.map(t =>
+          when(col(c).cast("double") > lit(t), lit(1)).otherwise(lit(0)))
+        .reduceLeft[Column](_ + _)
+      (0 until bits).map { bit =>
+        shiftleft(shiftright(bucket, bit).bitwiseAND(lit(1)),
+          bit * zcols.size + idx)
+      }.reduce[Column](_.bitwiseOR(_))
+    }.reduce[Column](_.bitwiseOR(_))
+    val swap = swapName(table)
+    writeTableLike(
+      target.withColumn("_z", zExpr)
+        .repartitionByRange(nFiles, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z"),
+      swap, info)
+    dropTable(spark, table)
+    renameTable(spark, swap, table)
+    spark.table(table).inputFiles.length
   }
 
   /** O19, `final_load_data_into_bigquery`: dispatch a batch of rows into
