@@ -796,18 +796,15 @@ object Similarity {
       .select(col("vec_id"), col("j").cast("bigint").as("j"), col("proj"))
       .orderBy("vec_id", "j")
 
-  /** Cosine over two array<double> columns — composable built-ins,
-    * EVALUATION path only (the float hot path is the codegen'd
-    * kernel): ascending-index double accumulation, the exact contract
-    * the oracle's list_sum replays.
+  /** Cosine over two array<double> columns — the codegen'd
+    * projected-space kernel (graft.functions.CosineSimDExpr; one fused
+    * JVM loop per pair — the first interpreted zip_with/aggregate cut
+    * of the recall gate cost 10.5 of its 13.2 s at sf0.1):
+    * ascending-index double accumulation, the exact contract the
+    * oracle's list_sum replays.
     */
-  private def cosineD(a: Column, b: Column): Column = {
-    val dp = aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(a, lit(0.0), (acc, v) => acc + v * v)
-    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v * v)
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dp / sqrt(na * nb))
-  }
+  private def cosineD(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineSimD(a, b)
 
   /** Per-probe recall@k of PROJECTED-space retrieval against full-dim
     * ground truth — the measurement that decides whether
@@ -825,12 +822,19 @@ object Similarity {
       probes: DataFrame,
       kOut: Int,
       k: Int = RecallK): DataFrame = {
-    val pc = embeddings.select(col("vec_id"),
-      graft.functions.GraftFunctions.randomProject(col("embedding"), kOut)
-        .as("pv"))
-    val pp = probes.select(col("probe_id"),
-      graft.functions.GraftFunctions.randomProject(col("embedding"), kOut)
-        .as("ppv"))
+    // pinned: without the materialization barrier Catalyst collapses
+    // the projection INTO the cross join and re-derives randomProject
+    // (1024 exact roundings per vector) once per PAIR instead of once
+    // per vector — measured 13 s vs 3 s at sf0.1 (the knnJoinPq
+    // `assigned` lesson: pin what two plan arms or a pair join reuse)
+    val pc = graft.core.CacheScope.persist(
+      embeddings.select(col("vec_id"),
+        graft.functions.GraftFunctions.randomProject(col("embedding"), kOut)
+          .as("pv")))
+    val pp = graft.core.CacheScope.persist(
+      probes.select(col("probe_id"),
+        graft.functions.GraftFunctions.randomProject(col("embedding"), kOut)
+          .as("ppv")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
       .orderBy(col("pcos").desc, col("vec_id"))
     val projTop = pc.crossJoin(broadcast(pp))

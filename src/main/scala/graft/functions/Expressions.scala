@@ -134,6 +134,31 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `cosine_sim_d(a, b)`: cosine similarity of two array<double>
+  * columns — [[CosineSimExpr]]'s projected-space twin
+  * ([[VectorOps.cosineDouble]]: same ascending accumulation, double
+  * elements).
+  */
+case class CosineSimDExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_sim_d"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosineDouble(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorOps.cosineDouble($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimDExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `ngram_hashes(text)`: sorted distinct 64-bit hashes of word n-grams. */
 case class NGramHashesExpr(child: Expression, n: Int) extends UnaryExpression
     with StringInputCheck {

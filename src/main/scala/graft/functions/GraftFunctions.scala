@@ -27,6 +27,11 @@ object GraftFunctions {
     GraftBridge.column(CosineSimExpr(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Cosine over array<double> columns (the projected-space twin). */
+  def cosineSimD(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimDExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
   def hyperplaneSketch(v: Column, dim: Int, planes: Int): Column =
     GraftBridge.column(HyperplaneSketchExpr(GraftBridge.expression(v), dim, planes))
 

@@ -72,6 +72,24 @@ object VectorOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  /** [[cosine]] over array<double> inputs (the projected-space twin —
+    * JL outputs are doubles): IDENTICAL ascending-index accumulation,
+    * so it computes bit-equal results to the interpreted
+    * zip_with/aggregate chain it replaces in the hot path.
+    */
+  def cosineDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
   // --------------------------------------------- JL random projection
 
   /** Deterministic ±1/√kOut sign matrix for [[randomProject]], cached
@@ -101,15 +119,27 @@ object VectorOps {
   def randomProject(v: ArrayData, kOut: Int): Array[Double] = {
     val dim = v.numElements()
     val w = rpWeights(dim, kOut)
+    val s = 1.0 / math.sqrt(kOut.toDouble)
+    // ONE exact rounding per input element, not per (element, output):
+    // HALF_UP is sign-symmetric (round6(-x) == -round6(x) exactly), so
+    // the ±s terms are ± one shared rounded magnitude — 16× fewer
+    // BigDecimal ops with bit-identical results (spec replays the
+    // per-term form and must agree)
+    val rmicros = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      rmicros(i) = math.round(round6(v.getFloat(i).toDouble * s) * 1e6)
+      i += 1
+    }
     val out = new Array[Double](kOut)
     var j = 0
     while (j < kOut) {
       val wj = w(j)
       var micros = 0L
-      var i = 0
-      while (i < dim) {
-        micros += math.round(round6(v.getFloat(i).toDouble * wj(i)) * 1e6)
-        i += 1
+      var i2 = 0
+      while (i2 < dim) {
+        micros += (if (wj(i2) > 0) rmicros(i2) else -rmicros(i2))
+        i2 += 1
       }
       out(j) = round6(micros / 1e6)
       j += 1
