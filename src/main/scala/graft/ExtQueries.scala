@@ -830,6 +830,12 @@ object ExtQueries {
       // joins back to per-(doc, word) counts; the corpus text is never
       // re-scanned per merge
       Bpe.bpeEncode(docs(s, dir))),
+    "bpe_tokens_documents" -> ((s: SparkSession, dir: String) =>
+      // the exported token STREAM (what a trainer consumes): ordered
+      // BPE symbols per doc, one row per token — the sequence kernel
+      // shares one JVM body with the count kernel, and the apply still
+      // runs once per word TYPE
+      Bpe.bpeTokens(docs(s, dir))),
     "boilerplate_ngrams_documents" -> ((s: SparkSession, dir: String) =>
       // cross-doc shared n-grams (templated-text detector): per-doc
       // distinct grams → doc-frequency rank, vocabulary-bounded shuffle
@@ -1733,6 +1739,35 @@ object ExtQueries {
       s"""WITH ${bpeEncodeCtes(Bpe.DefaultMerges)}
          |SELECT doc_id, n_words, bpe_tokens FROM en_t
          |ORDER BY doc_id""".stripMargin,
+    // the exported token stream: the SAME encode chain's per-type
+    // symbol lists (ap_v{m+1}), joined to the ORDERED word occurrences
+    // and exploded with ordinality; pos = per-doc row_number over
+    // (word index, symbol index) − 1
+    "bpe_tokens_documents" -> {
+      val m = Bpe.DefaultMerges
+      s"""WITH ${bpeEncodeCtes(m)},
+         |tk_ws AS (SELECT doc_id,
+         |    string_split_regex(lower(text), '[^a-z]+') AS ws
+         |  FROM documents),
+         |tk_occ AS (SELECT doc_id, widx, w FROM (
+         |    SELECT doc_id, u['widx'] AS widx, u['w'] AS w FROM (
+         |      SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+         |        i -> struct_pack(widx := i, w := ws[i]))) AS u
+         |      FROM tk_ws))
+         |  WHERE w <> ''),
+         |tk_tok AS (SELECT doc_id, widx, v['sidx'] AS sidx,
+         |    v['token'] AS token FROM (
+         |    SELECT o.doc_id AS doc_id, o.widx AS widx,
+         |      unnest(list_transform(range(1, len(t.syms) + 1),
+         |        j -> struct_pack(sidx := j, token := t.syms[j]))) AS v
+         |    FROM tk_occ o JOIN ap_v${m + 1} t ON t.word = o.w))
+         |SELECT doc_id,
+         |  (row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx)
+         |    - 1)::BIGINT AS pos,
+         |  token
+         |FROM tk_tok
+         |ORDER BY doc_id, pos""".stripMargin
+    },
     // tokenizer-TRUE budget selection: the select_budget chain with the
     // per-doc cost swapped from the ws proxy to the trained BPE encode
     // (the full en_t CTE chain) — budgets spent in training-run units

@@ -171,6 +171,50 @@ object Bpe {
     * AQE sizes (broadcast when the vocabulary allows, shuffle join
     * past it — correctness identical).
     */
+  /** The exported TOKEN STREAM — what a trainer actually consumes: for
+    * every document, the ordered BPE symbol sequence under the trained
+    * merge table, one row per token: `doc_id, pos, token` (pos =
+    * 0-based global token index within the doc). [[bpeEncode]] prices
+    * documents in tokens; this materializes the tokens themselves —
+    * the pipeline step between `pack_greedy`'s budgets and a real
+    * training run's input files. Docs with no letter-run words emit no
+    * rows.
+    *
+    * Scale shape: the greedy apply still runs once per word TYPE (the
+    * codegen'd sequence kernel shares ONE `BpeApply.encode` body with
+    * the count kernel — stream and counts can never disagree,
+    * spec-pinned); per-OCCURRENCE rows carry only (doc_id, word-index)
+    * until the type join, and the global position is a per-doc
+    * row_number over (word index, symbol index) — doc-bounded
+    * partitions, never corpus-bounded. The corpus text is read once.
+    */
+  def bpeTokens(
+      documents: DataFrame,
+      merges: Int = DefaultMerges,
+      maxWordTypes: Int = DefaultMaxWordTypes): DataFrame = {
+    // pinned: occurrences feed type counting (training), the distinct
+    // type frame (encoding), and the order-preserving join back
+    val occ = graft.core.CacheScope.persist(
+      documents
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "[^a-z]+")).as(Seq("widx", "w")))
+        .filter(length(col("w")) > 0))
+    val ms = mergeLoop(
+      collectTypes(occ.groupBy("w").agg(count(lit(1)).as("cnt")), maxWordTypes),
+      merges)
+    val typeSyms = occ.select("w").distinct()
+      .withColumn("syms", graft.functions.GraftFunctions.bpeSyms(
+        col("w"), EndOfWord, ms.map(_.l).toArray, ms.map(_.r).toArray))
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy("widx", "sidx")
+    occ.join(typeSyms, Seq("w"))
+      .select(col("doc_id"), col("widx"),
+        posexplode(col("syms")).as(Seq("sidx", "token")))
+      .withColumn("pos", row_number().over(wp).cast("bigint") - 1)
+      .select("doc_id", "pos", "token")
+      .orderBy("doc_id", "pos")
+  }
+
   def bpeEncode(
       documents: DataFrame,
       merges: Int = DefaultMerges,

@@ -360,15 +360,15 @@ case class VideoHash64Expr(child: Expression) extends UnaryExpression {
   */
 object BpeApply {
 
-  /** Symbol count of `word` after applying the merge list greedily
+  /** Symbol SEQUENCE of `word` after applying the merge list greedily
     * left-to-right in rank order (chars + an end-of-word marker; the
     * marker is symbol-atomic, its literal text never inspected). The
     * EXACT algorithm of graft.ext.Bpe.mergeLoop's apply step and the
     * oracle's chr(31) list_reduce fold, spec-pinned against both.
     */
-  def encodedCount(
+  def encode(
       word: UTF8String, eow: String,
-      ls: Array[String], rs: Array[String]): Long = {
+      ls: Array[String], rs: Array[String]): Array[String] = {
     val w = word.toString
     var syms = new Array[String](w.length + 1)
     var i = 0
@@ -388,7 +388,24 @@ object BpeApply {
       syms = java.util.Arrays.copyOf(b, n)
       m += 1
     }
-    syms.length.toLong
+    syms
+  }
+
+  /** [[encode]]'s length — the token-COUNT face ([[BpeCountExpr]]'s
+    * kernel; one body, so count and sequence can never disagree).
+    */
+  def encodedCount(
+      word: UTF8String, eow: String,
+      ls: Array[String], rs: Array[String]): Long =
+    encode(word, eow, ls, rs).length.toLong
+
+  /** [[encode]] boxed for the array-returning expression. */
+  def encodedSyms(
+      word: UTF8String, eow: String,
+      ls: Array[String], rs: Array[String]): GenericArrayData = {
+    val arr: Array[Any] =
+      encode(word, eow, ls, rs).map(UTF8String.fromString(_): Any)
+    new GenericArrayData(arr)
   }
 }
 
@@ -442,6 +459,34 @@ case class RandomProjectExpr(child: Expression, kOut: Int)
         s"graft.functions.VectorOps.randomProject($c, $kOut))")
 
   override protected def withNewChildInternal(newChild: Expression): RandomProjectExpr =
+    copy(child = newChild)
+}
+
+/** `bpe_syms(word)`: the BPE symbol SEQUENCE of a word under a trained
+  * merge list (plan-time constant) — [[BpeCountExpr]]'s
+  * sequence-returning face (one shared [[BpeApply.encode]] kernel, so
+  * the exported token stream and the token counts can never disagree),
+  * evaluated once per word TYPE.
+  */
+case class BpeSymsExpr(
+    child: Expression, eow: String, ls: Array[String], rs: Array[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_syms"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeApply.encodedSyms(input.asInstanceOf[UTF8String], eow, ls, rs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val eowRef = ctx.addReferenceObj("eow", eow, "java.lang.String")
+    val lsRef = ctx.addReferenceObj("ls", ls, "java.lang.String[]")
+    val rsRef = ctx.addReferenceObj("rs", rs, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeApply.encodedSyms($c, $eowRef, $lsRef, $rsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSymsExpr =
     copy(child = newChild)
 }
 

@@ -74,6 +74,13 @@ object GraftFunctions {
       c: Column, eow: String, ls: Array[String], rs: Array[String]): Column =
     GraftBridge.column(BpeCountExpr(GraftBridge.expression(c), eow, ls, rs))
 
+  /** BPE symbol sequence of a word column under a trained merge list
+    * (plan-time constant) — `Bpe.bpeTokens`'s per-type kernel.
+    */
+  def bpeSyms(
+      c: Column, eow: String, ls: Array[String], rs: Array[String]): Column =
+    GraftBridge.column(BpeSymsExpr(GraftBridge.expression(c), eow, ls, rs))
+
   /** Plan-time integer constant for SQL-facing builders (K, n, dim…):
     * any foldable integral expression qualifies (`2`, `1+1`, …).
     */

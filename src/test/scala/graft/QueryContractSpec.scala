@@ -65,8 +65,10 @@ class QueryContractSpec extends AnyFunSuite {
     // knn_classify_embeddings (leave-one-out majority-vote kNN over
     // the shared IVF kernel — the embedding-quality gate),
     // embedding_project_recall_embeddings (per-probe recall@10 of
-    // projected-space retrieval vs full-dim ground truth)
-    assert(SparkEntry.queries.size == 139,
+    // projected-space retrieval vs full-dim ground truth),
+    // bpe_tokens_documents (the exported token STREAM — ordered BPE
+    // symbols per doc, sharing one apply kernel with the counts)
+    assert(SparkEntry.queries.size == 140,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.14 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

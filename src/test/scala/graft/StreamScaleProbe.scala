@@ -87,6 +87,14 @@ object StreamScaleProbe {
           docRows.toSeq.map(r => BudgetDoc(r._1, r._3, r._4, r._2)),
           in => StreamSelectBudget.selectStream(
             in.toDF(), budgetTokens = Long.MaxValue).toDF())
+      case "budget_sharded" =>
+        // the production budget face: same admission fold, N=8 hash
+        // strata — measures what the shard fan-out buys over the
+        // single-key funnel at the same (effectively infinite) budget
+        drive[BudgetDoc]("budget_sharded",
+          docRows.toSeq.map(r => BudgetDoc(r._1, r._3, r._4, r._2)),
+          in => StreamSelectBudget.selectStreamSharded(
+            in.toDF(), budgetTokens = Long.MaxValue, shards = 8).toDF())
       case "perplexity" =>
         // the stateless frozen-model face: model + cutoffs train once
         // on the corpus (outside the timed window), then every row is

@@ -94,6 +94,45 @@ class BpeSpec extends SparkSpec {
     assert(bpeToks != nWords, "BPE budget must not collapse to the ws count")
   }
 
+  test("bpeTokens: hand-computed token stream on the Sennrich corpus") {
+    // the exported sequence itself (4 merges — see the vocab spec):
+    // low -> [lo, w, </w>], newest -> [n, e, w, est</w>], in word order
+    // with a 0-based global position per doc
+    val docs = docsDF(Seq(
+      (1L, ("low " * 5).trim),
+      (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim),
+      (4L, ("widest " * 3).trim),
+      (5L, "low newest")))
+    val got = Bpe.bpeTokens(docs, merges = 4)
+      .filter("doc_id = 5").collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      0L -> "lo", 1L -> "w", 2L -> "</w>",
+      3L -> "n", 4L -> "e", 5L -> "w", 6L -> "est</w>"))
+  }
+
+  test("bpeTokens: per-doc stream length equals bpeEncode's token count") {
+    // stream and counts share ONE BpeApply.encode body — the invariant
+    // that makes the exported sequences trustworthy as budget inputs
+    val docs = docsDF(Seq(
+      (1L, ("low " * 5).trim),
+      (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim),
+      (4L, ("widest " * 3).trim),
+      (5L, "lowest lowest"),
+      (6L, "???"))) // no letter-run words: counts 0, stream empty
+    val counts = Bpe.bpeEncode(docs, merges = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val streamLens = Bpe.bpeTokens(docs, merges = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    docs.collect().map(_.getLong(0)).foreach { id =>
+      assert(streamLens.getOrElse(id, 0L) == counts(id),
+        s"doc $id: stream ${streamLens.getOrElse(id, 0L)} vs count ${counts(id)}")
+    }
+    assert(streamLens.getOrElse(6L, 0L) == 0L)
+  }
+
   test("bpeEncode: greedy application is non-overlapping on odd runs") {
     // merges=1 learns (a,a); "aaaaa" applies greedily LTR:
     // a a a a a </w> -> [aa aa a </w>] = 4 symbols (never [aa a aa ...])
