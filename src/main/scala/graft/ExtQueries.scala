@@ -76,6 +76,24 @@ object ExtQueries {
   val KnnProbeModulus: Int = 97
   val KnnProbeLimit: Int = 16
 
+  /** THE capped probe batch of the serving-contract keys (kNN join /
+    * PQ join / recall gates / negative mining / classification) — one
+    * definition, so a probe-contract change cannot land in some keys
+    * and not others. `withLabel` carries the anchor's label as
+    * `probe_label` for the label-aware faces.
+    */
+  private def probeBatch(
+      e: org.apache.spark.sql.DataFrame,
+      withLabel: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val base = e.filter(col("vec_id") % KnnProbeModulus === 0)
+      .orderBy("vec_id").limit(KnnProbeLimit)
+    if (withLabel)
+      base.select(col("vec_id").as("probe_id"), col("embedding"),
+        col("label").as("probe_label"))
+    else
+      base.select(col("vec_id").as("probe_id"), col("embedding"))
+  }
+
   /** Output dimensionality for the declared Johnson–Lindenstrauss
     * projection key — shared by the Spark call site and the oracle SQL.
     * 16 of 64 dims: a real 4× cut (not a no-op), and √16 is exact in
@@ -1035,9 +1053,7 @@ object ExtQueries {
       // no per-probe driver loop; the kernel is the same one the
       // streaming retrieval face serves with
       val e = embs(s, dir)
-      val probes = e.filter(col("vec_id") % KnnProbeModulus === 0)
-        .orderBy("vec_id").limit(KnnProbeLimit)
-        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val probes = probeBatch(e)
       Similarity.knnJoin(e, probes)
     }),
     "similarity_knn_join_pq_embeddings" -> ((s: SparkSession, dir: String) => {
@@ -1049,9 +1065,7 @@ object ExtQueries {
       // oracle-gated end to end; same bounded probe batch as the
       // exact-kernel key above
       val e = embs(s, dir)
-      val probes = e.filter(col("vec_id") % KnnProbeModulus === 0)
-        .orderBy("vec_id").limit(KnnProbeLimit)
-        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val probes = probeBatch(e)
       Similarity.knnJoinPq(e, probes)
     }),
     "similarity_knn_join_recall_embeddings" -> ((s: SparkSession, dir: String) => {
@@ -1062,9 +1076,7 @@ object ExtQueries {
       // regression-gated number PER PROBE (the single-seed pq_recall
       // figure can't see per-query variance)
       val e = embs(s, dir)
-      val probes = e.filter(col("vec_id") % KnnProbeModulus === 0)
-        .orderBy("vec_id").limit(KnnProbeLimit)
-        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val probes = probeBatch(e)
       val pq = Similarity.knnJoinPq(e, probes, k = Similarity.RecallK)
         .select("probe_id", "vec_id")
       val exact = Similarity.knnJoinExact(e, probes, k = Similarity.RecallK)
@@ -1086,10 +1098,7 @@ object ExtQueries {
       // model trains its decision boundary on; same capped probe batch
       // as the retrieval keys
       val e = embs(s, dir)
-      val probes = e.filter(col("vec_id") % KnnProbeModulus === 0)
-        .orderBy("vec_id").limit(KnnProbeLimit)
-        .select(col("vec_id").as("probe_id"), col("embedding"),
-          col("label").as("probe_label"))
+      val probes = probeBatch(e, withLabel = true)
       Similarity.hardNegatives(e, probes)
     }),
     "knn_classify_embeddings" -> ((s: SparkSession, dir: String) => {
@@ -1098,10 +1107,7 @@ object ExtQueries {
       // the majority label of its k nearest neighbors (self excluded;
       // ties break to the smallest label); same capped probe batch
       val e = embs(s, dir)
-      val probes = e.filter(col("vec_id") % KnnProbeModulus === 0)
-        .orderBy("vec_id").limit(KnnProbeLimit)
-        .select(col("vec_id").as("probe_id"), col("embedding"),
-          col("label").as("probe_label"))
+      val probes = probeBatch(e, withLabel = true)
       Similarity.knnClassify(e, probes)
     }),
     "similarity_ivf_trained_embeddings" -> ((s: SparkSession, dir: String) => {
@@ -1304,9 +1310,7 @@ object ExtQueries {
       // ground truth over the capped probe batch — the number that
       // decides whether the JL cut can prefilter the embedding family
       val e = embs(s, dir)
-      val probes = e.filter(col("vec_id") % KnnProbeModulus === 0)
-        .orderBy("vec_id").limit(KnnProbeLimit)
-        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val probes = probeBatch(e)
       Similarity.projectionRecall(e, probes, RpOutDims)
     }),
     "label_centroids_embeddings" -> ((s: SparkSession, dir: String) =>

@@ -192,6 +192,10 @@ object Bpe {
       documents: DataFrame,
       merges: Int = DefaultMerges,
       maxWordTypes: Int = DefaultMaxWordTypes): DataFrame = {
+    // the trainMerges guards — the two faces must fail identically on
+    // invalid input, not diverge (one throwing, one silently untrained)
+    require(merges >= 1, s"need at least one merge: $merges")
+    require(maxWordTypes >= 1, s"need a positive type bound: $maxWordTypes")
     // pinned: occurrences feed type counting (training), the distinct
     // type frame (encoding), and the order-preserving join back
     val occ = graft.core.CacheScope.persist(

@@ -451,9 +451,11 @@ object Loader {
     * transactional table formats (Delta's zorder rewrite, Iceberg's
     * sort-order file rewrite), for MULTI-column scan pruning where a
     * plain sort can only serve its leading column: each z column maps
-    * to a 2^bits range-bucket id (exact distributed quantiles — the
-    * RangePartitioner recipe; the only driver data is ≤ 2^bits − 1
-    * boundary values per column), the bucket bits INTERLEAVE into one
+    * to a 2^bits range-bucket id (distributed Greenwald–Khanna
+    * quantiles at a quarter-bucket error bound — memory-bounded on
+    * executors AND driver, unlike exact mode's O(distinct values)
+    * retention; the only driver data is ≤ 2^bits − 1 boundary values
+    * per column, all columns in ONE pass), the bucket bits INTERLEAVE into one
     * Morton key, and the table rewrites range-partitioned + sorted by
     * that key. Every output file then covers a tight hyper-rectangle
     * of the z-column space, so parquet min/max stats (row-group and
@@ -480,16 +482,27 @@ object Loader {
     require(bits >= 1 && bits * zcols.size <= 31,
       s"interleaved key must fit an int: $bits bits x ${zcols.size} cols")
     val target = spark.table(table)
+    if (target.inputFiles.isEmpty) return 0
     val info = org.apache.spark.sql.GraftBridge.tableInfo(spark, table)
     val nBuckets = 1 << bits
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    // ONE boundary pass for ALL z columns (the multi-column overload),
+    // at a relativeError that keeps the Greenwald–Khanna summaries
+    // memory-BOUNDED (exact mode retains O(distinct values) per
+    // executor and on the driver merge — the opposite of this
+    // operation's O(|table|)-safe contract); a quarter-bucket error
+    // only shifts boundary rows between adjacent buckets
+    val allBounds =
+      target.stat.approxQuantile(zcols.toArray, probs, 0.25 / nBuckets)
     val zExpr = zcols.zipWithIndex.map { case (c, idx) =>
-      // exact (relativeError 0) quantile boundaries, computed in one
-      // distributed pass; bucket id = boundaries strictly below value
-      val bounds = target.stat.approxQuantile(c, probs, 0.0)
-      val bucket = bounds.map(t =>
-          when(col(c).cast("double") > lit(t), lit(1)).otherwise(lit(0)))
-        .reduceLeft[Column](_ + _)
+      // bucket id = boundaries strictly below the value; an empty
+      // boundary set (all-NULL column) degrades to constant bucket 0
+      val bounds = allBounds(idx)
+      val bucket =
+        if (bounds.isEmpty) lit(0)
+        else bounds.map(t =>
+            when(col(c).cast("double") > lit(t), lit(1)).otherwise(lit(0)))
+          .reduceLeft[Column](_ + _)
       (0 until bits).map { bit =>
         shiftleft(shiftright(bucket, bit).bitwiseAND(lit(1)),
           bit * zcols.size + idx)
