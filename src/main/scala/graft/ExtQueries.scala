@@ -637,12 +637,14 @@ object ExtQueries {
     * engine's init) via the WHERE-false seed CTE.
     */
   private def clfTrainCtes(
-      buckets: Int, iterations: Int, lrate: Double, minQ: Double): String = {
+      buckets: Int, iterations: Int, lrate: Double, minQ: Double,
+      trainWhere: String = "TRUE"): String = {
     val base =
       s"""clf_l AS (SELECT doc_id,
          |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
          |  FROM documents),
-         |clf_qs AS (SELECT doc_id, $QualitySignalsSql FROM documents),
+         |clf_qs AS (SELECT doc_id, $QualitySignalsSql FROM documents
+         |  WHERE $trainWhere),
          |clf_q AS (SELECT doc_id,
          |    (CASE WHEN $QualityScoreSql >= $minQ THEN 1 ELSE 0 END)::BIGINT AS y
          |  FROM clf_qs),
@@ -660,7 +662,8 @@ object ExtQueries {
          |clf_x AS (SELECT doc_id, bucket,
          |    round(c::DOUBLE / sum(c) OVER (PARTITION BY doc_id), 6) AS x
          |  FROM clf_cnt),
-         |clf_nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |clf_nd AS (SELECT count(*)::BIGINT AS n FROM documents
+         |  WHERE $trainWhere),
          |clf_w0 AS (SELECT NULL::BIGINT AS bucket, NULL::DOUBLE AS wt WHERE false),
          |clf_b0 AS (SELECT 0.0 AS bias)""".stripMargin
     val steps = (1 to iterations).map { i =>
@@ -823,6 +826,13 @@ object ExtQueries {
       // contract; the oracle replays every gradient step as unrolled
       // CTE stages (the Lloyd/BPE recipe applied to SGD)
       Relevance.trainQualityClassifier(docs(s, dir))),
+    "classifier_apply_documents" -> ((s: SparkSession, dir: String) =>
+      // train-once-apply-many for the discriminative filter: weights
+      // fit on even doc_ids, the frozen model scores the held-out odds
+      // (unseen buckets + the empty-feature sigmoid(bias) path carry
+      // real weight) — one feature pass + one broadcast join, no
+      // gradient aggregates over the scored corpus
+      Relevance.classifierApply(docs(s, dir))),
     "classifier_select_documents" -> ((s: SparkSession, dir: String) =>
       // the trained classifier APPLIED: per-doc 6-dp sigmoid score +
       // top-pct selection via the shared histogram-classified rank
@@ -1633,6 +1643,27 @@ object ExtQueries {
          |  (CASE WHEN above + rn <= (SELECT k FROM clf_k) THEN 1 ELSE 0 END)::BIGINT
          |    AS selected
          |FROM clf_r ORDER BY doc_id""".stripMargin
+    },
+    // train-once-apply-many for the classifier: the SAME gradient
+    // trajectory restricted to even doc_ids (trainWhere), then the
+    // frozen weights score the held-out odds — one margin aggregate,
+    // no gradient stage over the scored docs
+    "classifier_apply_documents" -> {
+      val b = Relevance.DsirBuckets
+      val t = Relevance.ClfIterations
+      s"""WITH ${clfTrainCtes(b, t, Relevance.ClfLearningRate,
+             Relevance.DsirTargetMinQuality, "doc_id % 2 = 0")},
+         |ca_z AS (SELECT x.doc_id,
+         |    sum(CAST(round(x.x * w.wt, 6) AS DECIMAL(16,6))) AS zs,
+         |    count(*)::BIGINT AS n_b
+         |  FROM clf_x x JOIN clf_w$t w USING (bucket)
+         |  WHERE x.doc_id % 2 = 1 GROUP BY 1)
+         |SELECT d.doc_id, coalesce(z.n_b, 0)::BIGINT AS n_buckets,
+         |  round(1.0 / (1.0 + exp(-(coalesce(z.zs::DOUBLE, 0.0)
+         |    + (SELECT bias FROM clf_b$t)))), 6) AS clf_score
+         |FROM documents d LEFT JOIN ca_z z USING (doc_id)
+         |WHERE d.doc_id % 2 = 1
+         |ORDER BY d.doc_id""".stripMargin
     },
     // token-budget selection: same quality fragment, histogram-classified
     // strata, per-row running sum ONLY inside the boundary stratum

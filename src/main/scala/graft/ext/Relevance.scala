@@ -667,10 +667,58 @@ object Relevance {
       lrate: Double = ClfLearningRate,
       targetMinQuality: Double = DsirTargetMinQuality,
       selectPct: Int = ClfSelectPct): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
     val (feats, labels, nDocs) = clfInputs(documents, buckets, targetMinQuality)
     val (w, bias) = clfLoop(feats, labels, nDocs, iterations, lrate)
+    val allScored = clfScores(feats, labels, w, bias)
+    topPctBy(allScored, "clf_score", selectPct, countFrom = labels)
+      .select(col("doc_id"), col("n_buckets"), col("clf_score"), col("selected"))
+      .orderBy("doc_id")
+  }
+
+  /** Train-once-apply-many for the classifier family — the
+    * [[bigramApply]] treatment one shelf over (BPE, LM, and now the
+    * discriminative filter all factor into a frozen artifact + a cheap
+    * apply): fit the logistic weights on the `trainFilter` slice, then
+    * score ONLY the held-out complement under the frozen model — one
+    * feature pass and one broadcast join, NO gradient aggregates over
+    * the scored corpus. The serving posture a 100 TB pipeline needs:
+    * the classifier trains once on a curated reference sample, and the
+    * corpus-wide pass is feature-hash → dot-product → sigmoid, text
+    * read once.
+    *
+    * Default split: even `doc_id`s train, odd ones score — the
+    * held-out docs genuinely exercise unseen-feature buckets (absent
+    * from every gradient) and the empty-feature path (n_buckets = 0 →
+    * sigmoid(bias)).
+    */
+  def classifierApply(
+      documents: DataFrame,
+      buckets: Int = DsirBuckets,
+      iterations: Int = ClfIterations,
+      lrate: Double = ClfLearningRate,
+      targetMinQuality: Double = DsirTargetMinQuality): DataFrame = {
+    val isTrain = col("doc_id") % 2 === 0
+    val (trainFeats, trainLabels, nTrain) =
+      clfInputs(documents.filter(isTrain), buckets, targetMinQuality)
+    val (w, bias) = clfLoop(trainFeats, trainLabels, nTrain, iterations, lrate)
+    val held = documents.filter(!isTrain)
+    clfScores(clfFeatures(held, buckets), held, w, bias)
+      .orderBy("doc_id")
+  }
+
+  /** Frozen-model scoring shared by [[classifierSelect]] and
+    * [[classifierApply]] (ONE body — the select key and the apply key
+    * compute the identical 6-dp sigmoid of DECIMAL-summed 6-dp margin
+    * parts): every doc in `base` keeps a row (LEFT join — a doc with
+    * no feature buckets scores sigmoid(bias) with n_buckets 0).
+    */
+  private def clfScores(
+      feats: DataFrame,
+      base: DataFrame,
+      w: Map[Long, Double],
+      bias: Double): DataFrame = {
+    val spark = feats.sparkSession
+    import spark.implicits._
     val wDf = broadcast(w.toSeq.toDF("bucket", "wt"))
     val scores = feats.join(wDf, Seq("bucket"))
       .groupBy("doc_id")
@@ -678,16 +726,13 @@ object Relevance {
         sum(round(col("x") * col("wt"), 6)
           .cast(org.apache.spark.sql.types.DecimalType(16, 6))).as("zs"),
         count(lit(1)).as("n_b"))
-    val allScored = labels.select(col("doc_id"))
+    base.select(col("doc_id"))
       .join(scores, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_b"), lit(0L)).as("n_buckets"),
         round(lit(1.0) / (lit(1.0) +
           exp(-(coalesce(col("zs").cast("double"), lit(0.0)) + lit(bias)))), 6)
           .as("clf_score"))
-    topPctBy(allScored, "clf_score", selectPct, countFrom = labels)
-      .select(col("doc_id"), col("n_buckets"), col("clf_score"), col("selected"))
-      .orderBy("doc_id")
   }
 
   /** Shared feature/label inputs: the DSIR hashed bag-of-n-grams as
@@ -700,6 +745,18 @@ object Relevance {
       documents: DataFrame,
       buckets: Int,
       targetMinQuality: Double): (DataFrame, DataFrame, Long) = {
+    val y = (TextStats.qualityScoreColumn(col("text")) >= targetMinQuality)
+      .cast("long")
+    val labels = graft.core.CacheScope.persist(
+      documents.select(col("doc_id"), y.as("y")))
+    (clfFeatures(documents, buckets), labels, documents.count())
+  }
+
+  /** The hashed bag-of-n-grams feature stream alone (per-(doc, bucket)
+    * 6-dp frequencies, pinned) — [[clfInputs]] minus the labels, for
+    * the apply path that scores docs it never labels.
+    */
+  private def clfFeatures(documents: DataFrame, buckets: Int): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two for the portable pmod: $buckets")
     val ws = filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0)
@@ -707,10 +764,6 @@ object Relevance {
       transform(sequence(lit(1), size(col("ws")) - 1), i =>
         concat(element_at(col("ws"), i), lit(" "), element_at(col("ws"), i + 1))))
       .otherwise(array().cast("array<string>"))
-    val y = (TextStats.qualityScoreColumn(col("text")) >= targetMinQuality)
-      .cast("long")
-    val labels = graft.core.CacheScope.persist(
-      documents.select(col("doc_id"), y.as("y")))
     val counts = documents
       .select(col("doc_id"), ws.as("ws"))
       .select(col("doc_id"), explode(concat(col("ws"), bigs)).as("feat"))
@@ -719,10 +772,9 @@ object Relevance {
           lit(buckets.toLong)).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
     val total = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val feats = graft.core.CacheScope.persist(counts
+    graft.core.CacheScope.persist(counts
       .select(col("doc_id"), col("bucket"),
         round(col("c").cast("double") / sum("c").over(total), 6).as("x")))
-    (feats, labels, documents.count())
   }
 
   /** The full-batch gradient loop. Driver state: the weight map (only

@@ -67,8 +67,10 @@ class QueryContractSpec extends AnyFunSuite {
     // embedding_project_recall_embeddings (per-probe recall@10 of
     // projected-space retrieval vs full-dim ground truth),
     // bpe_tokens_documents (the exported token STREAM — ordered BPE
-    // symbols per doc, sharing one apply kernel with the counts)
-    assert(SparkEntry.queries.size == 140,
+    // symbols per doc, sharing one apply kernel with the counts),
+    // classifier_apply_documents (train-once-apply-many for the
+    // discriminative filter: frozen weights score held-out docs)
+    assert(SparkEntry.queries.size == 141,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.14 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

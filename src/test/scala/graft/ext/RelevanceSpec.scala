@@ -379,6 +379,59 @@ class RelevanceSpec extends SparkSpec {
     assert(out.filter(_._4 == 1L).forall(_._1 <= 6L))
   }
 
+  test("classifierApply: frozen model scores held-out docs exactly (driver replay)") {
+    // train on evens via the DECLARED trainer (its exported model is
+    // the artifact), then recompute every odd doc's score driver-side
+    // from that model and the same hashed 6-dp features: micros-exact
+    // margin parts, 6-dp sigmoid — must agree to the last bit
+    val good = "the quick brown fox jumps over the lazy dog and runs home"
+    val junk = "zxqv!!! wkjh??? qqpz,,, vvnm;;; zxqv!!! wkjh???"
+    val rows = (1L to 6L).map(i => (i, good + " tail" + i, "en", "s", 60L)) ++
+      (7L to 12L).map(i => (i, junk + " zz" + i, "en", "s", 46L)) :+
+      ((13L, "???", "en", "s", 3L)) // odd doc, no letter-run features
+    val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val model = Relevance.trainQualityClassifier(df.filter("doc_id % 2 = 0"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    graft.core.CacheScope.releaseAll()
+    val bias = model(-1L)
+    val applied = Relevance.classifierApply(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    graft.core.CacheScope.releaseAll()
+    assert(applied.keySet == rows.map(_._1).filter(_ % 2 == 1).toSet,
+      "apply must cover exactly the held-out docs")
+    def featBuckets(text: String): Map[Long, Double] = {
+      val ws = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      val feats = ws ++ ws.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      val bks = feats.map { f =>
+        val h = graft.functions.Hashing.hash64(f)
+        ((h % 1024) + 1024) % 1024
+      }
+      val total = bks.length.toDouble
+      bks.groupBy(identity).view
+        .mapValues(g => graft.functions.VectorOps.round6(g.length / total))
+        .toMap
+    }
+    rows.filter(_._1 % 2 == 1).foreach { case (id, text, _, _, _) =>
+      val x = featBuckets(text)
+      // margin: 6-dp parts summed exactly in micro-units (the
+      // DECIMAL(16,6) contract); the exported model pads untouched
+      // buckets with exact 0.0 weights, whose parts round to 0 micros
+      // — so replaying over the padded model matches the engine's
+      // touched-buckets-only join bit for bit on the score
+      val micros = x.keys.toSeq.map { b =>
+        math.round(graft.functions.VectorOps.round6(x(b) * model(b)) * 1e6)
+      }.sum
+      val z = (if (x.isEmpty) 0.0 else micros / 1e6) + bias
+      val want = graft.functions.VectorOps.round6(1.0 / (1.0 + math.exp(-z)))
+      val (gotNb, gotScore) = applied(id)
+      assert(gotScore == want, s"doc $id: $gotScore vs $want")
+      if (id == 13L) assert(gotNb == 0L)
+    }
+    // and the separable fixture still separates on the held-out side
+    val (a, b) = applied.toSeq.partition(_._1 <= 6L)
+    assert(a.map(_._2._2).min > b.filter(_._1 <= 12L).map(_._2._2).max)
+  }
+
   test("quality classifier: engine weights equal a driver-side gradient replay") {
     import org.apache.spark.sql.functions._
     val rows = Seq(
