@@ -955,6 +955,15 @@ object ExtQueries {
     }),
     "dedup_minhash_documents" -> ((s: SparkSession, dir: String) =>
       Dedup.minHashDedup(docs(s, dir))),
+    "dedup_minhash_incremental_documents" -> ((s: SparkSession, dir: String) => {
+      // rolling-corpus NEAR-dup maintenance (incrementalExact's sketch
+      // sibling): the corpus holds doc_id % 3 != 0; the new snapshot
+      // (every 3rd doc) drops members near-duplicating the corpus OR an
+      // earlier batch doc — one banded index, corpus-wins drop policy
+      val d = docs(s, dir)
+      Dedup.incrementalMinHash(
+        d.filter(col("doc_id") % 3 === 0), d.filter(col("doc_id") % 3 =!= 0))
+    }),
     "dedup_minhash_pairs_documents" -> ((s: SparkSession, dir: String) =>
       Dedup.minHashPairs(docs(s, dir), threshold = 0.2)),
     "dedup_minhash_pairs_k128_documents" -> ((s: SparkSession, dir: String) =>
@@ -3378,6 +3387,23 @@ object ExtQueries {
          |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
          |FROM documents d WHERE NOT EXISTS (
          |  SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // incremental near-dup: the SAME mh_j pair set classified by batch
+    // membership (doc_id % 3 = 0) — a batch doc loses to any corpus
+    // partner, or to a lower-id batch partner (minHashDedup's policy
+    // with corpus-wins)
+    "dedup_minhash_incremental_documents" ->
+      s"""WITH ${minhashPairCtes(16, 4)},
+         |inc_losers AS (SELECT DISTINCT CASE
+         |      WHEN doc_id_a % 3 = 0 AND doc_id_b % 3 = 0 THEN doc_id_b
+         |      WHEN doc_id_a % 3 = 0 THEN doc_id_a
+         |      ELSE doc_id_b END AS doc_id
+         |    FROM mh_j WHERE est_jaccard >= 0.8
+         |      AND (doc_id_a % 3 = 0 OR doc_id_b % 3 = 0))
+         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |WHERE doc_id % 3 = 0 AND NOT EXISTS (
+         |  SELECT 1 FROM inc_losers l WHERE l.doc_id = d.doc_id)
          |ORDER BY doc_id""".stripMargin,
     // transitive closure of the SAME minhash pair set (est ≥ 0.8): min
     // reachable doc_id ≡ GraphX connectedComponents' min-vertex label

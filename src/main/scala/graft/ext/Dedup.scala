@@ -185,6 +185,68 @@ object Dedup {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
+  /** Incremental NEAR-dup dedup — [[incrementalExact]]'s sketch-level
+    * sibling, the rolling-corpus step a recurring crawl actually needs
+    * (a re-crawl rarely re-fetches bytes identically; it fetches
+    * near-copies): batch docs are dropped when a confident near-dup
+    * partner (signature agreement ≥ `threshold`) already exists in the
+    * CORPUS, or earlier (lower doc_id) in the batch itself —
+    * [[minHashDedup]]'s pair-drop policy extended with corpus-wins.
+    *
+    * Plan: ONE banded signature index over corpus ∪ batch with ONE
+    * oversized-bucket census (at 100 TB the corpus half of that index
+    * is PERSISTED, bucketed by band key, and the census is index
+    * metadata — per batch, only the batch's signatures band and
+    * shuffle; the join co-locates against the bucketed index without
+    * moving it, the [[incrementalExact]] fingerprint-index posture at
+    * sketch level). Candidates join batch bands against the full
+    * index, cap-guarded on BOTH sides; the exact signature-agreement
+    * verify runs only on candidate pairs. Batch/corpus doc_ids must be
+    * disjoint (the ingestion contract [[incrementalExact]] documents).
+    */
+  def incrementalMinHash(
+      batch: DataFrame,
+      corpus: DataFrame,
+      threshold: Double = 0.8,
+      k: Int = MinHashK,
+      bands: Int = Bands): DataFrame = {
+    require(bands >= 1 && k % bands == 0, s"bands ($bands) must divide K ($k)")
+    val r = k / bands
+    val all = batch.select(col("doc_id"), col("text"), lit(1).as("_new"))
+      .unionByName(corpus.select(col("doc_id"), col("text"), lit(0).as("_new")))
+    val banded = all.select(
+      col("doc_id"), col("_new"),
+      minHashSignature(col("text"), k).as("sig"))
+      .select(col("doc_id"), col("_new"), col("sig"),
+        explode(array((0 until bands).map { i =>
+          struct(lit(i).as("band"),
+            graft.functions.GraftFunctions.bandKey(col("sig"), i, r).as("bkey"))
+        }: _*)).as("b"))
+      .select(col("doc_id"), col("_new"), col("sig"), col("b.band"), col("b.bkey"))
+      .transform(graft.core.CacheScope.persist)
+    val oversized = banded.groupBy("band", "bkey").count()
+      .filter(col("count") > MaxBucket)
+      .select("band", "bkey")
+    val capped = banded.join(broadcast(oversized), Seq("band", "bkey"), "left_anti")
+    val newSide = capped.filter(col("_new") === 1)
+      .select(col("band"), col("bkey"),
+        col("doc_id").as("doc_id_n"), col("sig").as("sig_n"))
+    val partner = capped.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_id_p"), col("sig").as("sig_p"), col("_new").as("new_p"))
+    val agree = aggregate(
+      zip_with(col("sig_n"), col("sig_p"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val losers = newSide.join(partner, Seq("band", "bkey"))
+      .filter(col("doc_id_n") =!= col("doc_id_p"))
+      // corpus partner always wins; a batch partner wins by lower id
+      .filter(col("new_p") === 0 || col("doc_id_p") < col("doc_id_n"))
+      .dropDuplicates("doc_id_n", "doc_id_p")
+      .filter(agree.cast("double") / lit(k) >= threshold)
+      .select(col("doc_id_n").as("doc_id")).distinct()
+    batch.join(losers, Seq("doc_id"), "left_anti").orderBy("doc_id")
+  }
+
   /** MinHash near-dup dedup: drop the higher doc_id of every confident
     * near-dup pair (transitive closure approximated by pair-drop, the
     * standard single-pass policy for corpus dedup at scale).

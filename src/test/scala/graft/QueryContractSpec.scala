@@ -69,8 +69,10 @@ class QueryContractSpec extends AnyFunSuite {
     // bpe_tokens_documents (the exported token STREAM — ordered BPE
     // symbols per doc, sharing one apply kernel with the counts),
     // classifier_apply_documents (train-once-apply-many for the
-    // discriminative filter: frozen weights score held-out docs)
-    assert(SparkEntry.queries.size == 141,
+    // discriminative filter: frozen weights score held-out docs),
+    // dedup_minhash_incremental_documents (rolling-corpus near-dup
+    // maintenance: one banded index, corpus-wins drop policy)
+    assert(SparkEntry.queries.size == 142,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.14 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

@@ -119,6 +119,36 @@ class DedupSpec extends SparkSpec {
     assert(!ids.contains(2L)) // exact copy dropped
   }
 
+  test("incrementalMinHash: corpus-wins drop policy, batch-internal lower-id wins") {
+    // corpus holds 10/20; the batch re-crawls a near-copy of 10 (id 31,
+    // must drop: corpus wins), two near-copies of each other (32 < 33:
+    // 33 drops, 32 survives), and novel content (34 survives)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten eleven"
+    val corpus = docsDF(Seq((10L, base), (20L, "unrelated corpus doc vocab")))
+    val batch = docsDF(Seq(
+      (31L, base + " lambda"),
+      (32L, other), (33L, other + " twelve"),
+      (34L, "completely novel snapshot content with fresh words here")))
+    val got = Dedup.incrementalMinHash(batch, corpus, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(32L, 34L), s"survivors: $got")
+    // and the policy replays from the union pair set: for every pair,
+    // a batch member loses to a corpus partner or a lower-id batch one
+    val all = corpus.unionByName(batch)
+    val pairs = Dedup.minHashPairs(all, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def isBatch(x: Long) = x >= 31L
+    val losers = pairs.flatMap { case (a, b) =>
+      if (isBatch(a) && isBatch(b)) Some(b)
+      else if (isBatch(a)) Some(a)
+      else if (isBatch(b)) Some(b)
+      else None
+    }.toSet
+    assert(got == Set(31L, 32L, 33L, 34L) -- losers,
+      s"engine survivors must replay from the union pair set: $losers")
+  }
+
   test("simhash: identical texts have hamming 0; disjoint vocab far apart") {
     val df = docsDF(Seq(
       (1L, "spark shuffle partition broadcast join codegen whole stage"),
