@@ -202,15 +202,33 @@ object Dedup {
     * sketch level). Candidates join batch bands against the full
     * index, cap-guarded on BOTH sides; the exact signature-agreement
     * verify runs only on candidate pairs. Batch/corpus doc_ids must be
-    * disjoint (the ingestion contract [[incrementalExact]] documents).
+    * disjoint (the ingestion contract [[incrementalExact]] documents) —
+    * and the failure mode under a collision is SILENT: the
+    * `doc_id_n =!= doc_id_p` self-pair guard below also discards the
+    * genuine cross-set pair of a batch doc that shares its id with a
+    * corpus doc, so that doc can never lose to its same-id corpus
+    * partner. `requireDisjointIds = true` converts the silent miss into
+    * a loud failure (one semi-join count over the two id columns —
+    * cheap next to the signature job; off by default so the declared
+    * key's plan is unchanged).
     */
   def incrementalMinHash(
       batch: DataFrame,
       corpus: DataFrame,
       threshold: Double = 0.8,
       k: Int = MinHashK,
-      bands: Int = Bands): DataFrame = {
+      bands: Int = Bands,
+      requireDisjointIds: Boolean = false): DataFrame = {
     require(bands >= 1 && k % bands == 0, s"bands ($bands) must divide K ($k)")
+    if (requireDisjointIds) {
+      val overlap = batch.select("doc_id")
+        .join(corpus.select("doc_id"), Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      require(overlap == 0L,
+        "incrementalMinHash: batch and corpus doc_ids overlap — the " +
+          "same-id corpus partner would be silently discarded by the " +
+          "self-pair guard (ingestion contract: disjoint id spaces)")
+    }
     val r = k / bands
     val all = batch.select(col("doc_id"), col("text"), lit(1).as("_new"))
       .unionByName(corpus.select(col("doc_id"), col("text"), lit(0).as("_new")))

@@ -449,6 +449,20 @@ case class RandomProjectExpr(child: Expression, kOut: Int)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_random_project"
 
+  // the kernel reads 4-byte float slots (VectorOps.randomProject uses
+  // v.getFloat); an array<double> input — e.g. this expression's OWN
+  // output — would silently read half of each 8-byte slot and return
+  // garbage, so anything but array<float> must fail ANALYSIS
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == ArrayType(FloatType, containsNull = false) ||
+        child.dataType == ArrayType(FloatType, containsNull = true) ||
+        child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects an array<float> argument, got ${child.dataType.catalogString}")
+
   override protected def nullSafeEval(input: Any): Any =
     new GenericArrayData(VectorOps.randomProject(
       input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], kOut))

@@ -484,6 +484,13 @@ object Loader {
     val target = spark.table(table)
     if (target.inputFiles.isEmpty) return 0
     val info = org.apache.spark.sql.GraftBridge.tableInfo(spark, table)
+    // writeTableLike re-applies bucketBy for bucketed tables, which
+    // would split every z-range partition into per-bucket files —
+    // silently destroying the clustering this rewrite exists to build
+    // (and multiplying file count) — so refuse loudly instead
+    require(info.bucketColumnNames.isEmpty,
+      s"zorder does not support bucketed tables: $table is bucketed by " +
+        info.bucketColumnNames.mkString(", "))
     val nBuckets = 1 << bits
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     // ONE boundary pass for ALL z columns (the multi-column overload),

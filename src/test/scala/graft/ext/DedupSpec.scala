@@ -149,6 +149,25 @@ class DedupSpec extends SparkSpec {
       s"engine survivors must replay from the union pair set: $losers")
   }
 
+  test("incrementalMinHash: requireDisjointIds turns silent id-collision miss loud") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = docsDF(Seq((10L, base)))
+    // batch doc 10 shares its id with its corpus near-dup partner: the
+    // self-pair guard silently discards the genuine cross-set pair, so
+    // the opt-in check must refuse the call outright
+    val colliding = docsDF(Seq((10L, base + " lambda")))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalMinHash(colliding, corpus, threshold = 0.5,
+        requireDisjointIds = true)
+    }
+    assert(e.getMessage.contains("doc_ids overlap"))
+    // disjoint ids pass the check and produce the unchecked result
+    val batch = docsDF(Seq((31L, base + " lambda"), (34L, "novel words here entirely")))
+    val checked = Dedup.incrementalMinHash(batch, corpus, threshold = 0.5,
+      requireDisjointIds = true).collect().map(_.getLong(0)).toSet
+    assert(checked == Set(34L), s"survivors: $checked")
+  }
+
   test("simhash: identical texts have hamming 0; disjoint vocab far apart") {
     val df = docsDF(Seq(
       (1L, "spark shuffle partition broadcast join codegen whole stage"),

@@ -156,4 +156,20 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(Seq("x").toDF("s")
       .selectExpr("graft_hash64(NULL) AS h").collect()(0).isNullAt(0))
   }
+
+  test("graft_random_project: array<float> only; array<double> rejected at analysis") {
+    import spark.implicits._
+    val f = Seq(Seq(1.0f, 2.0f)).toDF("v")
+    assert(f.selectExpr("graft_random_project(v, 4) AS p")
+      .collect()(0).getSeq[Double](0).length == 4)
+    // the kernel reads 4-byte float slots; an array<double> input —
+    // e.g. the projection's OWN output — must fail ANALYSIS, not
+    // silently read half of each 8-byte slot and return garbage
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      f.selectExpr("graft_random_project(v, 4) AS p")
+        .selectExpr("graft_random_project(p, 2)").collect()
+    }
+    assert(e.getMessage.contains(
+      "graft_random_project expects an array<float> argument"))
+  }
 }

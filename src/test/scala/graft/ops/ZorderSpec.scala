@@ -84,4 +84,19 @@ class ZorderSpec extends SparkSpec {
     assert(hitB < 8, s"b must still prune under a-skew: $hitB/8")
     dropWithLocation("zorder_sk")
   }
+
+  test("zorder: bucketed table rejected loudly (re-bucketing would shred z-ranges)") {
+    import spark.implicits._
+    dropWithLocation("zorder_bk")
+    (0 until 64).map(i => (i, i % 8, i)).toDF("a", "b", "payload")
+      .write.mode("overwrite").bucketBy(4, "a").saveAsTable("zorder_bk")
+    // writeTableLike re-applies bucketBy, splitting every z-range
+    // partition into per-bucket files — the rewrite must refuse instead
+    // of reporting success while destroying the clustering
+    val e = intercept[IllegalArgumentException] {
+      Loader.zorder(spark, "zorder_bk", Seq("a", "b"), nFiles = 4)
+    }
+    assert(e.getMessage.contains("does not support bucketed tables"))
+    dropWithLocation("zorder_bk")
+  }
 }
