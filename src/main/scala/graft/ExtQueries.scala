@@ -1255,6 +1255,11 @@ object ExtQueries {
     "pack_greedy_documents" -> ((s: SparkSession, dir: String) =>
       Corpus.packGreedy(docs(s, dir), budgetTokens = PackBudgetTokens,
         shardsPerStratum = PackShards)),
+    "pack_sequences_documents" -> ((s: SparkSession, dir: String) =>
+      // GPT-lineage concat-and-chunk: the trained-BPE token stream cut
+      // into exact 512-token training blocks, docs splitting across
+      // boundaries — global offsets via a two-level distributed scan
+      Corpus.packSequences(docs(s, dir))),
     "select_budget_documents" -> ((s: SparkSession, dir: String) =>
       // "best B tokens": greedy by quality score desc, boundary stratum
       // by doc_id — score-histogram classification, so only ONE score
@@ -1811,6 +1816,28 @@ object ExtQueries {
          |  token
          |FROM tk_tok
          |ORDER BY doc_id, pos""".stripMargin
+    },
+    // concat-and-chunk pack map: the encode chain's per-doc BPE totals
+    // (en_t), a plain global window prefix-sum (the oracle may be
+    // sequential — the ENGINE's two-level scan must only match it),
+    // and a generate_series explode over each doc's block span
+    "pack_sequences_documents" -> {
+      val L = Corpus.PackBlockTokens
+      s"""WITH ${bpeEncodeCtes(Bpe.DefaultMerges)},
+         |ps_c AS (SELECT doc_id, bpe_tokens AS c FROM en_t WHERE bpe_tokens > 0),
+         |ps_o AS (SELECT doc_id, c,
+         |    coalesce(sum(c) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+         |  FROM ps_c),
+         |ps_s AS (SELECT doc_id, c, off,
+         |    unnest(generate_series(off // $L, (off + c - 1) // $L)) AS block_id
+         |  FROM ps_o)
+         |SELECT doc_id, block_id::BIGINT AS block_id,
+         |  (greatest(off, block_id * $L) - block_id * $L)::BIGINT AS off_in_block,
+         |  (least(off + c, (block_id + 1) * $L)
+         |    - greatest(off, block_id * $L))::BIGINT AS n_tokens
+         |FROM ps_s
+         |ORDER BY doc_id, block_id""".stripMargin
     },
     // tokenizer-TRUE budget selection: the select_budget chain with the
     // per-doc cost swapped from the ws proxy to the trained BPE encode

@@ -721,4 +721,80 @@ object Corpus {
       .write.mode("overwrite").parquet(s"$outDir/manifest")
     spark.read.parquet(s"$outDir/manifest").orderBy("pack_id")
   }
+
+  /** Default training-block length for [[packSequences]] — small enough
+    * that the sf0.001+ fixtures produce many full blocks AND multi-block
+    * docs (both branches always exercised).
+    */
+  val PackBlockTokens = 512
+
+  /** Fixed-length training-sequence packing — the GPT-lineage
+    * concat-and-chunk step (Brown et al. 2020 arXiv:2005.14165 §2.3
+    * pack documents into full 2048-token contexts; T5 arXiv:1910.10683
+    * does the same at 512): the corpus's trained-BPE token stream is
+    * laid end-to-end in doc_id order and cut into exact
+    * `blockTokens`-token blocks, documents SPLITTING across block
+    * boundaries (zero padding waste — the property [[packGreedy]]'s
+    * whole-doc bins cannot have). Output is the pack MAP, one row per
+    * (document, block) segment: `doc_id, block_id, off_in_block,
+    * n_tokens` — with [[graft.ext.Bpe.bpeTokens]]'s stream it fully
+    * determines every training sequence. Docs with zero letter-run
+    * tokens occupy no space and emit no rows.
+    *
+    * Scale shape — the global prefix sum is a two-level distributed
+    * scan, NOT a one-task window: per-doc token counts range-partition
+    * by doc_id (persisted, so the layout is computed once), each
+    * partition cum-sums locally under a window partitioned by the
+    * physical partition id, and the per-partition totals — bounded by
+    * the configured partition count, the audited-bounded-collect class
+    * — prefix-sum on the driver and broadcast back as each partition's
+    * base offset. The result is a pure function of (corpus, blockTokens):
+    * partition boundaries shift WHERE the local scans cut, never what
+    * any doc's global offset is (spec-pinned under a different input
+    * layout). A doc spanning b blocks emits b rows via an explicit
+    * `sequence` explode — bounded by doc length / blockTokens, a
+    * per-doc quantity.
+    */
+  def packSequences(
+      documents: DataFrame,
+      blockTokens: Int = PackBlockTokens,
+      merges: Int = Bpe.DefaultMerges,
+      maxWordTypes: Int = Bpe.DefaultMaxWordTypes): DataFrame = {
+    require(blockTokens >= 1, s"need a positive block length: $blockTokens")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val counts = Bpe.bpeEncode(documents, merges, maxWordTypes)
+      .filter(col("bpe_tokens") > 0)
+      .select(col("doc_id"), col("bpe_tokens").as("c"))
+    // persist pins ONE physical layout: the totals collect and the
+    // per-row scan below must see the same partition ids
+    val parted = graft.core.CacheScope.persist(
+      counts.repartitionByRange(col("doc_id"))
+        .withColumn("_pid", spark_partition_id()))
+    val totals = parted.groupBy("_pid").agg(sum("c").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val bases = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
+      (pid, acc + t)
+    }.tail.zip(totals).map { case ((pid, cumThrough), (_, t)) =>
+      (pid, cumThrough - t)
+    }
+    val baseDf = bases.toSeq.toDF("_pid", "_base")
+    val w = Window.partitionBy("_pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val L = lit(blockTokens.toLong)
+    parted
+      .withColumn("_local", coalesce(sum("c").over(w), lit(0L)))
+      .join(broadcast(baseDf), Seq("_pid"))
+      .withColumn("off", col("_base") + col("_local"))
+      .withColumn("block_id",
+        explode(sequence(
+          floor(col("off") / L).cast("bigint"),
+          floor((col("off") + col("c") - 1) / L).cast("bigint"))))
+      .withColumn("seg_start", greatest(col("off"), col("block_id") * L))
+      .withColumn("seg_end", least(col("off") + col("c"), (col("block_id") + lit(1L)) * L))
+      .select(col("doc_id"), col("block_id"),
+        (col("seg_start") - col("block_id") * L).cast("bigint").as("off_in_block"),
+        (col("seg_end") - col("seg_start")).cast("bigint").as("n_tokens"))
+      .orderBy("doc_id", "block_id")
+  }
 }

@@ -72,7 +72,10 @@ class QueryContractSpec extends AnyFunSuite {
     // discriminative filter: frozen weights score held-out docs),
     // dedup_minhash_incremental_documents (rolling-corpus near-dup
     // maintenance: one banded index, corpus-wins drop policy)
-    assert(SparkEntry.queries.size == 142,
+    // +r12: pack_sequences_documents (GPT-lineage concat-and-chunk:
+    // fixed 512-token training blocks over the trained-BPE stream,
+    // global offsets via a two-level distributed scan)
+    assert(SparkEntry.queries.size == 143,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.14 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

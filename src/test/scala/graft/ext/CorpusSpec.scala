@@ -541,4 +541,54 @@ class CorpusSpec extends SparkSpec {
     // zero budget selects nothing
     assert(Corpus.selectBudget(real, 0L).count() == 0L)
   }
+
+  test("packSequences: exact driver replay, block tiling, partition independence") {
+    // mixed sizes incl. a doc far longer than the block (multi-block
+    // span) and a no-letter doc (occupies no space, emits no rows)
+    val df = docsDF(Seq(
+      (1L, "alpha beta gamma delta " * 3),
+      (2L, "epsilon zeta " * 40), // >> L tokens after BPE: spans blocks
+      (3L, "123 456 !!"), // zero letter-run tokens
+      (4L, "eta theta iota kappa lambda " * 7),
+      (5L, "mu nu xi")))
+    val L = 32
+    val got = Corpus.packSequences(df, blockTokens = L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+    // driver replay from the same encode counts
+    val counts = Bpe.bpeEncode(df).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).filter(_._2 > 0).sortBy(_._1)
+    var off = 0L
+    val want = counts.flatMap { case (id, c) =>
+      val rows = ((off / L) to ((off + c - 1) / L)).map { b =>
+        val s = math.max(off, b * L); val e = math.min(off + c, (b + 1) * L)
+        (id, b, s - b * L, e - s)
+      }
+      off += c
+      rows
+    }.toSeq
+    assert(got == want, s"engine diverges from the sequential replay:\n$got\n$want")
+    assert(!got.exists(_._1 == 3L), "zero-token doc must emit no rows")
+    assert(got.groupBy(_._1).exists(_._2.size > 1), "a doc must span blocks")
+    // tiling: every block except the last is exactly full, and segments
+    // within a block abut (off_in_block picks up where the last ended)
+    val lastBlock = got.map(_._2).max
+    got.groupBy(_._2).foreach { case (b, segs) =>
+      val fill = segs.map(_._4).sum
+      if (b < lastBlock) assert(fill == L, s"block $b fill $fill != $L")
+      val sorted = segs.sortBy(_._3)
+      sorted.zip(sorted.tail).foreach { case (a, nx) =>
+        assert(a._3 + a._4 == nx._3, s"gap inside block $b")
+      }
+    }
+    // per-doc conservation: segments sum to the doc's token count
+    counts.foreach { case (id, c) =>
+      assert(got.filter(_._1 == id).map(_._4).sum == c, s"doc $id tokens")
+    }
+    // physical-layout independence: a different input partitioning
+    // must not move any offset (the two-level scan is a pure function)
+    val again = Corpus.packSequences(df.repartition(7), blockTokens = L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(again == got)
+  }
 }
