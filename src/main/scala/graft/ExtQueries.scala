@@ -1001,6 +1001,12 @@ object ExtQueries {
       // variant serves dedup_cluster_documents) — spec-proven equal
       DedupClusters.clustersDF(docs(s, dir),
         Dedup.ngramJaccardPairsExact(docs(s, dir), threshold = 0.1))),
+    "dedup_cluster_keep_quality_documents" -> ((s: SparkSession, dir: String) =>
+      // the production keep policy: per near-dup cluster keep the
+      // highest-quality member (ties to smallest id), not the first
+      // crawled — same exact pair set as dedup_cluster_exact
+      DedupClusters.dedupByClustersKeepQuality(docs(s, dir),
+        Dedup.ngramJaccardPairsExact(docs(s, dir), threshold = 0.1))),
     "dedup_embedding_pairs_embeddings" -> ((s: SparkSession, dir: String) =>
       // synthetic embeddings have no true near-dups (max pairwise cosine
       // ≈0.48 at sf0.001); 0.3 exercises the LSH-candidate + verify path
@@ -2145,6 +2151,38 @@ object ExtQueries {
          |  SELECT wk.doc_id, e2.b FROM walk wk JOIN edges e2 ON wk.reach = e2.a)
          |SELECT doc_id, min(reach)::BIGINT AS cluster_id
          |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // keep-best-quality cluster dedup: the SAME pair set + recursive
+    // closure as dedup_cluster_exact, then per-cluster max 4-dp quality
+    // (discrete, so the max-equality join is exact) with min-doc_id ties
+    "dedup_cluster_keep_quality_documents" ->
+      s"""WITH RECURSIVE $NgramPairCtes,
+         |p AS (SELECT doc_id_a, doc_id_b FROM j WHERE exact_jaccard >= 0.1),
+         |edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM p
+         |          UNION ALL SELECT doc_id_b, doc_id_a FROM p),
+         |walk(doc_id, reach) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT wk.doc_id, e2.b FROM walk wk JOIN edges e2 ON wk.reach = e2.a),
+         |cl AS (SELECT doc_id, min(reach)::BIGINT AS cluster_id
+         |       FROM walk GROUP BY doc_id),
+         |kq_b AS (SELECT doc_id, lang, source, $QualitySignalsSql FROM documents),
+         |kq_q AS (SELECT doc_id, lang, source,
+         |    $QualityScoreSql AS quality_score FROM kq_b),
+         |kq_j AS (SELECT c.doc_id, c.cluster_id, q.lang, q.source, q.quality_score
+         |         FROM cl c JOIN kq_q q USING (doc_id)),
+         |kq_m AS (SELECT cluster_id, count(*)::BIGINT AS n_members,
+         |                max(quality_score) AS quality_score
+         |         FROM kq_j GROUP BY 1),
+         |kq_r AS (SELECT j.cluster_id, min(j.doc_id)::BIGINT AS doc_id
+         |         FROM kq_j j JOIN kq_m m ON j.cluster_id = m.cluster_id
+         |           AND j.quality_score = m.quality_score
+         |         GROUP BY 1)
+         |SELECT r.doc_id, j.lang, j.source, r.cluster_id,
+         |       m.n_members, m.quality_score
+         |FROM kq_r r
+         |JOIN kq_m m ON m.cluster_id = r.cluster_id
+         |JOIN kq_j j ON j.doc_id = r.doc_id
+         |ORDER BY r.doc_id""".stripMargin,
     // winnowing shared-passage pairs: hash64 kernel replicated per
     // distinct char-gram, signed min ≡ JVM Long min, value-set selection
     "dedup_winnow_pairs_documents" ->

@@ -139,4 +139,43 @@ object DedupClusters {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .orderBy("doc_id")
   }
+
+  /** Cluster-aware dedup with the PRODUCTION keep policy: per near-dup
+    * cluster, keep the highest-QUALITY member (ties to the smallest
+    * doc_id), not the smallest id — the representative choice real
+    * curation pipelines make (a near-dup cluster usually holds one
+    * clean copy and n boilerplate-wrapped ones; lowest-id keeps
+    * whichever crawled first). Returns one row per kept representative:
+    * `doc_id, lang, source, cluster_id, n_members, quality_score`.
+    *
+    * Argmax shape, deterministic and oracle-portable: per-cluster max
+    * quality (one map-side-combinable aggregate over cluster ids), then
+    * min doc_id among the rows AT that max — no float negation tricks,
+    * no window over the corpus; both aggregates are cluster-bounded.
+    * Quality is the 4-dp [[TextStats.qualityScoreColumn]] (discrete, so
+    * the max-equality join is exact cross-engine). Clustering is the
+    * Tungsten-resident [[clustersDF]] over whatever pair set the caller
+    * trusts.
+    */
+  def dedupByClustersKeepQuality(
+      documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val q = documents.select(col("doc_id"), col("lang"), col("source"),
+      TextStats.qualityScoreColumn(col("text")).as("quality_score"))
+    // joined member table feeds the stats aggregate, the argmax, and
+    // the final carry — pinned so clustering runs once
+    val members = graft.core.CacheScope.persist(
+      clustersDF(documents, pairs).join(q, Seq("doc_id")))
+    val stats = members.groupBy("cluster_id").agg(
+      count(lit(1)).as("n_members"),
+      max("quality_score").as("quality_score"))
+    val reps = members.join(stats.select("cluster_id", "quality_score"),
+        Seq("cluster_id", "quality_score"))
+      .groupBy("cluster_id").agg(min("doc_id").as("doc_id"))
+    members.select("doc_id", "lang", "source", "cluster_id")
+      .join(reps, Seq("cluster_id", "doc_id"), "left_semi")
+      .join(stats, Seq("cluster_id"))
+      .select("doc_id", "lang", "source", "cluster_id",
+        "n_members", "quality_score")
+      .orderBy("doc_id")
+  }
 }

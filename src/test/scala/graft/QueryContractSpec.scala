@@ -74,8 +74,10 @@ class QueryContractSpec extends AnyFunSuite {
     // maintenance: one banded index, corpus-wins drop policy)
     // +r12: pack_sequences_documents (GPT-lineage concat-and-chunk:
     // fixed 512-token training blocks over the trained-BPE stream,
-    // global offsets via a two-level distributed scan)
-    assert(SparkEntry.queries.size == 143,
+    // global offsets via a two-level distributed scan),
+    // dedup_cluster_keep_quality_documents (production keep policy:
+    // highest-quality member per near-dup cluster, min-id ties)
+    assert(SparkEntry.queries.size == 144,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.14 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

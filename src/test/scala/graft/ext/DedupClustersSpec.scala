@@ -76,4 +76,30 @@ class DedupClustersSpec extends SparkSpec {
     assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
     assert(got(4L) == 4L)
   }
+
+  test("keep-quality dedup: best member wins, min-id ties, singletons pass") {
+    import spark.implicits._
+    // quality tiers as in the budget specs: stopword-rich text scores
+    // high, punctuation soup scores low
+    def rich(i: Int) = s"the quick brown fox jumps over the lazy dog near door $i"
+    def poor(i: Int) = s"!!! ??? ,,, ;;; $i :::"
+    val docs = Seq(
+      (1L, poor(1)), (2L, rich(2)), (3L, poor(3)), // cluster {1,2,3}: 2 wins
+      (4L, rich(4)), (5L, rich(4)),                // tie cluster: min id 4 wins
+      (6L, poor(6)))                               // singleton
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src' AS source")
+    val pairs = pairsDF(Seq((1L, 2L), (2L, 3L), (4L, 5L)))
+    val got = DedupClusters.dedupByClustersKeepQuality(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toSeq
+    assert(got.map(_._1) == Seq(2L, 4L, 6L),
+      s"representatives must be best-quality, min-id on ties: $got")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(2L)._2 == 1L && byId(2L)._3 == 3L, "cluster id/members of {1,2,3}")
+    assert(byId(4L)._3 == 2L && byId(6L)._3 == 1L)
+    // the kept quality IS the cluster max: doc 2 outscores its cluster
+    assert(byId(2L)._4 > byId(6L)._4, "rich representative must outscore poor")
+    graft.core.CacheScope.releaseAll()
+  }
 }
