@@ -864,6 +864,10 @@ object ExtQueries {
       // shares one JVM body with the count kernel, and the apply still
       // runs once per word TYPE
       Bpe.bpeTokens(docs(s, dir))),
+    "tokenizer_fertility_documents" -> ((s: SparkSession, dir: String) =>
+      // per-language fertility (BPE tokens/word) + chars/token of the
+      // trained tokenizer — the audit before budgets trust its counts
+      Bpe.tokenizerFertility(docs(s, dir))),
     "boilerplate_ngrams_documents" -> ((s: SparkSession, dir: String) =>
       // cross-doc shared n-grams (templated-text detector): per-doc
       // distinct grams → doc-frequency rank, vocabulary-bounded shuffle
@@ -1248,6 +1252,20 @@ object ExtQueries {
         portable = true)
       Similarity.semanticDedup(e, index)
     }),
+    "prune_prototypes_embeddings" -> ((s: SparkSession, dir: String) => {
+      // SSL-prototype pruning (Sorscher et al. 2022): per-cluster
+      // prototypicality rank, keep the hard (least prototypical) 70% —
+      // the data-pruning step between dedup and selection
+      val e = embs(s, dir)
+      val index = Similarity.buildIvfIndex(e, nCentroids = 16, iterations = 3,
+        portable = true)
+      Similarity.prunePrototypes(e, index)
+    }),
+    "d4_select_embeddings" -> ((s: SparkSession, dir: String) =>
+      // D4 (Tirumala et al. 2023): SemDeDup, then RE-CLUSTER the
+      // survivors and prototype-prune against the retrained centroids —
+      // the composed embedding-curation pipeline as one verdict table
+      Similarity.d4Select(embs(s, dir))),
     // -- corpus preparation (sampling / scrubbing / chunking / packing) --
     "sample_hash_documents" -> ((s: SparkSession, dir: String) =>
       Corpus.sampleByHash(docs(s, dir))),
@@ -1290,6 +1308,10 @@ object ExtQueries {
     "sample_stratified_documents" -> ((s: SparkSession, dir: String) =>
       // per-lang proportional content-addressed sample
       Corpus.sampleStratified(docs(s, dir), frac = StratifiedFrac)),
+    "sample_temperature_documents" -> ((s: SparkSession, dir: String) =>
+      // α=0.5 temperature rebalancing (XLM): per-lang quotas ∝ ⌊√n_l⌋,
+      // all-integer, content-addressed selection within each language
+      Corpus.sampleTemperature(docs(s, dir))),
     "segment_dedup_documents" -> ((s: SparkSession, dir: String) =>
       // C4-style global duplicate-segment removal (keep-first) with
       // document reassembly from the surviving segments
@@ -1323,6 +1345,14 @@ object ExtQueries {
       // benchmark (same corpus/benchmark split as decontaminate)
       val d = docs(s, dir)
       Corpus.contaminationScore(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0))
+    }),
+    "decontaminate_bloom_documents" -> ((s: SparkSession, dir: String) => {
+      // same verdicts as decontaminate, bloom-pruned physics: one
+      // fixed-size bitmap probe pass; only suspicious docs re-explode
+      val d = docs(s, dir)
+      Corpus.decontaminateBloom(
         d.filter(col("doc_id") % 97 =!= 0),
         d.filter(col("doc_id") % 97 === 0))
     }),
@@ -1794,6 +1824,23 @@ object ExtQueries {
       s"""WITH ${bpeEncodeCtes(Bpe.DefaultMerges)}
          |SELECT doc_id, n_words, bpe_tokens FROM en_t
          |ORDER BY doc_id""".stripMargin,
+    // fertility: the SAME encode chain collapsed per language — BIGINT
+    // sums, 4-dp ratios (the accepted half-ulp rounding class)
+    "tokenizer_fertility_documents" ->
+      s"""WITH ${bpeEncodeCtes(Bpe.DefaultMerges)},
+         |tfj AS (SELECT d.lang, e.n_words, e.bpe_tokens, d.n_chars
+         |  FROM en_t e JOIN documents d ON d.doc_id = e.doc_id)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(n_words)::BIGINT AS n_words,
+         |  sum(bpe_tokens)::BIGINT AS bpe_tokens,
+         |  sum(n_chars)::BIGINT AS n_chars,
+         |  CASE WHEN sum(n_words) = 0 THEN 0.0
+         |       ELSE round(sum(bpe_tokens)::DOUBLE / sum(n_words), 4)
+         |       END AS fertility,
+         |  CASE WHEN sum(bpe_tokens) = 0 THEN 0.0
+         |       ELSE round(sum(n_chars)::DOUBLE / sum(bpe_tokens), 4)
+         |       END AS chars_per_token
+         |FROM tfj GROUP BY lang ORDER BY lang""".stripMargin,
     // the exported token stream: the SAME encode chain's per-type
     // symbol lists (ap_v{m+1}), joined to the ORDERED word occurrences
     // and exploded with ordinality; pos = per-doc row_number over
@@ -2729,6 +2776,19 @@ object ExtQueries {
          |  FROM documents d)
          |SELECT doc_id, text, lang, source, n_chars FROM r
          |WHERE rn <= ceil(n * $StratifiedFrac) ORDER BY doc_id""".stripMargin,
+    // temperature quotas: all-integer — ⌊√n⌋ weights (IEEE sqrt is
+    // correctly rounded in both engines), BIGINT floor division (//)
+    // for the budget and every per-language quota
+    "sample_temperature_documents" ->
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM c),
+        |t AS (SELECT sum(n)::BIGINT AS nn, sum(w)::BIGINT AS ww FROM w),
+        |q AS (SELECT lang, least(n, (((nn * 50) // 100) * w) // ww) AS k FROM w, t),
+        |r AS (SELECT d.*,
+        |  row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents d)
+        |SELECT doc_id, text, lang, source, n_chars FROM r JOIN q USING (lang)
+        |WHERE rn <= k ORDER BY doc_id""".stripMargin,
     // segment dedup: the oracle keeps the straightforward window-rank
     // keep-first (the Spark side's min(struct) aggregation is the
     // scale shape, not different semantics)
@@ -2778,22 +2838,12 @@ object ExtQueries {
         |  SELECT d.*, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents d)
         |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
-    "decontaminate_documents" -> {
-      val n = 8
-      def grams(src: String) =
-        s"""SELECT doc_id, unnest(
-           |  CASE WHEN len(words) < $n THEN [array_to_string(words, ' ')]
-           |       ELSE list_distinct(list_transform(range(1, len(words) - ${n - 2}),
-           |            i -> array_to_string(words[i:i+${n - 1}], ' '))) END) AS gram
-           |FROM (SELECT doc_id, string_split($NormSql, ' ') AS words FROM $src)""".stripMargin
-      s"""WITH corp AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
-         |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
-         |bg AS (SELECT DISTINCT gram FROM (${grams("bench")})),
-         |cg AS (${grams("corp")}),
-         |hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram))
-         |SELECT doc_id, text, lang, source, n_chars FROM corp
-         |WHERE doc_id NOT IN (SELECT doc_id FROM hits) ORDER BY doc_id""".stripMargin
-    },
+    "decontaminate_documents" -> DecontaminateOracleSql,
+    // the bloom-pruned plan is output-identical by construction (no
+    // false negatives; false positives only waste a confirm) — ONE
+    // oracle expression gates both physical shapes, the
+    // merge_upsert_partitioned precedent
+    "decontaminate_bloom_documents" -> DecontaminateOracleSql,
     "redact_pii_documents" ->
       s"""SELECT doc_id,
          |  regexp_replace(regexp_replace(text, '${Corpus.EmailRegex}', '<EMAIL>', 'g'),
@@ -3666,6 +3716,33 @@ object ExtQueries {
          |  SELECT wk.vec_id, e2.b FROM walk wk JOIN edges e2 ON wk.reach = e2.a)
          |SELECT vec_id, min(reach)::BIGINT AS cluster_id
          |FROM walk GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // prototype pruning: the SAME Lloyd chain as the SemDeDup oracles,
+    // plus the per-cluster (proto_cos, vec_id) rank and the ⌊n·pct/100⌋
+    // keep boundary (exact integer: long product, float div, floor)
+    "prune_prototypes_embeddings" ->
+      s"""WITH $LloydAsgfCtes,
+         |${protoPruneCtes("", "")}
+         |SELECT vec_id, label, centroid_id, proto_cos,
+         |  (CASE WHEN rn <= floor(n * ${Similarity.PrototypeKeepPct} / 100)
+         |   THEN 1 ELSE 0 END)::BIGINT AS selected
+         |FROM pr ORDER BY vec_id""".stripMargin,
+    // D4: the SemDeDup drop set from the first Lloyd chain, a SECOND
+    // Lloyd chain (d4-prefixed) unrolled over the survivor relation,
+    // then the prototype rank against the RETRAINED centroids
+    "d4_select_embeddings" ->
+      s"""WITH $LloydAsgfCtes,
+         |drops AS (SELECT DISTINCT b.vec_id
+         |      FROM asgf a JOIN asgf b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |      WHERE round(${cosSql("a.embedding", "b.embedding", 64)}, 6)
+         |            >= ${Similarity.SemDedupMinCos}),
+         |surv AS (SELECT vec_id, label, embedding FROM embeddings
+         |      WHERE vec_id NOT IN (SELECT vec_id FROM drops)),
+         |${lloydCtes("surv", "d4")},
+         |${protoPruneCtes("d4", "d4")}
+         |SELECT vec_id, label, centroid_id, proto_cos,
+         |  (CASE WHEN rn <= floor(n * ${Similarity.PrototypeKeepPct} / 100)
+         |   THEN 1 ELSE 0 END)::BIGINT AS selected
+         |FROM d4pr ORDER BY vec_id""".stripMargin,
   )
 
   /** Unrolled portable-Lloyd CTE chain (3 iterations, 16 seed
@@ -3676,30 +3753,76 @@ object ExtQueries {
     * portable mode: 6-dp assignment argmin (ties → lowest cid), 6-dp
     * per-dimension means, empty cells keep their previous centroid.
     */
-  private lazy val LloydAsgfCtes: String = {
+  /** Benchmark-decontamination oracle (8-gram containment over the
+    * doc_id % 97 split) — shared verbatim by `decontaminate_documents`
+    * and `decontaminate_bloom_documents`: the two keys differ only in
+    * physical plan (full gram join vs bloom-pruned confirm).
+    */
+  private lazy val DecontaminateOracleSql: String = {
+    val n = 8
+    def grams(src: String) =
+      s"""SELECT doc_id, unnest(
+         |  CASE WHEN len(words) < $n THEN [array_to_string(words, ' ')]
+         |       ELSE list_distinct(list_transform(range(1, len(words) - ${n - 2}),
+         |            i -> array_to_string(words[i:i+${n - 1}], ' '))) END) AS gram
+         |FROM (SELECT doc_id, string_split($NormSql, ' ') AS words FROM $src)""".stripMargin
+    s"""WITH corp AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+       |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+       |bg AS (SELECT DISTINCT gram FROM (${grams("bench")})),
+       |cg AS (${grams("corp")}),
+       |hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram))
+       |SELECT doc_id, text, lang, source, n_chars FROM corp
+       |WHERE doc_id NOT IN (SELECT doc_id FROM hits) ORDER BY doc_id""".stripMargin
+  }
+
+  private lazy val LloydAsgfCtes: String = lloydCtes("embeddings", "")
+
+  /** [[LloydAsgfCtes]] parameterized by source relation and CTE-name
+    * prefix, so a SECOND Lloyd run (e.g. D4's re-clustering of the
+    * SemDeDup survivors) unrolls in the same statement without name
+    * collisions. With `src = "embeddings"`, `pfx = ""` the emitted SQL
+    * is byte-identical to the pre-refactor constant — the three
+    * pre-existing SemDeDup oracles cannot drift.
+    */
+  private def lloydCtes(src: String, pfx: String): String = {
     def iter(k: Int): String =
-      s"""a$k AS (SELECT e.vec_id, c.cid,
+      s"""${pfx}a$k AS (SELECT e.vec_id, c.cid,
          |        round(${cosSql("e.embedding", "c.cvec", 64)}, 6) AS d
-         |      FROM embeddings e CROSS JOIN cent$k c),
-         |asg$k AS (SELECT vec_id, cid FROM (
+         |      FROM $src e CROSS JOIN ${pfx}cent$k c),
+         |${pfx}asg$k AS (SELECT vec_id, cid FROM (
          |        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
-         |        FROM a$k) WHERE rn = 1),
-         |m$k AS (SELECT s.cid, t.i, round(avg(e.embedding[t.i]::DOUBLE), 6)::FLOAT AS v
-         |      FROM asg$k s JOIN embeddings e USING (vec_id) CROSS JOIN range(1, 65) t(i)
+         |        FROM ${pfx}a$k) WHERE rn = 1),
+         |${pfx}m$k AS (SELECT s.cid, t.i, round(avg(e.embedding[t.i]::DOUBLE), 6)::FLOAT AS v
+         |      FROM ${pfx}asg$k s JOIN $src e USING (vec_id) CROSS JOIN range(1, 65) t(i)
          |      GROUP BY s.cid, t.i),
-         |nc$k AS (SELECT cid, list(v ORDER BY i) AS cvec FROM m$k GROUP BY cid),
-         |cent${k + 1} AS (SELECT c.cid, coalesce(n.cvec, c.cvec) AS cvec
-         |      FROM cent$k c LEFT JOIN nc$k n USING (cid)),""".stripMargin
-    s"""cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
-       |      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |${pfx}nc$k AS (SELECT cid, list(v ORDER BY i) AS cvec FROM ${pfx}m$k GROUP BY cid),
+         |${pfx}cent${k + 1} AS (SELECT c.cid, coalesce(n.cvec, c.cvec) AS cvec
+         |      FROM ${pfx}cent$k c LEFT JOIN ${pfx}nc$k n USING (cid)),""".stripMargin
+    s"""${pfx}cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+       |      FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT 16)),
        |${iter(0)}
        |${iter(1)}
        |${iter(2)}
-       |af AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+       |${pfx}af AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
        |        round(${cosSql("e.embedding", "c.cvec", 64)}, 6) AS d
-       |      FROM embeddings e CROSS JOIN cent3 c),
-       |asgf AS (SELECT vec_id, label, embedding, cid FROM (
+       |      FROM $src e CROSS JOIN ${pfx}cent3 c),
+       |${pfx}asgf AS (SELECT vec_id, label, embedding, cid FROM (
        |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
-       |        FROM af) WHERE rn = 1)""".stripMargin
+       |        FROM ${pfx}af) WHERE rn = 1)""".stripMargin
   }
+
+  /** Prototype-prune CTE pair over a finished Lloyd chain: per-vector
+    * cosine to its own centroid, per-cluster (proto_cos asc, vec_id)
+    * rank, keep = rank ≤ ⌊n·keepPct/100⌋ — mirrors
+    * [[graft.ext.Similarity.prunePrototypes]] exactly.
+    */
+  private def protoPruneCtes(pfx: String, out: String): String =
+    s"""${out}pp AS (SELECT a.vec_id, a.label, a.cid AS centroid_id,
+       |    round(${cosSql("a.embedding", "c.cvec", 64)}, 6) AS proto_cos
+       |  FROM ${pfx}asgf a JOIN ${pfx}cent3 c ON c.cid = a.cid),
+       |${out}pr AS (SELECT *,
+       |    row_number() OVER (PARTITION BY centroid_id
+       |                       ORDER BY proto_cos, vec_id) AS rn,
+       |    count(*) OVER (PARTITION BY centroid_id) AS n
+       |  FROM ${out}pp)""".stripMargin
 }

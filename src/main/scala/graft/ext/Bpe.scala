@@ -250,4 +250,43 @@ object Bpe {
         coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
       .orderBy("doc_id")
   }
+
+  /** Per-language tokenizer evaluation under the trained merge table —
+    * FERTILITY (BPE tokens per word) and characters per token, the two
+    * numbers multilingual-tokenizer work reports per language (e.g.
+    * Rust et al. 2021, arXiv:2012.15613 §3: fertility measures how
+    * much a tokenizer fragments a language; a corpus whose tail
+    * languages tokenize at 2-3× the fertility of English pays that
+    * multiple in effective context and training cost). This is the
+    * audit a trained [[bpeVocab]] table gets BEFORE budgets and packing
+    * trust its token counts.
+    *
+    * Plan: the [[bpeEncode]] per-doc counts (one corpus pass + the
+    * per-TYPE greedy fold) join the corpus's (doc_id, lang, n_chars)
+    * projection and collapse to one row per language — BIGINT sums,
+    * 4-dp ratios, zero-denominator languages report 0.0.
+    */
+  def tokenizerFertility(
+      documents: DataFrame,
+      merges: Int = DefaultMerges,
+      maxWordTypes: Int = DefaultMaxWordTypes): DataFrame = {
+    val enc = bpeEncode(documents, merges, maxWordTypes)
+    documents.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(enc, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("bpe_tokens").as("bpe_tokens"),
+        sum("n_chars").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("bpe_tokens"),
+        col("n_chars"),
+        when(col("n_words") === 0L, lit(0.0))
+          .otherwise(round(col("bpe_tokens").cast("double") / col("n_words"), 4))
+          .as("fertility"),
+        when(col("bpe_tokens") === 0L, lit(0.0))
+          .otherwise(round(col("n_chars").cast("double") / col("bpe_tokens"), 4))
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
 }

@@ -244,6 +244,65 @@ object Corpus {
       strataCol: String = "lang",
       bucketHexLen: Int = 2): DataFrame = {
     require(frac > 0 && frac <= 1, "frac must be in (0,1]")
+    // target rank k = ⌈n·frac⌉ — the same double product the oracle's
+    // ceil(n * frac) computes, so the boundary row agrees bit-for-bit
+    keepFirstKPerStratum(documents, strataCol, bucketHexLen,
+      hist => hist.groupBy("_s")
+        .agg(ceil(sum("_c") * lit(frac)).cast("long").as("_target")))
+  }
+
+  /** Temperature-based multilingual rebalancing (Lample & Conneau 2019,
+    * arXiv:1901.07291 §3.1, α = 0.5; XLM-R/mT5 tune the same knob):
+    * per-language sampling rates q_l ∝ p_l^α flatten the corpus's
+    * language skew so high-resource languages stop drowning the tail.
+    * With α = ½ the weights are square roots, realized here as
+    * ⌊√n_l⌋ — IEEE sqrt is correctly rounded in every engine, so the
+    * integer weight (and therefore every quota) is exactly portable,
+    * unlike pow(x, 0.3)'s libm-dependent last ulp. Quotas are
+    * all-integer: B = (N·budgetPct) div 100 total docs, language l gets
+    * k_l = min(n_l, (B·⌊√n_l⌋) div Σ⌊√n_l⌋) — truncation leaves a few
+    * docs unspent rather than ever overshooting the budget.
+    *
+    * Selection within a language is content-addressed ((md5(text),
+    * doc_id) order — the [[sampleStratified]] rule), so the sample is
+    * stable under re-partitioning and incremental corpus growth only
+    * shifts the boundary. Same skew-safe bucket-refinement kernel: no
+    * task ever owns a whole language.
+    */
+  def sampleTemperature(
+      documents: DataFrame,
+      budgetPct: Int = 50,
+      strataCol: String = "lang",
+      bucketHexLen: Int = 2): DataFrame = {
+    require(budgetPct >= 1 && budgetPct <= 100,
+      s"budgetPct out of range: $budgetPct")
+    keepFirstKPerStratum(documents, strataCol, bucketHexLen, hist => {
+      val perS = hist.groupBy("_s").agg(sum("_c").as("_n"))
+        .withColumn("_w", floor(sqrt(col("_n"))).cast("long"))
+      // corpus constants (N, W) ride a broadcast single-row cross join;
+      // BIGINT div keeps every quota exact at any corpus size (the
+      // double-division floor would wobble past 2^53)
+      val tot = perS.agg(sum("_n").cast("long").as("_nn"),
+        sum("_w").cast("long").as("_ww"))
+      perS.crossJoin(broadcast(tot))
+        .withColumn("_target",
+          least(col("_n"), expr(s"(((_nn * $budgetPct) div 100) * _w) div _ww")))
+        .select("_s", "_target")
+    })
+  }
+
+  /** Skew-safe "first k docs per stratum by (md5(text), doc_id)" kernel
+    * shared by [[sampleStratified]] and [[sampleTemperature]] (pure
+    * code motion from the former — its declared plan is unchanged).
+    * `targetsOf` maps the (stratum, bucket) histogram to per-stratum
+    * target ranks `(_s, _target)`; a stratum with target 0 (or absent)
+    * contributes nothing.
+    */
+  private def keepFirstKPerStratum(
+      documents: DataFrame,
+      strataCol: String,
+      bucketHexLen: Int,
+      targetsOf: DataFrame => DataFrame): DataFrame = {
     require(bucketHexLen >= 1 && bucketHexLen <= 8,
       s"bucket prefix must be 1-8 hex chars, got $bucketHexLen")
     // NULL handling must not silently drop rows the window version
@@ -256,10 +315,7 @@ object Corpus {
       substring(key, 1, bucketHexLen).as("_b"))
     val hist = graft.core.CacheScope.persist(
       keyed.groupBy("_s", "_b").agg(count(lit(1)).as("_c")))
-    // target rank k = ⌈n·frac⌉ — the same double product the oracle's
-    // ceil(n * frac) computes, so the boundary row agrees bit-for-bit
-    val targets = hist.groupBy("_s")
-      .agg(ceil(sum("_c") * lit(frac)).cast("long").as("_target"))
+    val targets = targetsOf(hist)
     val h2 = hist.select(
       col("_s").as("_s2"), col("_b").as("_b2"), col("_c").as("_c2"))
     val cum = hist.join(h2, col("_s") <=> col("_s2") && col("_b2") <= col("_b"))
@@ -374,6 +430,59 @@ object Corpus {
       .select(col("doc_id"),
         explode(
           graft.functions.GraftFunctions.ngramHashes(col("text"), n)).as("gram"))
+      .join(bGrams, Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+    documents.join(hits, Seq("doc_id"), "left_anti").orderBy("doc_id")
+  }
+
+  /** [[decontaminate]] with a Bloom-filter pre-pass — identical output
+    * (Bloom filters have no false negatives; a false positive only
+    * costs a wasted confirm), different physics at 100 TB. The exact
+    * plan explodes EVERY corpus doc into n-grams and joins the lot;
+    * here the bench set compiles once into an `mBits`-bit bitmap
+    * (built by a distributed OR-fold over ≤ mBits/64 bit-words — the
+    * driver collect is bounded by CONFIGURATION, never by bench size)
+    * and the corpus pays ONE narrow codegen'd probe pass: only the
+    * suspicious sliver re-explodes for the exact confirm join. When
+    * the contamination set outgrows broadcast range (every eval suite
+    * + blocklists — billions of grams), the bitmap still broadcasts at
+    * fixed size and the confirm join carries only suspicious grams.
+    *
+    * FP sizing: at bench-gram count g, FP rate per gram ≈
+    * (1−e^(−k·g/m))^k — size mBits ≥ ~10× expected grams for the
+    * default k=2 to keep the confirm sliver near the true hit set.
+    */
+  def decontaminateBloom(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 8,
+      mBits: Int = 1 << 20,
+      nHashes: Int = 2): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 64: $mBits")
+    require(nHashes >= 1 && nHashes <= 8, s"nHashes out of range: $nHashes")
+    import graft.functions.GraftFunctions.{bloomAny, bloomPositions, ngramHashes}
+    // builder: gram positions -> (bit-word index, bit) -> OR-aggregate.
+    // The shuffle carries at most mBits/64 aggregated rows; shifts and
+    // masks stay in [0, mBits) so ANSI arithmetic can never overflow
+    val words = benchmark
+      .select(explode(bloomPositions(
+        ngramHashes(col("text"), n), nHashes, mBits)).as("p"))
+      .select(shiftright(col("p"), 6).as("widx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("bit"))
+      .groupBy("widx").agg(bit_or(col("bit")).as("word"))
+      .collect()
+    val bits = new Array[Long](mBits / 64)
+    words.foreach(r => bits(r.getLong(0).toInt) = r.getLong(1))
+    // probe: one narrow pass marks the suspicious sliver; clean docs
+    // never explode, never join
+    val suspicious = documents
+      .filter(bloomAny(ngramHashes(col("text"), n), bits, nHashes, mBits))
+    val bGrams = benchmark
+      .select(explode(ngramHashes(col("text"), n)).as("gram"))
+      .distinct()
+    val hits = suspicious
+      .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("gram"))
       .join(bGrams, Seq("gram"), "left_semi")
       .select("doc_id").distinct()
     documents.join(hits, Seq("doc_id"), "left_anti").orderBy("doc_id")

@@ -1689,4 +1689,84 @@ object Similarity {
       .select(col("vec_id"), col("label"))
       .orderBy("vec_id")
   }
+
+  // ------------------------------------------------- prototype pruning
+
+  /** Default keep fraction for [[prunePrototypes]]: 70% — Sorscher et
+    * al.'s abundant-data regime prunes the EASY (most prototypical)
+    * 20-30% first; the exact fraction is a tuning knob per corpus.
+    */
+  val PrototypeKeepPct = 70
+
+  /** SSL-prototype data pruning (Sorscher et al. 2022,
+    * arXiv:2206.14486 "Beyond neural scaling laws"): a vector's
+    * prototypicality is its cosine to its OWN cluster centroid (6 dp —
+    * the portable-argmin contract, so the score is the assignment's
+    * winning distance, recomputation-free); within each cluster the
+    * LEAST prototypical `keepPct`% survive — the paper's abundant-data
+    * rule keeps HARD examples (far from the prototype) and prunes the
+    * redundant core that SGD learns from any few exemplars.
+    *
+    * Scale shape: assignment is the narrow literal-argmin projection
+    * (zero exchanges); the per-cluster rank windows partition on
+    * `centroid_id`, whose cardinality grows ∝ corpus under the
+    * SemDeDup k ∝ n law — expected partition size stays constant, so
+    * the window never funnels (the same argument as [[semanticPairs]]'
+    * self-join, with a LINEAR per-cluster term instead of quadratic).
+    * Every row is emitted with its `selected` verdict (the
+    * `dsir_select` reporting contract): the caller filters or audits.
+    */
+  def prunePrototypes(
+      embeddings: DataFrame,
+      index: IvfIndex,
+      keepPct: Int = PrototypeKeepPct): DataFrame = {
+    require(keepPct >= 0 && keepPct <= 100, s"keepPct out of range: $keepPct")
+    val scored = embeddings
+      .withColumn("_a", nearestCentroidScoredPortable(index.centroids))
+      .select(col("vec_id"), col("label"),
+        col("_a").getField("cid").as("centroid_id"),
+        (-col("_a").getField("d")).as("proto_cos"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("centroid_id").orderBy(col("proto_cos"), col("vec_id"))
+    val cntW = org.apache.spark.sql.expressions.Window.partitionBy("centroid_id")
+    scored
+      .withColumn("_rn", row_number().over(rankW))
+      .withColumn("_n", count(lit(1)).over(cntW))
+      // the topPctBy floor contract: k = ⌊n·pct/100⌋ per cluster, exact
+      // integer boundary in both engines (long·int product, double div)
+      .withColumn("selected",
+        when(col("_rn") <= floor(col("_n") * lit(keepPct) / lit(100)), lit(1L))
+          .otherwise(lit(0L)))
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        col("proto_cos"), col("selected"))
+      .orderBy("vec_id")
+  }
+
+  /** D4 data selection (Tirumala et al. 2023, arXiv:2308.12284):
+    * SemDeDup first (drop near-exact semantic duplicates), then
+    * RE-CLUSTER the survivors and prototype-prune — the paper's point
+    * is that dedup shifts the density landscape, so prototypicality
+    * must be measured against centroids trained on the DEDUPED set,
+    * not recycled from the dedup pass.
+    *
+    * Both phases ride existing oracle-checked kernels
+    * ([[semanticDedup]], portable-Lloyd [[buildIvfIndex]],
+    * [[prunePrototypes]]); the survivor set is pinned because Lloyd's
+    * iterations AND the final assignment re-read it. Output =
+    * [[prunePrototypes]] rows over the survivors ( `selected` = the
+    * final D4 keep verdict; dropped semantic duplicates never appear).
+    */
+  def d4Select(
+      embeddings: DataFrame,
+      nCentroids: Int = 16,
+      iterations: Int = 3,
+      minCos: Double = SemDedupMinCos,
+      keepPct: Int = PrototypeKeepPct): DataFrame = {
+    val index1 = buildIvfIndex(embeddings, nCentroids, iterations, portable = true)
+    val keep = semanticDedup(embeddings, index1, minCos).select("vec_id")
+    val survivors = graft.core.CacheScope.persist(
+      embeddings.join(keep, Seq("vec_id"), "left_semi"))
+    val index2 = buildIvfIndex(survivors, nCentroids, iterations, portable = true)
+    prunePrototypes(survivors, index2, keepPct)
+  }
 }

@@ -81,6 +81,14 @@ object GraftFunctions {
       c: Column, eow: String, ls: Array[String], rs: Array[String]): Column =
     GraftBridge.column(BpeSymsExpr(GraftBridge.expression(c), eow, ls, rs))
 
+  /** Flattened k-probe Bloom positions per gram hash (builder side). */
+  def bloomPositions(grams: Column, k: Int, mBits: Int): Column =
+    GraftBridge.column(BloomPositionsExpr(GraftBridge.expression(grams), k, mBits))
+
+  /** Bloom membership probe: any gram possibly in the bitmap? */
+  def bloomAny(grams: Column, bits: Array[Long], k: Int, mBits: Int): Column =
+    GraftBridge.column(BloomAnyExpr(GraftBridge.expression(grams), bits, k, mBits))
+
   /** Plan-time integer constant for SQL-facing builders (K, n, dim…):
     * any foldable integral expression qualifies (`2`, `1+1`, …).
     */

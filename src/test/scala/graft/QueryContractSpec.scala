@@ -76,8 +76,17 @@ class QueryContractSpec extends AnyFunSuite {
     // fixed 512-token training blocks over the trained-BPE stream,
     // global offsets via a two-level distributed scan),
     // dedup_cluster_keep_quality_documents (production keep policy:
-    // highest-quality member per near-dup cluster, min-id ties)
-    assert(SparkEntry.queries.size == 144,
+    // highest-quality member per near-dup cluster, min-id ties),
+    // prune_prototypes_embeddings (Sorscher 2022 SSL-prototype pruning:
+    // per-cluster hard-example keep under the portable Lloyd index),
+    // d4_select_embeddings (Tirumala 2023: SemDeDup then RE-CLUSTER
+    // survivors and prototype-prune — the composed curation verdict),
+    // sample_temperature_documents (XLM α=0.5 language rebalancing:
+    // integer ⌊√n⌋ quotas, content-addressed within-language pick),
+    // tokenizer_fertility_documents (per-lang BPE tokens/word audit),
+    // decontaminate_bloom_documents (bloom-pruned decontamination:
+    // fixed-size bitmap probe, only suspicious docs join)
+    assert(SparkEntry.queries.size == 149,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.14 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

@@ -165,4 +165,33 @@ class BpeSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("tokenizerFertility: per-lang sums equal bpeEncode's, ratios hand-checked") {
+    import spark.implicits._
+    // Sennrich corpus split across two languages: en trains the merges
+    // jointly with xx, and the per-word symbol counts are known (see
+    // the bpeEncode spec): low=3, lower=5, newest=4, widest=4
+    val docs = Seq(
+      (1L, ("low " * 5).trim, "en"),
+      (2L, ("lower " * 2).trim, "en"),
+      (3L, ("newest " * 6).trim, "xx"),
+      (4L, ("widest " * 3).trim, "xx"))
+      .toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src' AS source",
+        "length(text) AS n_chars")
+    val got = Bpe.tokenizerFertility(docs, merges = 4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // en: 7 words, 5·3+2·5=25 BPE tokens, chars = 19+11 = 30? no:
+    // "low "x5 trimmed = 19 chars; "lower "x2 trimmed = 11 chars
+    val enChars = ("low " * 5).trim.length + ("lower " * 2).trim.length
+    val xxChars = ("newest " * 6).trim.length + ("widest " * 3).trim.length
+    assert(got("en") == ((2L, 7L, 25L, enChars.toLong,
+      math.rint(25.0 / 7 * 1e4) / 1e4, math.rint(enChars / 25.0 * 1e4) / 1e4)))
+    // xx: 9 words, 6·4+3·4=36 BPE tokens
+    assert(got("xx") == ((2L, 9L, 36L, xxChars.toLong,
+      4.0, math.rint(xxChars / 36.0 * 1e4) / 1e4)))
+    // the audit's reason to exist: fertilities genuinely differ by lang
+    assert(got("en")._5 != got("xx")._5)
+  }
 }

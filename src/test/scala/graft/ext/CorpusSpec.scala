@@ -232,6 +232,44 @@ class CorpusSpec extends SparkSpec {
       s"window partition arities: $winParts")
   }
 
+  test("sampleTemperature: integer √-quotas flatten skew, content-stable") {
+    import spark.implicits._
+    // 400 en / 25 fr / 4 xx: proportional 50% would take 200/12/2;
+    // α=0.5 quotas are B·w_l/W with w = ⌊√n⌋ = 20/5/2 → B = 214,
+    // k = (214·20)//27=158, (214·5)//27=39→min(25), (214·2)//27=15→min(4)
+    val rows = (1L to 400L).map(i => (i, s"english document $i", "en")) ++
+      (401L to 425L).map(i => (i, s"french document $i", "fr")) ++
+      (426L to 429L).map(i => (i, s"rare document $i", "xx"))
+    val df = rows.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src' AS source",
+        "length(text) AS n_chars")
+    val out = Corpus.sampleTemperature(df, budgetPct = 50).collect()
+    graft.core.CacheScope.releaseAll()
+    val byLang = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byLang == Map("en" -> 158, "fr" -> 25, "xx" -> 4), s"got $byLang")
+    // the temperature point: low-resource languages keep a LARGER
+    // fraction than high-resource ones (here: capped at 100%)
+    assert(byLang("fr") * 400 > byLang("en") * 25,
+      "fr keep-rate must exceed en keep-rate")
+    // content-addressed: stable under repartition
+    val out2 = Corpus.sampleTemperature(df.repartition(7), budgetPct = 50)
+      .collect().map(_.getLong(0)).toSet
+    graft.core.CacheScope.releaseAll()
+    assert(out.map(_.getLong(0)).toSet == out2)
+    // within-language pick = the stratified (md5, doc_id) order rule
+    df.createOrReplaceTempView("temp_t")
+    val ref = spark.sql(
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(encode(text, 'UTF-8')), doc_id) AS rn
+        |  FROM temp_t)
+        |WHERE (lang = 'en' AND rn <= 158) OR (lang = 'fr' AND rn <= 25)
+        |   OR (lang = 'xx' AND rn <= 4)""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet == ref)
+  }
+
   test("capPerSource keeps the lowest maxDocs ids per source") {
     import spark.implicits._
     val rows = (1L to 30L).map(i => (i, s"doc $i", if (i % 3 == 0) "big" else "small"))
@@ -255,6 +293,50 @@ class CorpusSpec extends SparkSpec {
     val bench = docsDF(Seq((100L, s"unrelated lead in $shared and more")))
     val out = Corpus.decontaminate(corpus, bench).collect().map(_.getLong(0)).toSet
     assert(out == Set(2L, 4L), s"got $out")
+  }
+
+  test("decontaminateBloom: identical verdicts to the exact plan; probe genuinely prunes") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val corpus = docsDF(Seq(
+      (1L, s"prefix words here $shared trailing bits"),
+      (2L, "completely clean document with its own eight word run here"),
+      (3L, shared),
+      (4L, "short doc")))
+    val bench = docsDF(Seq((100L, s"unrelated lead in $shared and more")))
+    val exact = Corpus.decontaminate(corpus, bench).collect().map(_.getLong(0)).toSet
+    val bloom = Corpus.decontaminateBloom(corpus, bench).collect().map(_.getLong(0)).toSet
+    assert(bloom == exact, s"bloom plan diverged: $bloom vs $exact")
+    assert(exact == Set(2L, 4L))
+    // equality must also hold on the bigger fixture corpus (real gram
+    // volume through the bitmap, not 4 crafted docs)
+    val d = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val dCorp = d.filter("doc_id % 97 <> 0")
+    val dBench = d.filter("doc_id % 97 = 0")
+    val e2 = Corpus.decontaminate(dCorp, dBench).collect().map(_.getLong(0)).toSet
+    val b2 = Corpus.decontaminateBloom(dCorp, dBench).collect().map(_.getLong(0)).toSet
+    assert(b2 == e2 && e2.nonEmpty)
+    // the point of the bloom pass: most docs are cleared WITHOUT the
+    // confirm join — the suspicious sliver is far smaller than the corpus
+    import graft.functions.GraftFunctions.{bloomAny, bloomPositions, ngramHashes}
+    val mBits = 1 << 20
+    val words = dBench.select(org.apache.spark.sql.functions.explode(
+        bloomPositions(ngramHashes(org.apache.spark.sql.functions.col("text"), 8),
+          2, mBits)).as("p"))
+      .selectExpr("CAST(p / 64 AS BIGINT) AS widx",
+        "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) AS bit")
+      .groupBy("widx").agg(org.apache.spark.sql.functions.bit_or(
+        org.apache.spark.sql.functions.col("bit")).as("word"))
+      .collect()
+    val bits = new Array[Long](mBits / 64)
+    words.foreach(r => bits(r.getLong(0).toInt) = r.getLong(1))
+    val nSusp = dCorp.filter(bloomAny(
+      ngramHashes(org.apache.spark.sql.functions.col("text"), 8),
+      bits, 2, mBits)).count()
+    val nCorp = dCorp.count()
+    val nDropped = nCorp - e2.size
+    assert(nSusp >= nDropped, "bloom must never miss a true hit")
+    assert(nSusp < nCorp / 2,
+      s"bloom prunes nothing: $nSusp suspicious of $nCorp")
   }
 
   test("contaminationScore: exact gram fractions, zero rows kept, filter agreement") {

@@ -836,4 +836,72 @@ class SimilaritySpec extends SparkSpec {
       assert(validIds(cid), s"vec $id assigned to untrained centroid $cid")
     }
   }
+
+  test("prunePrototypes: per-cluster hard-example keep, replayed driver-side") {
+    val index = Similarity.buildIvfIndex(embs, nCentroids = 16, iterations = 3,
+      portable = true)
+    val got = Similarity.prunePrototypes(embs, index).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.length == embs.count(), "every vector must carry a verdict")
+
+    // driver-side replay: assignment + 6-dp cosine to own centroid,
+    // (proto_cos asc, vec_id) rank, keep = rank <= floor(n*70/100)
+    val cents = index.centroids.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val assigned = Similarity.ivfAssignPortableTo(embs, index.centroids)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getLong(3)))
+    val want = assigned.groupBy(_._3).toSeq.flatMap { case (cid, members) =>
+      val cv = cents(cid).map(_.toDouble).toArray
+      val ranked = members
+        .map { case (id, v, _) => (id, math.rint(cos(v, cv) * 1e6) / 1e6) }
+        .sortBy { case (id, c) => (c, id) }
+      val k = members.length.toLong * Similarity.PrototypeKeepPct / 100
+      ranked.zipWithIndex.map { case ((id, c), i) =>
+        id -> ((cid, c, if (i < k) 1L else 0L))
+      }
+    }.toMap
+    got.foreach { case (id, cid, c, sel) =>
+      val (wCid, wC, wSel) = want(id)
+      assert(cid == wCid && c == wC && sel == wSel,
+        s"vec $id: got ($cid,$c,$sel) want ($wCid,$wC,$wSel)")
+    }
+    val nKept = got.count(_._4 == 1L)
+    assert(nKept > 0 && nKept < got.length,
+      s"keep boundary must genuinely split the corpus: $nKept/${got.length}")
+  }
+
+  test("d4Select: survivors-only verdicts against RETRAINED centroids") {
+    val keep = Similarity.semanticDedup(embs,
+      Similarity.buildIvfIndex(embs, nCentroids = 16, iterations = 3,
+        portable = true)).collect().map(_.getLong(0)).toSet
+    val got = Similarity.d4Select(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    graft.core.CacheScope.releaseAll()
+    assert(got.map(_._1).toSet == keep,
+      "phase-2 verdicts must cover exactly the SemDeDup survivors")
+    // re-clustering is load-bearing: the phase-2 index trains on the
+    // survivor set, so its seeds are the 16 lowest SURVIVING vec_ids —
+    // equal to prunePrototypes-on-survivors under a survivor-built index
+    val survivors = embs.join(
+      embs.sparkSession.createDataFrame(
+        embs.sparkSession.sparkContext.parallelize(
+          keep.toSeq.map(org.apache.spark.sql.Row(_))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType)))),
+      Seq("vec_id"), "left_semi")
+    val idx2 = Similarity.buildIvfIndex(survivors, nCentroids = 16,
+      iterations = 3, portable = true)
+    val want = Similarity.prunePrototypes(survivors, idx2).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    assert(got.toSet == want, "d4Select must equal semanticDedup -> retrain -> prune")
+    val nKept = got.count(_._3 == 1L)
+    assert(nKept > 0 && nKept < got.length, s"degenerate D4 keep set: $nKept")
+  }
 }
