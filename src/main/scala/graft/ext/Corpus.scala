@@ -452,19 +452,23 @@ object Corpus {
     * (1−e^(−k·g/m))^k — size mBits ≥ ~10× expected grams for the
     * default k=2 to keep the confirm sliver near the true hit set.
     */
-  def decontaminateBloom(
-      documents: DataFrame,
+  /** The benchmark's n-gram Bloom bitmap, built by a distributed
+    * OR-fold: gram positions → (bit-word index, bit) → `bit_or`
+    * aggregate — the shuffle carries at most mBits/64 rows and the
+    * driver collect is bounded by CONFIGURATION, never by bench size.
+    * Shifts and masks stay in [0, mBits), so ANSI arithmetic can never
+    * overflow. Shared by [[decontaminateBloom]] and the streaming face
+    * (`StreamDecontaminate`) — one builder, one position function.
+    */
+  def bloomBitmap(
       benchmark: DataFrame,
       n: Int = 8,
       mBits: Int = 1 << 20,
-      nHashes: Int = 2): DataFrame = {
+      nHashes: Int = 2): Array[Long] = {
     require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
       s"mBits must be a power of two >= 64: $mBits")
     require(nHashes >= 1 && nHashes <= 8, s"nHashes out of range: $nHashes")
-    import graft.functions.GraftFunctions.{bloomAny, bloomPositions, ngramHashes}
-    // builder: gram positions -> (bit-word index, bit) -> OR-aggregate.
-    // The shuffle carries at most mBits/64 aggregated rows; shifts and
-    // masks stay in [0, mBits) so ANSI arithmetic can never overflow
+    import graft.functions.GraftFunctions.{bloomPositions, ngramHashes}
     val words = benchmark
       .select(explode(bloomPositions(
         ngramHashes(col("text"), n), nHashes, mBits)).as("p"))
@@ -474,6 +478,17 @@ object Corpus {
       .collect()
     val bits = new Array[Long](mBits / 64)
     words.foreach(r => bits(r.getLong(0).toInt) = r.getLong(1))
+    bits
+  }
+
+  def decontaminateBloom(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 8,
+      mBits: Int = 1 << 20,
+      nHashes: Int = 2): DataFrame = {
+    import graft.functions.GraftFunctions.{bloomAny, ngramHashes}
+    val bits = bloomBitmap(benchmark, n, mBits, nHashes)
     // probe: one narrow pass marks the suspicious sliver; clean docs
     // never explode, never join
     val suspicious = documents

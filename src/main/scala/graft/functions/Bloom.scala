@@ -50,6 +50,23 @@ object BloomOps {
     new GenericArrayData(out)
   }
 
+  /** true iff ANY gram hash is in the exact set — the confirm half of
+    * the streaming face, where the bench gram-hash set is a driver
+    * artifact (the bounded-model-object class, like the bigram LM
+    * tables) instead of a join side. Membership on the 64-bit hashes
+    * is bit-equivalent to the batch confirm JOIN, which equi-joins the
+    * same hashes.
+    */
+  def anyInSet(grams: ArrayData, set: java.util.HashSet[java.lang.Long]): Boolean = {
+    val n = grams.numElements()
+    var i = 0
+    while (i < n) {
+      if (set.contains(grams.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+
   /** true iff ANY gram has all `k` probe bits set in `bits` (probe
     * side): the doc is SUSPICIOUS and must go through the exact
     * confirm join. A clean verdict is definitive — Bloom filters have
@@ -128,5 +145,27 @@ case class BloomAnyExpr(child: Expression, bits: Array[Long], k: Int, mBits: Int
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomAnyExpr =
+    copy(child = newChild)
+}
+
+/** `long_set_any(grams)`: exact gram-hash membership against a frozen
+  * set riding in as a reference object — the streaming confirm stage.
+  */
+case class LongSetAnyExpr(child: Expression, set: java.util.HashSet[java.lang.Long])
+    extends UnaryExpression with LongArrayInputCheck {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_long_set_any"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BloomOps.anyInSet(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("gramSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BloomOps.anyInSet($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LongSetAnyExpr =
     copy(child = newChild)
 }

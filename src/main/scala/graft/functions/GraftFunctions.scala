@@ -89,6 +89,10 @@ object GraftFunctions {
   def bloomAny(grams: Column, bits: Array[Long], k: Int, mBits: Int): Column =
     GraftBridge.column(BloomAnyExpr(GraftBridge.expression(grams), bits, k, mBits))
 
+  /** Exact membership probe: any gram hash in the frozen set? */
+  def longSetAny(grams: Column, set: java.util.HashSet[java.lang.Long]): Column =
+    GraftBridge.column(LongSetAnyExpr(GraftBridge.expression(grams), set))
+
   /** Plan-time integer constant for SQL-facing builders (K, n, dim…):
     * any foldable integral expression qualifies (`2`, `1+1`, …).
     */

@@ -52,6 +52,10 @@ class PlanShapeSpec extends SparkSpec {
     // DSIR joins in ONE corpus-constant row twice (model totals for the
     // smoothed log-ratio; the top-k count k) — constant-size loops
     "dsir_select_documents",
+    // temperature quotas join in ONE corpus-constant row (N, Σ⌊√n⌋)
+    // against the per-language counts — a constant-size loop over a
+    // language-cardinality frame, never the corpus
+    "sample_temperature_documents",
     // the classifier's top-pct tail joins in the same ONE-row k via the
     // shared topPctBy kernel — a constant-size loop
     "classifier_select_documents",
