@@ -490,14 +490,20 @@ object Corpus {
     import graft.functions.GraftFunctions.{bloomAny, ngramHashes}
     val bits = bloomBitmap(benchmark, n, mBits, nHashes)
     // probe: one narrow pass marks the suspicious sliver; clean docs
-    // never explode, never join
-    val suspicious = documents
-      .filter(bloomAny(ngramHashes(col("text"), n), bits, nHashes, mBits))
+    // never explode, never join. The sliver is pinned WITH its gram
+    // arrays — without the pin, the confirm's scan re-evaluates the
+    // filter and the corpus pays the gram-hash pass TWICE (measured
+    // 1.4× the exact plan at sf10 before this pin; the sliver is small
+    // by construction, so pinning it is bytes, not a corpus cache)
+    val suspicious = graft.core.CacheScope.persist(
+      documents
+        .select(col("doc_id"), ngramHashes(col("text"), n).as("_g"))
+        .filter(bloomAny(col("_g"), bits, nHashes, mBits)))
     val bGrams = benchmark
       .select(explode(ngramHashes(col("text"), n)).as("gram"))
       .distinct()
     val hits = suspicious
-      .select(col("doc_id"), explode(ngramHashes(col("text"), n)).as("gram"))
+      .select(col("doc_id"), explode(col("_g")).as("gram"))
       .join(bGrams, Seq("gram"), "left_semi")
       .select("doc_id").distinct()
     documents.join(hits, Seq("doc_id"), "left_anti").orderBy("doc_id")
