@@ -1719,21 +1719,51 @@ object Similarity {
   def prunePrototypes(
       embeddings: DataFrame,
       index: IvfIndex,
-      keepPct: Int = PrototypeKeepPct): DataFrame = {
+      keepPct: Int = PrototypeKeepPct): DataFrame =
+    pruneRank(
+      embeddings
+        .withColumn("_a", nearestCentroidScoredPortable(index.centroids))
+        .select(col("vec_id"), col("label"),
+          col("_a").getField("cid").as("centroid_id"),
+          (-col("_a").getField("d")).as("proto_cos")),
+      keepPct)
+
+  /** [[prunePrototypes]] over the TWO-LEVEL assignment — the production
+    * path at corpus-scaled nCentroids, where the flat O(n·k·dim)
+    * literal argmin is itself the super-linear term (the SemDeDup hier
+    * story applied to pruning). The prototypicality score comes from a
+    * broadcast join against the (centroid_id, cvec) table (O(√k·dim)
+    * literals in the assignment plan, k never enters it); rank
+    * semantics are the shared [[pruneRank]] kernel, identical to the
+    * declared key's.
+    */
+  def prunePrototypesHier(
+      embeddings: DataFrame,
+      index: IvfIndex,
+      keepPct: Int = PrototypeKeepPct,
+      superK: Int = 0): DataFrame = {
+    val cents = centroidsDF(embeddings.sparkSession, index.centroids)
+    pruneRank(
+      ivfAssignTwoLevelTo(embeddings, index.centroids, superK)
+        .join(broadcast(cents), Seq("centroid_id"))
+        .select(col("vec_id"), col("label"), col("centroid_id"),
+          round(cosine(col("embedding"), col("cvec")), 6).as("proto_cos")),
+      keepPct)
+  }
+
+  /** Shared per-cluster keep-rank kernel: (proto_cos asc, vec_id) rank
+    * within each cluster, keep = rank ≤ ⌊n·pct/100⌋ (the topPctBy floor
+    * contract — exact integer boundary in both engines: long·int
+    * product, double div).
+    */
+  private def pruneRank(scored: DataFrame, keepPct: Int): DataFrame = {
     require(keepPct >= 0 && keepPct <= 100, s"keepPct out of range: $keepPct")
-    val scored = embeddings
-      .withColumn("_a", nearestCentroidScoredPortable(index.centroids))
-      .select(col("vec_id"), col("label"),
-        col("_a").getField("cid").as("centroid_id"),
-        (-col("_a").getField("d")).as("proto_cos"))
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("centroid_id").orderBy(col("proto_cos"), col("vec_id"))
     val cntW = org.apache.spark.sql.expressions.Window.partitionBy("centroid_id")
     scored
       .withColumn("_rn", row_number().over(rankW))
       .withColumn("_n", count(lit(1)).over(cntW))
-      // the topPctBy floor contract: k = ⌊n·pct/100⌋ per cluster, exact
-      // integer boundary in both engines (long·int product, double div)
       .withColumn("selected",
         when(col("_rn") <= floor(col("_n") * lit(keepPct) / lit(100)), lit(1L))
           .otherwise(lit(0L)))
@@ -1768,5 +1798,34 @@ object Similarity {
       embeddings.join(keep, Seq("vec_id"), "left_semi"))
     val index2 = buildIvfIndex(survivors, nCentroids, iterations, portable = true)
     prunePrototypes(survivors, index2, keepPct)
+  }
+
+  /** [[d4Select]] with every phase on its production kernel — the
+    * composition a 100 TB run needs when nCentroids ∝ corpus: sampled
+    * two-level training ([[buildIvfIndexSampled]] — train cost bounded
+    * by the sample), two-level dedup assignment
+    * ([[semanticDedupHier]]), sampled RE-training on the survivors,
+    * two-level prototype pruning ([[prunePrototypesHier]]). The
+    * declared `d4_select_embeddings` key keeps the flat portable path
+    * (oracle-checkable); this variant exists because the flat argmin
+    * is O(n·k·dim) = O(n²·dim) at k ∝ n — D4ScaleProbe measures both,
+    * one decade apart (SCALE.md round-12).
+    */
+  def d4SelectHier(
+      embeddings: DataFrame,
+      nCentroids: Int,
+      iterations: Int = 3,
+      minCos: Double = SemDedupMinCos,
+      keepPct: Int = PrototypeKeepPct,
+      superK: Int = 0,
+      samplePerCell: Int = 32): DataFrame = {
+    val index1 = buildIvfIndexSampled(
+      embeddings, nCentroids, iterations, samplePerCell, superK)
+    val keep = semanticDedupHier(embeddings, index1, minCos, superK).select("vec_id")
+    val survivors = graft.core.CacheScope.persist(
+      embeddings.join(keep, Seq("vec_id"), "left_semi"))
+    val index2 = buildIvfIndexSampled(
+      survivors, nCentroids, iterations, samplePerCell, superK)
+    prunePrototypesHier(survivors, index2, keepPct, superK)
   }
 }

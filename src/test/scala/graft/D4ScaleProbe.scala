@@ -18,7 +18,15 @@ import graft.ext.Similarity
 object D4ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/testdata/sf1")
-    val ncs = if (args.length > 1) args.drop(1).toSeq.map(_.toInt) else Seq(16)
+    // a spec is `nc` (flat portable path — the declared-key kernel) or
+    // `nc:hier` (sampled two-level training + hier dedup + hier prune —
+    // the production path at corpus-scaled k)
+    val specs =
+      if (args.length > 1) args.drop(1).toSeq.map { s =>
+        val parts = s.split(":")
+        (parts(0).toInt, if (parts.length > 1) parts(1) else "flat")
+      }
+      else Seq((16, "flat"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -26,10 +34,13 @@ object D4ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val e = graft.io.Sources.table(spark, sfDir, "embeddings")
     e.count()
-    for (nc <- ncs; run <- 1 to 3) {
+    for ((nc, mode) <- specs; run <- 1 to 3) {
       val t0 = System.nanoTime()
-      val n = Similarity.d4Select(e, nCentroids = nc).count()
-      println(f"D4PROBE sf=$sfDir nc=$nc run$run ${(System.nanoTime() - t0) / 1e9}%.3f s ($n verdicts)")
+      val n = mode match {
+        case "hier" => Similarity.d4SelectHier(e, nCentroids = nc).count()
+        case _      => Similarity.d4Select(e, nCentroids = nc).count()
+      }
+      println(f"D4PROBE sf=$sfDir nc=$nc mode=$mode run$run ${(System.nanoTime() - t0) / 1e9}%.3f s ($n verdicts)")
       graft.core.CacheScope.releaseAll()
       spark.catalog.clearCache()
     }

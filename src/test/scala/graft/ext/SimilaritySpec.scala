@@ -904,4 +904,48 @@ class SimilaritySpec extends SparkSpec {
     val nKept = got.count(_._3 == 1L)
     assert(nKept > 0 && nKept < got.length, s"degenerate D4 keep set: $nKept")
   }
+
+  test("prunePrototypesHier + d4SelectHier: rank kernel replay on the hier assignment") {
+    // the production path's verdicts replay driver-side against the
+    // two-level assignment exactly as the declared key's do against
+    // the flat one — one pruneRank kernel, two assignment faces
+    val index = Similarity.buildIvfIndexSampled(embs, nCentroids = 8,
+      iterations = 3, samplePerCell = 16, superK = 3)
+    val got = Similarity.prunePrototypesHier(embs, index, superK = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.length == embs.count())
+    val assigned = Similarity.ivfAssignTwoLevelTo(embs, index.centroids, superK = 3)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getLong(3)))
+    val cents = index.centroids.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val want = assigned.groupBy(_._3).toSeq.flatMap { case (cid, members) =>
+      val cv = cents(cid).map(_.toDouble).toArray
+      val ranked = members
+        .map { case (id, v, _) => (id, math.rint(cos(v, cv) * 1e6) / 1e6) }
+        .sortBy { case (id, c) => (c, id) }
+      val k = members.length.toLong * Similarity.PrototypeKeepPct / 100
+      ranked.zipWithIndex.map { case ((id, c), i) =>
+        id -> ((cid, c, if (i < k) 1L else 0L))
+      }
+    }.toMap
+    got.foreach { case (id, cid, c, sel) =>
+      val (wCid, wC, wSel) = want(id)
+      assert(cid == wCid && c == wC && sel == wSel,
+        s"vec $id: got ($cid,$c,$sel) want ($wCid,$wC,$wSel)")
+    }
+    // the composed hier pipeline covers exactly its own dedup survivors
+    val keep = Similarity.semanticDedupHier(embs, index, superK = 3)
+      .collect().map(_.getLong(0)).toSet
+    val d4 = Similarity.d4SelectHier(embs, nCentroids = 8, superK = 3,
+      samplePerCell = 16).collect().map(_.getLong(0)).toSet
+    graft.core.CacheScope.releaseAll()
+    assert(d4 == keep,
+      "hier D4 verdicts must cover exactly the hier dedup survivors")
+  }
 }
