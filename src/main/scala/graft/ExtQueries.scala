@@ -1266,6 +1266,14 @@ object ExtQueries {
       // survivors and prototype-prune against the retrained centroids —
       // the composed embedding-curation pipeline as one verdict table
       Similarity.d4Select(embs(s, dir))),
+    "ivf_drift_embeddings" -> ((s: SparkSession, dir: String) => {
+      // index-staleness monitoring: per-cell cohesion of a frozen index
+      // (trained on the 3/4 "indexed" split) vs the arriving 1/4 batch
+      val e = embs(s, dir)
+      Similarity.ivfDrift(
+        e.filter(col("vec_id") % 4 =!= 0),
+        e.filter(col("vec_id") % 4 === 0))
+    }),
     // -- corpus preparation (sampling / scrubbing / chunking / packing) --
     "sample_hash_documents" -> ((s: SparkSession, dir: String) =>
       Corpus.sampleByHash(docs(s, dir))),
@@ -1279,6 +1287,11 @@ object ExtQueries {
     "pack_greedy_documents" -> ((s: SparkSession, dir: String) =>
       Corpus.packGreedy(docs(s, dir), budgetTokens = PackBudgetTokens,
         shardsPerStratum = PackShards)),
+    "shuffle_blocks_documents" -> ((s: SparkSession, dir: String) =>
+      // training-order shuffle: content-addressed permutation of the
+      // packed blocks into (shard, pos) — the step between packing and
+      // shard materialization; bucket-refined rank, no shard funnel
+      Corpus.shuffleBlocks(docs(s, dir))),
     "pack_sequences_documents" -> ((s: SparkSession, dir: String) =>
       // GPT-lineage concat-and-chunk: the trained-BPE token stream cut
       // into exact 512-token training blocks, docs splitting across
@@ -1877,20 +1890,39 @@ object ExtQueries {
     "pack_sequences_documents" -> {
       val L = Corpus.PackBlockTokens
       s"""WITH ${bpeEncodeCtes(Bpe.DefaultMerges)},
-         |ps_c AS (SELECT doc_id, bpe_tokens AS c FROM en_t WHERE bpe_tokens > 0),
-         |ps_o AS (SELECT doc_id, c,
-         |    coalesce(sum(c) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
-         |  FROM ps_c),
-         |ps_s AS (SELECT doc_id, c, off,
-         |    unnest(generate_series(off // $L, (off + c - 1) // $L)) AS block_id
-         |  FROM ps_o)
+         |${packCtes(L)}
          |SELECT doc_id, block_id::BIGINT AS block_id,
          |  (greatest(off, block_id * $L) - block_id * $L)::BIGINT AS off_in_block,
          |  (least(off + c, (block_id + 1) * $L)
          |    - greatest(off, block_id * $L))::BIGINT AS n_tokens
          |FROM ps_s
          |ORDER BY doc_id, block_id""".stripMargin
+    },
+    // training-order shuffle: the pack chain's block rows keyed by the
+    // masked-non-negative hash64 of 'blk:'||block_id; the oracle keeps
+    // the straightforward per-shard window rank (the engine's
+    // bucket-refined rank must only MATCH it)
+    "shuffle_blocks_documents" -> {
+      val L = Corpus.PackBlockTokens
+      val S = PackShards
+      s"""WITH ${bpeEncodeCtes(Bpe.DefaultMerges)},
+         |${packCtes(L)},
+         |sb_r AS (SELECT doc_id, block_id::BIGINT AS block_id,
+         |    (least(off + c, (block_id + 1) * $L)
+         |      - greatest(off, block_id * $L))::BIGINT AS n_tokens
+         |  FROM ps_s),
+         |sb_blk AS (SELECT block_id, count(*)::BIGINT AS n_docs,
+         |    sum(n_tokens)::BIGINT AS n_tokens
+         |  FROM sb_r GROUP BY block_id),
+         |sb_s AS (SELECT DISTINCT 'blk:' || block_id::VARCHAR AS s FROM sb_blk),
+         |${hash64Ctes("sbk", "sb_s", "s")},
+         |sb_k AS (SELECT b.block_id, b.n_docs, b.n_tokens,
+         |    (h % 9223372036854775808::UHUGEINT)::BIGINT AS k
+         |  FROM sb_blk b JOIN sbk_h64 ON sbk_h64.s = 'blk:' || b.block_id::VARCHAR)
+         |SELECT block_id, n_docs, n_tokens, (k % $S)::BIGINT AS shard,
+         |  (row_number() OVER (PARTITION BY k % $S ORDER BY k, block_id)
+         |    - 1)::BIGINT AS pos
+         |FROM sb_k ORDER BY block_id""".stripMargin
     },
     // tokenizer-TRUE budget selection: the select_budget chain with the
     // per-doc cost swapped from the ws proxy to the trained BPE encode
@@ -3716,6 +3748,37 @@ object ExtQueries {
          |  SELECT wk.vec_id, e2.b FROM walk wk JOIN edges e2 ON wk.reach = e2.a)
          |SELECT vec_id, min(reach)::BIGINT AS cluster_id
          |FROM walk GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // index staleness: Lloyd chain (dr-prefixed) trained on the indexed
+    // 3/4 split, both populations assigned against drcent3; DECIMAL-
+    // exact sums, 4-dp drift (the accepted rounding class)
+    "ivf_drift_embeddings" ->
+      s"""WITH dr_idx AS (SELECT vec_id, label, embedding FROM embeddings
+         |      WHERE vec_id % 4 <> 0),
+         |dr_new AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+         |${lloydCtes("dr_idx", "dr")},
+         |dr_ia AS (SELECT a.cid, round(${cosSql("a.embedding", "c.cvec", 64)}, 6) AS sim
+         |  FROM drasgf a JOIN drcent3 c ON c.cid = a.cid),
+         |dr_na0 AS (SELECT e.vec_id, c.cid,
+         |    round(${cosSql("e.embedding", "c.cvec", 64)}, 6) AS d
+         |  FROM dr_new e CROSS JOIN drcent3 c),
+         |dr_na AS (SELECT cid, d FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+         |    FROM dr_na0) WHERE rn = 1),
+         |dr_ic AS (SELECT cid, count(*)::BIGINT AS n_indexed,
+         |    sum(CAST(sim AS DECIMAL(10,6)))::DOUBLE AS s FROM dr_ia GROUP BY cid),
+         |dr_nc AS (SELECT cid, count(*)::BIGINT AS n_new,
+         |    sum(CAST(d AS DECIMAL(10,6)))::DOUBLE AS s FROM dr_na GROUP BY cid),
+         |dr_j AS (SELECT coalesce(i.cid, n.cid) AS centroid_id,
+         |    coalesce(i.n_indexed, 0)::BIGINT AS n_indexed,
+         |    coalesce(i.s, 0.0) AS sum_sim_indexed,
+         |    coalesce(n.n_new, 0)::BIGINT AS n_new,
+         |    coalesce(n.s, 0.0) AS sum_sim_new
+         |  FROM dr_ic i FULL OUTER JOIN dr_nc n ON i.cid = n.cid)
+         |SELECT centroid_id, n_indexed, sum_sim_indexed, n_new, sum_sim_new,
+         |  round((CASE WHEN n_new = 0 THEN 0.0 ELSE sum_sim_new / n_new END)
+         |      - (CASE WHEN n_indexed = 0 THEN 0.0
+         |         ELSE sum_sim_indexed / n_indexed END), 4) AS drift
+         |FROM dr_j ORDER BY centroid_id""".stripMargin,
     // prototype pruning: the SAME Lloyd chain as the SemDeDup oracles,
     // plus the per-cluster (proto_cos, vec_id) rank and the ⌊n·pct/100⌋
     // keep boundary (exact integer: long product, float div, floor)
@@ -3753,6 +3816,23 @@ object ExtQueries {
     * portable mode: 6-dp assignment argmin (ties → lowest cid), 6-dp
     * per-dimension means, empty cells keep their previous centroid.
     */
+  /** Concat-and-chunk CTE chain over the finished BPE encode (`en_t`):
+    * per-doc token counts → global offsets (sequential window — the
+    * oracle may be serial; the engine's two-level scan must only match
+    * it) → one row per (doc, block) span in `ps_s(doc_id, c, off,
+    * block_id)`. Shared by `pack_sequences` and `shuffle_blocks` so
+    * the block tiling can never drift between them.
+    */
+  private def packCtes(blockTokens: Int): String =
+    s"""ps_c AS (SELECT doc_id, bpe_tokens AS c FROM en_t WHERE bpe_tokens > 0),
+       |ps_o AS (SELECT doc_id, c,
+       |    coalesce(sum(c) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+       |  FROM ps_c),
+       |ps_s AS (SELECT doc_id, c, off,
+       |    unnest(generate_series(off // $blockTokens, (off + c - 1) // $blockTokens)) AS block_id
+       |  FROM ps_o)""".stripMargin
+
   /** Benchmark-decontamination oracle (8-gram containment over the
     * doc_id % 97 split) — shared verbatim by `decontaminate_documents`
     * and `decontaminate_bloom_documents`: the two keys differ only in

@@ -885,6 +885,65 @@ object Corpus {
     * `sequence` explode — bounded by doc length / blockTokens, a
     * per-doc quantity.
     */
+  /** Deterministic training-order shuffle of the packed sequence
+    * blocks — the step between [[packSequences]] and [[writeShards]] a
+    * trainer actually needs: SGD wants the fixed-length blocks in an
+    * order DECORRELATED from document order (consecutive blocks share
+    * a document's tail/head), and the order must be reproducible for
+    * restarts and data-ablation reruns. `ORDER BY rand()` is neither;
+    * the engine's answer is the content-addressed permutation every
+    * graft sample uses: order key = hash64("blk:" ⧺ block_id) masked
+    * non-negative, shard = key mod nShards, position = dense 0-based
+    * (key, block_id) rank within the shard.
+    *
+    * Scale shape: the dense per-shard rank would funnel 1/nShards of
+    * all blocks through one window task (nShards is CONFIG — it does
+    * NOT grow with the corpus, unlike `lang` or `centroid_id`
+    * partitions). Realized instead by bucket refinement, the
+    * [[sampleStratified]] argument applied to full ranking: the 4096
+    * top-12-bit key buckets ascend with the key (non-negative, so
+    * arithmetic shift is monotone), a (shard, bucket) histogram
+    * (≤ nShards·4096 rows — corpus-size-independent) yields base
+    * offsets via a window over the TINY frame, and the only corpus
+    * window partitions by (shard, bucket) — 4096× the shard
+    * parallelism. The oracle keeps the straightforward per-shard
+    * window rank; the two forms are equal because bucket order
+    * prefixes key order.
+    */
+  def shuffleBlocks(
+      documents: DataFrame,
+      nShards: Int = 8,
+      blockTokens: Int = PackBlockTokens,
+      merges: Int = Bpe.DefaultMerges,
+      maxWordTypes: Int = Bpe.DefaultMaxWordTypes): DataFrame = {
+    require(nShards >= 1, s"need a positive shard count: $nShards")
+    val blocks = packSequences(documents, blockTokens, merges, maxWordTypes)
+      .groupBy("block_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val keyed = graft.core.CacheScope.persist(
+      blocks
+        .withColumn("_k",
+          graft.functions.GraftFunctions.hash64(
+            concat(lit("blk:"), col("block_id").cast("string")))
+            .bitwiseAND(lit(Long.MaxValue)))
+        .withColumn("shard", col("_k") % lit(nShards.toLong))
+        .withColumn("_b", shiftright(col("_k"), 52)))
+    val hw = Window.partitionBy("_hs").orderBy("_hb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = keyed.groupBy(col("shard").as("_hs"), col("_b").as("_hb"))
+      .agg(count(lit(1)).as("_hc"))
+      .withColumn("_base", coalesce(sum("_hc").over(hw), lit(0L)))
+      .select(col("_hs"), col("_hb"), col("_base"))
+    val rw = Window.partitionBy("shard", "_b").orderBy("_k", "block_id")
+    keyed
+      .join(broadcast(bases),
+        col("shard") === col("_hs") && col("_b") === col("_hb"))
+      .withColumn("pos", col("_base") + row_number().over(rw) - 1)
+      .select(col("block_id"), col("n_docs"), col("n_tokens"),
+        col("shard"), col("pos"))
+      .orderBy("block_id")
+  }
+
   def packSequences(
       documents: DataFrame,
       blockTokens: Int = PackBlockTokens,

@@ -367,6 +367,52 @@ object Similarity {
       .orderBy("centroid_id")
   }
 
+  /** Index-staleness report — the monitoring operator a LIVE vector
+    * index needs: a frozen index serves queries while new vectors keep
+    * arriving; when the incoming distribution drifts off the trained
+    * centroids, recall quietly decays until someone re-trains. This
+    * report quantifies exactly that: train (portable Lloyd) on the
+    * INDEXED set, assign both populations, and compare per-cell
+    * cohesion — `drift` = mean assignment cosine of the new batch
+    * minus the indexed set's, per cell (negative = the batch sits
+    * farther from the centroids than the data the index was built
+    * for: re-train). The [[ivfCellStats]] portability recipe: 6-dp
+    * sims, DECIMAL(10,6)-exact sums, 4-dp drift; cells empty in both
+    * populations don't report.
+    *
+    * Scale: both aggregates are narrow literal-argmin passes +
+    * map-side-combined per-cell rollups — the corpus never shuffles by
+    * anything but centroid_id counts (one row per populated cell).
+    */
+  def ivfDrift(
+      indexed: DataFrame,
+      batch: DataFrame,
+      nCentroids: Int = 16,
+      iterations: Int = 3): DataFrame = {
+    val index = buildIvfIndex(indexed, nCentroids, iterations, portable = true)
+    def cellAgg(df: DataFrame, pfx: String): DataFrame =
+      df.withColumn("_m", nearestCentroidScoredPortable(index.centroids))
+        .select(col("_m").getField("cid").as("centroid_id"),
+          (-col("_m").getField("d")).as("_sim"))
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as(s"n_$pfx"),
+          sum(col("_sim").cast("decimal(10,6)")).cast("double").as(s"sum_sim_$pfx"))
+    val idx = cellAgg(indexed, "indexed")
+    val nw = cellAgg(batch, "new")
+    val meanIdx = when(col("n_indexed") > 0,
+      col("sum_sim_indexed") / col("n_indexed")).otherwise(lit(0.0))
+    val meanNew = when(col("n_new") > 0,
+      col("sum_sim_new") / col("n_new")).otherwise(lit(0.0))
+    idx.join(nw, Seq("centroid_id"), "full_outer")
+      .select(col("centroid_id"),
+        coalesce(col("n_indexed"), lit(0L)).as("n_indexed"),
+        coalesce(col("sum_sim_indexed"), lit(0.0)).as("sum_sim_indexed"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("sum_sim_new"), lit(0.0)).as("sum_sim_new"))
+      .withColumn("drift", round(meanNew - meanIdx, 4))
+      .orderBy("centroid_id")
+  }
+
   /** Oracle-checkable IVF top-k over DETERMINISTIC seed centroids (the
     * first `nCentroids` vectors by vec_id): every step — assignment
     * argmin, probe-list ranking, final ranking — compares cosines at

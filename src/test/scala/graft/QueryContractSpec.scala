@@ -85,8 +85,12 @@ class QueryContractSpec extends AnyFunSuite {
     // integer ⌊√n⌋ quotas, content-addressed within-language pick),
     // tokenizer_fertility_documents (per-lang BPE tokens/word audit),
     // decontaminate_bloom_documents (bloom-pruned decontamination:
-    // fixed-size bitmap probe, only suspicious docs join)
-    assert(SparkEntry.queries.size == 149,
+    // fixed-size bitmap probe, only suspicious docs join),
+    // shuffle_blocks_documents (content-addressed training-order
+    // permutation of packed blocks, bucket-refined per-shard rank),
+    // ivf_drift_embeddings (index-staleness report: per-cell cohesion
+    // of the frozen index vs the arriving batch)
+    assert(SparkEntry.queries.size == 151,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.14 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

@@ -109,6 +109,18 @@ object StreamScaleProbe {
           docRows.toSeq.map(r => PerpDoc(r._1, r._3, r._4, r._2)),
           in => StreamPerplexity.classifyStream(
             in.toDF(), model, cutoffs, defaultCutoffs = (0.0, 0.0)))
+      case "decontaminate" =>
+        // the second stateless frozen-artifact face: bitmap + exact
+        // gram set build once on the benchmark split (outside the timed
+        // window), then every row is one codegen'd projection
+        val df = graft.io.Sources.table(spark, sfDir, "documents")
+        val bench = df.filter(col("doc_id") % 97 === 0)
+        val bits = graft.ext.Corpus.bloomBitmap(bench)
+        val set = StreamDecontaminate.benchGramSet(bench)
+        drive[DecontDoc]("decontaminate",
+          docRows.toSeq.filter(_._1 % 97 != 0)
+            .map(r => DecontDoc(r._1, r._2, r._3, r._4, 0L)),
+          in => StreamDecontaminate.filterStream(in.toDF(), bits, set))
       case other => sys.error(s"unknown face: $other")
     }
     spark.stop()

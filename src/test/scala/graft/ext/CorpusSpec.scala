@@ -270,6 +270,51 @@ class CorpusSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSet == ref)
   }
 
+  test("shuffleBlocks: bucket-refined rank equals the direct per-shard window rank") {
+    val d = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val got = Corpus.shuffleBlocks(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    graft.core.CacheScope.releaseAll()
+    assert(got.nonEmpty)
+    // driver replay: same hash key, mask, shard, dense (k, block_id) rank
+    val blocks = got.map { case (bid, nd, nt, _, _) => (bid, nd, nt) }
+    val keyed = blocks.map { case (bid, nd, nt) =>
+      val k = graft.functions.Hashing.hash64(s"blk:$bid") & Long.MaxValue
+      (bid, nd, nt, k % 8, k)
+    }
+    val want = keyed.groupBy(_._4).toSeq.flatMap { case (shard, members) =>
+      members.sortBy { case (bid, _, _, _, k) => (k, bid) }
+        .zipWithIndex.map { case ((bid, _, _, _, _), i) =>
+          bid -> ((shard, i.toLong))
+        }
+    }.toMap
+    got.foreach { case (bid, _, _, shard, pos) =>
+      val (wShard, wPos) = want(bid)
+      assert(shard == wShard && pos == wPos,
+        s"block $bid: got ($shard,$pos) want ($wShard,$wPos)")
+    }
+    // positions are dense 0..n-1 within each shard
+    got.groupBy(_._4).foreach { case (s, rows) =>
+      assert(rows.map(_._5).sorted.toSeq == (0L until rows.length).toSeq,
+        s"shard $s positions not dense")
+    }
+    // the shuffle's reason to exist: block order decorrelates from
+    // block_id order in at least one shard
+    assert(got.groupBy(_._4).exists { case (_, rows) =>
+      val byPos = rows.sortBy(_._5).map(_._1)
+      byPos != byPos.sorted
+    }, "permutation is the identity — hash order degenerate")
+    // block totals equal the pack map's
+    val pack = Corpus.packSequences(d).collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    graft.core.CacheScope.releaseAll()
+    val wantTotals = pack.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).sum)).toMap
+    blocks.foreach { case (bid, nd, nt) =>
+      assert(wantTotals(bid) == ((nd, nt)), s"block $bid totals drifted")
+    }
+  }
+
   test("capPerSource keeps the lowest maxDocs ids per source") {
     import spark.implicits._
     val rows = (1L to 30L).map(i => (i, s"doc $i", if (i % 3 == 0) "big" else "small"))

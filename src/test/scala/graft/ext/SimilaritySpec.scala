@@ -948,4 +948,47 @@ class SimilaritySpec extends SparkSpec {
     assert(d4 == keep,
       "hier D4 verdicts must cover exactly the hier dedup survivors")
   }
+
+  test("ivfDrift: per-cell cohesion replayed driver-side; drift signs sane") {
+    val indexed = embs.filter("vec_id % 4 <> 0")
+    val batch = embs.filter("vec_id % 4 = 0")
+    val got = Similarity.ivfDrift(indexed, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    val index = Similarity.buildIvfIndex(indexed, nCentroids = 16,
+      iterations = 3, portable = true)
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] = {
+      val rows = Similarity.ivfAssignPortableTo(df, index.centroids).collect()
+        .map(r => (r.getSeq[Float](1).map(_.toDouble).toArray, r.getLong(3)))
+      val cents = index.centroids.toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      }
+      rows.groupBy(_._2).map { case (cid, ms) =>
+        val cv = cents(cid).map(_.toDouble).toArray
+        val sims = ms.map(m => math.rint(cos(m._1, cv) * 1e6) / 1e6)
+        // DECIMAL(10,6)-exact sum: accumulate in micro-units
+        val sum = sims.map(x => math.rint(x * 1e6).toLong).sum / 1e6
+        cid -> ((ms.length.toLong, sum))
+      }
+    }
+    val wantIdx = cells(indexed)
+    val wantNew = cells(batch)
+    got.foreach { case (cid, nI, sI, nN, sN, drift) =>
+      val (wnI, wsI) = wantIdx.getOrElse(cid, (0L, 0.0))
+      val (wnN, wsN) = wantNew.getOrElse(cid, (0L, 0.0))
+      assert(nI == wnI && nN == wnN, s"cell $cid counts")
+      assert(math.abs(sI - wsI) < 1e-9 && math.abs(sN - wsN) < 1e-9,
+        s"cell $cid sums: got ($sI,$sN) want ($wsI,$wsN)")
+      val wDrift = math.rint(((if (wnN == 0) 0.0 else wsN / wnN)
+        - (if (wnI == 0) 0.0 else wsI / wnI)) * 1e4) / 1e4
+      assert(math.abs(drift - wDrift) <= 1e-4 + 1e-12, s"cell $cid drift $drift vs $wDrift")
+    }
+    // every populated cell reports exactly once
+    assert(got.map(_._1).toSet == (wantIdx.keySet ++ wantNew.keySet))
+  }
 }
