@@ -43,6 +43,11 @@ object ExtQueries {
     */
   val PackShards: Int = 8
 
+  /** Temperature-sampling budget (percent of the corpus) — interpolated
+    * into BOTH the engine call and the oracle so they cannot drift.
+    */
+  val TemperatureBudgetPct: Int = 50
+
   /** Order-price threshold for the dormant-customer anti-join — shared
     * by the Spark call site and the oracle SQL (at sf0.01 it leaves
     * ~200 of 1500 customers dormant, so both join paths carry weight).
@@ -1291,7 +1296,7 @@ object ExtQueries {
       // training-order shuffle: content-addressed permutation of the
       // packed blocks into (shard, pos) — the step between packing and
       // shard materialization; bucket-refined rank, no shard funnel
-      Corpus.shuffleBlocks(docs(s, dir))),
+      Corpus.shuffleBlocks(docs(s, dir), nShards = PackShards)),
     "pack_sequences_documents" -> ((s: SparkSession, dir: String) =>
       // GPT-lineage concat-and-chunk: the trained-BPE token stream cut
       // into exact 512-token training blocks, docs splitting across
@@ -1324,7 +1329,7 @@ object ExtQueries {
     "sample_temperature_documents" -> ((s: SparkSession, dir: String) =>
       // α=0.5 temperature rebalancing (XLM): per-lang quotas ∝ ⌊√n_l⌋,
       // all-integer, content-addressed selection within each language
-      Corpus.sampleTemperature(docs(s, dir))),
+      Corpus.sampleTemperature(docs(s, dir), budgetPct = TemperatureBudgetPct)),
     "segment_dedup_documents" -> ((s: SparkSession, dir: String) =>
       // C4-style global duplicate-segment removal (keep-first) with
       // document reassembly from the surviving segments
@@ -2812,14 +2817,15 @@ object ExtQueries {
     // correctly rounded in both engines), BIGINT floor division (//)
     // for the budget and every per-language quota
     "sample_temperature_documents" ->
-      """WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+      s"""WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
         |w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM c),
         |t AS (SELECT sum(n)::BIGINT AS nn, sum(w)::BIGINT AS ww FROM w),
-        |q AS (SELECT lang, least(n, (((nn * 50) // 100) * w) // ww) AS k FROM w, t),
+        |q AS (SELECT lang, least(n, (((nn * $TemperatureBudgetPct) // 100) * w) // ww) AS k FROM w, t),
         |r AS (SELECT d.*,
         |  row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
         |  FROM documents d)
-        |SELECT doc_id, text, lang, source, n_chars FROM r JOIN q USING (lang)
+        |SELECT doc_id, text, r.lang AS lang, source, n_chars
+        |FROM r JOIN q ON r.lang IS NOT DISTINCT FROM q.lang
         |WHERE rn <= k ORDER BY doc_id""".stripMargin,
     // segment dedup: the oracle keeps the straightforward window-rank
     // keep-first (the Spark side's min(struct) aggregation is the

@@ -435,23 +435,6 @@ object Corpus {
     documents.join(hits, Seq("doc_id"), "left_anti").orderBy("doc_id")
   }
 
-  /** [[decontaminate]] with a Bloom-filter pre-pass — identical output
-    * (Bloom filters have no false negatives; a false positive only
-    * costs a wasted confirm), different physics at 100 TB. The exact
-    * plan explodes EVERY corpus doc into n-grams and joins the lot;
-    * here the bench set compiles once into an `mBits`-bit bitmap
-    * (built by a distributed OR-fold over ≤ mBits/64 bit-words — the
-    * driver collect is bounded by CONFIGURATION, never by bench size)
-    * and the corpus pays ONE narrow codegen'd probe pass: only the
-    * suspicious sliver re-explodes for the exact confirm join. When
-    * the contamination set outgrows broadcast range (every eval suite
-    * + blocklists — billions of grams), the bitmap still broadcasts at
-    * fixed size and the confirm join carries only suspicious grams.
-    *
-    * FP sizing: at bench-gram count g, FP rate per gram ≈
-    * (1−e^(−k·g/m))^k — size mBits ≥ ~10× expected grams for the
-    * default k=2 to keep the confirm sliver near the true hit set.
-    */
   /** The benchmark's n-gram Bloom bitmap, built by a distributed
     * OR-fold: gram positions → (bit-word index, bit) → `bit_or`
     * aggregate — the shuffle carries at most mBits/64 rows and the
@@ -481,6 +464,23 @@ object Corpus {
     bits
   }
 
+  /** [[decontaminate]] with a Bloom-filter pre-pass — identical output
+    * (Bloom filters have no false negatives; a false positive only
+    * costs a wasted confirm), different physics at 100 TB. The exact
+    * plan explodes EVERY corpus doc into n-grams and joins the lot;
+    * here the bench set compiles once into an `mBits`-bit bitmap
+    * (built by a distributed OR-fold over ≤ mBits/64 bit-words — the
+    * driver collect is bounded by CONFIGURATION, never by bench size)
+    * and the corpus pays ONE narrow codegen'd probe pass: only the
+    * suspicious sliver re-explodes for the exact confirm join. When
+    * the contamination set outgrows broadcast range (every eval suite
+    * + blocklists — billions of grams), the bitmap still broadcasts at
+    * fixed size and the confirm join carries only suspicious grams.
+    *
+    * FP sizing: at bench-gram count g, FP rate per gram ≈
+    * (1−e^(−k·g/m))^k — size mBits ≥ ~10× expected grams for the
+    * default k=2 to keep the confirm sliver near the true hit set.
+    */
   def decontaminateBloom(
       documents: DataFrame,
       benchmark: DataFrame,
@@ -901,8 +901,8 @@ object Corpus {
     * NOT grow with the corpus, unlike `lang` or `centroid_id`
     * partitions). Realized instead by bucket refinement, the
     * [[sampleStratified]] argument applied to full ranking: the 4096
-    * top-12-bit key buckets ascend with the key (non-negative, so
-    * arithmetic shift is monotone), a (shard, bucket) histogram
+    * key buckets (top 12 VARYING bits — the mask clears bit 63, so the
+    * shift is 51) ascend with the key, a (shard, bucket) histogram
     * (≤ nShards·4096 rows — corpus-size-independent) yields base
     * offsets via a window over the TINY frame, and the only corpus
     * window partitions by (shard, bucket) — 4096× the shard
@@ -927,7 +927,7 @@ object Corpus {
             concat(lit("blk:"), col("block_id").cast("string")))
             .bitwiseAND(lit(Long.MaxValue)))
         .withColumn("shard", col("_k") % lit(nShards.toLong))
-        .withColumn("_b", shiftright(col("_k"), 52)))
+        .withColumn("_b", shiftright(col("_k"), 51)))
     val hw = Window.partitionBy("_hs").orderBy("_hb")
       .rowsBetween(Window.unboundedPreceding, -1)
     val bases = keyed.groupBy(col("shard").as("_hs"), col("_b").as("_hb"))

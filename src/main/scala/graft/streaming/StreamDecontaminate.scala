@@ -40,13 +40,17 @@ object StreamDecontaminate {
       benchmark: DataFrame,
       n: Int = 8,
       maxGrams: Int = 1 << 24): java.util.HashSet[java.lang.Long] = {
+    // the limit bounds the COLLECT itself (maxGrams + 1 rows at most),
+    // so an over-budget benchmark fails the require below instead of
+    // OOMing the driver on the way to it
     val rows = benchmark
       .select(explode(
         graft.functions.GraftFunctions.ngramHashes(col("text"), n)).as("gram"))
       .distinct()
+      .limit(maxGrams + 1)
       .collect()
     require(rows.length <= maxGrams,
-      s"benchmark gram set ${rows.length} exceeds maxGrams=$maxGrams — " +
+      s"benchmark gram set exceeds maxGrams=$maxGrams — " +
         "use foreachBatch over Corpus.decontaminateBloom instead")
     val set = new java.util.HashSet[java.lang.Long](rows.length * 2)
     rows.foreach(r => set.add(r.getLong(0)))
