@@ -156,6 +156,14 @@ object ExtQueries {
     Seq("src0" -> 2.5, "src1" -> 1.25, "src2" -> 0.5, "src3" -> 0.0)
   val MixtureDefaultWeight: Double = 1.0
 
+  /** Per-LANGUAGE mixture weights for the declared schedule key: an
+    * upsample, a downsample, a fractional upsample, a full drop; `en`
+    * is deliberately absent and rides the 1.0 default. Shared by the
+    * oracle's CASE.
+    */
+  val ScheduleWeights: Seq[(String, Double)] =
+    Seq("zh" -> 2.0, "de" -> 0.5, "fr" -> 1.25, "es" -> 0.0)
+
   /** DuckDB mirror of [[Relevance]]'s tokenizer: one row per non-empty
     * lowercase letter-run token, with the given extra columns carried.
     */
@@ -1292,6 +1300,11 @@ object ExtQueries {
     "pack_greedy_documents" -> ((s: SparkSession, dir: String) =>
       Corpus.packGreedy(docs(s, dir), budgetTokens = PackBudgetTokens,
         shardsPerStratum = PackShards)),
+    "mixture_schedule_documents" -> ((s: SparkSession, dir: String) =>
+      // deterministic stride schedule: every training prefix sees
+      // languages in their weight proportions, by construction
+      Corpus.mixtureSchedule(docs(s, dir), ScheduleWeights,
+        budgetTokens = PackBudgetTokens, shardsPerStratum = PackShards)),
     "shuffle_blocks_documents" -> ((s: SparkSession, dir: String) =>
       // training-order shuffle: content-addressed permutation of the
       // packed blocks into (shard, pos) — the step between packing and
@@ -2900,15 +2913,27 @@ object ExtQueries {
          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
     },
     "pack_greedy_documents" ->
-      s"""WITH t AS (SELECT doc_id, lang, ($WsToksSql)::BIGINT AS n_tokens,
-         |  doc_id % $PackShards AS shard FROM documents),
-         |c AS (SELECT doc_id, lang, n_tokens, shard,
-         |  SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
-         |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
-         |SELECT doc_id, lang, n_tokens,
-         |  lang || '#' || shard::VARCHAR || '#' ||
-         |    CAST(FLOOR((cum - n_tokens) / $PackBudgetTokens) AS BIGINT)::VARCHAR AS pack_id
-         |FROM c ORDER BY doc_id""".stripMargin,
+      s"""WITH $PackGreedyCtes
+         |SELECT doc_id, lang, n_tokens, pack_id FROM pg
+         |ORDER BY doc_id""".stripMargin,
+    // stride schedule: the SAME pack chain aggregated per pack, within-
+    // stream index parsed back from the pack_id, virtual time
+    // (2·seq+1)·S / (2·w) — one exact double division, weight-0 drops
+    "mixture_schedule_documents" -> {
+      val arms = ScheduleWeights
+        .map { case (l, w) => s"WHEN '$l' THEN $w" }.mkString(" ")
+      s"""WITH $PackGreedyCtes,
+         |mp AS (SELECT lang, pack_id, count(*)::BIGINT AS n_docs,
+         |    sum(n_tokens)::BIGINT AS n_tokens
+         |  FROM pg GROUP BY lang, pack_id),
+         |mk AS (SELECT *, string_split(pack_id, '#')[3]::BIGINT AS seq,
+         |    CASE lang $arms ELSE 1.0 END AS w
+         |  FROM mp)
+         |SELECT (seq * 2 + 1) * $PackShards / (w * 2) AS sched_key,
+         |  lang, pack_id, n_docs, n_tokens
+         |FROM mk WHERE w > 0
+         |ORDER BY sched_key, lang, pack_id""".stripMargin
+    },
     "curate_documents" -> {
       val normClean = """trim(regexp_replace(lower(clean_text), '\s+', ' ', 'g'))"""
       s"""WITH r AS (SELECT doc_id,
@@ -3822,6 +3847,22 @@ object ExtQueries {
     * portable mode: 6-dp assignment argmin (ties → lowest cid), 6-dp
     * per-dimension means, empty cells keep their previous centroid.
     */
+  /** Greedy ws-token pack-map CTE chain: `pg(doc_id, lang, n_tokens,
+    * pack_id)` from the SAME constants as [[graft.ext.Corpus.packGreedy]]'s
+    * declared call — shared by `pack_greedy` and `mixture_schedule` so
+    * the pack boundaries can never drift between them.
+    */
+  private lazy val PackGreedyCtes: String =
+    s"""t AS (SELECT doc_id, lang, ($WsToksSql)::BIGINT AS n_tokens,
+       |  doc_id % $PackShards AS shard FROM documents),
+       |c AS (SELECT doc_id, lang, n_tokens, shard,
+       |  SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+       |pg AS (SELECT doc_id, lang, n_tokens,
+       |  lang || '#' || shard::VARCHAR || '#' ||
+       |    CAST(FLOOR((cum - n_tokens) / $PackBudgetTokens) AS BIGINT)::VARCHAR AS pack_id
+       |  FROM c)""".stripMargin
+
   /** Concat-and-chunk CTE chain over the finished BPE encode (`en_t`):
     * per-doc token counts → global offsets (sequential window — the
     * oracle may be serial; the engine's two-level scan must only match

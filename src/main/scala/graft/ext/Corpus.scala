@@ -689,6 +689,51 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Deterministic data-mixing SCHEDULE over the packed shards — the
+    * consumption-side answer to per-source weights (DoReMi/LLaMA-style
+    * mixture ratios): in what ORDER does the trainer draw packs so
+    * every prefix of training sees languages in proportion to their
+    * weights? Classic stride (virtual-time / weighted-fair-queueing)
+    * scheduling: the pack at within-(lang, shard) index `seq` gets
+    * virtual time (2·seq+1)·S / (2·w_lang) — higher-weight languages
+    * place packs more densely on the time axis, so any schedule prefix
+    * holds the w-proportions to within one pack per stream. `ORDER BY
+    * rand()`-style mixing has the proportions only in expectation;
+    * this has them by construction, reproducibly.
+    *
+    * Scale shape: ZERO operators beyond [[packGreedy]]'s own — `seq`
+    * is parsed back from the pack_id (one narrow projection), the
+    * weight rides a broadcast literal map, and the schedule order IS
+    * the declared total sort. The key is one exact double division
+    * ((2·seq+1)·S exact in long; w·2 exact for literal weights) —
+    * engine-portable, correctly-rounded single op. Weight-0 languages
+    * drop (the MixtureWeights drop contract). Per-(lang, shard) pack
+    * streams each get w/S of the axis; S streams per language sum
+    * back to w.
+    */
+  def mixtureSchedule(
+      documents: DataFrame,
+      weights: Seq[(String, Double)],
+      defaultWeight: Double = 1.0,
+      budgetTokens: Int = 512,
+      shardsPerStratum: Int = 8): DataFrame = {
+    require(weights.map(_._2).forall(_ >= 0), s"negative weight: $weights")
+    require(defaultWeight >= 0, s"negative default weight: $defaultWeight")
+    val packs = packGreedy(documents, budgetTokens, shardsPerStratum)
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val wMap = typedLit(weights.toMap)
+    packs
+      .withColumn("_seq", element_at(split(col("pack_id"), "#"), 3).cast("long"))
+      .withColumn("_w", coalesce(element_at(wMap, col("lang")), lit(defaultWeight)))
+      .filter(col("_w") > 0)
+      .withColumn("sched_key",
+        (col("_seq") * 2 + 1) * lit(shardsPerStratum.toLong) / (col("_w") * 2))
+      .select(col("sched_key"), col("lang"), col("pack_id"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy("sched_key", "lang", "pack_id")
+  }
+
   /** Default token budget for [[selectBudget]]: sized so the sf0.001+
     * corpora all have a real boundary stratum (partially taken), i.e.
     * the interesting branch is always exercised.

@@ -89,8 +89,10 @@ class QueryContractSpec extends AnyFunSuite {
     // shuffle_blocks_documents (content-addressed training-order
     // permutation of packed blocks, bucket-refined per-shard rank),
     // ivf_drift_embeddings (index-staleness report: per-cell cohesion
-    // of the frozen index vs the arriving batch)
-    assert(SparkEntry.queries.size == 151,
+    // of the frozen index vs the arriving batch),
+    // mixture_schedule_documents (stride/WFQ virtual-time schedule:
+    // every training prefix holds the language weight proportions)
+    assert(SparkEntry.queries.size == 152,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.14 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

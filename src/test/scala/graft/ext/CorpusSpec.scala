@@ -315,6 +315,41 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("mixtureSchedule: stride keys replayed; prefixes hold the weight proportions") {
+    import spark.implicits._
+    // 3 langs, enough docs that each (lang, shard=1) stream packs
+    // several packs; weights 2/1/0 exercise upsample, default, drop
+    val rows = (1L to 60L).map(i => (i, ("w " * 40).trim, "aa")) ++
+      (61L to 120L).map(i => (i, ("w " * 40).trim, "bb")) ++
+      (121L to 150L).map(i => (i, ("w " * 40).trim, "cc"))
+    val df = rows.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src' AS source",
+        "length(text) AS n_chars")
+    val weights = Seq("aa" -> 2.0, "cc" -> 0.0)
+    val got = Corpus.mixtureSchedule(df, weights, defaultWeight = 1.0,
+      budgetTokens = 100, shardsPerStratum = 1).collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    assert(!got.exists(_._2 == "cc"), "weight-0 language must drop")
+    // driver replay of the virtual-time key from the pack map
+    val packs = Corpus.packGreedy(df, budgetTokens = 100, shardsPerStratum = 1)
+      .collect().map(r => (r.getString(1), r.getString(3), r.getLong(2)))
+    val want = packs.groupBy(p => (p._1, p._2)).toSeq.map { case ((lang, pid), ms) =>
+      val seq = pid.split("#")(2).toLong
+      val w = if (lang == "aa") 2.0 else 1.0
+      ((seq * 2 + 1) * 1 / (w * 2), lang, pid, ms.length.toLong, ms.map(_._3).sum)
+    }.filter(_._2 != "cc").sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq == want, s"schedule drifted:\n${got.toSeq}\nvs\n$want")
+    // the stride property: in every prefix ending at a key boundary,
+    // lang 'aa' (w=2) has placed ~2x the packs of 'bb' (w=1)
+    val firstHalf = got.takeWhile(_._1 < got(got.length / 2)._1)
+    val aaN = firstHalf.count(_._2 == "aa").toDouble
+    val bbN = firstHalf.count(_._2 == "bb").toDouble
+    assert(bbN > 0 && aaN / bbN >= 1.5 && aaN / bbN <= 2.5,
+      s"prefix proportions off: aa=$aaN bb=$bbN")
+  }
+
   test("capPerSource keeps the lowest maxDocs ids per source") {
     import spark.implicits._
     val rows = (1L to 30L).map(i => (i, s"doc $i", if (i % 3 == 0) "big" else "small"))
