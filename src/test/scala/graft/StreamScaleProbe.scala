@@ -49,11 +49,13 @@ object StreamScaleProbe {
           r.getString(3), r.getDouble(4),
           if (r.isNullAt(5)) "" else r.getString(5)))
 
-    def drive[T](name: String, rows: Seq[T], mk: MemoryStream[T] => org.apache.spark.sql.DataFrame)(
+    def drive[T](name: String, rows: Seq[T],
+        mk: MemoryStream[T] => org.apache.spark.sql.DataFrame,
+        mode: OutputMode = OutputMode.Append())(
         implicit enc: org.apache.spark.sql.Encoder[T]): Unit = {
       val input = MemoryStream[T]
       val q = mk(input).writeStream.format("memory")
-        .queryName(s"probe_$name").outputMode(OutputMode.Append()).start()
+        .queryName(s"probe_$name").outputMode(mode).start()
       try {
         val t0 = System.nanoTime()
         rows.grouped(batchRows).foreach { b =>
@@ -121,6 +123,19 @@ object StreamScaleProbe {
           docRows.toSeq.filter(_._1 % 97 != 0)
             .map(r => DecontDoc(r._1, r._2, r._3, r._4, 0L)),
           in => StreamDecontaminate.filterStream(in.toDF(), bits, set))
+      case "drift" =>
+        // the running-aggregate monitoring face: state = k cells, the
+        // smallest state class of the stateful faces
+        val e = graft.io.Sources.table(spark, sfDir, "embeddings")
+        val indexed = e.filter(col("vec_id") % 4 =!= 0)
+        val index = graft.ext.Similarity.buildIvfIndex(indexed,
+          nCentroids = 16, iterations = 3, portable = true)
+        val base = StreamDriftMonitor.baseline(indexed, index)
+        val vecRows = e.filter(col("vec_id") % 4 === 0).collect()
+          .map(r => DriftVec(r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq
+        drive[DriftVec]("drift", vecRows,
+          in => StreamDriftMonitor.driftStream(in.toDF(), index, base),
+          OutputMode.Update())
       case other => sys.error(s"unknown face: $other")
     }
     spark.stop()
