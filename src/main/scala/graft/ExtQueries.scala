@@ -1304,6 +1304,7 @@ object ExtQueries {
       // deterministic stride schedule: every training prefix sees
       // languages in their weight proportions, by construction
       Corpus.mixtureSchedule(docs(s, dir), ScheduleWeights,
+        defaultWeight = MixtureDefaultWeight,
         budgetTokens = PackBudgetTokens, shardsPerStratum = PackShards)),
     "shuffle_blocks_documents" -> ((s: SparkSession, dir: String) =>
       // training-order shuffle: content-addressed permutation of the
@@ -2926,8 +2927,8 @@ object ExtQueries {
          |mp AS (SELECT lang, pack_id, count(*)::BIGINT AS n_docs,
          |    sum(n_tokens)::BIGINT AS n_tokens
          |  FROM pg GROUP BY lang, pack_id),
-         |mk AS (SELECT *, string_split(pack_id, '#')[3]::BIGINT AS seq,
-         |    CASE lang $arms ELSE 1.0 END AS w
+         |mk AS (SELECT *, string_split(pack_id, '#')[-1]::BIGINT AS seq,
+         |    CASE lang $arms ELSE $MixtureDefaultWeight END AS w
          |  FROM mp)
          |SELECT (seq * 2 + 1) * $PackShards / (w * 2) AS sched_key,
          |  lang, pack_id, n_docs, n_tokens

@@ -718,13 +718,17 @@ object Corpus {
       budgetTokens: Int = 512,
       shardsPerStratum: Int = 8): DataFrame = {
     require(weights.map(_._2).forall(_ >= 0), s"negative weight: $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate language in weights: ${weights.map(_._1)} — toMap is " +
+        "last-wins here but first-wins in a generated SQL CASE")
     require(defaultWeight >= 0, s"negative default weight: $defaultWeight")
     val packs = packGreedy(documents, budgetTokens, shardsPerStratum)
       .groupBy("lang", "pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
     val wMap = typedLit(weights.toMap)
     packs
-      .withColumn("_seq", element_at(split(col("pack_id"), "#"), 3).cast("long"))
+      // the LAST '#'-field is always seq, whatever characters lang holds
+      .withColumn("_seq", element_at(split(col("pack_id"), "#"), -1).cast("long"))
       .withColumn("_w", coalesce(element_at(wMap, col("lang")), lit(defaultWeight)))
       .filter(col("_w") > 0)
       .withColumn("sched_key",

@@ -93,7 +93,7 @@ class QueryContractSpec extends AnyFunSuite {
     // mixture_schedule_documents (stride/WFQ virtual-time schedule:
     // every training prefix holds the language weight proportions)
     assert(SparkEntry.queries.size == 152,
-      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.14 if intentional)")
+      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.15 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +
         "(every declared key is oracle-checked as of r9; update SURVEY §2.13 if intentional)")

@@ -93,8 +93,15 @@ class StreamDriftMonitorSpec extends SparkSpec {
     val pruned = base - oneCell
     val arriving = rows(df)
     val got = runStream(Seq(arriving), index, pruned, "drift_nobase")
-    val (_, meanNew, drift) = got(oneCell)
-    assert(drift == math.rint((meanNew - 0.0) * 1e4) / 1e4,
-      s"missing baseline must score against 0: $got")
+    // the contract, pinned without re-deriving the rounding pipeline: a
+    // MISSING baseline entry behaves exactly like an explicit zero-mass
+    // entry (n = 0 ⇒ baseline mean 0) — same rows, bit for bit
+    val zeroed = runStream(Seq(arriving), index,
+      pruned + (oneCell -> ((0L, 0L))), "drift_zerobase")
+    assert(got == zeroed, s"missing baseline must score against 0:\n$got\nvs\n$zeroed")
+    // and the pruned cell genuinely drifts relative to the full baseline
+    val full = runStream(Seq(arriving), index, base, "drift_fullbase")
+    assert(got(oneCell)._3 != full(oneCell)._3 || base(oneCell)._2 == 0L,
+      "pruning a non-trivial baseline entry must change the drift")
   }
 }
