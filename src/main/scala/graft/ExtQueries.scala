@@ -889,6 +889,11 @@ object ExtQueries {
     "source_dup_stats_documents" -> ((s: SparkSession, dir: String) =>
       // per-source duplicate-rate report (which domains need dedup)
       TextStats.sourceDupStats(docs(s, dir))),
+    "source_overlap_documents" -> ((s: SparkSession, dir: String) =>
+      // pairwise source containment at segment granularity: which
+      // sources duplicate WHICH — the drop/down-weight signal mixture
+      // fitting needs before weights double-count mirrored content
+      TextStats.sourceOverlap(docs(s, dir))),
     "corpus_summary_documents" -> ((s: SparkSession, dir: String) =>
       TextStats.corpusSummary(docs(s, dir))),
     "corpus_summary_approx_documents" -> ((s: SparkSession, dir: String) =>
@@ -1983,6 +1988,27 @@ object ExtQueries {
          |SELECT gram, count(*)::BIGINT AS doc_freq FROM e
          |GROUP BY gram HAVING count(*) >= $BoilerplateMinDocs
          |ORDER BY doc_freq DESC, gram LIMIT $BoilerplateTopN""".stripMargin,
+    // pairwise containment at the segment_dedup granularity: distinct
+    // (source, 10-word segment) sets self-joined on the segment value;
+    // group expansion bounded by source cardinality, never the corpus
+    "source_overlap_documents" ->
+      s"""WITH sv_w AS (SELECT doc_id, source, string_split($NormSql, ' ') AS words
+         |  FROM documents),
+         |sv_s AS (SELECT source, words,
+         |    unnest(range(0, CAST(ceil(GREATEST(len(words), 1) / 10.0) AS BIGINT))) AS i
+         |  FROM sv_w),
+         |sv_g AS (SELECT DISTINCT source,
+         |    array_to_string(words[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ') AS seg
+         |  FROM sv_s),
+         |sv_u AS (SELECT source, count(*)::BIGINT AS n_unique_a FROM sv_g GROUP BY source),
+         |sv_p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    count(*)::BIGINT AS n_shared
+         |  FROM sv_g a JOIN sv_g b ON a.seg = b.seg AND a.source <> b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_shared, n_unique_a,
+         |  round(n_shared::DOUBLE / n_unique_a, 4) AS containment
+         |FROM sv_p JOIN sv_u ON sv_u.source = sv_p.source_a
+         |ORDER BY source_a, source_b""".stripMargin,
     "source_dup_stats_documents" ->
       s"""SELECT source, count(*)::BIGINT AS n_docs,
          |  count(DISTINCT md5($NormSql))::BIGINT AS n_unique,

@@ -346,6 +346,50 @@ object TextStats {
     * aggregation on (source, fp) — partials bounded by distinct
     * fingerprints per source, never raw rows.
     */
+  /** Pairwise source-containment matrix — the mixture-planning signal
+    * [[sourceDupStats]]'s per-source rates cannot give: which sources
+    * duplicate WHICH (a mirror crawl that is 90% contained in another
+    * source should be dropped or down-weighted BEFORE mixture weights
+    * are fit, or its content is silently double-counted). Overlap is
+    * measured at the [[graft.ext.Corpus.segmentDedup]] granularity —
+    * distinct 10-word segments — so near-copies with edits count, not
+    * just byte-identical documents (the fixtures carry zero cross-
+    * source exact duplicates but real cross-source segment mass).
+    *
+    * Scale shape: the per-source DISTINCT segment set self-joins on the
+    * segment value; a segment's group is at most ONE row per source
+    * (distinct), so join expansion per segment is bounded by SOURCE
+    * CARDINALITY squared — never by corpus size or by how often a
+    * boilerplate phrase repeats. Zero-overlap pairs are absent from the
+    * output (absence = independence).
+    */
+  def sourceOverlap(documents: DataFrame, segWords: Int = 10): DataFrame = {
+    require(segWords >= 1, s"need a positive segment width: $segWords")
+    val words = split(normText(col("text")), " ")
+    val nSegs = ceil(greatest(size(words), lit(1)).cast("double") / segWords)
+      .cast("int")
+    val segs = graft.core.CacheScope.persist(
+      documents
+        .select(col("source"), explode(sequence(lit(0), nSegs - 1)).as("i"),
+          words.as("w"))
+        .select(col("source"),
+          concat_ws(" ",
+            slice(col("w"), col("i") * segWords + 1, lit(segWords))).as("seg"))
+        .distinct())
+    val uniq = segs.groupBy("source").agg(count(lit(1)).as("n_unique_a"))
+    val b = segs.select(col("source").as("source_b"), col("seg"))
+    segs.select(col("source").as("source_a"), col("seg"))
+      .join(b, Seq("seg"))
+      .filter(col("source_a") =!= col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+      .join(uniq.withColumnRenamed("source", "source_a"), Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_unique_a"),
+        round(col("n_shared").cast("double") / col("n_unique_a"), 4)
+          .as("containment"))
+      .orderBy("source_a", "source_b")
+  }
+
   def sourceDupStats(documents: DataFrame): DataFrame =
     documents
       .select(col("source"), col("n_chars"),

@@ -91,8 +91,10 @@ class QueryContractSpec extends AnyFunSuite {
     // ivf_drift_embeddings (index-staleness report: per-cell cohesion
     // of the frozen index vs the arriving batch),
     // mixture_schedule_documents (stride/WFQ virtual-time schedule:
-    // every training prefix holds the language weight proportions)
-    assert(SparkEntry.queries.size == 152,
+    // every training prefix holds the language weight proportions),
+    // source_overlap_documents (pairwise source containment at segment
+    // granularity — the drop/down-weight signal for mixture fitting)
+    assert(SparkEntry.queries.size == 153,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.15 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

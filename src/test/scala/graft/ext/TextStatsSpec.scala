@@ -315,4 +315,49 @@ class TextStatsSpec extends SparkSpec {
     assert(r(2L).getAs[Double]("mean_word_len") == math.rint(13.0 / 6 * 1e4) / 1e4)
     assert(r(2L).getAs[Long]("n_stop_hits") == 2L) // "be", "to"
   }
+
+  test("sourceOverlap: containment replayed driver-side; absence means independence") {
+    import spark.implicits._
+    // src A: 2 docs of 20 words (4 distinct segments after dedup);
+    // src B: one doc copying A's first 10-word segment + its own tail;
+    // src C: disjoint content — must not appear in any pair
+    val segA1 = (1 to 10).map(i => s"a$i").mkString(" ")
+    val segA2 = (11 to 20).map(i => s"a$i").mkString(" ")
+    val segA3 = (21 to 30).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val segC = (1 to 10).map(i => s"c$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$segA1 $segA2", "A"),
+      (2L, s"$segA2 $segA3", "A"),
+      (3L, s"$segA1 $segB", "B"),
+      (4L, segC, "C"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "length(text) AS n_chars")
+    val got = TextStats.sourceOverlap(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    graft.core.CacheScope.releaseAll()
+    // A has 3 distinct segments, B has 2; they share exactly segA1
+    assert(got(("A", "B")) == ((1L, 3L, math.rint(1.0 / 3 * 1e4) / 1e4)))
+    assert(got(("B", "A")) == ((1L, 2L, 0.5)))
+    // zero-overlap pairs are ABSENT, not zero rows
+    assert(got.keySet == Set(("A", "B"), ("B", "A")), s"got ${got.keySet}")
+  }
+
+  test("sourceOverlap on testdata: symmetric counts, bounded containment") {
+    val d = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val got = TextStats.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    graft.core.CacheScope.releaseAll()
+    assert(got.nonEmpty, "fixtures must carry cross-source segment mass")
+    got.foreach { case ((a, b), (shared, uniq, cont)) =>
+      assert(a != b)
+      assert(shared >= 1 && shared <= uniq, s"($a,$b): $shared of $uniq")
+      assert(cont > 0.0 && cont <= 1.0)
+      // n_shared is symmetric (distinct segments shared by both)
+      assert(got((b, a))._1 == shared, s"asymmetric shared count ($a,$b)")
+    }
+  }
 }
