@@ -1992,14 +1992,9 @@ object ExtQueries {
     // (source, 10-word segment) sets self-joined on the segment value;
     // group expansion bounded by source cardinality, never the corpus
     "source_overlap_documents" ->
-      s"""WITH sv_w AS (SELECT doc_id, source, string_split($NormSql, ' ') AS words
-         |  FROM documents),
-         |sv_s AS (SELECT source, words,
-         |    unnest(range(0, CAST(ceil(GREATEST(len(words), 1) / 10.0) AS BIGINT))) AS i
-         |  FROM sv_w),
-         |sv_g AS (SELECT DISTINCT source,
-         |    array_to_string(words[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ') AS seg
-         |  FROM sv_s),
+      s"""WITH $SegmentCtes,
+         |sv_g AS (SELECT DISTINCT source, seg FROM seg
+         |  WHERE seg IS NOT NULL AND seg <> ''),
          |sv_u AS (SELECT source, count(*)::BIGINT AS n_unique_a FROM sv_g GROUP BY source),
          |sv_p AS (SELECT a.source AS source_a, b.source AS source_b,
          |    count(*)::BIGINT AS n_shared
@@ -2871,14 +2866,7 @@ object ExtQueries {
     // keep-first (the Spark side's min(struct) aggregation is the
     // scale shape, not different semantics)
     "segment_dedup_documents" ->
-      s"""WITH w AS (SELECT doc_id, lang, source, string_split($NormSql, ' ') AS words
-         |           FROM documents),
-         |s0 AS (SELECT doc_id, lang, source, words,
-         |         unnest(range(0, CAST(ceil(GREATEST(len(words), 1) / 10.0) AS BIGINT))) AS seg_idx
-         |       FROM w),
-         |seg AS (SELECT doc_id, lang, source, seg_idx,
-         |          array_to_string(words[CAST(seg_idx*10+1 AS BIGINT):CAST(seg_idx*10+10 AS BIGINT)], ' ') AS seg
-         |        FROM s0),
+      s"""WITH $SegmentCtes,
          |k AS (SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
          |      FROM seg)
          |SELECT doc_id, any_value(lang) AS lang, any_value(source) AS source,
@@ -3874,6 +3862,22 @@ object ExtQueries {
     * portable mode: 6-dp assignment argmin (ties → lowest cid), 6-dp
     * per-dimension means, empty cells keep their previous centroid.
     */
+  /** Fixed-width word-segment CTE chain: `seg(doc_id, lang, source,
+    * seg_idx, seg)` — THE 10-word segment cut, shared by
+    * `segment_dedup` and `source_overlap` (mirrors
+    * [[graft.ext.Corpus.docSegments]]) so segment granularity is one
+    * formula on each side, never two.
+    */
+  private lazy val SegmentCtes: String =
+    s"""w AS (SELECT doc_id, lang, source, string_split($NormSql, ' ') AS words
+       |           FROM documents),
+       |s0 AS (SELECT doc_id, lang, source, words,
+       |         unnest(range(0, CAST(ceil(GREATEST(len(words), 1) / 10.0) AS BIGINT))) AS seg_idx
+       |       FROM w),
+       |seg AS (SELECT doc_id, lang, source, seg_idx,
+       |          array_to_string(words[CAST(seg_idx*10+1 AS BIGINT):CAST(seg_idx*10+10 AS BIGINT)], ' ') AS seg
+       |        FROM s0)""".stripMargin
+
   /** Greedy ws-token pack-map CTE chain: `pg(doc_id, lang, n_tokens,
     * pack_id)` from the SAME constants as [[graft.ext.Corpus.packGreedy]]'s
     * declared call — shared by `pack_greedy` and `mixture_schedule` so

@@ -363,16 +363,30 @@ object Corpus {
     * (AQE skew-safe), and reassembly is a per-doc aggregate whose
     * groups are bounded by document length.
     */
-  def segmentDedup(documents: DataFrame, segWords: Int = 10): DataFrame = {
+  /** One row per `segWords`-word segment of the normalized text, with
+    * `carry` columns kept: `(carry..., seg_idx, seg)`. THE segment
+    * cut — shared by [[segmentDedup]] and
+    * [[graft.ext.TextStats.sourceOverlap]] so "segment granularity"
+    * means one formula, not two parallel ones. Empty/NULL text yields
+    * one '' segment (callers that must not count it filter it).
+    */
+  private[ext] def docSegments(
+      documents: DataFrame,
+      segWords: Int,
+      carry: Seq[String]): DataFrame = {
     require(segWords >= 1, "segment width must be positive")
     val words = split(TextStats.normText(col("text")), " ")
     val starts = sequence(lit(1), greatest(size(words), lit(1)), lit(segWords))
-    val segs = documents
-      .select(col("doc_id"), col("lang"), col("source"),
-        explode(starts).as("_start"), words.as("_w"))
-      .select(col("doc_id"), col("lang"), col("source"),
+    documents
+      .select(carry.map(col) ++ Seq(
+        explode(starts).as("_start"), words.as("_w")): _*)
+      .select(carry.map(col) ++ Seq(
         ((col("_start") - 1) / segWords).cast("bigint").as("seg_idx"),
-        concat_ws(" ", slice(col("_w"), col("_start"), lit(segWords))).as("seg"))
+        concat_ws(" ", slice(col("_w"), col("_start"), lit(segWords))).as("seg")): _*)
+  }
+
+  def segmentDedup(documents: DataFrame, segWords: Int = 10): DataFrame = {
+    val segs = docSegments(documents, segWords, Seq("doc_id", "lang", "source"))
       .transform(graft.core.CacheScope.persist) // first-occurrence agg + join-back
     val firsts = segs
       .groupBy("seg")

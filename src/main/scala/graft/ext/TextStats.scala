@@ -346,15 +346,35 @@ object TextStats {
     * aggregation on (source, fp) — partials bounded by distinct
     * fingerprints per source, never raw rows.
     */
+  def sourceDupStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), col("n_chars"),
+        md5(normText(col("text"))).as("fp"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("source"), col("n_docs"), col("n_unique"), col("sum_chars"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 4)
+          .as("dup_rate"))
+      .orderBy("source")
+
   /** Pairwise source-containment matrix — the mixture-planning signal
     * [[sourceDupStats]]'s per-source rates cannot give: which sources
     * duplicate WHICH (a mirror crawl that is 90% contained in another
     * source should be dropped or down-weighted BEFORE mixture weights
     * are fit, or its content is silently double-counted). Overlap is
     * measured at the [[graft.ext.Corpus.segmentDedup]] granularity —
-    * distinct 10-word segments — so near-copies with edits count, not
-    * just byte-identical documents (the fixtures carry zero cross-
-    * source exact duplicates but real cross-source segment mass).
+    * the SHARED [[graft.ext.Corpus.docSegments]] cut (one formula, not
+    * a parallel re-implementation) — so near-copies with edits count,
+    * not just byte-identical documents. Empty segments (empty or NULL
+    * text) are excluded: a whitespace-only doc in two sources is not
+    * shared CONTENT, and the exclusion also keeps the Spark side in
+    * lockstep with the oracle's NULL handling. Sub-width tail segments
+    * DO count (the segmentDedup convention) — a 1-word tail matching
+    * another source is weak but real signal; thresholds belong to the
+    * consumer.
     *
     * Scale shape: the per-source DISTINCT segment set self-joins on the
     * segment value; a segment's group is at most ONE row per source
@@ -364,17 +384,10 @@ object TextStats {
     * output (absence = independence).
     */
   def sourceOverlap(documents: DataFrame, segWords: Int = 10): DataFrame = {
-    require(segWords >= 1, s"need a positive segment width: $segWords")
-    val words = split(normText(col("text")), " ")
-    val nSegs = ceil(greatest(size(words), lit(1)).cast("double") / segWords)
-      .cast("int")
     val segs = graft.core.CacheScope.persist(
-      documents
-        .select(col("source"), explode(sequence(lit(0), nSegs - 1)).as("i"),
-          words.as("w"))
-        .select(col("source"),
-          concat_ws(" ",
-            slice(col("w"), col("i") * segWords + 1, lit(segWords))).as("seg"))
+      Corpus.docSegments(documents, segWords, Seq("source"))
+        .filter(col("seg") =!= "")
+        .select("source", "seg")
         .distinct())
     val uniq = segs.groupBy("source").agg(count(lit(1)).as("n_unique_a"))
     val b = segs.select(col("source").as("source_b"), col("seg"))
@@ -389,20 +402,6 @@ object TextStats {
           .as("containment"))
       .orderBy("source_a", "source_b")
   }
-
-  def sourceDupStats(documents: DataFrame): DataFrame =
-    documents
-      .select(col("source"), col("n_chars"),
-        md5(normText(col("text"))).as("fp"))
-      .groupBy("source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("fp")).as("n_unique"),
-        sum(col("n_chars")).as("sum_chars"))
-      .select(col("source"), col("n_docs"), col("n_unique"), col("sum_chars"),
-        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 4)
-          .as("dup_rate"))
-      .orderBy("source")
 
   /** One-row corpus health report: sizes, exact distinct sources /
     * langs / fingerprints, and the exact-duplicate rate those

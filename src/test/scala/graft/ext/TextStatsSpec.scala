@@ -345,6 +345,30 @@ class TextStatsSpec extends SparkSpec {
     assert(got.keySet == Set(("A", "B"), ("B", "A")), s"got ${got.keySet}")
   }
 
+  test("sourceOverlap: empty/NULL text is not shared content") {
+    import spark.implicits._
+    // whitespace-only docs in D and E, a NULL-text doc in F: none of
+    // these may manufacture a pair (the '' segment is excluded), and
+    // the real D/E overlap through a genuine shared segment still shows
+    val shared10 = (1 to 10).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, "   ", "D"), (2L, shared10, "D"),
+      (3L, "\t ", "E"), (4L, shared10, "E"),
+      (5L, null.asInstanceOf[String], "F"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "coalesce(length(text), 0) AS n_chars")
+    val got = TextStats.sourceOverlap(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    graft.core.CacheScope.releaseAll()
+    // F never pairs; D/E pair ONLY on the real segment, and the ''
+    // segment is excluded from the n_unique denominators too
+    assert(got.keySet == Set(("D", "E"), ("E", "D")), s"got ${got.keySet}")
+    assert(got(("D", "E")) == ((1L, 1L)) && got(("E", "D")) == ((1L, 1L)),
+      s"phantom segments leaked into the counts: $got")
+  }
+
   test("sourceOverlap on testdata: symmetric counts, bounded containment") {
     val d = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
     val got = TextStats.sourceOverlap(d).collect()
