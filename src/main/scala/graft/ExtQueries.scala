@@ -1167,15 +1167,24 @@ object ExtQueries {
       // iteration's centroids are engine-reproducible, so the DuckDB
       // oracle unrolls the SAME 3 Lloyd iterations in SQL and lands on
       // bit-identical centroids — training AND query are oracle-checked.
-      val index = Similarity.buildIvfIndex(e, nCentroids = 16, iterations = 3,
+      val trained = Similarity.buildIvfIndex(e, nCentroids = 16, iterations = 3,
         portable = true)
+      // artifact round-trip IN the declared key: the offline build job
+      // persists centroids (saveIndex) beside the clustered layout;
+      // serving below consumes the LOADED index, never the in-memory
+      // one — so the oracle hash covers the persistence path too
+      // (parquet float32 round-trips bit-exactly; IvfPersistSpec pins
+      // the save→load→serve equality directly)
+      val base = s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}"
+      Similarity.saveIndex(s, trained, s"$base/ivf_index")
+      val index = Similarity.loadIndex(s, s"$base/ivf_index")
       val assigned = Similarity.ivfAssignPortableTo(e, index.centroids)
       // physical layout step: vectors persisted PARTITIONED by
       // centroid_id; the probe then prunes FILES (PartitionFilters),
       // not just compute — same rows as the semi-join plan. The path is
       // applicationId-scoped: two concurrent processes (a bench beside
       // a verify) must never overwrite each other's layout mid-scan
-      val path = s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}/ivf_clustered"
+      val path = s"$base/ivf_clustered"
       Similarity.writeClustered(assigned, path)
       val probe = Similarity.defaultProbe(e)
       val ids = Similarity.probeCentroidIds(index.toDF(s), probe, nProbe = 4,
@@ -1321,6 +1330,12 @@ object ExtQueries {
       // into exact 512-token training blocks, docs splitting across
       // boundaries — global offsets via a two-level distributed scan
       Corpus.packSequences(docs(s, dir))),
+    "trainer_order_documents" -> ((s: SparkSession, dir: String) =>
+      // the composed trainer terminal: pack_sequences → shuffle_blocks
+      // → stride schedule across the shard streams, as ONE relation —
+      // the end-to-end (sched, shard, pos, block) order a trainer
+      // reads, oracle-pinned so the stages cannot drift in composition
+      Corpus.trainerOrder(docs(s, dir), nShards = PackShards)),
     "select_budget_documents" -> ((s: SparkSession, dir: String) =>
       // "best B tokens": greedy by quality score desc, boundary stratum
       // by doc_id — score-histogram classification, so only ONE score
@@ -1947,6 +1962,37 @@ object ExtQueries {
          |  (row_number() OVER (PARTITION BY k % $S ORDER BY k, block_id)
          |    - 1)::BIGINT AS pos
          |FROM sb_k ORDER BY block_id""".stripMargin
+    },
+    // composed trainer terminal: the shuffle_blocks chain verbatim,
+    // then the stride/WFQ schedule across shard streams with weights
+    // ∝ stream length — (2·pos+1)/(2·c) is one double division of
+    // exact longs on both engines, the mixture_schedule convention
+    "trainer_order_documents" -> {
+      val L = Corpus.PackBlockTokens
+      val S = PackShards
+      s"""WITH ${bpeEncodeCtes(Bpe.DefaultMerges)},
+         |${packCtes(L)},
+         |sb_r AS (SELECT doc_id, block_id::BIGINT AS block_id,
+         |    (least(off + c, (block_id + 1) * $L)
+         |      - greatest(off, block_id * $L))::BIGINT AS n_tokens
+         |  FROM ps_s),
+         |sb_blk AS (SELECT block_id, count(*)::BIGINT AS n_docs,
+         |    sum(n_tokens)::BIGINT AS n_tokens
+         |  FROM sb_r GROUP BY block_id),
+         |sb_s AS (SELECT DISTINCT 'blk:' || block_id::VARCHAR AS s FROM sb_blk),
+         |${hash64Ctes("sbk", "sb_s", "s")},
+         |sb_k AS (SELECT b.block_id, b.n_docs, b.n_tokens,
+         |    (h % 9223372036854775808::UHUGEINT)::BIGINT AS k
+         |  FROM sb_blk b JOIN sbk_h64 ON sbk_h64.s = 'blk:' || b.block_id::VARCHAR),
+         |to_sb AS (SELECT block_id, n_docs, n_tokens, (k % $S)::BIGINT AS shard,
+         |    (row_number() OVER (PARTITION BY k % $S ORDER BY k, block_id)
+         |      - 1)::BIGINT AS pos
+         |  FROM sb_k),
+         |to_c AS (SELECT shard, count(*)::BIGINT AS c FROM to_sb GROUP BY shard)
+         |SELECT (pos * 2 + 1) / (c * 2) AS sched_key, shard, pos,
+         |  block_id, n_docs, n_tokens
+         |FROM to_sb JOIN to_c USING (shard)
+         |ORDER BY sched_key, shard, pos""".stripMargin
     },
     // tokenizer-TRUE budget selection: the select_budget chain with the
     // per-doc cost swapped from the ws proxy to the trained BPE encode

@@ -1007,6 +1007,44 @@ object Corpus {
       .orderBy("block_id")
   }
 
+  /** The composed trainer terminal — the exact order a training job
+    * reads the corpus, as ONE declared relation: [[packSequences]]
+    * (block tiling of the trained-BPE token stream) →
+    * [[shuffleBlocks]] (content-addressed permutation into `nShards`
+    * per-shard streams, each in `pos` order) → the
+    * [[mixtureSchedule]] stride/WFQ key applied ACROSS the shard
+    * streams, with each stream's weight ∝ its block count, so every
+    * training prefix draws shards in proportion to their size and all
+    * streams exhaust at the same virtual time. Each stage is
+    * individually oracle-green; this key pins their END-TO-END
+    * composition (the `curate_full` precedent): one row per block,
+    * `(sched_key, shard, pos, block_id, n_docs, n_tokens)`, total
+    * ORDER BY (sched_key, shard, pos) = the trainer's read order.
+    *
+    * sched_key = (2·pos+1)/(2·c_shard): numerator and denominator are
+    * exact in long, one correctly-rounded double division — portable
+    * across engines, the [[mixtureSchedule]] convention.
+    *
+    * Scale shape: nothing beyond [[shuffleBlocks]]'s own operators — a
+    * shard-count aggregate (≤ nShards rows, CONFIG-bounded) broadcast
+    * back, one narrow key projection, and the declared total sort. No
+    * global row-number, no new corpus shuffle.
+    */
+  def trainerOrder(
+      documents: DataFrame,
+      nShards: Int = 8,
+      blockTokens: Int = PackBlockTokens,
+      merges: Int = Bpe.DefaultMerges,
+      maxWordTypes: Int = Bpe.DefaultMaxWordTypes): DataFrame = {
+    val blocks = shuffleBlocks(documents, nShards, blockTokens, merges, maxWordTypes)
+    val counts = blocks.groupBy("shard").agg(count(lit(1)).as("_c"))
+    blocks.join(broadcast(counts), Seq("shard"))
+      .withColumn("sched_key", (col("pos") * 2 + 1) / (col("_c") * 2))
+      .select(col("sched_key"), col("shard"), col("pos"),
+        col("block_id"), col("n_docs"), col("n_tokens"))
+      .orderBy("sched_key", "shard", "pos")
+  }
+
   def packSequences(
       documents: DataFrame,
       blockTokens: Int = PackBlockTokens,

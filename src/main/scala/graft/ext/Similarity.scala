@@ -268,6 +268,34 @@ object Similarity {
       portable: Boolean = false): IvfIndex =
     IvfIndex(kMeansCentroids(embeddings, nCentroids, iterations, portable))
 
+  /** Persist a trained index as a first-class parquet artifact
+    * (`centroid_id BIGINT, cvec ARRAY<FLOAT>`) — the missing half of
+    * the offline build job: [[writeClustered]] persists the vector
+    * LAYOUT, this persists the centroids the layout was built against,
+    * so serving queries ([[ivfTopKClustered]], [[knnJoinAssigned]],
+    * streaming similarity/drift) load instead of re-training Lloyd
+    * in-query. Parquet float32 round-trips bit-exactly, so a loaded
+    * index serves bit-identical results to the in-memory one
+    * (spec-pinned). `coalesce(1)`: the artifact is k×dim driver-scale
+    * data — one file, one footer, trivially broadcastable on load.
+    */
+  def saveIndex(spark: SparkSession, index: IvfIndex, path: String): Unit =
+    index.toDF(spark).coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted index ([[saveIndex]]). Centroids come back
+    * sorted by `centroid_id` — argmin assignment and probe ranking are
+    * order-independent (both compare `(score, cid)` structs), so any
+    * in-memory ordering serves identically; sorting makes the loaded
+    * artifact canonical for equality checks. The collect is the index
+    * (k rows), never data.
+    */
+  def loadIndex(spark: SparkSession, path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(path)
+      .select(col("centroid_id"), col("cvec"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .sortBy(_._1).toSeq)
+
   /** Assign every vector to its nearest centroid in ONE narrow
     * projection: the tiny centroid set is folded into literal
     * expressions (nCentroids codegen'd cosine kernels per row, zero

@@ -197,6 +197,94 @@ object Loader {
   /** The swap table the unpartitioned rewrite stages into. */
   def swapName(table: String): String = s"${table}_merged_swap"
 
+  // ------------------------------------------------- single-writer lease
+
+  /** Age after which another writer may BREAK a lease: a crashed
+    * writer's lease must not brick its table forever, and the engine
+    * has no heartbeat channel — the TTL is the reap, the
+    * [[recoverFromSwap]]-at-startup pattern applied to liveness. Sized
+    * generously above any single merge/compact/zorder pass; a healthy
+    * writer finishes and releases long before it.
+    */
+  val LeaseTtlMs: Long = 30L * 60 * 1000
+
+  // leases this JVM currently holds — re-entrancy: load() calls
+  // mergeInto, a composed maintenance job may compact then zorder;
+  // the same session re-entering its own lease is one writer, not two
+  private val heldLeases = scala.collection.mutable.Set.empty[String]
+
+  /** Where the lease for `table` lives — public for specs/ops tooling. */
+  def leaseFile(
+      spark: org.apache.spark.sql.SparkSession, table: String): java.nio.file.Path = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    java.nio.file.Paths.get(wh, "_graft_leases",
+      table.replaceAll("[^a-zA-Z0-9_.-]", "_") + ".lease")
+  }
+
+  /** Single-writer guard for the in-place table rewriters
+    * ([[mergeInto]], [[compact]], [[zorder]]): two sessions rewriting
+    * the SAME target race on the drop→rename window and on dynamic
+    * partition overwrite, with no detection — without a transaction
+    * log the engine cannot make that safe, so it makes it LOUD. A
+    * lease file (owner applicationId + timestamp, atomically created)
+    * marks the table as being written; a second writer gets an
+    * [[IllegalStateException]] naming the holder instead of a silent
+    * race. Releases on exit (including failure — the crash window is
+    * process death, covered by the TTL reap); re-entrant within one
+    * session. Lease files live under `warehouse/_graft_leases/`, never
+    * inside the table directory (a swap rewrite replaces that).
+    */
+  private def withLease[A](
+      spark: org.apache.spark.sql.SparkSession, table: String)(body: => A): A = {
+    val path = leaseFile(spark, table)
+    val key = path.toString
+    val reentrant = heldLeases.synchronized(heldLeases.contains(key))
+    if (reentrant) body
+    else {
+      acquireLease(spark, table)
+      heldLeases.synchronized(heldLeases += key)
+      try body
+      finally {
+        heldLeases.synchronized(heldLeases -= key)
+        java.nio.file.Files.deleteIfExists(path)
+      }
+    }
+  }
+
+  /** Acquire the write lease on `table` or throw loudly. Exposed so a
+    * spec (or an operator's own orchestration) can simulate/observe the
+    * second-writer refusal; [[withLease]] is the internal entry.
+    */
+  def acquireLease(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      ttlMs: Long = LeaseTtlMs): Unit = {
+    val path = leaseFile(spark, table)
+    java.nio.file.Files.createDirectories(path.getParent)
+    val content =
+      s"${spark.sparkContext.applicationId} ${System.currentTimeMillis()}"
+    try {
+      java.nio.file.Files.createFile(path) // atomic fail-if-exists
+      java.nio.file.Files.write(path, content.getBytes("UTF-8"))
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val raw = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        val parts = raw.split(' ')
+        val owner = parts.headOption.getOrElse("<unknown>")
+        val ts = if (parts.length > 1) parts(1).toLongOption.getOrElse(0L) else 0L
+        val age = System.currentTimeMillis() - ts
+        if (age < ttlMs)
+          throw new IllegalStateException(
+            s"table `$table` is being written by $owner " +
+              s"(lease ${age / 1000}s old at $path); concurrent " +
+              "merge/compact/zorder on one target is a silent race — " +
+              "retry after it releases, or delete the lease if the " +
+              "writer is known dead")
+        // stale lease: the TTL reap — replace it and proceed
+        java.nio.file.Files.write(path, content.getBytes("UTF-8"))
+    }
+  }
+
   /** Crash recovery for the swap rewrite: the drop-then-rename at the
     * end of an unpartitioned Update has a window where the target name
     * is absent but the fully-written swap table exists (saveAsTable
@@ -259,7 +347,7 @@ object Loader {
       table: String,
       staging: DataFrame,
       keys: Seq[String],
-      broadcastStaging: Option[Boolean] = None): Unit = {
+      broadcastStaging: Option[Boolean] = None): Unit = withLease(spark, table) {
     val target = spark.table(table)
     val info = org.apache.spark.sql.GraftBridge.tableInfo(spark, table)
     val pcols = info.partitionColumnNames
@@ -375,7 +463,7 @@ object Loader {
       spark: org.apache.spark.sql.SparkSession,
       table: String,
       maxFilesPerPartition: Int = CompactMaxFiles,
-      targetFileBytes: Long = 128L << 20): Int = {
+      targetFileBytes: Long = 128L << 20): Int = withLease(spark, table) {
     require(maxFilesPerPartition >= 1, "threshold must be >= 1 file")
     val target = spark.table(table)
     val info = org.apache.spark.sql.GraftBridge.tableInfo(spark, table)
@@ -482,7 +570,7 @@ object Loader {
     require(bits >= 1 && bits * zcols.size <= 31,
       s"interleaved key must fit an int: $bits bits x ${zcols.size} cols")
     val target = spark.table(table)
-    if (target.inputFiles.isEmpty) return 0
+    if (target.inputFiles.isEmpty) 0 else withLease(spark, table) {
     val info = org.apache.spark.sql.GraftBridge.tableInfo(spark, table)
     // writeTableLike re-applies bucketBy for bucketed tables, which
     // would split every z-range partition into per-bucket files —
@@ -525,6 +613,7 @@ object Loader {
     dropTable(spark, table)
     renameTable(spark, swap, table)
     spark.table(table).inputFiles.length
+    }
   }
 
   /** O19, `final_load_data_into_bigquery`: dispatch a batch of rows into

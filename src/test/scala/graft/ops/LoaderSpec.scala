@@ -561,4 +561,54 @@ class LoaderSpec extends SparkSpec {
     assert(Loader.compact(spark, "compact_flat_target") == 0)
     spark.sql("DROP TABLE IF EXISTS compact_flat_target")
   }
+
+  test("single-writer lease: a second writer gets a loud refusal, not a silent race (r12 verdict #6)") {
+    import spark.implicits._
+    dropWithLocation("lease_target")
+    target.write.mode("overwrite").saveAsTable("lease_target")
+    val staging = Seq((2L, "b2", 22.0)).toDF("k", "name", "v")
+    // simulate a SECOND writer holding the lease: acquireLease creates
+    // the file without registering it as held by this session's
+    // rewriters, so the next mergeInto sees a foreign fresh lease
+    Loader.acquireLease(spark, "lease_target")
+    val e = intercept[IllegalStateException] {
+      Loader.mergeInto(spark, "lease_target", staging, Seq("k"))
+    }
+    assert(e.getMessage.contains("lease_target") &&
+      e.getMessage.contains("being written"), e.getMessage)
+    // the refused merge must not have touched the table
+    assert(spark.table("lease_target").count() == 3)
+    // compact and zorder refuse through the same gate
+    intercept[IllegalStateException] {
+      Loader.compact(spark, "lease_target")
+    }
+    intercept[IllegalStateException] {
+      Loader.zorder(spark, "lease_target", Seq("v"), nFiles = 2)
+    }
+    // writer done: lease released → the merge proceeds and RELEASES
+    java.nio.file.Files.deleteIfExists(Loader.leaseFile(spark, "lease_target"))
+    Loader.mergeInto(spark, "lease_target", staging, Seq("k"))
+    assert(spark.table("lease_target").filter(col("k") === 2L)
+      .collect()(0).getString(1) == "b2")
+    assert(!java.nio.file.Files.exists(Loader.leaseFile(spark, "lease_target")),
+      "lease must release after a successful merge")
+    spark.sql("DROP TABLE IF EXISTS lease_target")
+  }
+
+  test("single-writer lease: a stale lease (dead writer) is reaped, not honored") {
+    import spark.implicits._
+    dropWithLocation("lease_stale_target")
+    target.write.mode("overwrite").saveAsTable("lease_stale_target")
+    val path = Loader.leaseFile(spark, "lease_stale_target")
+    java.nio.file.Files.createDirectories(path.getParent)
+    // a crashed writer's lease: older than the TTL
+    val old = System.currentTimeMillis() - Loader.LeaseTtlMs - 1000
+    java.nio.file.Files.write(path, s"app-dead-writer $old".getBytes("UTF-8"))
+    val staging = Seq((3L, "c2", 33.0)).toDF("k", "name", "v")
+    Loader.mergeInto(spark, "lease_stale_target", staging, Seq("k"))
+    assert(spark.table("lease_stale_target").filter(col("k") === 3L)
+      .collect()(0).getString(1) == "c2")
+    assert(!java.nio.file.Files.exists(path), "reaped lease must also release")
+    spark.sql("DROP TABLE IF EXISTS lease_stale_target")
+  }
 }
