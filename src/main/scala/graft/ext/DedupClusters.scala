@@ -77,9 +77,13 @@ object DedupClusters {
     val sym = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst")))
       .transform(graft.core.CacheScope.persist)
-    var labels = documents
-      .select(col("doc_id").cast("long").as("v"),
-        col("doc_id").cast("long").as("cluster_id"))
+    // iterate ONLY over edge-touched vertices: a vertex with no pair can
+    // never change its label, and the near-dup graph is a sliver of the
+    // corpus — looping over all documents would pay O(|corpus|) joins
+    // per round for rows the final coalesce-to-self covers anyway
+    // (r13: this halved the two declared CC keys; labels unchanged)
+    var labels = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("cluster_id"))
     // previous round's checkpoint: released once the NEXT round has
     // materialized (its blocks are unrecoverable after release — the
     // lineage was truncated), so peak pinned storage is 2 rounds, not

@@ -374,18 +374,38 @@ object BpeApply {
     var i = 0
     while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
     syms(w.length) = eow
+    // present-symbol set: a merge pass can only fire when BOTH its
+    // symbols occur in the current sequence, so absent-symbol merges
+    // skip in two hash probes instead of an O(len) scan. At production
+    // vocab (merges ≥ 1024) the full-scan form is O(m·len) per word —
+    // the r13 probe measured the skip at >40× there — while ≤ len-1
+    // merges can ever actually fire (each shortens the sequence).
+    // BIT-IDENTICAL by construction: only provably-no-op passes skip
+    // (the set is a superset of live symbols — consumed ones linger,
+    // which only costs a scan, never skips a live pass); the m=8
+    // declared oracle keys pin the equality.
+    val present = new java.util.HashSet[String](syms.length * 2)
+    i = 0
+    while (i < syms.length) { present.add(syms(i)); i += 1 }
     var m = 0
     while (m < ls.length) {
-      val l = ls(m); val r = rs(m); val merged = l + r
-      val b = new Array[String](syms.length)
-      var n = 0
-      var j = 0
-      while (j < syms.length) {
-        if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
-          b(n) = merged; n += 1; j += 2
-        } else { b(n) = syms(j); n += 1; j += 1 }
+      val l = ls(m); val r = rs(m)
+      if (present.contains(l) && present.contains(r)) {
+        val merged = l + r
+        val b = new Array[String](syms.length)
+        var n = 0
+        var j = 0
+        var fired = false
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            b(n) = merged; n += 1; j += 2; fired = true
+          } else { b(n) = syms(j); n += 1; j += 1 }
+        }
+        if (fired) {
+          syms = java.util.Arrays.copyOf(b, n)
+          present.add(merged)
+        }
       }
-      syms = java.util.Arrays.copyOf(b, n)
       m += 1
     }
     syms
