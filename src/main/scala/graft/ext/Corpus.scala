@@ -457,6 +457,32 @@ object Corpus {
     * overflow. Shared by [[decontaminateBloom]] and the streaming face
     * (`StreamDecontaminate`) — one builder, one position function.
     */
+  /** The frozen contamination artifact: the bitmap BUNDLED with the
+    * parameters it was built under. A probe with a different gram
+    * width, hash count, or bitmap size than the build silently loses
+    * the no-false-negative guarantee (contaminated docs stream through
+    * flagged clean) — so the builder returns the whole tuple and the
+    * consumers ([[decontaminateBloom]]'s confirm,
+    * [[graft.streaming.StreamDecontaminate.filterStream]]) take the
+    * artifact, never loose (bits, mBits, nHashes, n) that could drift.
+    */
+  final case class BloomArtifact(
+      bits: Array[Long], mBits: Int, nHashes: Int, n: Int) {
+    require(bits.length.toLong * 64 == mBits.toLong,
+      s"bitmap length ${bits.length} does not match mBits=$mBits")
+  }
+
+  /** Build the frozen [[BloomArtifact]] for a benchmark corpus — the
+    * bundled form of [[bloomBitmap]]; all probe sites should consume
+    * this, not a bare bitmap.
+    */
+  def bloomArtifact(
+      benchmark: DataFrame,
+      n: Int = 8,
+      mBits: Int = 1 << 20,
+      nHashes: Int = 2): BloomArtifact =
+    BloomArtifact(bloomBitmap(benchmark, n, mBits, nHashes), mBits, nHashes, n)
+
   def bloomBitmap(
       benchmark: DataFrame,
       n: Int = 8,
@@ -502,19 +528,21 @@ object Corpus {
       mBits: Int = 1 << 20,
       nHashes: Int = 2): DataFrame = {
     import graft.functions.GraftFunctions.{bloomAny, ngramHashes}
-    val bits = bloomBitmap(benchmark, n, mBits, nHashes)
+    val art = bloomArtifact(benchmark, n, mBits, nHashes)
     // probe: one narrow pass marks the suspicious sliver; clean docs
-    // never explode, never join. The sliver is pinned WITH its gram
-    // arrays — without the pin, the confirm's scan re-evaluates the
-    // filter and the corpus pays the gram-hash pass TWICE (measured
-    // 1.4× the exact plan at sf10 before this pin; the sliver is small
-    // by construction, so pinning it is bytes, not a corpus cache)
+    // never explode, never join. Probe parameters come off the bundled
+    // artifact — they CANNOT drift from the build's. The sliver is
+    // pinned WITH its gram arrays — without the pin, the confirm's
+    // scan re-evaluates the filter and the corpus pays the gram-hash
+    // pass TWICE (measured 1.4× the exact plan at sf10 before this
+    // pin; the sliver is small by construction, so pinning it is
+    // bytes, not a corpus cache)
     val suspicious = graft.core.CacheScope.persist(
       documents
-        .select(col("doc_id"), ngramHashes(col("text"), n).as("_g"))
-        .filter(bloomAny(col("_g"), bits, nHashes, mBits)))
+        .select(col("doc_id"), ngramHashes(col("text"), art.n).as("_g"))
+        .filter(bloomAny(col("_g"), art.bits, art.nHashes, art.mBits)))
     val bGrams = benchmark
-      .select(explode(ngramHashes(col("text"), n)).as("gram"))
+      .select(explode(ngramHashes(col("text"), art.n)).as("gram"))
       .distinct()
     val hits = suspicious
       .select(col("doc_id"), explode(col("_g")).as("gram"))

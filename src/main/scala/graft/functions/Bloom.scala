@@ -135,6 +135,26 @@ case class BloomAnyExpr(child: Expression, bits: Array[Long], k: Int, mBits: Int
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_bloom_any"
 
+  // CONTENT equality (ADVICE r12 #2): the generated case-class equals
+  // compares the Array[Long] by reference, so two semantically
+  // identical probes never compare equal — blocking subexpression
+  // elimination and plan canonicalization. The fingerprint is computed
+  // once per instance; equals short-circuits on it before the O(n)
+  // array compare. The payload must not be mutated after plan
+  // construction (it is shared across copy(), as with every
+  // plan-constant reference object).
+  private lazy val bitsFp: Int = java.util.Arrays.hashCode(bits)
+
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomAnyExpr =>
+      k == b.k && mBits == b.mBits && child == b.child &&
+        bitsFp == b.bitsFp && java.util.Arrays.equals(bits, b.bits)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    ((bitsFp * 31 + k) * 31 + mBits) * 31 + child.hashCode()
+
   override protected def nullSafeEval(input: Any): Any =
     BloomOps.anyHit(input.asInstanceOf[ArrayData], bits, k, mBits)
 
@@ -156,6 +176,21 @@ case class LongSetAnyExpr(child: Expression, set: java.util.HashSet[java.lang.Lo
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_long_set_any"
+
+  // HashSet equality IS content-based, but its hashCode is O(n) per
+  // call — and canonicalization hashes expressions repeatedly. Compute
+  // the set fingerprint once per instance and short-circuit equals on
+  // it (ADVICE r12 #2). The set must not be mutated after plan
+  // construction (shared across copy()).
+  private lazy val setFp: Int = set.hashCode()
+
+  override def equals(other: Any): Boolean = other match {
+    case l: LongSetAnyExpr =>
+      child == l.child && setFp == l.setFp && set.equals(l.set)
+    case _ => false
+  }
+
+  override def hashCode(): Int = setFp * 31 + child.hashCode()
 
   override protected def nullSafeEval(input: Any): Any =
     BloomOps.anyInSet(input.asInstanceOf[ArrayData], set)

@@ -65,19 +65,21 @@ object StreamDecontaminate {
     */
   def filterStream(
       stream: DataFrame,
-      bits: Array[Long],
-      gramSet: java.util.HashSet[java.lang.Long],
-      n: Int = 8,
-      mBits: Int = 1 << 20,
-      nHashes: Int = 2): DataFrame = {
-    require(bits.length.toLong * 64 == mBits.toLong,
-      s"bitmap length ${bits.length} does not match mBits=$mBits")
+      artifact: graft.ext.Corpus.BloomArtifact,
+      gramSet: java.util.HashSet[java.lang.Long]): DataFrame = {
+    // the probe parameters (gram width, hash count, bitmap size) ride
+    // the bundled artifact, so they CANNOT drift from the build's — a
+    // probe built with different values silently loses the
+    // no-false-negative guarantee, which is why loose parameters are
+    // not accepted here (ADVICE r12 #1)
     import graft.functions.GraftFunctions.{bloomAny, longSetAny, ngramHashes}
     stream
       .select(col("doc_id"),
-        ngramHashes(col("text"), n).as("_g"))
+        ngramHashes(col("text"), artifact.n).as("_g"))
       .select(col("doc_id"),
-        coalesce(bloomAny(col("_g"), bits, nHashes, mBits), lit(false))
+        coalesce(
+          bloomAny(col("_g"), artifact.bits, artifact.nHashes, artifact.mBits),
+          lit(false))
           .as("suspicious"), col("_g"))
       .select(col("doc_id"), col("suspicious"),
         when(col("suspicious"),

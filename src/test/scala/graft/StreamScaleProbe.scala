@@ -117,12 +117,12 @@ object StreamScaleProbe {
         // window), then every row is one codegen'd projection
         val df = graft.io.Sources.table(spark, sfDir, "documents")
         val bench = df.filter(col("doc_id") % 97 === 0)
-        val bits = graft.ext.Corpus.bloomBitmap(bench)
+        val art = graft.ext.Corpus.bloomArtifact(bench)
         val set = StreamDecontaminate.benchGramSet(bench)
         drive[DecontDoc]("decontaminate",
           docRows.toSeq.filter(_._1 % 97 != 0)
             .map(r => DecontDoc(r._1, r._2, r._3, r._4, 0L)),
-          in => StreamDecontaminate.filterStream(in.toDF(), bits, set))
+          in => StreamDecontaminate.filterStream(in.toDF(), art, set))
       case "drift" =>
         // the running-aggregate monitoring face: state = k cells, the
         // smallest state class of the stateful faces

@@ -172,4 +172,26 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains(
       "graft_random_project expects an array<float> argument"))
   }
+
+  test("bloom/set expressions canonicalize by CONTENT, not reference (ADVICE r12 #2)") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val child = BoundReference(0, ArrayType(LongType), nullable = true)
+    // two separately-allocated but identical payloads must compare equal
+    // (subexpression elimination / plan canonicalization depend on it)
+    val b1 = BloomAnyExpr(child, Array(1L, 2L, 3L), 2, 192)
+    val b2 = BloomAnyExpr(child, Array(1L, 2L, 3L), 2, 192)
+    assert(b1 == b2 && b1.hashCode == b2.hashCode)
+    assert(b1 != BloomAnyExpr(child, Array(1L, 2L, 4L), 2, 192))
+    assert(b1 != BloomAnyExpr(child, Array(1L, 2L, 3L), 1, 192))
+    def set(xs: Long*) = {
+      val s = new java.util.HashSet[java.lang.Long]()
+      xs.foreach(x => s.add(x))
+      s
+    }
+    val s1 = LongSetAnyExpr(child, set(7L, 9L))
+    val s2 = LongSetAnyExpr(child, set(9L, 7L))
+    assert(s1 == s2 && s1.hashCode == s2.hashCode)
+    assert(s1 != LongSetAnyExpr(child, set(7L)))
+  }
 }

@@ -29,10 +29,10 @@ class StreamDecontaminateSpec extends SparkSpec {
   private def runStream(
       batches: Seq[Seq[DecontDoc]], name: String): Seq[(Long, Boolean, Boolean)] = {
     implicit val sqlCtx = spark.sqlContext
-    val bits = Corpus.bloomBitmap(benchDf)
+    val art = Corpus.bloomArtifact(benchDf)
     val set = StreamDecontaminate.benchGramSet(benchDf)
     val input = MemoryStream[DecontDoc]
-    val q = StreamDecontaminate.filterStream(input.toDF(), bits, set)
+    val q = StreamDecontaminate.filterStream(input.toDF(), art, set)
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()
     try {
@@ -72,12 +72,11 @@ class StreamDecontaminateSpec extends SparkSpec {
     }
   }
 
-  test("bitmap/mBits mismatch fails construction, not per-row") {
-    implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[DecontDoc]
+  test("bitmap/mBits mismatch fails at ARTIFACT construction, not per-row") {
+    // the bundle is the guard: a bitmap that does not match its declared
+    // mBits cannot even be wrapped, so no probe site can ever hold one
     intercept[IllegalArgumentException] {
-      StreamDecontaminate.filterStream(input.toDF(), new Array[Long](8),
-        new java.util.HashSet[java.lang.Long]())
+      Corpus.BloomArtifact(new Array[Long](8), 1 << 20, 2, 8)
     }
   }
 }
