@@ -81,6 +81,11 @@ object ExtQueries {
   val KnnProbeModulus: Int = 97
   val KnnProbeLimit: Int = 16
 
+  /** Edges per vertex in the declared kNN-graph key — ONE constant,
+    * interpolated into the engine call and the oracle's rank cut.
+    */
+  val KnnGraphK: Int = 4
+
   /** THE capped probe batch of the serving-contract keys (kNN join /
     * PQ join / recall gates / negative mining / classification) — one
     * definition, so a probe-contract change cannot land in some keys
@@ -1103,6 +1108,12 @@ object ExtQueries {
       val probes = probeBatch(e)
       Similarity.knnJoin(e, probes)
     }),
+    "knn_graph_embeddings" -> ((s: SparkSession, dir: String) =>
+      // kNN-graph construction: the knn_join shape with probes = the
+      // CORPUS — every vector's 4 nearest neighbors (self excluded)
+      // among its probed cells; both sides shuffle on centroid_id (the
+      // probe side cannot broadcast when it IS the corpus)
+      Similarity.knnGraph(embs(s, dir), k = KnnGraphK)),
     "similarity_knn_join_pq_embeddings" -> ((s: SparkSession, dir: String) => {
       // the retrieval capstone as a declared key: the batch kNN JOIN
       // through the PRODUCTION stack (IVF cell restriction -> PQ ADC
@@ -2536,6 +2547,33 @@ object ExtQueries {
          |  SELECT kc.*, row_number() OVER (PARTITION BY probe_id
          |    ORDER BY cosine DESC, vec_id) AS rn FROM kc)
          |WHERE rn <= 10
+         |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin,
+    // kNN graph: the knn_join CTE chain with the probe table widened
+    // to the whole corpus, a self-exclusion filter on the candidates,
+    // and the rank cut at KnnGraphK
+    "knn_graph_embeddings" ->
+      s"""WITH kp AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings),
+         |kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |    ORDER BY vec_id LIMIT 16),
+         |kasg AS (SELECT vec_id, label, embedding, cid FROM (
+         |    SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.embedding", "c.cvec", 64)}, 6) DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN kcent c) WHERE rn = 1),
+         |kpr AS (SELECT probe_id, cid FROM (
+         |    SELECT p.probe_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY round(${cosSql("c.cvec", "p.pe", 64)}, 6) DESC, c.cid) AS rn
+         |    FROM kcent c CROSS JOIN kp p) WHERE rn <= 4),
+         |kc AS (SELECT pr.probe_id, a.vec_id, a.label,
+         |      round(${cosSql("a.embedding", "p.pe", 64)}, 6) AS cosine
+         |    FROM kasg a JOIN kpr pr ON a.cid = pr.cid
+         |                JOIN kp p ON p.probe_id = pr.probe_id
+         |    WHERE a.vec_id <> pr.probe_id)
+         |SELECT probe_id, vec_id, label, cosine FROM (
+         |  SELECT kc.*, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cosine DESC, vec_id) AS rn FROM kc)
+         |WHERE rn <= $KnnGraphK
          |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin,
     // hard-negative mining: the knn_join CTE chain with the anchor's
     // label carried into kp and a label <> probe_label filter on the

@@ -603,6 +603,50 @@ object Similarity {
       .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
   }
 
+  /** kNN-GRAPH construction — [[knnJoin]] with the probe table equal
+    * to the CORPUS: for every vector, its `k` nearest neighbors (self
+    * excluded) among its `nProbe` closest seed-centroid cells, one row
+    * per directed edge `(probe_id, vec_id, label, cosine)`. The
+    * primitive under graph-based ANN serving, label propagation, and
+    * connectivity-based curation (an NN-Descent-style refinement
+    * would iterate exactly this edge table).
+    *
+    * Scale shape — the ONE place [[knnJoinAssigned]]'s probe-broadcast
+    * contract must flip: probes are the corpus, so the probe×cell
+    * expansion (nProbe rows per vector) does NOT broadcast and no
+    * cell-id collect happens (every cell is probed); both sides
+    * SHUFFLE on `centroid_id`, and the join work is Σ over cells of
+    * (cell size × probes probing the cell) — the SemDeDup within-cell
+    * quadratic, bounded by the k ∝ n law exactly like
+    * [[semanticPairs]]. The per-probe top-k window partitions on
+    * `probe_id` (per-vector state, never corpus-bounded). Rankings at
+    * 6 dp with id tie-breaks — the family's oracle-portability
+    * contract.
+    */
+  def knnGraph(
+      embeddings: DataFrame,
+      k: Int = 4,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val cents = seedCentroids(embeddings, nCentroids)
+    val assigned = ivfAssignPortableTo(embeddings, cents)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"), col("label"))
+    val probeCells = probeCellsOf(
+      embeddings.select(col("vec_id").as("probe_id"), col("embedding")),
+      cents, nProbe)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned
+      .join(probeCells, Seq("centroid_id")) // shuffle join — NO broadcast
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+        round(cosine(col("_pe"), col("embedding")), 6).as("cosine"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
+  }
+
   /** Brute-force per-probe exact top-k with probes as DATA — the
     * ground-truth kernel for batch recall evaluation ([[topK]]'s
     * contract per probe, [[knnJoin]]'s output shape). The bounded

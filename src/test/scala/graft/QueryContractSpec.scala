@@ -93,9 +93,14 @@ class QueryContractSpec extends AnyFunSuite {
     // mixture_schedule_documents (stride/WFQ virtual-time schedule:
     // every training prefix holds the language weight proportions),
     // source_overlap_documents (pairwise source containment at segment
-    // granularity — the drop/down-weight signal for mixture fitting)
-    assert(SparkEntry.queries.size == 153,
-      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.15 if intentional)")
+    // granularity — the drop/down-weight signal for mixture fitting).
+    // Round 13 (SURVEY §2.16): trainer_order_documents (the composed
+    // trainer terminal: pack -> shuffle -> stride schedule as ONE
+    // oracle-pinned relation) and knn_graph_embeddings (kNN-graph
+    // construction: the knn_join shape with probes = the corpus,
+    // shuffle-join on centroid_id, self excluded)
+    assert(SparkEntry.queries.size == 155,
+      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.16 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +
         "(every declared key is oracle-checked as of r9; update SURVEY §2.13 if intentional)")

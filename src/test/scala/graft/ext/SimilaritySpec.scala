@@ -991,4 +991,28 @@ class SimilaritySpec extends SparkSpec {
     // every populated cell reports exactly once
     assert(got.map(_._1).toSet == (wantIdx.keySet ++ wantNew.keySet))
   }
+
+  test("knnGraph: per-vertex edges equal the per-probe kNN join, self excluded") {
+    val k = 4
+    val graph = Similarity.knnGraph(embs, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val n = embs.count()
+    // every vertex has edges; degree ≤ k; no self loops
+    val byProbe = graph.groupBy(_._1)
+    assert(byProbe.size == n, s"${byProbe.size} of $n vertices have edges")
+    assert(byProbe.values.forall(_.length <= k))
+    assert(graph.forall { case (p, v, _) => p != v })
+    // spot-check three vertices against the single-probe kernel the
+    // family's oracles already pin (same cells, same ranking, minus self)
+    for (pid <- Seq(0L, 7L, 42L)) {
+      val probe = embs
+        .filter(org.apache.spark.sql.functions.col("vec_id") === pid)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      val want = Similarity.ivfSeedTopK(embs, probe, k = k + 1)
+        .collect().map(r => (r.getLong(0), r.getDouble(2)))
+        .filter(_._1 != pid).take(k).toSeq
+      val got = byProbe(pid).map(t => (t._2, t._3)).toSeq
+      assert(got == want, s"vertex $pid: $got vs $want")
+    }
+  }
 }
