@@ -1114,6 +1114,12 @@ object ExtQueries {
       // among its probed cells; both sides shuffle on centroid_id (the
       // probe side cannot broadcast when it IS the corpus)
       Similarity.knnGraph(embs(s, dir), k = KnnGraphK)),
+    "label_propagation_embeddings" -> ((s: SparkSession, dir: String) =>
+      // one round of label propagation over the kNN graph: cosine-
+      // weighted majority label per vertex (decimal-exact votes,
+      // aggregate argmax, ties to smallest label) — corpus-wide
+      // pseudo-labeling and the leave-one-out label-quality audit
+      Similarity.labelPropagate(embs(s, dir), k = KnnGraphK)),
     "similarity_knn_join_pq_embeddings" -> ((s: SparkSession, dir: String) => {
       // the retrieval capstone as a declared key: the batch kNN JOIN
       // through the PRODUCTION stack (IVF cell restriction -> PQ ADC
@@ -2575,6 +2581,47 @@ object ExtQueries {
          |    ORDER BY cosine DESC, vec_id) AS rn FROM kc)
          |WHERE rn <= $KnnGraphK
          |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin,
+    // label propagation: the knn_graph chain wrapped as a CTE, then
+    // per-(vertex, label) DECIMAL(16,6)-exact vote sums and the
+    // aggregate argmax (max vote join + min label at the max)
+    "label_propagation_embeddings" ->
+      s"""WITH kp AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings),
+         |kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |    ORDER BY vec_id LIMIT 16),
+         |kasg AS (SELECT vec_id, label, embedding, cid FROM (
+         |    SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.embedding", "c.cvec", 64)}, 6) DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN kcent c) WHERE rn = 1),
+         |kpr AS (SELECT probe_id, cid FROM (
+         |    SELECT p.probe_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY round(${cosSql("c.cvec", "p.pe", 64)}, 6) DESC, c.cid) AS rn
+         |    FROM kcent c CROSS JOIN kp p) WHERE rn <= 4),
+         |kc AS (SELECT pr.probe_id, a.vec_id, a.label,
+         |      round(${cosSql("a.embedding", "p.pe", 64)}, 6) AS cosine
+         |    FROM kasg a JOIN kpr pr ON a.cid = pr.cid
+         |                JOIN kp p ON p.probe_id = pr.probe_id
+         |    WHERE a.vec_id <> pr.probe_id),
+         |kg AS (SELECT probe_id, vec_id, label, cosine FROM (
+         |    SELECT kc.*, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cosine DESC, vec_id) AS rn FROM kc)
+         |  WHERE rn <= $KnnGraphK),
+         |lv AS (SELECT probe_id AS vec_id, label AS pred_label,
+         |    sum(CAST(cosine AS DECIMAL(16,6))) AS vote_w,
+         |    count(*)::BIGINT AS n_votes
+         |  FROM kg GROUP BY 1, 2),
+         |lbest AS (SELECT vec_id, max(vote_w) AS maxw FROM lv GROUP BY 1),
+         |lwin AS (SELECT lv.vec_id, min(pred_label) AS pred_label
+         |  FROM lv JOIN lbest ON lv.vec_id = lbest.vec_id AND lv.vote_w = lbest.maxw
+         |  GROUP BY 1),
+         |lfin AS (SELECT w.vec_id, w.pred_label, lv.vote_w, lv.n_votes
+         |  FROM lwin w JOIN lv ON lv.vec_id = w.vec_id AND lv.pred_label = w.pred_label)
+         |SELECT e.vec_id, e.label, f.pred_label, f.vote_w::DOUBLE AS vote_w,
+         |  coalesce(f.n_votes, 0)::BIGINT AS n_votes,
+         |  coalesce(f.pred_label = e.label, false) AS agrees
+         |FROM embeddings e LEFT JOIN lfin f USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
     // hard-negative mining: the knn_join CTE chain with the anchor's
     // label carried into kp and a label <> probe_label filter on the
     // candidate set before the per-probe rank window

@@ -647,6 +647,144 @@ object Similarity {
       .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
   }
 
+  /** [[knnGraph]] with BOTH sides two-level — the production variant
+    * at corpus-scaled nCentroids, where the flat literal argmin's
+    * O(n·k·dim) assignment dominates (measured 18.5×/decade at k ∝ n,
+    * SCALE.md r13 — the same law D4's flat path hit): assignment via
+    * [[nearestCentroidTwoLevel]], probe lists via the two-level
+    * cell ranking below. Edge semantics within a probed cell are
+    * identical (same 6-dp cosine, same rank tie-breaks); only the
+    * probed CELL SETS differ by the coarse-quantizer approximation —
+    * the [[semanticPairsHier]] caveat, and the declared oracle-checked
+    * key stays on the flat portable path. With few enough super-cells
+    * (≤ superProbe) both stages fall back to the flat ranking, so the
+    * hier variant degrades to [[knnGraph]] EXACTLY (spec-pinned).
+    */
+  def knnGraphHier(
+      embeddings: DataFrame,
+      k: Int = 4,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      superK: Int = 0,
+      superProbe: Int = SuperProbeDefault): DataFrame = {
+    val cents = seedCentroids(embeddings, nCentroids)
+    // fallback parity: when every super-cell is probed the hier path
+    // must equal [[knnGraph]] BIT-FOR-BIT, so the degraded assignment
+    // is the same PORTABLE flat argmin the flat graph uses (the
+    // two-level argmin's own fallback is the unrounded flat argmin,
+    // which can split 6-dp ties differently)
+    val k0 = if (superK > 0) superK
+      else math.max(1, math.round(math.sqrt(cents.size.toDouble)).toInt)
+    val assignExpr =
+      if (superCells(cents, k0).size <= superProbe) nearestCentroidPortable(cents)
+      else nearestCentroidTwoLevel(cents, superK, superProbe)
+    val assigned = embeddings
+      .withColumn("centroid_id", assignExpr)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"), col("label"))
+    val probeCells = embeddings.select(
+      col("vec_id").as("probe_id"), col("embedding").as("_pe"),
+      explode(probeCellsTwoLevel(cents, nProbe, superK, superProbe))
+        .as("centroid_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned
+      .join(probeCells, Seq("centroid_id")) // shuffle join — NO broadcast
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+        round(cosine(col("_pe"), col("embedding")), 6).as("cosine"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
+  }
+
+  /** The two-level analogue of [[probeCellsOf]]'s per-row cell
+    * ranking: rank ≈√k super-centroids, concatenate the `superProbe`
+    * best supers' member (dist, cid) structs, and take the `nProbe`
+    * best cells of that union — plan size O(superProbe·k·dim) like
+    * [[nearestCentroidTwoLevel]], per-row kernels ≈(1+superProbe)·√k
+    * instead of k. Ranking convention matches [[probeCellsOf]]
+    * (6-dp cosine desc, cid asc) so the fallback (supers ≤ superProbe
+    * → rank ALL cells) is bit-identical to the flat probe list.
+    */
+  private def probeCellsTwoLevel(
+      centroids: Seq[(Long, Seq[Float])],
+      nProbe: Int,
+      superK: Int,
+      superProbe: Int): Column = {
+    require(superProbe >= 1, s"superProbe must be >= 1: $superProbe")
+    val k0 = if (superK > 0) superK
+      else math.max(1, math.round(math.sqrt(centroids.size.toDouble)).toInt)
+    val cells = superCells(centroids, k0)
+    def cellStructs(members: Seq[(Long, Seq[Float])]): Column =
+      array(members.map { case (cid, v) =>
+        struct(round(-cosine(col("embedding"), array(v.map(lit): _*)), 6).as("d"),
+          lit(cid).as("cid"))
+      }.toIndexedSeq: _*)
+    val union =
+      if (cells.size <= superProbe) cellStructs(centroids)
+      else {
+        val ranked = array_sort(array(cells.zipWithIndex.map { case ((sv, _), si) =>
+          struct((-cosine(col("embedding"), array(sv.map(lit): _*))).as("d"),
+            lit(si).as("sid"))
+        }.toIndexedSeq: _*))
+        val branches = cells.zipWithIndex.map { case ((_, members), si) =>
+          si -> cellStructs(members)
+        }
+        def branchFor(sidCol: Column): Column =
+          branches.tail.foldLeft(
+            when(sidCol === lit(branches.head._1), branches.head._2)) {
+            case (acc, (si, arm)) => acc.when(sidCol === lit(si), arm)
+          }
+        concat((1 to superProbe).map(p =>
+          branchFor(element_at(ranked, p).getField("sid"))): _*)
+      }
+    transform(slice(array_sort(union), 1, nProbe), x => x.getField("cid"))
+  }
+
+  /** One round of LABEL PROPAGATION over the [[knnGraph]] edge table —
+    * corpus-wide pseudo-labeling (Zhu & Ghahramani 2002, CMU-CALD-02-107;
+    * the semi-supervised step a labeled-subset corpus uses to extend
+    * labels, and a leave-one-out embedding-quality audit when every
+    * vertex is labeled): each vector takes the cosine-WEIGHTED majority
+    * label of its k graph neighbors (self excluded by the graph), ties
+    * to the smallest label. Output one row per vector:
+    * `vec_id, label, pred_label, vote_w, n_votes, agrees` — `agrees`
+    * is the per-vertex quality verdict (does the neighborhood confirm
+    * the label?).
+    *
+    * Portability: edge cosines are 6-dp, so the per-(vertex, label)
+    * vote sums are DECIMAL(16,6)-exact; the winner is an aggregate
+    * argmax (max vote join + min label at the max) — no window over
+    * the corpus, both aggregates vertex-bounded. Scale inherits
+    * [[knnGraph]]'s shuffle-join law; the vote adds two map-side-
+    * combinable aggregates keyed by vec_id.
+    */
+  def labelPropagate(
+      embeddings: DataFrame,
+      k: Int = 4,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val votes = knnGraph(embeddings, k, nCentroids, nProbe)
+      .groupBy(col("probe_id").as("vec_id"), col("label").as("pred_label"))
+      .agg(sum(col("cosine").cast("decimal(16,6)")).as("vote_w"),
+        count(lit(1)).as("n_votes"))
+    val best = votes.groupBy("vec_id").agg(max("vote_w").as("_maxw"))
+    val winner = votes
+      .join(best, Seq("vec_id"))
+      .filter(col("vote_w") === col("_maxw"))
+      .groupBy("vec_id")
+      .agg(min("pred_label").as("pred_label"))
+      .join(votes, Seq("vec_id", "pred_label"))
+    embeddings.select(col("vec_id"), col("label"))
+      .join(winner, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("pred_label"),
+        col("vote_w").cast("double").as("vote_w"),
+        coalesce(col("n_votes"), lit(0L)).as("n_votes"),
+        coalesce(col("pred_label") === col("label"), lit(false)).as("agrees"))
+      .orderBy("vec_id")
+  }
+
   /** Brute-force per-probe exact top-k with probes as DATA — the
     * ground-truth kernel for batch recall evaluation ([[topK]]'s
     * contract per probe, [[knnJoin]]'s output shape). The bounded

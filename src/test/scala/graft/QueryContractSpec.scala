@@ -98,8 +98,10 @@ class QueryContractSpec extends AnyFunSuite {
     // trainer terminal: pack -> shuffle -> stride schedule as ONE
     // oracle-pinned relation) and knn_graph_embeddings (kNN-graph
     // construction: the knn_join shape with probes = the corpus,
-    // shuffle-join on centroid_id, self excluded)
-    assert(SparkEntry.queries.size == 155,
+    // shuffle-join on centroid_id, self excluded), plus
+    // label_propagation_embeddings (cosine-weighted majority label per
+    // vertex over the kNN graph — decimal-exact votes, aggregate argmax)
+    assert(SparkEntry.queries.size == 156,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.16 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

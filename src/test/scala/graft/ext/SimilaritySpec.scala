@@ -1015,4 +1015,31 @@ class SimilaritySpec extends SparkSpec {
       assert(got == want, s"vertex $pid: $got vs $want")
     }
   }
+
+  test("knnGraphHier: probing all supers degrades to the flat graph exactly") {
+    // superK=4 → 4 super-cells; superProbe=4 probes them ALL, so both
+    // the assignment and the probe list fall back to flat ranking —
+    // the hier variant must be bit-identical to knnGraph there
+    val flat = Similarity.knnGraph(embs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val hier = Similarity.knnGraphHier(embs, k = 4, superK = 4, superProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(hier == flat, "all-supers-probed hier diverged from flat")
+    // the DEFAULT coarse quantizer (superProbe=2): sane degrees, no
+    // self loops, and high edge agreement with flat (the near-isotropic
+    // fixture is the coarse quantizer's worst case — same bound class
+    // as the two-level assignment's spec)
+    val hier2 = Similarity.knnGraphHier(embs, k = 4, superK = 4, superProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val byP = hier2.groupBy(_._1)
+    assert(byP.values.forall(_.length <= 4) && hier2.forall(e => e._1 != e._2))
+    // edge agreement COMPOUNDS two coarse-quantizer approximations
+    // (the probe's cell list and each candidate's assigned cell), and
+    // the near-isotropic fixture is the quantizer's worst case — the
+    // assignment-level spec pins ≥90% there, edges land ~0.65;
+    // clustered production embeddings sit far above both
+    val flatSet = flat.map(e => (e._1, e._2)).toSet
+    val agree = hier2.count(flatSet.contains).toDouble / hier2.size
+    assert(agree >= 0.55, s"hier/flat edge agreement too low: $agree")
+  }
 }
