@@ -844,13 +844,23 @@ object ExtQueries {
       // contract; the oracle replays every gradient step as unrolled
       // CTE stages (the Lloyd/BPE recipe applied to SGD)
       Relevance.trainQualityClassifier(docs(s, dir))),
-    "classifier_apply_documents" -> ((s: SparkSession, dir: String) =>
+    "classifier_apply_documents" -> ((s: SparkSession, dir: String) => {
       // train-once-apply-many for the discriminative filter: weights
       // fit on even doc_ids, the frozen model scores the held-out odds
       // (unseen buckets + the empty-feature sigmoid(bias) path carry
       // real weight) — one feature pass + one broadcast join, no
-      // gradient aggregates over the scored corpus
-      Relevance.classifierApply(docs(s, dir))),
+      // gradient aggregates over the scored corpus. The weights
+      // ROUND-TRIP a parquet artifact between train and score (the
+      // similarity_ivf_trained precedent), so the oracle hash covers
+      // the persistence path too
+      val d = docs(s, dir)
+      val weights = Relevance.trainQualityClassifier(
+        d.filter(col("doc_id") % 2 === 0))
+      val path = s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}/clf_weights"
+      weights.coalesce(1).write.mode("overwrite").parquet(path)
+      val (w, bias) = Relevance.loadClassifier(s, path)
+      Relevance.classifierScoreFrozen(d.filter(col("doc_id") % 2 === 1), w, bias)
+    }),
     "classifier_select_documents" -> ((s: SparkSession, dir: String) =>
       // the trained classifier APPLIED: per-doc 6-dp sigmoid score +
       // top-pct selection via the shared histogram-classified rank
@@ -870,12 +880,20 @@ object ExtQueries {
       // driver collect), then the m-round driver-side merge loop over
       // the vocabulary — oracle unrolls the stages as CTEs
       Bpe.bpeVocab(docs(s, dir))),
-    "bpe_encode_documents" -> ((s: SparkSession, dir: String) =>
+    "bpe_encode_documents" -> ((s: SparkSession, dir: String) => {
       // the trained merge table APPLIED: per-doc tokenizer-true BPE
       // token counts — the greedy fold runs once per word TYPE, then
       // joins back to per-(doc, word) counts; the corpus text is never
-      // re-scanned per merge
-      Bpe.bpeEncode(docs(s, dir))),
+      // re-scanned per merge. The merges ROUND-TRIP a parquet artifact
+      // between train and apply (the tokenizer a real pipeline ships;
+      // the similarity_ivf_trained precedent), so the oracle hash
+      // covers persistence too — the train and apply passes each scan
+      // the text once, the offline posture by design
+      val d = docs(s, dir)
+      val path = s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}/bpe_merges"
+      Bpe.saveMerges(s, Bpe.trainMerges(d), path)
+      Bpe.bpeEncodeFrozen(d, Bpe.loadMerges(s, path))
+    }),
     "bpe_tokens_documents" -> ((s: SparkSession, dir: String) =>
       // the exported token STREAM (what a trainer consumes): ordered
       // BPE symbols per doc, one row per token — the sequence kernel
@@ -958,9 +976,15 @@ object ExtQueries {
       // exercise the backoff paths: the halves share most vocabulary
       // but not all of it
       val d = docs(s, dir)
-      val model = Relevance.bigramModel(d.filter(col("doc_id") % 2 === 0),
+      val trained = Relevance.bigramModel(d.filter(col("doc_id") % 2 === 0),
         vocabSize = UnigramVocabSize, bigramVocab = BigramVocabSize)
-      Relevance.bigramApply(d.filter(col("doc_id") % 2 === 1), model)
+      // artifact round-trip IN the declared key (the
+      // similarity_ivf_trained precedent): the scored model is the
+      // LOADED one, so the oracle hash covers persistence too
+      val path = s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}/bigram_model"
+      Relevance.saveBigramModel(s, trained, path)
+      Relevance.bigramApply(d.filter(col("doc_id") % 2 === 1),
+        Relevance.loadBigramModel(s, path))
     }),
     // -- dedup --
     "dedup_exact_documents" -> ((s: SparkSession, dir: String) =>

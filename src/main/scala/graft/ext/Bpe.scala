@@ -113,9 +113,10 @@ object Bpe {
   }
 
   /** Train and return the merge list (driver-side values) — the
-    * artifact [[bpeEncode]] broadcasts into its plan.
+    * artifact [[bpeEncode]] broadcasts into its plan and
+    * [[saveMerges]] persists.
     */
-  private[ext] def trainMerges(
+  def trainMerges(
       documents: DataFrame,
       merges: Int = DefaultMerges,
       maxWordTypes: Int = DefaultMaxWordTypes): Seq[Merge] = {
@@ -225,15 +226,68 @@ object Bpe {
       maxWordTypes: Int = DefaultMaxWordTypes): DataFrame = {
     // pinned: the exploded per-(doc, word) counts feed type counting
     // (training), the type frame (encoding), AND the final join
-    val pairs = graft.core.CacheScope.persist(
+    val pairs = pinnedDocWordCounts(documents)
+    val ms = mergeLoop(
+      collectTypes(pairs.groupBy("w").agg(sum("cnt").as("cnt")), maxWordTypes),
+      merges)
+    encodeWithMerges(documents, pairs, ms)
+  }
+
+  /** [[bpeEncode]] under a FROZEN merge table — the serving face of
+    * the tokenizer artifact ([[bigramApply]]'s posture one shelf over):
+    * no training pass, the corpus pays one text scan and the greedy
+    * apply runs once per word TYPE under the given merges. With the
+    * merges [[bpeEncode]] would have trained, output is identical
+    * (spec-pinned) — train-once-apply-many made real for BPE.
+    */
+  def bpeEncodeFrozen(documents: DataFrame, ms: Seq[Merge]): DataFrame =
+    encodeWithMerges(documents, pinnedDocWordCounts(documents), ms)
+
+  /** Persist a trained merge table as a first-class parquet artifact
+    * (the [[graft.ext.Similarity.saveIndex]] precedent): one file,
+    * `merge_rank, left, right, merged, pair_count` — strings and
+    * integers round-trip exactly, so a loaded table applies
+    * bit-identically (spec-pinned).
+    */
+  def saveMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      ms: Seq[Merge], path: String): Unit = {
+    import spark.implicits._
+    ms.map(m => (m.rank.toLong, m.l, m.r, m.merged, m.cnt))
+      .toDF("merge_rank", "left", "right", "merged", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted merge table ([[saveMerges]]) in rank order —
+    * application order is the contract, so the sort is load-time.
+    * The collect is the artifact (≤ merges rows), never data.
+    */
+  def loadMerges(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[Merge] =
+    spark.read.parquet(path)
+      .orderBy("merge_rank")
+      .collect()
+      .map(r => Merge(r.getLong(0).toInt, r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+
+  /** The one corpus pass both encode faces share: pinned per-(doc,
+    * word) counts — they feed the type frame, training (in
+    * [[bpeEncode]]), and the final join.
+    */
+  private def pinnedDocWordCounts(documents: DataFrame): DataFrame =
+    graft.core.CacheScope.persist(
       documents
         .select(col("doc_id"),
           explode(split(lower(col("text")), "[^a-z]+")).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt")))
-    val ms = mergeLoop(
-      collectTypes(pairs.groupBy("w").agg(sum("cnt").as("cnt")), maxWordTypes),
-      merges)
+
+  /** Shared encode tail: apply `ms` once per word TYPE, join widths
+    * back to the per-(doc, word) counts — ONE body for the trained and
+    * frozen faces, so they can never disagree.
+    */
+  private def encodeWithMerges(
+      documents: DataFrame, pairs: DataFrame, ms: Seq[Merge]): DataFrame = {
     // encode runs over ALL word types (the truncation bounds TRAINING
     // memory, not encode coverage — an out-of-top-V word still encodes
     // under the learned merges, exactly like production tokenizers)

@@ -315,6 +315,49 @@ object Relevance {
     } finally counts.unpersist(blocking = false)
   }
 
+  /** Persist a trained [[BigramModelLocal]] as a first-class parquet
+    * artifact (the [[graft.ext.Similarity.saveIndex]] precedent): one
+    * file, rows `(kind, k, lp, cnt)` — kind 'b' bigram log-probs,
+    * 'v' unigram counts, 'm' the (alpha, total) meta row. Doubles and
+    * longs round-trip parquet bit-exactly, so a loaded model scores
+    * bit-identically (spec-pinned).
+    */
+  def saveBigramModel(
+      spark: org.apache.spark.sql.SparkSession,
+      model: BigramModelLocal, path: String): Unit = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val rows =
+      model.bigramLp.asScala.toSeq.map { case (k, v) =>
+        ("b", k, v.doubleValue, 0L) } ++
+      model.vocabCnt.asScala.toSeq.map { case (k, v) =>
+        ("v", k, 0.0, v.longValue) } :+
+      (("m", "", model.alpha, model.total))
+    rows.toDF("kind", "k", "lp", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted bigram model ([[saveBigramModel]]). The collect
+    * is the artifact (vocabulary-capped by construction), never data.
+    */
+  def loadBigramModel(
+      spark: org.apache.spark.sql.SparkSession, path: String): BigramModelLocal = {
+    val rows = spark.read.parquet(path).collect()
+    val bigrams = new java.util.HashMap[String, java.lang.Double]()
+    val vocab = new java.util.HashMap[String, java.lang.Long]()
+    var alpha = BackoffAlpha
+    var total = 0L
+    rows.foreach { r =>
+      r.getString(0) match {
+        case "b" => bigrams.put(r.getString(1), r.getDouble(2))
+        case "v" => vocab.put(r.getString(1), r.getLong(3))
+        case "m" => alpha = r.getDouble(2); total = r.getLong(3)
+      }
+    }
+    require(total > 0, s"persisted bigram model at $path has no meta row")
+    BigramModelLocal(bigrams, vocab, alpha, total)
+  }
+
   /** Score `documents` under a FROZEN model — [[bigramLogProb]]'s
     * output contract (same columns, same 4-dp score) from ONE narrow
     * codegen'd projection (`functions.BigramScoreExpr`: the model
@@ -705,6 +748,53 @@ object Relevance {
     clfScores(clfFeatures(held, buckets), held, w, bias)
       .orderBy("doc_id")
   }
+
+  /** Persist trained classifier weights as a first-class parquet
+    * artifact: `(bucket, weight)` rows with the bias at bucket −1 —
+    * [[trainQualityClassifier]]'s own output shape. Doubles round-trip
+    * parquet bit-exactly, so a loaded model scores bit-identically
+    * (spec-pinned).
+    */
+  def saveClassifier(
+      spark: org.apache.spark.sql.SparkSession,
+      w: Map[Long, Double], bias: Double, path: String): Unit = {
+    import spark.implicits._
+    ((-1L, bias) +: w.toSeq.sortBy(_._1)).toDF("bucket", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load persisted classifier weights ([[saveClassifier]] or the
+    * [[trainQualityClassifier]] table written directly): the (weights
+    * map, bias) pair the scoring kernel consumes. Zero-weight rows are
+    * DROPPED on load — [[trainQualityClassifier]] emits untouched
+    * buckets at exactly 0.0 for fixed-cardinality output, but the
+    * scoring kernel's `n_buckets` counts only buckets IN the model's
+    * support (the trained map holds touched buckets only), so the
+    * sparse reconstruction is what makes a loaded artifact score
+    * row-identically (a zero weight contributes nothing to the margin
+    * either way; spec-pinned). The collect is the artifact
+    * (≤ buckets+1 rows), never data.
+    */
+  def loadClassifier(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Map[Long, Double], Double) = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bias = rows.getOrElse(-1L,
+      sys.error(s"persisted classifier at $path has no bias row"))
+    ((rows - -1L).filter(_._2 != 0.0), bias)
+  }
+
+  /** Score `documents` under FROZEN classifier weights — the serving
+    * face behind [[classifierApply]], public so a loaded artifact
+    * ([[loadClassifier]]) can drive it directly.
+    */
+  def classifierScoreFrozen(
+      documents: DataFrame,
+      w: Map[Long, Double],
+      bias: Double,
+      buckets: Int = DsirBuckets): DataFrame =
+    clfScores(clfFeatures(documents, buckets), documents, w, bias)
+      .orderBy("doc_id")
 
   /** Frozen-model scoring shared by [[classifierSelect]] and
     * [[classifierApply]] (ONE body — the select key and the apply key
