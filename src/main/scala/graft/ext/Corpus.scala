@@ -943,6 +943,49 @@ object Corpus {
     spark.read.parquet(s"$outDir/manifest").orderBy("pack_id")
   }
 
+  /** The manifest's AUDIT CONSUMER — what a resuming trainer (or an
+    * integrity sweep) runs before trusting a shard root: recompute
+    * every pack's (n_docs, n_tokens, checksum) from the files on disk
+    * and diff against the stored manifest. One row per DISAGREEING
+    * pack, `pack_id, status, …`: `missing` (manifest row with no data
+    * on disk), `unexpected` (data with no manifest row), `mismatch`
+    * (counts or checksum differ — a partial write, an overwrite, or
+    * tampering). An EMPTY result is the pass verdict. Same
+    * order-independent checksum as [[writeShards]] — one shared
+    * formula, so the audit can never drift from the writer.
+    *
+    * Scale: one columnar read of the shards (the price [[writeShards]]
+    * already pays for its read-back manifest) + a pack-keyed aggregate
+    * and a manifest-sized join — no driver data.
+    */
+  def verifyShards(
+      spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
+    val recomputed = spark.read.parquet(s"$outDir/shards")
+      .groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("a_docs"),
+        sum("n_tokens").as("a_tokens"),
+        sum(graft.functions.GraftFunctions.hash64(
+          concat(col("doc_id").cast("string"), lit(" "),
+            coalesce(col("text"), lit(""))))
+          .cast("decimal(38,0)")).as("a_checksum"))
+    val manifest = spark.read.parquet(s"$outDir/manifest")
+      .select(col("pack_id"), col("n_docs").as("m_docs"),
+        col("n_tokens").as("m_tokens"), col("checksum").as("m_checksum"))
+    manifest.join(recomputed, Seq("pack_id"), "full_outer")
+      .withColumn("status",
+        when(col("a_docs").isNull, lit("missing"))
+          .when(col("m_docs").isNull, lit("unexpected"))
+          .when(col("m_docs") === col("a_docs") &&
+            col("m_tokens") === col("a_tokens") &&
+            col("m_checksum") === col("a_checksum"), lit("ok"))
+          .otherwise(lit("mismatch")))
+      .filter(col("status") =!= "ok")
+      .select(col("pack_id"), col("status"),
+        col("m_docs"), col("a_docs"), col("m_tokens"), col("a_tokens"))
+      .orderBy("pack_id")
+  }
+
   /** Default training-block length for [[packSequences]] — small enough
     * that the sf0.001+ fixtures produce many full blocks AND multi-block
     * docs (both branches always exercised).

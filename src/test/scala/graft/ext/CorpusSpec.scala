@@ -753,4 +753,40 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(again == got)
   }
+
+  test("verifyShards: clean root passes; missing/tampered/unexpected packs are named") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards-v").toString
+    val df = docsDF((1L to 12L).map(i => (i, s"tok$i " * i.toInt)))
+    val packed = Corpus.packGreedy(df, budgetTokens = 8, shardsPerStratum = 2)
+    Corpus.writeShards(df, packed, dir)
+    // a just-written root audits clean: empty verdict IS the pass
+    assert(Corpus.verifyShards(spark, dir).collect().isEmpty)
+    // tamper: delete one pack directory entirely -> "missing"
+    val shardsDir = java.nio.file.Paths.get(dir, "shards")
+    import scala.jdk.CollectionConverters._
+    val dirs = java.nio.file.Files.list(shardsDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("pack_id=")).toSeq.sortBy(_.toString)
+    val victim = dirs.head
+    val victimPack = java.net.URLDecoder.decode(
+      victim.getFileName.toString.stripPrefix("pack_id="), "UTF-8")
+    val walk = java.nio.file.Files.walk(victim)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    finally walk.close()
+    val verdict1 = Corpus.verifyShards(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(verdict1 == Seq((victimPack, "missing")), verdict1.toString)
+    // tamper: graft a foreign pack directory in -> "unexpected"
+    val foreign = shardsDir.resolve("pack_id=forged%230%230")
+    java.nio.file.Files.createDirectories(foreign)
+    df.limit(1).select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.lit(1L).as("n_tokens"))
+      .write.mode("overwrite").parquet(foreign.toString)
+    val verdict2 = Corpus.verifyShards(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(verdict2 == Set((victimPack, "missing"), ("forged#0#0", "unexpected")),
+      verdict2.toString)
+  }
 }
