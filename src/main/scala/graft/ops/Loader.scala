@@ -263,26 +263,56 @@ object Loader {
     java.nio.file.Files.createDirectories(path.getParent)
     val content =
       s"${spark.sparkContext.applicationId} ${System.currentTimeMillis()}"
+    // classic lockfile protocol: write the content to a private temp
+    // file, then LINK it into place — link(2) fails atomically if the
+    // target exists, and the lease is never observable empty or
+    // partial (a createFile-then-write sequence has a window where a
+    // concurrent acquirer reads an empty file, parses timestamp 0,
+    // deems the lease "stale", and overwrites — both writers proceed)
+    val tmp = path.resolveSibling(
+      s"${path.getFileName}.${spark.sparkContext.applicationId}.tmp")
+    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+    def refuse(owner: String, ageMs: Long): Nothing =
+      throw new IllegalStateException(
+        s"table `$table` is being written by $owner " +
+          s"(lease ${ageMs / 1000}s old at $path); concurrent " +
+          "merge/compact/zorder on one target is a silent race — " +
+          "retry after it releases, or delete the lease if the " +
+          "writer is known dead")
     try {
-      java.nio.file.Files.createFile(path) // atomic fail-if-exists
-      java.nio.file.Files.write(path, content.getBytes("UTF-8"))
+      java.nio.file.Files.createLink(path, tmp)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         val raw = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
         val parts = raw.split(' ')
         val owner = parts.headOption.getOrElse("<unknown>")
-        val ts = if (parts.length > 1) parts(1).toLongOption.getOrElse(0L) else 0L
+        // an unparsable lease is treated as FRESH (refuse loudly), not
+        // stale: corrupt content must fail safe, never double-admit
+        val ts = if (parts.length > 1)
+          parts(1).toLongOption.getOrElse(System.currentTimeMillis())
+        else System.currentTimeMillis()
         val age = System.currentTimeMillis() - ts
-        if (age < ttlMs)
-          throw new IllegalStateException(
-            s"table `$table` is being written by $owner " +
-              s"(lease ${age / 1000}s old at $path); concurrent " +
-              "merge/compact/zorder on one target is a silent race — " +
-              "retry after it releases, or delete the lease if the " +
-              "writer is known dead")
-        // stale lease: the TTL reap — replace it and proceed
-        java.nio.file.Files.write(path, content.getBytes("UTF-8"))
-    }
+        if (age < ttlMs) refuse(owner, age)
+        // stale lease: the TTL reap. CLAIM it by atomically renaming it
+        // aside — exactly one racing reaper's move succeeds (rename is
+        // atomic; the loser gets NoSuchFileException = someone else is
+        // mid-reap → refuse); then link the fresh lease, which can
+        // still lose to a third acquirer's link → refuse. No step here
+        // can delete another writer's FRESH lease.
+        val claimed = path.resolveSibling(s"${path.getFileName}.reaped")
+        try {
+          java.nio.file.Files.move(path, claimed,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.deleteIfExists(claimed)
+          java.nio.file.Files.createLink(path, tmp)
+        } catch {
+          case _: java.nio.file.NoSuchFileException =>
+            refuse("a concurrent reaper", 0L)
+          case _: java.nio.file.FileAlreadyExistsException =>
+            refuse("a concurrent acquirer", 0L)
+        }
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
   /** Crash recovery for the swap rewrite: the drop-then-rename at the
