@@ -765,10 +765,15 @@ object Similarity {
       k: Int = 4,
       nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    val votes = knnGraph(embeddings, k, nCentroids, nProbe)
-      .groupBy(col("probe_id").as("vec_id"), col("label").as("pred_label"))
-      .agg(sum(col("cosine").cast("decimal(16,6)")).as("vote_w"),
-        count(lit(1)).as("n_votes"))
+    // pinned: the vote table feeds the max aggregate, the argmax
+    // filter-join, and the final stats join — unpinned, the whole
+    // graph build (assignment + candidate join + rank) recomputes per
+    // consumer wherever exchange reuse fails to cover it
+    val votes = graft.core.CacheScope.persist(
+      knnGraph(embeddings, k, nCentroids, nProbe)
+        .groupBy(col("probe_id").as("vec_id"), col("label").as("pred_label"))
+        .agg(sum(col("cosine").cast("decimal(16,6)")).as("vote_w"),
+          count(lit(1)).as("n_votes")))
     val best = votes.groupBy("vec_id").agg(max("vote_w").as("_maxw"))
     val winner = votes
       .join(best, Seq("vec_id"))
