@@ -854,10 +854,10 @@ object ExtQueries {
       // similarity_ivf_trained precedent), so the oracle hash covers
       // the persistence path too
       val d = docs(s, dir)
-      val weights = Relevance.trainQualityClassifier(
+      val (wT, biasT) = Relevance.trainClassifierModel(
         d.filter(col("doc_id") % 2 === 0))
       val path = s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}/clf_weights"
-      weights.coalesce(1).write.mode("overwrite").parquet(path)
+      Relevance.saveClassifier(s, wT, biasT, path)
       val (w, bias) = Relevance.loadClassifier(s, path)
       Relevance.classifierScoreFrozen(d.filter(col("doc_id") % 2 === 1), w, bias)
     }),

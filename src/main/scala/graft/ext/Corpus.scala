@@ -932,16 +932,25 @@ object Corpus {
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
-        // text coalesced: a NULL-text row must still contribute its
-        // doc_id to the checksum (concat-with-NULL hashes to NULL and
-        // the sum would silently skip the row)
-        sum(graft.functions.GraftFunctions.hash64(
-          concat(col("doc_id").cast("string"), lit(" "),
-            coalesce(col("text"), lit(""))))
-          .cast("decimal(38,0)")).as("checksum"))
+        shardChecksum.as("checksum"))
       .write.mode("overwrite").parquet(s"$outDir/manifest")
     spark.read.parquet(s"$outDir/manifest").orderBy("pack_id")
   }
+
+  /** The shard checksum TERM: order-independent per-row
+    * hash64(doc_id ⧺ text) summed exactly in DECIMAL — ONE definition
+    * consumed by both the writer ([[writeShards]]' manifest) and the
+    * audit ([[verifyShards]]' recompute), so they can never drift
+    * (r13 review: the formula was previously duplicated). Text
+    * coalesced: a NULL-text row must still contribute its doc_id to
+    * the checksum (concat-with-NULL hashes to NULL and the sum would
+    * silently skip the row).
+    */
+  private def shardChecksum: org.apache.spark.sql.Column =
+    sum(graft.functions.GraftFunctions.hash64(
+      concat(col("doc_id").cast("string"), lit(" "),
+        coalesce(col("text"), lit(""))))
+      .cast("decimal(38,0)"))
 
   /** The manifest's AUDIT CONSUMER — what a resuming trainer (or an
     * integrity sweep) runs before trusting a shard root: recompute
@@ -965,10 +974,7 @@ object Corpus {
       .agg(
         count(lit(1)).as("a_docs"),
         sum("n_tokens").as("a_tokens"),
-        sum(graft.functions.GraftFunctions.hash64(
-          concat(col("doc_id").cast("string"), lit(" "),
-            coalesce(col("text"), lit(""))))
-          .cast("decimal(38,0)")).as("a_checksum"))
+        shardChecksum.as("a_checksum"))
     val manifest = spark.read.parquet(s"$outDir/manifest")
       .select(col("pack_id"), col("n_docs").as("m_docs"),
         col("n_tokens").as("m_tokens"), col("checksum").as("m_checksum"))

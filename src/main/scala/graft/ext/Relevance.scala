@@ -352,6 +352,8 @@ object Relevance {
         case "b" => bigrams.put(r.getString(1), r.getDouble(2))
         case "v" => vocab.put(r.getString(1), r.getLong(3))
         case "m" => alpha = r.getDouble(2); total = r.getLong(3)
+        case other => sys.error(
+          s"not a saveBigramModel artifact: $path has kind '$other'")
       }
     }
     require(total > 0, s"persisted bigram model at $path has no meta row")
@@ -692,10 +694,27 @@ object Relevance {
       targetMinQuality: Double = DsirTargetMinQuality): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val (feats, labels, nDocs) = clfInputs(documents, buckets, targetMinQuality)
-    val (w, bias) = clfLoop(feats, labels, nDocs, iterations, lrate)
+    val (w, bias) = trainClassifierModel(
+      documents, buckets, iterations, lrate, targetMinQuality)
     ((-1L, bias) +: (0 until buckets).map(b => (b.toLong, w.getOrElse(b.toLong, 0.0))))
       .toDF("bucket", "weight").orderBy("bucket")
+  }
+
+  /** The trained model PAIR (sparse touched-bucket weights, bias) —
+    * what the scoring kernel and [[saveClassifier]] consume directly.
+    * Public so artifact round-trips carry the model's exact SUPPORT
+    * (r13 review finding: inferring the support from a dense weight
+    * table by dropping zeros mislabels a touched bucket trained to
+    * exactly 0.0, shifting `n_buckets`).
+    */
+  def trainClassifierModel(
+      documents: DataFrame,
+      buckets: Int = DsirBuckets,
+      iterations: Int = ClfIterations,
+      lrate: Double = ClfLearningRate,
+      targetMinQuality: Double = DsirTargetMinQuality): (Map[Long, Double], Double) = {
+    val (feats, labels, nDocs) = clfInputs(documents, buckets, targetMinQuality)
+    clfLoop(feats, labels, nDocs, iterations, lrate)
   }
 
   /** [[trainQualityClassifier]] applied: per-doc classifier score
@@ -763,17 +782,16 @@ object Relevance {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** Load persisted classifier weights ([[saveClassifier]] or the
-    * [[trainQualityClassifier]] table written directly): the (weights
-    * map, bias) pair the scoring kernel consumes. Zero-weight rows are
-    * DROPPED on load — [[trainQualityClassifier]] emits untouched
-    * buckets at exactly 0.0 for fixed-cardinality output, but the
-    * scoring kernel's `n_buckets` counts only buckets IN the model's
-    * support (the trained map holds touched buckets only), so the
-    * sparse reconstruction is what makes a loaded artifact score
-    * row-identically (a zero weight contributes nothing to the margin
-    * either way; spec-pinned). The collect is the artifact
-    * (≤ buckets+1 rows), never data.
+  /** Load persisted classifier weights ([[saveClassifier]]): the
+    * (weights map, bias) pair the scoring kernel consumes. The
+    * artifact is SPARSE by construction — [[saveClassifier]] writes
+    * exactly the trained support ([[trainClassifierModel]]'s touched
+    * buckets), so the load is a verbatim reconstruction and a loaded
+    * model scores row-identically including `n_buckets` (spec-pinned;
+    * r13 review: do NOT persist [[trainQualityClassifier]]'s dense
+    * report table as the artifact — zero-dropping on load would
+    * mislabel a touched bucket trained to exactly 0.0). The collect is
+    * the artifact (≤ buckets+1 rows), never data.
     */
   def loadClassifier(
       spark: org.apache.spark.sql.SparkSession, path: String): (Map[Long, Double], Double) = {
@@ -781,7 +799,7 @@ object Relevance {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val bias = rows.getOrElse(-1L,
       sys.error(s"persisted classifier at $path has no bias row"))
-    ((rows - -1L).filter(_._2 != 0.0), bias)
+    (rows - -1L, bias)
   }
 
   /** Score `documents` under FROZEN classifier weights — the serving

@@ -634,10 +634,22 @@ object Similarity {
     val probeCells = probeCellsOf(
       embeddings.select(col("vec_id").as("probe_id"), col("embedding")),
       cents, nProbe)
+    graphTail(assigned, probeCells, k)
+  }
+
+  /** The shared corpus-probe graph tail (shuffle join on centroid_id —
+    * NO broadcast, the probe side IS the corpus — self exclusion,
+    * per-vertex top-k, total order): ONE body for [[knnGraph]] and
+    * [[knnGraphHier]], so a ranking or tie-break fix can never diverge
+    * them (the file's one-kernel rule; the hier fallback-parity spec
+    * depends on it).
+    */
+  private def graphTail(
+      assigned: DataFrame, probeCells: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("vec_id"))
     assigned
-      .join(probeCells, Seq("centroid_id")) // shuffle join — NO broadcast
+      .join(probeCells, Seq("centroid_id"))
       .filter(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"), col("label"),
         round(cosine(col("_pe"), col("embedding")), 6).as("cosine"))
@@ -675,27 +687,24 @@ object Similarity {
     // which can split 6-dp ties differently)
     val k0 = if (superK > 0) superK
       else math.max(1, math.round(math.sqrt(cents.size.toDouble)).toInt)
+    // the super-cell partition is computed ONCE and passed to both the
+    // fallback check and the probe lists (r13 review: three separate
+    // superCells runs per graph build — a k-point driver Lloyd each —
+    // added up at production nCentroids); the assignment expression
+    // recomputes internally behind nearestCentroidTwoLevel's fixed API,
+    // the one remaining duplicate run
+    val cells = superCells(cents, k0)
     val assignExpr =
-      if (superCells(cents, k0).size <= superProbe) nearestCentroidPortable(cents)
+      if (cells.size <= superProbe) nearestCentroidPortable(cents)
       else nearestCentroidTwoLevel(cents, superK, superProbe)
     val assigned = embeddings
       .withColumn("centroid_id", assignExpr)
       .select(col("centroid_id"), col("vec_id"), col("embedding"), col("label"))
     val probeCells = embeddings.select(
       col("vec_id").as("probe_id"), col("embedding").as("_pe"),
-      explode(probeCellsTwoLevel(cents, nProbe, superK, superProbe))
+      explode(probeCellsTwoLevel(cents, cells, nProbe, superProbe))
         .as("centroid_id"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
-      .orderBy(col("cosine").desc, col("vec_id"))
-    assigned
-      .join(probeCells, Seq("centroid_id")) // shuffle join — NO broadcast
-      .filter(col("probe_id") =!= col("vec_id"))
-      .select(col("probe_id"), col("vec_id"), col("label"),
-        round(cosine(col("_pe"), col("embedding")), 6).as("cosine"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .drop("_rn")
-      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
+    graphTail(assigned, probeCells, k)
   }
 
   /** The two-level analogue of [[probeCellsOf]]'s per-row cell
@@ -709,13 +718,10 @@ object Similarity {
     */
   private def probeCellsTwoLevel(
       centroids: Seq[(Long, Seq[Float])],
+      cells: Seq[(Seq[Float], Seq[(Long, Seq[Float])])],
       nProbe: Int,
-      superK: Int,
       superProbe: Int): Column = {
     require(superProbe >= 1, s"superProbe must be >= 1: $superProbe")
-    val k0 = if (superK > 0) superK
-      else math.max(1, math.round(math.sqrt(centroids.size.toDouble)).toInt)
-    val cells = superCells(centroids, k0)
     def cellStructs(members: Seq[(Long, Seq[Float])]): Column =
       array(members.map { case (cid, v) =>
         struct(round(-cosine(col("embedding"), array(v.map(lit): _*)), 6).as("d"),

@@ -208,10 +208,16 @@ object Loader {
     */
   val LeaseTtlMs: Long = 30L * 60 * 1000
 
-  // leases this JVM currently holds — re-entrancy: load() calls
-  // mergeInto, a composed maintenance job may compact then zorder;
-  // the same session re-entering its own lease is one writer, not two
-  private val heldLeases = scala.collection.mutable.Set.empty[String]
+  // leases the CURRENT THREAD holds — re-entrancy: load() calls
+  // mergeInto, a composed maintenance job may compact then zorder.
+  // Per-THREAD, not per-JVM (r13 review finding): a second thread in
+  // the same session rewriting the same table is still two writers —
+  // it must fall through to acquireLease and get the loud refusal
+  // (the lease file carries this session's applicationId, so the
+  // refusal names the session itself), never a silent re-entrant pass.
+  private val heldLeases =
+    ThreadLocal.withInitial[scala.collection.mutable.Set[String]](
+      () => scala.collection.mutable.Set.empty[String])
 
   /** Where the lease for `table` lives — public for specs/ops tooling. */
   def leaseFile(
@@ -238,18 +244,31 @@ object Loader {
       spark: org.apache.spark.sql.SparkSession, table: String)(body: => A): A = {
     val path = leaseFile(spark, table)
     val key = path.toString
-    val reentrant = heldLeases.synchronized(heldLeases.contains(key))
-    if (reentrant) body
+    if (heldLeases.get.contains(key)) body
     else {
       acquireLease(spark, table)
-      heldLeases.synchronized(heldLeases += key)
+      heldLeases.get += key
       try body
       finally {
-        heldLeases.synchronized(heldLeases -= key)
-        java.nio.file.Files.deleteIfExists(path)
+        heldLeases.get -= key
+        releaseLease(spark, path)
       }
     }
   }
+
+  /** Release a held lease — only if WE still own it (r13 review
+    * finding): a writer that outlived the TTL may have been reaped and
+    * superseded; deleting unconditionally would destroy the
+    * successor's fresh lease and admit a third writer on top of an
+    * already-compounded race.
+    */
+  private def releaseLease(
+      spark: org.apache.spark.sql.SparkSession, path: java.nio.file.Path): Unit =
+    try {
+      val raw = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      if (raw.startsWith(spark.sparkContext.applicationId + " "))
+        java.nio.file.Files.deleteIfExists(path)
+    } catch { case _: java.io.IOException => () } // already gone
 
   /** Acquire the write lease on `table` or throw loudly. Exposed so a
     * spec (or an operator's own orchestration) can simulate/observe the
@@ -294,16 +313,30 @@ object Loader {
         val age = System.currentTimeMillis() - ts
         if (age < ttlMs) refuse(owner, age)
         // stale lease: the TTL reap. CLAIM it by atomically renaming it
-        // aside — exactly one racing reaper's move succeeds (rename is
-        // atomic; the loser gets NoSuchFileException = someone else is
-        // mid-reap → refuse); then link the fresh lease, which can
-        // still lose to a third acquirer's link → refuse. No step here
-        // can delete another writer's FRESH lease.
-        val claimed = path.resolveSibling(s"${path.getFileName}.reaped")
+        // aside under a reaper-unique name (rename is atomic; a loser
+        // whose move finds no file refuses — someone else is mid-reap),
+        // then VERIFY the claimed file still holds the stale content
+        // read above (r13 review finding: between the read and the
+        // move, a concurrent reaper may have completed ITS reap and
+        // linked a FRESH lease — moving that aside unchecked would
+        // admit two writers). A mismatch restores the fresh lease and
+        // refuses; the remaining window (restore losing to a third
+        // acquirer's simultaneous link) is microseconds and ends in a
+        // refusal here either way.
+        val claimed = path.resolveSibling(
+          s"${path.getFileName}.reaped.${spark.sparkContext.applicationId}")
         try {
           java.nio.file.Files.move(path, claimed,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          val got = new String(java.nio.file.Files.readAllBytes(claimed), "UTF-8")
+          if (got != raw) {
+            // we grabbed somebody's FRESH lease — put it back and refuse
+            try java.nio.file.Files.createLink(path, claimed)
+            catch { case _: java.nio.file.FileAlreadyExistsException => () }
+            java.nio.file.Files.deleteIfExists(claimed)
+            refuse("a concurrent reaper's fresh lease (restored)", 0L)
+          }
           java.nio.file.Files.deleteIfExists(claimed)
           java.nio.file.Files.createLink(path, tmp)
         } catch {

@@ -46,23 +46,21 @@ class ModelArtifactSpec extends SparkSpec {
     assert(a == b, "loaded model scored differently")
   }
 
-  test("classifier: weights table round-trips; frozen scoring equals classifierApply") {
+  test("classifier: sparse weights artifact round-trips; frozen scoring equals classifierApply") {
     val train = docs.filter(col("doc_id") % 2 === 0)
-    val weights = Relevance.trainQualityClassifier(train)
+    // the artifact carries the trained model's exact SUPPORT (sparse
+    // touched buckets) — persisting the dense report table instead
+    // would force a zero-drop on load that can mislabel a touched
+    // bucket trained to exactly 0.0 (r13 review finding)
+    val (wT, biasT) = Relevance.trainClassifierModel(train)
     val path = tmp("clf")
-    weights.coalesce(1).write.mode("overwrite").parquet(path)
+    Relevance.saveClassifier(spark, wT, biasT, path)
     val (w, bias) = Relevance.loadClassifier(spark, path)
-    // the loaded artifact carries every bucket (zeros included) + bias
-    assert(w.values.exists(_ != 0.0) && bias != 0.0)
+    assert(w == wT && bias == biasT, "model pair changed through the artifact")
     val held = docs.filter(col("doc_id") % 2 === 1)
     val frozen = Relevance.classifierScoreFrozen(held, w, bias)
       .collect().map(_.toSeq).toSeq
     val direct = Relevance.classifierApply(docs).collect().map(_.toSeq).toSeq
     assert(frozen == direct, "frozen scoring diverged from classifierApply")
-    // saveClassifier's map face round-trips to the same artifact
-    val path2 = tmp("clf2")
-    Relevance.saveClassifier(spark, w, bias, path2)
-    val (w2, bias2) = Relevance.loadClassifier(spark, path2)
-    assert(w2 == w && bias2 == bias)
   }
 }
