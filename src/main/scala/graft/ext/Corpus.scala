@@ -969,7 +969,21 @@ object Corpus {
     */
   def verifyShards(
       spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
-    val recomputed = spark.read.parquet(s"$outDir/shards")
+    // a wiped/absent shards root is squarely the audit's use case —
+    // "trust before resume" must return a VERDICT (every manifest pack
+    // `missing`), not propagate a path-not-found read error (r13 advice)
+    val shardsRaw =
+      try spark.read.parquet(s"$outDir/shards")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass == "PATH_NOT_FOUND" ||
+               e.getMessage.contains("Path does not exist") ||
+               e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          import spark.implicits._
+          spark.emptyDataset[(Long, String, String, Long, String)]
+            .toDF("doc_id", "text", "lang", "n_tokens", "pack_id")
+      }
+    val recomputed = shardsRaw
       .groupBy("pack_id")
       .agg(
         count(lit(1)).as("a_docs"),

@@ -748,6 +748,109 @@ object Similarity {
     transform(slice(array_sort(union), 1, nProbe), x => x.getField("cid"))
   }
 
+  /** [[probeCellsTwoLevel]] with the member-cell ranking as a broadcast
+    * JOIN — probe lists as DATA, for the k-regime where the literal
+    * probe expressions stop compiling (SCALE.md r13 named the cliff:
+    * past k·dim ≈ 10⁵ literal terms plan construction/compilation
+    * itself dominates — nc=640 hier measured 40.2 s, WORSE than
+    * nc=160 — and SemDeDup-production 50k cells × dim 768 ≈ 7.7×10⁷
+    * literal floats cannot build a plan at all). The
+    * [[ivfAssignTwoLevelJoin]] join-shape applied to the probe side:
+    *
+    *  - stage A ranks the ≈√k super-centroids as LITERALS — plan size
+    *    O(√k·dim) (50k cells, dim 768: √k ≈ 224 supers ≈ 1.7×10⁵ plan
+    *    floats, three orders under the literal path's 7.7×10⁷);
+    *  - stage B explodes the `superProbe` probed super ids and
+    *    broadcast-joins the (sid, cid, cvec) member TABLE — one 6-dp
+    *    cosine kernel per candidate row, the same rounded kernel
+    *    [[probeCellsTwoLevel]]'s `cellStructs` evaluates literally;
+    *  - stage C takes the `nProbe` best (d, cid) per probe with a
+    *    sort-sliced collect_list — the aggregate analogue of the
+    *    literal path's array_sort + slice. Cells are disjoint, so the
+    *    (d, cid) pairs are unique and array_sort erases the collect
+    *    order: the probed cell list is BIT-IDENTICAL to the literal
+    *    path's however tasks interleave (spec-pinned).
+    *
+    * Cost shape: n·superProbe·√k candidate rows through ONE
+    * probe-keyed exchange (map-side-combinable collect_list bounded by
+    * superProbe·(k/√k) entries per probe); k never enters the plan.
+    */
+  private def probeCellsTwoLevelJoin(
+      probes: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      cells: Seq[(Seq[Float], Seq[(Long, Seq[Float])])],
+      nProbe: Int,
+      superProbe: Int): DataFrame = {
+    require(superProbe >= 1, s"superProbe must be >= 1: $superProbe")
+    if (cells.size <= superProbe)
+      // probing every super IS the flat ranking — same fallback (and
+      // same literal plan, safely under the cliff) as the literal path
+      probeCellsOf(probes, centroids, nProbe)
+    else {
+      val spark = probes.sparkSession
+      import spark.implicits._
+      val memberDf = cells.zipWithIndex.flatMap { case ((_, ms), si) =>
+        ms.map { case (cid, v) => (si, cid, v) }
+      }.toDF("sid", "cid", "cvec")
+      val ranked = array_sort(array(cells.zipWithIndex.map { case ((sv, _), si) =>
+        struct((-cosine(col("embedding"), array(sv.map(lit): _*))).as("d"),
+          lit(si).as("sid"))
+      }.toIndexedSeq: _*))
+      val probeSids = array(
+        (1 to superProbe).map(p => element_at(ranked, p).getField("sid")): _*)
+      probes
+        .select(col("probe_id"), col("embedding").as("_pe"),
+          explode(probeSids).as("sid"))
+        .join(broadcast(memberDf), Seq("sid"))
+        .groupBy("probe_id")
+        .agg(
+          first(col("_pe")).as("_pe"),
+          slice(array_sort(collect_list(struct(
+            round(-cosine(col("_pe"), col("cvec")), 6).as("d"),
+            col("cid").as("cid")))), 1, nProbe).as("_cells"))
+        .select(col("probe_id"), col("_pe"),
+          explode(transform(col("_cells"), x => x.getField("cid")))
+            .as("centroid_id"))
+    }
+  }
+
+  /** [[knnGraphHier]] with BOTH per-row stages as broadcast joins —
+    * centroids AND probe lists as DATA ([[ivfAssignTwoLevelJoin]] for
+    * the assignment, [[probeCellsTwoLevelJoin]] for the probe lists) —
+    * the graph-build path past the literal-expression cliff (SCALE.md
+    * r13; r13 verdict #2). Probed cell sets and assignments are
+    * BIT-IDENTICAL to [[knnGraphHier]]'s literal two-level path
+    * (spec-pinned), and the shared [[graphTail]] keeps edge semantics
+    * one kernel; with few enough super-cells (≤ superProbe) both
+    * stages fall back to the same flat path as [[knnGraphHier]], so
+    * the join variant degrades to [[knnGraph]] exactly.
+    */
+  def knnGraphHierJoin(
+      embeddings: DataFrame,
+      k: Int = 4,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      superK: Int = 0,
+      superProbe: Int = SuperProbeDefault): DataFrame = {
+    val cents = seedCentroids(embeddings, nCentroids)
+    val k0 = if (superK > 0) superK
+      else math.max(1, math.round(math.sqrt(cents.size.toDouble)).toInt)
+    val cells = superCells(cents, k0)
+    val assigned =
+      if (cells.size <= superProbe)
+        // [[knnGraphHier]]'s fallback is the PORTABLE flat argmin (the
+        // bit-parity contract with [[knnGraph]]); mirror it exactly
+        embeddings.withColumn("centroid_id", nearestCentroidPortable(cents))
+          .select(col("centroid_id"), col("vec_id"), col("embedding"), col("label"))
+      else
+        ivfAssignTwoLevelJoin(embeddings, cents, superK, superProbe)
+          .select(col("centroid_id"), col("vec_id"), col("embedding"), col("label"))
+    val probeCells = probeCellsTwoLevelJoin(
+      embeddings.select(col("vec_id").as("probe_id"), col("embedding")),
+      cents, cells, nProbe, superProbe)
+    graphTail(assigned, probeCells, k)
+  }
+
   /** One round of LABEL PROPAGATION over the [[knnGraph]] edge table —
     * corpus-wide pseudo-labeling (Zhu & Ghahramani 2002, CMU-CALD-02-107;
     * the semi-supervised step a labeled-subset corpus uses to extend

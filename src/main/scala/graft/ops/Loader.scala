@@ -200,13 +200,26 @@ object Loader {
   // ------------------------------------------------- single-writer lease
 
   /** Age after which another writer may BREAK a lease: a crashed
-    * writer's lease must not brick its table forever, and the engine
-    * has no heartbeat channel — the TTL is the reap, the
-    * [[recoverFromSwap]]-at-startup pattern applied to liveness. Sized
-    * generously above any single merge/compact/zorder pass; a healthy
-    * writer finishes and releases long before it.
+    * writer's lease must not brick its table forever — the TTL is the
+    * reap, the [[recoverFromSwap]]-at-startup pattern applied to
+    * liveness. A HEALTHY writer never ages out: [[withLease]] runs a
+    * heartbeat that refreshes the lease timestamp every TTL/4, so a
+    * compact/zorder pass that runs for hours at 100 TB stays fresh the
+    * whole time (r13 verdict #1b — without the heartbeat, any rewrite
+    * longer than the TTL was reaped mid-write and a second writer
+    * admitted: the exact race the lease exists to prevent). Only a
+    * DEAD driver stops heartbeating, which is exactly when the reap is
+    * correct. Override per session via `spark.graft.lease.ttlMs`.
     */
   val LeaseTtlMs: Long = 30L * 60 * 1000
+
+  /** Session-configured TTL (`spark.graft.lease.ttlMs`), defaulting to
+    * [[LeaseTtlMs]] — one knob shared by the reap decision and the
+    * heartbeat cadence so they can never disagree.
+    */
+  def leaseTtlMs(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.lease.ttlMs")
+      .flatMap(_.toLongOption).getOrElse(LeaseTtlMs)
 
   // leases the CURRENT THREAD holds — re-entrancy: load() calls
   // mergeInto, a composed maintenance job may compact then zorder.
@@ -219,12 +232,175 @@ object Loader {
     ThreadLocal.withInitial[scala.collection.mutable.Set[String]](
       () => scala.collection.mutable.Set.empty[String])
 
-  /** Where the lease for `table` lives — public for specs/ops tooling. */
+  /** Lease filename for `table`: sanitized stem + an FNV-1a hash of the
+    * RAW name. The sanitizer alone is not injective (`a b` and `a_b`
+    * collide onto one file, so a writer on one table got a spurious
+    * refusal naming the other — r13 advice); the hash suffix makes the
+    * table→lease mapping injective while keeping the stem readable.
+    */
+  def leaseFileName(table: String): String = {
+    var h = 0xcbf29ce484222325L // FNV-1a 64-bit offset basis
+    table.foreach { ch => h ^= ch.toLong; h *= 0x100000001b3L }
+    f"${table.replaceAll("[^a-zA-Z0-9_.-]", "_")}.${h}%016x.lease"
+  }
+
+  /** Where the lease for `table` lives, in the warehouse's OWN
+    * filesystem (scheme preserved) — public for specs/ops tooling.
+    */
+  def leasePath(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): org.apache.hadoop.fs.Path = {
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(wh, "_graft_leases"), leaseFileName(table))
+  }
+
+  /** Local-filesystem projection of [[leasePath]] for specs/ops tooling
+    * on a `file:` warehouse; throws on any other scheme (use
+    * [[leasePath]] there).
+    */
   def leaseFile(
       spark: org.apache.spark.sql.SparkSession, table: String): java.nio.file.Path = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    java.nio.file.Paths.get(wh, "_graft_leases",
-      table.replaceAll("[^a-zA-Z0-9_.-]", "_") + ".lease")
+    val p = leasePath(spark, table)
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    require(scheme == "file" || scheme == "local",
+      s"leaseFile is the local-FS view; warehouse scheme is $scheme — use leasePath")
+    java.nio.file.Paths.get(p.toUri.getPath)
+  }
+
+  /** Filesystem schemes with ATOMIC fail-if-destination-exists rename
+    * (the primitive the reap protocol needs): HDFS-class stores, where
+    * `FileContext.rename` is a single namenode op.
+    */
+  private val AtomicRenameSchemes =
+    Set("hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs")
+
+  /** Which lease protocol a warehouse scheme gets — exposed for specs.
+    *
+    *  - `file`/`local` → `"link"`: the link(2) lockfile protocol
+    *    (truly atomic, content-full-at-birth).
+    *  - HDFS-class ([[AtomicRenameSchemes]]) → `"rename"`: tmp-file +
+    *    `FileContext.rename` without OVERWRITE — atomic at the
+    *    namenode, content-full-at-birth.
+    *  - Object stores (s3a/gs/wasb/…) → REFUSE loudly: their rename is
+    *    copy+delete and create-if-absent is check-then-act, so the
+    *    guard CANNOT be atomic — before r14 the path silently
+    *    mis-resolved to a LOCAL directory and two drivers each
+    *    "acquired" their own lease (r13 verdict #1a). Opt into
+    *    best-effort (small-window, documented) protection with
+    *    `spark.graft.lease.allowNonAtomicScheme=true`.
+    */
+  def leaseProtocolFor(scheme: String, allowNonAtomic: Boolean = false): String =
+    scheme match {
+      case "file" | "local"                        => "link"
+      case s if AtomicRenameSchemes.contains(s)    => "rename"
+      case s if allowNonAtomic                     => "rename" // best-effort
+      case s =>
+        throw new IllegalStateException(
+          s"warehouse scheme $s has no atomic create-if-absent/rename: the " +
+            "single-writer lease would be a silent no-op across drivers. " +
+            "Use an HDFS-class warehouse for rewrite leases, or accept " +
+            "best-effort (non-atomic, small double-admit window) protection " +
+            "with spark.graft.lease.allowNonAtomicScheme=true")
+    }
+
+  /** The four primitives the lease protocol needs, per filesystem class.
+    * All promote/moveAside/restore ops are fail-if-destination-exists;
+    * `replace` is the heartbeat's atomic overwrite.
+    */
+  private sealed trait LeaseFs {
+    def write(p: org.apache.hadoop.fs.Path, s: String): Unit
+    def read(p: org.apache.hadoop.fs.Path): String
+    def delete(p: org.apache.hadoop.fs.Path): Unit
+    def exists(p: org.apache.hadoop.fs.Path): Boolean
+    /** atomically install src at dst; throws FileAlreadyExistsException-class
+      * errors if dst exists, NoSuchFileException-class if src is gone */
+    def promote(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit
+    /** atomically replace dst with src (heartbeat refresh) */
+    def replace(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit
+    def mkdirs(p: org.apache.hadoop.fs.Path): Unit
+  }
+
+  private final class NioLeaseFs extends LeaseFs {
+    private def nio(p: org.apache.hadoop.fs.Path) =
+      java.nio.file.Paths.get(p.toUri.getPath)
+    def write(p: org.apache.hadoop.fs.Path, s: String): Unit =
+      java.nio.file.Files.write(nio(p), s.getBytes("UTF-8"))
+    def read(p: org.apache.hadoop.fs.Path): String =
+      new String(java.nio.file.Files.readAllBytes(nio(p)), "UTF-8")
+    def delete(p: org.apache.hadoop.fs.Path): Unit =
+      java.nio.file.Files.deleteIfExists(nio(p))
+    def exists(p: org.apache.hadoop.fs.Path): Boolean =
+      java.nio.file.Files.exists(nio(p))
+    // link(2): fails atomically if dst exists, dst is never observable
+    // empty or partial
+    def promote(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      java.nio.file.Files.createLink(nio(dst), nio(src))
+    def replace(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      java.nio.file.Files.move(nio(src), nio(dst),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def mkdirs(p: org.apache.hadoop.fs.Path): Unit =
+      java.nio.file.Files.createDirectories(nio(p))
+  }
+
+  /** HDFS-class protocol: FileContext.rename is one atomic namenode op
+    * (fail-if-exists without the OVERWRITE option). On a local FS this
+    * class is check-then-act — reachable only via the spec override or
+    * the explicit allow-non-atomic opt-in, both documented.
+    */
+  private final class HadoopLeaseFs(
+      fc: org.apache.hadoop.fs.FileContext,
+      fs: org.apache.hadoop.fs.FileSystem) extends LeaseFs {
+    def write(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    def read(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    def delete(p: org.apache.hadoop.fs.Path): Unit = { fs.delete(p, false); () }
+    def exists(p: org.apache.hadoop.fs.Path): Boolean = fs.exists(p)
+    def promote(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      fc.rename(src, dst) // no OVERWRITE → FileAlreadyExistsException if dst exists
+    def replace(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      fc.rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    def mkdirs(p: org.apache.hadoop.fs.Path): Unit = { fs.mkdirs(p); () }
+  }
+
+  /** Spec hook: force the Hadoop-FileContext protocol on a local
+    * warehouse so its code path is exercised without an HDFS cluster.
+    */
+  @volatile private[graft] var forceHadoopLeaseProtocol: Boolean = false
+
+  private def leaseFsFor(
+      spark: org.apache.spark.sql.SparkSession,
+      path: org.apache.hadoop.fs.Path): LeaseFs = {
+    val scheme = Option(path.toUri.getScheme).getOrElse("file")
+    val allow = spark.conf
+      .getOption("spark.graft.lease.allowNonAtomicScheme").contains("true")
+    val proto =
+      if (forceHadoopLeaseProtocol) "rename" else leaseProtocolFor(scheme, allow)
+    if (proto == "link") new NioLeaseFs
+    else {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      // file-scheme (spec-forced / opt-in) goes through RawLocalFileSystem:
+      // the cached LocalFileSystem writes .crc sidecars, which a foreign
+      // writer's plain write then fails to checksum — real HDFS has no
+      // sidecars, so raw local is the faithful stand-in
+      val fs = scheme match {
+        case "file" | "local" =>
+          val r = new org.apache.hadoop.fs.RawLocalFileSystem
+          r.initialize(new java.net.URI("file:///"), hconf)
+          r
+        case _ => path.getFileSystem(hconf)
+      }
+      new HadoopLeaseFs(
+        org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, hconf), fs)
+    }
   }
 
   /** Single-writer guard for the in-place table rewriters
@@ -240,20 +416,60 @@ object Loader {
     * session. Lease files live under `warehouse/_graft_leases/`, never
     * inside the table directory (a swap rewrite replaces that).
     */
-  private def withLease[A](
+  private[graft] def withLease[A](
       spark: org.apache.spark.sql.SparkSession, table: String)(body: => A): A = {
-    val path = leaseFile(spark, table)
+    val path = leasePath(spark, table)
     val key = path.toString
     if (heldLeases.get.contains(key)) body
     else {
       acquireLease(spark, table)
       heldLeases.get += key
+      val hb = startHeartbeat(spark, table, path)
       try body
       finally {
+        hb.interrupt()
+        hb.join(5000)
         heldLeases.get -= key
         releaseLease(spark, path)
       }
     }
+  }
+
+  /** Heartbeat daemon: refreshes the lease timestamp every TTL/4 so a
+    * legitimately-long rewrite (an hours-long compact or z-order at
+    * 100 TB) is never TTL-reaped mid-write (r13 verdict #1b / advice).
+    * Each refresh re-reads the lease and verifies WE still own it
+    * before the atomic replace — if ownership was lost (we starved past
+    * the TTL and got reaped), it stops touching the file rather than
+    * clobbering the successor; the rewrite then fails loudly at the
+    * next [[assertStillOwned]] checkpoint before anything destructive.
+    */
+  private def startHeartbeat(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      path: org.apache.hadoop.fs.Path): Thread = {
+    val appId = spark.sparkContext.applicationId
+    val lfs = leaseFsFor(spark, path)
+    val period = math.max(200L, math.min(60000L, leaseTtlMs(spark) / 4))
+    val t = new Thread(() => {
+      var live = true
+      try {
+        while (live && !Thread.interrupted()) {
+          Thread.sleep(period)
+          try {
+            if (lfs.read(path).startsWith(appId + " ")) {
+              val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+                s"${path.getName}.$appId.${Thread.currentThread().getId}.hb.tmp")
+              lfs.write(tmp, s"$appId ${System.currentTimeMillis()}")
+              lfs.replace(tmp, path)
+            } else live = false // reaped/superseded: never touch the successor's lease
+          } catch { case _: java.io.IOException => () } // transient FS hiccup: retry next beat
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-heartbeat-$table")
+    t.setDaemon(true)
+    t.start()
+    t
   }
 
   /** Release a held lease — only if WE still own it (r13 review
@@ -263,34 +479,66 @@ object Loader {
     * already-compounded race.
     */
   private def releaseLease(
-      spark: org.apache.spark.sql.SparkSession, path: java.nio.file.Path): Unit =
+      spark: org.apache.spark.sql.SparkSession,
+      path: org.apache.hadoop.fs.Path): Unit = {
+    val lfs = leaseFsFor(spark, path)
     try {
-      val raw = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
-      if (raw.startsWith(spark.sparkContext.applicationId + " "))
-        java.nio.file.Files.deleteIfExists(path)
+      if (lfs.read(path).startsWith(spark.sparkContext.applicationId + " "))
+        lfs.delete(path)
     } catch { case _: java.io.IOException => () } // already gone
+  }
+
+  /** Ownership re-check at the last gate before a DESTRUCTIVE step
+    * (drop→rename swap, dynamic partition overwrite): if the lease was
+    * lost mid-rewrite — heartbeat starved past the TTL and a successor
+    * reaped us — fail loudly BEFORE dropping the target, instead of
+    * racing the successor on the swap (r13 advice: verify ownership
+    * immediately before the destructive swap). No-op when this thread
+    * doesn't hold a lease on `table` (direct spec calls of the inner
+    * helpers).
+    */
+  private def assertStillOwned(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val path = leasePath(spark, table)
+    if (heldLeases.get.contains(path.toString)) {
+      val appId = spark.sparkContext.applicationId
+      val owner =
+        try Some(leaseFsFor(spark, path).read(path).split(' ').head)
+        catch { case _: java.io.IOException => None }
+      if (!owner.contains(appId))
+        throw new IllegalStateException(
+          s"lease on `$table` lost mid-rewrite (now held by " +
+            s"${owner.getOrElse("<nobody>")}): refusing the destructive swap " +
+            "— the rewrite outlived its TTL without heartbeating and was " +
+            "reaped; re-run when the successor releases")
+    }
+  }
 
   /** Acquire the write lease on `table` or throw loudly. Exposed so a
     * spec (or an operator's own orchestration) can simulate/observe the
     * second-writer refusal; [[withLease]] is the internal entry.
+    *
+    * Lockfile protocol (per-FS primitives in [[LeaseFs]]): write the
+    * content to a private temp file, then atomically promote it into
+    * place — promotion fails if the lease exists, and the lease is
+    * never observable empty or partial (a createFile-then-write
+    * sequence has a window where a concurrent acquirer reads an empty
+    * file, parses timestamp 0, deems the lease "stale", and overwrites
+    * — both writers proceed).
     */
   def acquireLease(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
-      ttlMs: Long = LeaseTtlMs): Unit = {
-    val path = leaseFile(spark, table)
-    java.nio.file.Files.createDirectories(path.getParent)
-    val content =
-      s"${spark.sparkContext.applicationId} ${System.currentTimeMillis()}"
-    // classic lockfile protocol: write the content to a private temp
-    // file, then LINK it into place — link(2) fails atomically if the
-    // target exists, and the lease is never observable empty or
-    // partial (a createFile-then-write sequence has a window where a
-    // concurrent acquirer reads an empty file, parses timestamp 0,
-    // deems the lease "stale", and overwrites — both writers proceed)
-    val tmp = path.resolveSibling(
-      s"${path.getFileName}.${spark.sparkContext.applicationId}.tmp")
-    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      ttlMs: Long = -1L): Unit = {
+    val ttl = if (ttlMs > 0) ttlMs else leaseTtlMs(spark)
+    val path = leasePath(spark, table)
+    val lfs = leaseFsFor(spark, path)
+    lfs.mkdirs(path.getParent)
+    val appId = spark.sparkContext.applicationId
+    val content = s"$appId ${System.currentTimeMillis()}"
+    val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+      s"${path.getName}.$appId.${Thread.currentThread().getId}.tmp")
+    lfs.write(tmp, content)
     def refuse(owner: String, ageMs: Long): Nothing =
       throw new IllegalStateException(
         s"table `$table` is being written by $owner " +
@@ -299,10 +547,11 @@ object Loader {
           "retry after it releases, or delete the lease if the " +
           "writer is known dead")
     try {
-      java.nio.file.Files.createLink(path, tmp)
+      lfs.promote(tmp, path)
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        val raw = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException
+         | _: java.nio.file.FileAlreadyExistsException =>
+        val raw = lfs.read(path)
         val parts = raw.split(' ')
         val owner = parts.headOption.getOrElse("<unknown>")
         // an unparsable lease is treated as FRESH (refuse loudly), not
@@ -311,41 +560,58 @@ object Loader {
           parts(1).toLongOption.getOrElse(System.currentTimeMillis())
         else System.currentTimeMillis()
         val age = System.currentTimeMillis() - ts
-        if (age < ttlMs) refuse(owner, age)
+        if (age < ttl) refuse(owner, age)
         // stale lease: the TTL reap. CLAIM it by atomically renaming it
-        // aside under a reaper-unique name (rename is atomic; a loser
-        // whose move finds no file refuses — someone else is mid-reap),
-        // then VERIFY the claimed file still holds the stale content
-        // read above (r13 review finding: between the read and the
-        // move, a concurrent reaper may have completed ITS reap and
-        // linked a FRESH lease — moving that aside unchecked would
-        // admit two writers). A mismatch restores the fresh lease and
-        // refuses; the remaining window (restore losing to a third
-        // acquirer's simultaneous link) is microseconds and ends in a
-        // refusal here either way.
-        val claimed = path.resolveSibling(
-          s"${path.getFileName}.reaped.${spark.sparkContext.applicationId}")
+        // aside under a reaper-unique name (a loser whose move finds no
+        // file refuses — someone else is mid-reap), then VERIFY the
+        // claimed file still holds the stale content read above (r13
+        // review finding: between the read and the move, a concurrent
+        // reaper may have completed ITS reap and promoted a FRESH lease
+        // — moving that aside unchecked would admit two writers). A
+        // mismatch restores the fresh lease and refuses; if the restore
+        // itself loses to a third acquirer's simultaneous promote, that
+        // is a DOUBLE-ADMIT in flight (the fresh owner A believes it
+        // holds the table, the third acquirer C now does too) — surface
+        // it loudly naming both, and leave the claimed copy on disk as
+        // forensics instead of silently deleting A's lease (r13 advice).
+        val claimed = new org.apache.hadoop.fs.Path(path.getParent,
+          s"${path.getName}.reaped.$appId")
         try {
-          java.nio.file.Files.move(path, claimed,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          val got = new String(java.nio.file.Files.readAllBytes(claimed), "UTF-8")
+          lfs.delete(claimed) // reap any leftover from this app's prior crash
+          lfs.replace(path, claimed)
+          val got = lfs.read(claimed)
           if (got != raw) {
             // we grabbed somebody's FRESH lease — put it back and refuse
-            try java.nio.file.Files.createLink(path, claimed)
-            catch { case _: java.nio.file.FileAlreadyExistsException => () }
-            java.nio.file.Files.deleteIfExists(claimed)
-            refuse("a concurrent reaper's fresh lease (restored)", 0L)
+            try {
+              lfs.promote(claimed, path)
+              lfs.delete(claimed) // restore was a link on local FS
+              refuse("a concurrent reaper's fresh lease (restored)", 0L)
+            } catch {
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException
+                 | _: java.nio.file.FileAlreadyExistsException =>
+                val usurper =
+                  try lfs.read(path).split(' ').head
+                  catch { case _: java.io.IOException => "<unknown>" }
+                throw new IllegalStateException(
+                  s"DOUBLE-ADMIT on `$table`: reaped a fresh lease held by " +
+                    s"${got.split(' ').head} and its restore lost to $usurper " +
+                    s"— both may now be writing. The displaced lease is kept " +
+                    s"at $claimed; stop one writer and delete that file")
+            }
           }
-          java.nio.file.Files.deleteIfExists(claimed)
-          java.nio.file.Files.createLink(path, tmp)
+          lfs.delete(claimed)
+          lfs.promote(tmp, path)
         } catch {
           case _: java.nio.file.NoSuchFileException =>
             refuse("a concurrent reaper", 0L)
+          case _: java.io.FileNotFoundException =>
+            refuse("a concurrent reaper", 0L)
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            refuse("a concurrent acquirer", 0L)
           case _: java.nio.file.FileAlreadyExistsException =>
             refuse("a concurrent acquirer", 0L)
         }
-    } finally java.nio.file.Files.deleteIfExists(tmp)
+    } finally lfs.delete(tmp)
   }
 
   /** Crash recovery for the swap rewrite: the drop-then-rename at the
@@ -422,6 +688,7 @@ object Loader {
       val merged = upsert(target, staging, keys, broadcastStaging = broadcastStaging)
       val swap = swapName(table)
       writeTableLike(merged, swap, info)
+      assertStillOwned(spark, table) // last gate before the drop→rename window
       dropTable(spark, table)
       renameTable(spark, swap, table)
     }
@@ -471,6 +738,7 @@ object Loader {
         val confKey = "spark.sql.sources.partitionOverwriteMode"
         val prev = spark.conf.get(confKey)
         spark.conf.set(confKey, "dynamic")
+        assertStillOwned(spark, table) // last gate before the overwrite
         try
           spark.table(tmp)
             .select(target.columns.map(col).toIndexedSeq: _*)
@@ -543,6 +811,7 @@ object Loader {
         val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
         val swap = swapName(table)
         writeTableLike(target.coalesce(nFiles), swap, info)
+        assertStillOwned(spark, table) // last gate before the drop→rename window
         dropTable(spark, table)
         renameTable(spark, swap, table)
         1
@@ -576,6 +845,7 @@ object Loader {
         val confKey = "spark.sql.sources.partitionOverwriteMode"
         val prev = spark.conf.get(confKey)
         spark.conf.set(confKey, "dynamic")
+        assertStillOwned(spark, table) // last gate before the overwrite
         try
           spark.table(tmp)
             .select(target.columns.map(col).toIndexedSeq: _*)
@@ -632,8 +902,12 @@ object Loader {
     require(nFiles >= 1, s"need at least one output file: $nFiles")
     require(bits >= 1 && bits * zcols.size <= 31,
       s"interleaved key must fit an int: $bits bits x ${zcols.size} cols")
+    // table resolution + empty check INSIDE the lease (r13 advice): a
+    // pre-lease check is a TOCTOU window where another writer swaps the
+    // table between the check and the acquisition
+    withLease(spark, table) {
     val target = spark.table(table)
-    if (target.inputFiles.isEmpty) 0 else withLease(spark, table) {
+    if (target.inputFiles.isEmpty) 0 else {
     val info = org.apache.spark.sql.GraftBridge.tableInfo(spark, table)
     // writeTableLike re-applies bucketBy for bucketed tables, which
     // would split every z-range partition into per-bucket files —
@@ -673,9 +947,11 @@ object Loader {
         .sortWithinPartitions("_z")
         .drop("_z"),
       swap, info)
+    assertStillOwned(spark, table) // last gate before the drop→rename window
     dropTable(spark, table)
     renameTable(spark, swap, table)
     spark.table(table).inputFiles.length
+    }
     }
   }
 

@@ -789,4 +789,29 @@ class CorpusSpec extends SparkSpec {
     assert(verdict2 == Set((victimPack, "missing"), ("forged#0#0", "unexpected")),
       verdict2.toString)
   }
+
+  test("verifyShards: a wiped shards root returns every pack 'missing', not a read error (r13 advice)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards-w").toString
+    val df = docsDF((1L to 6L).map(i => (i, s"tok$i " * i.toInt)))
+    val packed = Corpus.packGreedy(df, budgetTokens = 8, shardsPerStratum = 2)
+    val manifest = Corpus.writeShards(df, packed, dir)
+    val packs = manifest.collect().map(_.getString(0)).toSet
+    // wipe the ENTIRE shards root (the trust-before-resume worst case)
+    import scala.jdk.CollectionConverters._
+    val shardsDir = java.nio.file.Paths.get(dir, "shards")
+    val walk = java.nio.file.Files.walk(shardsDir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    finally walk.close()
+    val verdict = Corpus.verifyShards(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(verdict.map(_._1).toSet == packs, verdict.toString)
+    assert(verdict.forall(_._2 == "missing"), verdict.toString)
+    // same verdict when the root exists but is EMPTY (schema-inference path)
+    java.nio.file.Files.createDirectories(shardsDir)
+    val verdict2 = Corpus.verifyShards(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(verdict2.map(_._1).toSet == packs && verdict2.forall(_._2 == "missing"),
+      verdict2.toString)
+  }
 }

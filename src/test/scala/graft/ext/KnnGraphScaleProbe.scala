@@ -17,9 +17,10 @@ import org.apache.spark.sql.SparkSession
 object KnnGraphScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    // a spec is `nc` (flat — the declared-key kernel) or `nc:hier`
-    // (two-level assignment + two-level probe lists — the production
-    // path at corpus-scaled k)
+    // a spec is `nc` (flat — the declared-key kernel), `nc:hier`
+    // (two-level literal assignment + literal probe lists), or
+    // `nc:hierjoin` (both stages as broadcast joins — the path past
+    // the literal-expression cliff, r13 verdict #2)
     val specs =
       if (args.length > 1) args.drop(1).toSeq.map { s =>
         val parts = s.split(":")
@@ -38,6 +39,7 @@ object KnnGraphScaleProbe {
       val t0 = System.nanoTime()
       val edges = (mode match {
         case "hier" => Similarity.knnGraphHier(e, k = 4, nCentroids = nc)
+        case "hierjoin" => Similarity.knnGraphHierJoin(e, k = 4, nCentroids = nc)
         case _ => Similarity.knnGraph(e, k = 4, nCentroids = nc)
       }).count()
       val tg = (System.nanoTime() - t0) / 1e9

@@ -1042,4 +1042,21 @@ class SimilaritySpec extends SparkSpec {
     val agree = hier2.count(flatSet.contains).toDouble / hier2.size
     assert(agree >= 0.55, s"hier/flat edge agreement too low: $agree")
   }
+
+  test("knnGraphHierJoin: probe-lists-as-data is bit-identical to the literal two-level path (r13 verdict #2)") {
+    // superK=4, superProbe=2 → 4 super-cells, 2 probed: BOTH variants
+    // take the real two-level path (literal CASE chains vs broadcast
+    // joins) and must produce the same edges bit-for-bit — same probed
+    // cell sets, same assignments, same 6-dp ranking
+    def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val lit2 = edges(Similarity.knnGraphHier(embs, k = 4, superK = 4, superProbe = 2))
+    val join2 = edges(Similarity.knnGraphHierJoin(embs, k = 4, superK = 4, superProbe = 2))
+    assert(join2 == lit2, "join-shaped hier graph diverged from the literal two-level path")
+    // fallback parity: probing ALL supers degrades the join variant to
+    // the flat graph exactly, like the literal variant
+    val flat4 = edges(Similarity.knnGraph(embs, k = 4))
+    val joinAll = edges(Similarity.knnGraphHierJoin(embs, k = 4, superK = 4, superProbe = 4))
+    assert(joinAll == flat4, "all-supers-probed join variant diverged from flat")
+  }
 }

@@ -595,6 +595,100 @@ class LoaderSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS lease_target")
   }
 
+  test("lease filename: sanitizer collisions are disambiguated by the raw-name hash (r13 advice)") {
+    // `a b` and `a_b` sanitize identically; the FNV suffix keeps the
+    // table→lease mapping injective so neither writer refuses on the other
+    assert(Loader.leaseFileName("a b") != Loader.leaseFileName("a_b"))
+    assert(Loader.leaseFileName("a b") == Loader.leaseFileName("a b"))
+    assert(Loader.leaseFile(spark, "a b") != Loader.leaseFile(spark, "a_b"))
+  }
+
+  test("lease protocol per warehouse scheme: local links, HDFS renames, object stores refuse loudly (r13 verdict #1a)") {
+    assert(Loader.leaseProtocolFor("file") == "link")
+    assert(Loader.leaseProtocolFor("local") == "link")
+    assert(Loader.leaseProtocolFor("hdfs") == "rename")
+    assert(Loader.leaseProtocolFor("viewfs") == "rename")
+    // non-atomic schemes: loud refusal by default, best-effort on opt-in
+    for (s <- Seq("s3a", "gs", "wasbs", "abfss")) {
+      val e = intercept[IllegalStateException] { Loader.leaseProtocolFor(s) }
+      assert(e.getMessage.contains("no atomic"), e.getMessage)
+      assert(Loader.leaseProtocolFor(s, allowNonAtomic = true) == "rename")
+    }
+    // the lease path preserves the warehouse scheme instead of silently
+    // resolving to a LOCAL directory (the pre-r14 failure mode)
+    val p = Loader.leasePath(spark, "t")
+    assert(p.toString.contains("_graft_leases"))
+  }
+
+  test("lease heartbeat: a slow writer under a short TTL is refreshed, not reaped (r13 verdict #1b)") {
+    import spark.implicits._
+    dropWithLocation("lease_hb_target")
+    target.write.mode("overwrite").saveAsTable("lease_hb_target")
+    val prevTtl = spark.conf.getOption("spark.graft.lease.ttlMs")
+    spark.conf.set("spark.graft.lease.ttlMs", "1200")
+    try {
+      val path = Loader.leaseFile(spark, "lease_hb_target")
+      // a slow writer: holds the lease (heartbeating) for ~4 TTLs
+      @volatile var writerDone = false
+      val staging = Seq((2L, "hb", 2.0)).toDF("k", "name", "v")
+      val writer = new Thread(() => {
+        // a slow rewrite: hold the lease across ~4 TTLs of "work", then
+        // merge (re-entrant under the same thread's lease)
+        Loader.withLease(spark, "lease_hb_target") {
+          Thread.sleep(5000)
+          Loader.mergeInto(spark, "lease_hb_target", staging, Seq("k"))
+        }
+        writerDone = true
+      })
+      writer.start()
+      // wait until the lease exists, then well past the TTL
+      val deadline = System.currentTimeMillis() + 10000
+      while (!java.nio.file.Files.exists(path) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(3000) // 2.5× the TTL: an unrefreshed lease would be stale
+      // a second acquirer must STILL be refused — the heartbeat kept it fresh
+      val e = intercept[IllegalStateException] {
+        Loader.acquireLease(spark, "lease_hb_target")
+      }
+      assert(e.getMessage.contains("being written"), e.getMessage)
+      writer.join(30000)
+      assert(writerDone, "slow writer must complete")
+      // and the slow writer's own release still worked (it was never reaped)
+      assert(!java.nio.file.Files.exists(path), "lease must release after the slow merge")
+      assert(spark.table("lease_hb_target").filter(col("k") === 2L)
+        .collect()(0).getString(1) == "hb")
+    } finally {
+      prevTtl match {
+        case Some(v) => spark.conf.set("spark.graft.lease.ttlMs", v)
+        case None    => spark.conf.unset("spark.graft.lease.ttlMs")
+      }
+      spark.sql("DROP TABLE IF EXISTS lease_hb_target")
+    }
+  }
+
+  test("lease Hadoop-FileContext protocol: acquire/refuse/reap/release round-trip on the warehouse FS (r13 verdict #1a)") {
+    Loader.forceHadoopLeaseProtocol = true
+    try {
+      val path = Loader.leaseFile(spark, "lease_fc_target")
+      java.nio.file.Files.deleteIfExists(path)
+      Loader.acquireLease(spark, "lease_fc_target")
+      assert(java.nio.file.Files.exists(path))
+      // second acquire refuses (fresh foreign-held lease, content check)
+      val e = intercept[IllegalStateException] {
+        Loader.acquireLease(spark, "lease_fc_target")
+      }
+      assert(e.getMessage.contains("being written"), e.getMessage)
+      // stale lease reaps through the FileContext move-aside path
+      val old = System.currentTimeMillis() - Loader.leaseTtlMs(spark) - 1000
+      java.nio.file.Files.write(path, s"app-dead-writer $old".getBytes("UTF-8"))
+      Loader.acquireLease(spark, "lease_fc_target")
+      val raw = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      assert(raw.startsWith(spark.sparkContext.applicationId + " "),
+        s"reap must install our lease: $raw")
+      java.nio.file.Files.deleteIfExists(path)
+    } finally Loader.forceHadoopLeaseProtocol = false
+  }
+
   test("single-writer lease: a stale lease (dead writer) is reaped, not honored") {
     import spark.implicits._
     dropWithLocation("lease_stale_target")
