@@ -86,6 +86,12 @@ object ExtQueries {
     */
   val KnnGraphK: Int = 4
 
+  /** Rounds for the iterated-propagation key: deep enough that labels
+    * actually move across rounds on the fixture, shallow enough that
+    * the unrolled-CTE oracle stays readable.
+    */
+  val LabelPropRounds: Int = 3
+
   /** THE capped probe batch of the serving-contract keys (kNN join /
     * PQ join / recall gates / negative mining / classification) — one
     * definition, so a probe-contract change cannot land in some keys
@@ -1144,6 +1150,15 @@ object ExtQueries {
       // aggregate argmax, ties to smallest label) — corpus-wide
       // pseudo-labeling and the leave-one-out label-quality audit
       Similarity.labelPropagate(embs(s, dir), k = KnnGraphK)),
+    "label_propagation_iter_embeddings" -> ((s: SparkSession, dir: String) =>
+      // Zhu & Ghahramani run to convergence-depth: 3 rounds over the
+      // FROZEN graph, each round re-voting with the previous round's
+      // labels (carry-forward for voteless vertices); rounds=1 is
+      // spec-pinned bit-identical to the one-round key — the oracle
+      // unrolls the rounds as CTE stages, the Lloyd/LR-trajectory
+      // recipe applied to propagation
+      Similarity.labelPropagateIter(embs(s, dir), k = KnnGraphK,
+        rounds = LabelPropRounds)),
     "similarity_knn_join_pq_embeddings" -> ((s: SparkSession, dir: String) => {
       // the retrieval capstone as a declared key: the batch kNN JOIN
       // through the PRODUCTION stack (IVF cell restriction -> PQ ADC
@@ -2646,6 +2661,58 @@ object ExtQueries {
          |  coalesce(f.pred_label = e.label, false) AS agrees
          |FROM embeddings e LEFT JOIN lfin f USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
+    // iterated label propagation: the knn_graph chain once (frozen
+    // graph), then the vote/argmax/carry-forward stages UNROLLED once
+    // per round — the Lloyd/LR-trajectory oracle recipe applied to
+    // propagation; round r votes with l{r-1}'s labels
+    "label_propagation_iter_embeddings" -> {
+      val roundCtes = (1 to LabelPropRounds).map { r =>
+        s"""lv$r AS (SELECT kg.probe_id AS vec_id, l.cur AS pred_label,
+           |    sum(CAST(kg.cosine AS DECIMAL(16,6))) AS vote_w,
+           |    count(*)::BIGINT AS n_votes
+           |  FROM kg JOIN l${r - 1} l ON kg.vec_id = l.vec_id GROUP BY 1, 2),
+           |lb$r AS (SELECT vec_id, max(vote_w) AS maxw FROM lv$r GROUP BY 1),
+           |lw$r AS (SELECT lv.vec_id, min(pred_label) AS pred_label
+           |  FROM lv$r lv JOIN lb$r b
+           |    ON lv.vec_id = b.vec_id AND lv.vote_w = b.maxw
+           |  GROUP BY 1),
+           |l$r AS (SELECT l.vec_id, coalesce(w.pred_label, l.cur) AS cur
+           |  FROM l${r - 1} l LEFT JOIN lw$r w USING (vec_id))""".stripMargin
+      }.mkString(",\n")
+      val R = LabelPropRounds
+      s"""WITH kp AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings),
+         |kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |    ORDER BY vec_id LIMIT 16),
+         |kasg AS (SELECT vec_id, label, embedding, cid FROM (
+         |    SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.embedding", "c.cvec", 64)}, 6) DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN kcent c) WHERE rn = 1),
+         |kpr AS (SELECT probe_id, cid FROM (
+         |    SELECT p.probe_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY round(${cosSql("c.cvec", "p.pe", 64)}, 6) DESC, c.cid) AS rn
+         |    FROM kcent c CROSS JOIN kp p) WHERE rn <= 4),
+         |kc AS (SELECT pr.probe_id, a.vec_id, a.label,
+         |      round(${cosSql("a.embedding", "p.pe", 64)}, 6) AS cosine
+         |    FROM kasg a JOIN kpr pr ON a.cid = pr.cid
+         |                JOIN kp p ON p.probe_id = pr.probe_id
+         |    WHERE a.vec_id <> pr.probe_id),
+         |kg AS (SELECT probe_id, vec_id, label, cosine FROM (
+         |    SELECT kc.*, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cosine DESC, vec_id) AS rn FROM kc)
+         |  WHERE rn <= $KnnGraphK),
+         |l0 AS (SELECT vec_id, label AS cur FROM embeddings),
+         |$roundCtes,
+         |lfin AS (SELECT w.vec_id, w.pred_label, lv.vote_w, lv.n_votes
+         |  FROM lw$R w JOIN lv$R lv
+         |    ON lv.vec_id = w.vec_id AND lv.pred_label = w.pred_label)
+         |SELECT e.vec_id, e.label, f.pred_label, f.vote_w::DOUBLE AS vote_w,
+         |  coalesce(f.n_votes, 0)::BIGINT AS n_votes,
+         |  coalesce(f.pred_label = e.label, false) AS agrees
+         |FROM embeddings e LEFT JOIN lfin f USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
+    },
     // hard-negative mining: the knn_join CTE chain with the anchor's
     // label carried into kp and a label <> probe_label filter on the
     // candidate set before the per-probe rank window

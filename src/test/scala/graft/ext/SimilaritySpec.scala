@@ -1059,4 +1059,32 @@ class SimilaritySpec extends SparkSpec {
     val joinAll = edges(Similarity.knnGraphHierJoin(embs, k = 4, superK = 4, superProbe = 4))
     assert(joinAll == flat4, "all-supers-probed join variant diverged from flat")
   }
+
+  test("labelPropagateIter: rounds=1 equals labelPropagate bit-for-bit; later rounds vote with updated labels (r13 verdict #3)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val one = rows(Similarity.labelPropagate(embs, k = 4))
+    val iter1 = rows(Similarity.labelPropagateIter(embs, k = 4, rounds = 1))
+    assert(iter1 == one, "rounds=1 diverged from the one-round kernel")
+    // hand-rolled round 2 from the frozen graph: re-vote with round-1's
+    // carried labels (winner, else original), same argmax + tie rule
+    val g = Similarity.knnGraph(embs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDouble(3)).setScale(6)))
+    val orig = embs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def vote(labels: Map[Long, Int]): Map[Long, (Int, BigDecimal, Long)] =
+      g.groupBy(_._1).map { case (v, es) =>
+        val byLabel = es.groupBy(e => labels(e._2))
+          .map { case (l, xs) => (l, xs.map(_._3).sum, xs.size.toLong) }
+        val maxw = byLabel.map(_._2).max
+        val win = byLabel.filter(_._2 == maxw).minBy(_._1)
+        v -> win
+      }
+    val r1 = vote(orig)
+    val l1 = orig.map { case (v, l) => v -> r1.get(v).map(_._1).getOrElse(l) }
+    val r2 = vote(l1)
+    val got2 = Similarity.labelPropagateIter(embs, k = 4, rounds = 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(2), BigDecimal(r.getDouble(3)).setScale(6), r.getLong(4))).toMap
+    assert(got2 == r2, "round-2 votes diverged from the hand-rolled reference")
+  }
 }
