@@ -1374,6 +1374,95 @@ object Similarity {
   def writeClustered(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
+  /** INCREMENTAL index maintenance (r13 verdict #4): fold an arriving
+    * vector batch into an existing [[writeClustered]] layout without
+    * the full retrain+rewrite that was previously the only option —
+    * the [[graft.ext.Dedup]] `dedup_incremental` posture applied to
+    * the index, with [[ivfDrift]] remaining the judge of when a real
+    * retrain is due instead.
+    *
+    *  1. ASSIGN the batch against the FROZEN centroids (a loaded
+    *     [[saveIndex]] artifact) — same [[ivfAssignTo]] argmin the
+    *     full build uses, so an appended vector lands in exactly the
+    *     partition a rebuild would put it in.
+    *  2. Anti-join the batch against ONLY its touched partitions
+    *     (partition-pruned scan): a re-delivered batch is a no-op —
+    *     at-least-once ingestion upstream cannot duplicate the index.
+    *  3. APPEND the surviving rows — new files land only under the
+    *     touched `centroid_id=` directories; every file of every
+    *     untouched partition stays BYTE-IDENTICAL by construction
+    *     (append never rewrites), spec-pinned.
+    *  4. [[compactClustered]] bounds the small-file accumulation the
+    *     append model creates (the Loader.compact posture): touched
+    *     partitions exceeding `maxFilesPerPartition` are rewritten
+    *     in place via a scratch dir + dynamic partition overwrite —
+    *     still bounded by the touched partitions, never the index.
+    *
+    * Serving equivalence (spec-pinned): the same vector set serves
+    * identically from an appended layout and a from-scratch rebuild
+    * over the union, because assignment is frozen-centroid argmin and
+    * [[ivfTopKClustered]] ranking is file-layout-independent.
+    *
+    * @return the touched centroid ids (≤ min(|batch|, k) of them)
+    */
+  def appendToClustered(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      index: IvfIndex,
+      maxFilesPerPartition: Int = 8): Seq[Long] = {
+    val assigned = ivfAssignTo(batch, index.centroids)
+    val touched = assigned.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    if (touched.isEmpty) return Nil
+    val existingTouched = spark.read.parquet(path)
+      .filter(col("centroid_id").isin(touched: _*))
+      .select(col("vec_id"))
+    val fresh = assigned.join(existingTouched, Seq("vec_id"), "left_anti")
+    fresh.write.mode("append").partitionBy("centroid_id").parquet(path)
+    compactClustered(spark, path, touched, maxFilesPerPartition)
+    touched
+  }
+
+  /** Per-partition small-file compaction for a [[writeClustered]]
+    * layout — rewrites ONLY the named partitions whose data-file count
+    * exceeds the threshold, byte-identical rows, via a scratch dir +
+    * dynamic partition overwrite (file-source writes refuse to
+    * overwrite a path they also read). Returns partitions rewritten.
+    */
+  def compactClustered(
+      spark: SparkSession,
+      path: String,
+      partitions: Seq[Long],
+      maxFilesPerPartition: Int = 8): Int = {
+    require(maxFilesPerPartition >= 1, "threshold must be >= 1 file")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val over = partitions.filter { cid =>
+      val d = new org.apache.hadoop.fs.Path(root, s"centroid_id=$cid")
+      fs.exists(d) && fs.listStatus(d)
+        .count(s => s.isFile && !s.getPath.getName.startsWith("_")) >
+        maxFilesPerPartition
+    }
+    if (over.isEmpty) 0
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(root.getParent,
+        root.getName + "_compact_tmp")
+      val slice = spark.read.parquet(path)
+        .filter(col("centroid_id").isin(over: _*))
+        .repartition(col("centroid_id"))
+      slice.write.mode("overwrite").parquet(tmp.toString)
+      spark.read.parquet(tmp.toString)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid_id")
+        .parquet(path)
+      fs.delete(tmp, true)
+      over.size
+    }
+  }
+
   /** The `nProbe` centroid ids nearest the probe, ranked exactly as
     * [[ivfTopK]]'s broadcast probe list (cosine desc, centroid_id
     * tie-break). The centroid frame is driver-resident (k×dim), so the

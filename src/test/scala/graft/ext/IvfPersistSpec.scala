@@ -77,4 +77,68 @@ class IvfPersistSpec extends SparkSpec {
       "streaming face diverged between loaded and in-memory index")
     assert(run(loaded.centroids).nonEmpty)
   }
+
+  test("appendToClustered: untouched partitions stay byte-identical; serving equals a full rebuild (r13 verdict #4)") {
+    val trained = Similarity.buildIvfIndex(embs, nCentroids = 16, iterations = 3,
+      portable = true)
+    val ixPath = tmpPath("inc")
+    Similarity.saveIndex(spark, trained, ixPath)
+    val index = Similarity.loadIndex(spark, ixPath)
+    // initial layout from the first 400 vectors; batch = the rest
+    val base = embs.filter(col("vec_id") < 400L)
+    val batch = embs.filter(col("vec_id") >= 400L)
+    val layout = tmpPath("layout").stripSuffix("/index") + "/clustered"
+    Similarity.writeClustered(Similarity.ivfAssignTo(base, index.centroids), layout)
+    def inventory(): Map[String, Seq[(String, Long, Long)]] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(layout)
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .toSeq
+        .map { p =>
+          val rel = root.relativize(p).toString
+          val part = rel.split('/').head
+          (part, (rel, java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sortBy(_._1) }
+    }
+    val before = inventory()
+    val touched = Similarity.appendToClustered(spark, layout, batch, index,
+      maxFilesPerPartition = 64) // high threshold: pure append this round
+    assert(touched.nonEmpty)
+    val after = inventory()
+    // every partition the batch did NOT touch is byte-identical (same
+    // files, same sizes, same mtimes — append never rewrites)
+    val touchedDirs = touched.map(c => s"centroid_id=$c").toSet
+    for ((part, files) <- before if !touchedDirs.contains(part))
+      assert(after(part) == files, s"untouched partition $part changed")
+    // serving equivalence: appended layout == rebuilt-from-union layout
+    val rebuilt = tmpPath("rebuild").stripSuffix("/index") + "/rebuilt"
+    Similarity.writeClustered(Similarity.ivfAssignTo(embs, index.centroids), rebuilt)
+    val probe = Similarity.defaultProbe(embs)
+    val probeIds = Similarity.probeCentroidIds(index.toDF(spark), probe, nProbe = 4)
+    def serve(p: String) =
+      Similarity.ivfTopKClustered(spark.read.parquet(p), probeIds, probe)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(serve(layout) == serve(rebuilt),
+      "appended layout serves differently from a full rebuild")
+    // idempotency: re-delivering the same batch appends nothing
+    val filesBefore = inventory()
+    Similarity.appendToClustered(spark, layout, batch, index,
+      maxFilesPerPartition = 64)
+    assert(inventory().view.mapValues(_.map(t => (t._1, t._2))).toMap ==
+      filesBefore.view.mapValues(_.map(t => (t._1, t._2))).toMap,
+      "re-delivered batch must be a no-op")
+    // compaction: drive file counts over a tight threshold, then verify
+    // the rewrite bounds files per partition and preserves rows + serving
+    val rowsBefore = spark.read.parquet(layout).count()
+    val n = Similarity.compactClustered(spark, layout, touched,
+      maxFilesPerPartition = 1)
+    assert(n >= 1, "expected at least one overfull partition to compact")
+    assert(spark.read.parquet(layout).count() == rowsBefore)
+    assert(serve(layout) == serve(rebuilt), "compaction changed serving")
+  }
 }
