@@ -4,6 +4,29 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // contention defense at the SOURCE (r13 verdict #7): the r10-r13
+    // driver runs each launched onto a loaded host and needed
+    // adjudication against the quiet anchor — instead, wait out the
+    // co-tenant burst before measuring anything: bounded backoff while
+    // the 1-min load average exceeds 1, every outcome stamped in the
+    // artifact (`entry_load1` initial/final, seconds waited, and a
+    // loud gave-up marker when the budget runs out on a still-loaded
+    // host). Budget via SPARK_GRAFT_LOAD_WAIT_MAX seconds (default
+    // 600; 0 disables for spec/CI runs).
+    def osLoad1(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val entryLoadInitial = osLoad1()
+    val waitBudgetSec = sys.env.get("SPARK_GRAFT_LOAD_WAIT_MAX")
+      .flatMap(_.toIntOption).getOrElse(600)
+    val waitStart = System.nanoTime()
+    var entryLoad = entryLoadInitial
+    while (entryLoad > 1.0 &&
+        (System.nanoTime() - waitStart) / 1e9 < waitBudgetSec) {
+      Thread.sleep(15000)
+      entryLoad = osLoad1()
+    }
+    val entryWaitSec = (System.nanoTime() - waitStart) / 1e9
+    val entryGaveUp = entryLoad > 1.0
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -115,8 +138,12 @@ object Bench {
     } + "\""
     val errs = errors
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val entryStamp =
+      s""""entry_load1":${fmt(entryLoad)},"entry_load1_initial":${fmt(entryLoadInitial)},""" +
+        s""""entry_wait_sec":${fmt(entryWaitSec)},"entry_wait_gave_up":$entryGaveUp"""
     val contract =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","load1":${fmt(load)},""" +
+        s"""$entryStamp,""" +
         s""""n_queries":${results.size},"n_failed":$nFailed,"errors":$errs,""" +
         s""""artifact":"bench_artifact.json","queries":$qs,""" +
         s""""raw_timings":$raw,"query_load1":$qload,"sf":"$sfDir"}"""
@@ -134,7 +161,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(8)
       .map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","load1":${fmt(load)},"n_queries":${results.size},"n_failed":$nFailed,"queries":$slowest,"artifact":"${out.toAbsolutePath}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","load1":${fmt(load)},$entryStamp,"n_queries":${results.size},"n_failed":$nFailed,"queries":$slowest,"artifact":"${out.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

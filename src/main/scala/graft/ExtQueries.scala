@@ -178,10 +178,14 @@ object ExtQueries {
   /** DuckDB mirror of [[Relevance]]'s tokenizer: one row per non-empty
     * lowercase letter-run token, with the given extra columns carried.
     */
-  private def tokSql(carry: String) =
+  /** Word-token stream over `src` (default `documents` — with the
+    * default every emitted oracle stays byte-identical; the composed
+    * corpus→trainer key re-points it at the curated CTE).
+    */
+  private def tokSql(carry: String, src: String = "documents") =
     s"""SELECT $carry, term FROM (
        |  SELECT $carry, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
-       |  FROM documents) WHERE term <> ''""".stripMargin
+       |  FROM $src) WHERE term <> ''""".stripMargin
   private val WsToksSql =
     """CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"""
 
@@ -200,7 +204,7 @@ object ExtQueries {
     * identical algorithm; a stage with no pairs left yields no row on
     * either side.
     */
-  private def bpeTrainCtes(m: Int): String = {
+  private def bpeTrainCtes(m: Int, src: String = "documents"): String = {
     def stage(i: Int): String =
       s"""bp_p$i AS (SELECT p['l'] AS l, p['r'] AS r, sum(cnt)::BIGINT AS c FROM (
          |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
@@ -214,7 +218,7 @@ object ExtQueries {
          |    FROM bp_v$i CROSS JOIN bp_b$i b)""".stripMargin
     s"""bp_w AS (SELECT word, cnt FROM (
        |    SELECT term AS word, count(*)::BIGINT AS cnt
-       |    FROM (${tokSql("doc_id")}) GROUP BY 1)
+       |    FROM (${tokSql("doc_id", src)}) GROUP BY 1)
        |  ORDER BY cnt DESC, word LIMIT ${Bpe.DefaultMaxWordTypes}),
        |bp_v1 AS (SELECT word, cnt,
        |  list_append(string_split(word, ''), '${Bpe.EndOfWord}') AS syms FROM bp_w),
@@ -229,7 +233,7 @@ object ExtQueries {
     * `en_t(doc_id, n_words, bpe_tokens)` — shared by the encode oracle
     * and every tokenizer-true consumer (curate_bpe).
     */
-  private def bpeEncodeCtes(m: Int): String = {
+  private def bpeEncodeCtes(m: Int, src: String = "documents"): String = {
     def applyStage(i: Int): String =
       s"""ap_v${i + 1} AS (SELECT word, CASE WHEN b.l IS NULL THEN syms
          |    ELSE string_split(list_reduce(syms,
@@ -237,9 +241,9 @@ object ExtQueries {
          |          AND x = b.r
          |        THEN acc || b.r ELSE acc || chr(31) || x END), chr(31)) END AS syms
          |    FROM ap_v$i LEFT JOIN bp_b$i b ON TRUE)""".stripMargin
-    s"""${bpeTrainCtes(m)},
+    s"""${bpeTrainCtes(m, src)},
        |en_c AS (SELECT doc_id, term AS word, count(*)::BIGINT AS cnt
-       |  FROM (${tokSql("doc_id")}) GROUP BY 1, 2),
+       |  FROM (${tokSql("doc_id", src)}) GROUP BY 1, 2),
        |ap_v1 AS (SELECT word,
        |  list_append(string_split(word, ''), '${Bpe.EndOfWord}') AS syms
        |  FROM (SELECT DISTINCT word FROM en_c)),
@@ -247,7 +251,7 @@ object ExtQueries {
        |en_t AS (SELECT d.doc_id AS doc_id,
        |    coalesce(sum(c.cnt), 0)::BIGINT AS n_words,
        |    coalesce(sum(c.cnt * len(t.syms)), 0)::BIGINT AS bpe_tokens
-       |  FROM documents d
+       |  FROM $src d
        |  LEFT JOIN en_c c ON d.doc_id = c.doc_id
        |  LEFT JOIN ap_v${m + 1} t ON c.word = t.word
        |  GROUP BY d.doc_id)""".stripMargin
@@ -1412,6 +1416,16 @@ object ExtQueries {
       Corpus.curateFull(
         d.filter(col("doc_id") % 97 =!= 0),
         d.filter(col("doc_id") % 97 === 0))
+    }),
+    "corpus_to_trainer_documents" -> ((s: SparkSession, dir: String) => {
+      // the raw-corpus→training-order contract end to end: curate_full's
+      // survivor set (BPE trained on the CURATED text) through pack →
+      // shuffle → stride schedule, one pinned relation (r13 verdict #5)
+      val d = docs(s, dir)
+      Corpus.corpusToTrainer(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0),
+        nShards = PackShards)
     }),
     "sample_stratified_documents" -> ((s: SparkSession, dir: String) =>
       // per-lang proportional content-addressed sample
@@ -3189,40 +3203,42 @@ object ExtQueries {
          |WHERE doc_id IN (SELECT doc_id FROM w) AND md5(clean_text) < '80'
          |ORDER BY doc_id""".stripMargin
     },
-    "curate_full_documents" -> {
-      val normClean = """trim(regexp_replace(lower(clean_text), '\s+', ' ', 'g'))"""
-      val n = 8
-      def grams(src: String, c: String) =
-        s"""SELECT doc_id, unnest(
-           |  CASE WHEN len(words) < $n THEN [array_to_string(words, ' ')]
-           |       ELSE list_distinct(list_transform(range(1, len(words) - ${n - 2}),
-           |            i -> array_to_string(words[i:i+${n - 1}], ' '))) END) AS gram
-           |FROM (SELECT doc_id,
-           |      string_split(trim(regexp_replace(lower($c), '\\s+', ' ', 'g')), ' ') AS words
-           |      FROM $src)""".stripMargin
-      s"""WITH corp AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
-         |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
-         |r AS (SELECT doc_id,
-         |  regexp_replace(regexp_replace(text, '${Corpus.EmailRegex}', '<EMAIL>', 'g'),
-         |                 '${Corpus.LongNumberRegex}', '<NUM>', 'g') AS clean_text
-         |  FROM corp),
-         |qb AS (SELECT doc_id,
-         |  $QualitySignalsSql FROM corp),
-         |q AS (SELECT doc_id, $QualityScoreSql AS quality_score
-         |  FROM qb),
-         |j AS (SELECT corp.doc_id, corp.lang, corp.source, r.clean_text, q.quality_score
-         |      FROM corp JOIN r USING (doc_id) JOIN q USING (doc_id)
-         |      WHERE q.quality_score >= 0.5),
-         |w AS (SELECT min(doc_id) AS doc_id FROM j GROUP BY md5($normClean)),
-         |dd AS (SELECT * FROM j WHERE doc_id IN (SELECT doc_id FROM w)),
-         |bg AS (SELECT DISTINCT gram FROM (${grams("bench", "text")})),
-         |cg AS (${grams("dd", "clean_text")}),
-         |hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)),
-         |dc AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
-         |cap AS (SELECT dc.*, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-         |        FROM dc)
+    "curate_full_documents" ->
+      s"""WITH $CurateFullCtes
          |SELECT doc_id, lang, source, clean_text, quality_score FROM cap
-         |WHERE rn <= 50 ORDER BY doc_id""".stripMargin
+         |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
+    // raw corpus -> training order, end to end: the curate_full chain
+    // verbatim, its survivor set re-presented as the token source
+    // (`ctt`), then the trainer_order chain verbatim over it — the two
+    // proven composition precedents joined into ONE pinned contract
+    "corpus_to_trainer_documents" -> {
+      val L = Corpus.PackBlockTokens
+      val S = PackShards
+      s"""WITH $CurateFullCtes,
+         |ctt AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM cap WHERE rn <= 50),
+         |${bpeEncodeCtes(Bpe.DefaultMerges, "ctt")},
+         |${packCtes(L)},
+         |sb_r AS (SELECT doc_id, block_id::BIGINT AS block_id,
+         |    (least(off + c, (block_id + 1) * $L)
+         |      - greatest(off, block_id * $L))::BIGINT AS n_tokens
+         |  FROM ps_s),
+         |sb_blk AS (SELECT block_id, count(*)::BIGINT AS n_docs,
+         |    sum(n_tokens)::BIGINT AS n_tokens
+         |  FROM sb_r GROUP BY block_id),
+         |sb_s AS (SELECT DISTINCT 'blk:' || block_id::VARCHAR AS s FROM sb_blk),
+         |${hash64Ctes("sbk", "sb_s", "s")},
+         |sb_k AS (SELECT b.block_id, b.n_docs, b.n_tokens,
+         |    (h % 9223372036854775808::UHUGEINT)::BIGINT AS k
+         |  FROM sb_blk b JOIN sbk_h64 ON sbk_h64.s = 'blk:' || b.block_id::VARCHAR),
+         |to_sb AS (SELECT block_id, n_docs, n_tokens, (k % $S)::BIGINT AS shard,
+         |    (row_number() OVER (PARTITION BY k % $S ORDER BY k, block_id)
+         |      - 1)::BIGINT AS pos
+         |  FROM sb_k),
+         |to_c AS (SELECT shard, count(*)::BIGINT AS c FROM to_sb GROUP BY shard)
+         |SELECT (pos * 2 + 1) / (c * 2) AS sched_key, shard, pos,
+         |  block_id, n_docs, n_tokens
+         |FROM to_sb JOIN to_c USING (shard)
+         |ORDER BY sched_key, shard, pos""".stripMargin
     },
     "session_stats_events" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),
@@ -4153,6 +4169,47 @@ object ExtQueries {
        |hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram))
        |SELECT doc_id, text, lang, source, n_chars FROM corp
        |WHERE doc_id NOT IN (SELECT doc_id FROM hits) ORDER BY doc_id""".stripMargin
+  }
+
+  /** CTE chain of the COMPLETE curation pipeline (redact → quality →
+    * dedup → decontaminate → per-source rank), ending in `cap` whose
+    * `rn <= 50` filter the consumer applies — shared verbatim by
+    * `curate_full_documents` and the composed `corpus_to_trainer`
+    * key, so the curation the trainer chain consumes can never drift
+    * from the curation the curation key pins.
+    */
+  private lazy val CurateFullCtes: String = {
+    val normClean = """trim(regexp_replace(lower(clean_text), '\s+', ' ', 'g'))"""
+    val n = 8
+    def grams(src: String, c: String) =
+      s"""SELECT doc_id, unnest(
+         |  CASE WHEN len(words) < $n THEN [array_to_string(words, ' ')]
+         |       ELSE list_distinct(list_transform(range(1, len(words) - ${n - 2}),
+         |            i -> array_to_string(words[i:i+${n - 1}], ' '))) END) AS gram
+         |FROM (SELECT doc_id,
+         |      string_split(trim(regexp_replace(lower($c), '\\s+', ' ', 'g')), ' ') AS words
+         |      FROM $src)""".stripMargin
+    s"""corp AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+       |bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+       |r AS (SELECT doc_id,
+       |  regexp_replace(regexp_replace(text, '${Corpus.EmailRegex}', '<EMAIL>', 'g'),
+       |                 '${Corpus.LongNumberRegex}', '<NUM>', 'g') AS clean_text
+       |  FROM corp),
+       |qb AS (SELECT doc_id,
+       |  $QualitySignalsSql FROM corp),
+       |q AS (SELECT doc_id, $QualityScoreSql AS quality_score
+       |  FROM qb),
+       |j AS (SELECT corp.doc_id, corp.lang, corp.source, r.clean_text, q.quality_score
+       |      FROM corp JOIN r USING (doc_id) JOIN q USING (doc_id)
+       |      WHERE q.quality_score >= 0.5),
+       |w AS (SELECT min(doc_id) AS doc_id FROM j GROUP BY md5($normClean)),
+       |dd AS (SELECT * FROM j WHERE doc_id IN (SELECT doc_id FROM w)),
+       |bg AS (SELECT DISTINCT gram FROM (${grams("bench", "text")})),
+       |cg AS (${grams("dd", "clean_text")}),
+       |hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)),
+       |dc AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+       |cap AS (SELECT dc.*, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |        FROM dc)""".stripMargin
   }
 
   private lazy val LloydAsgfCtes: String = lloydCtes("embeddings", "")

@@ -1141,6 +1141,34 @@ object Corpus {
       .orderBy("sched_key", "shard", "pos")
   }
 
+  /** The raw-corpus → training-order contract END TO END, as one
+    * relation (r13 verdict #5): [[curateFull]]'s survivor set — redact
+    * → quality → dedup → decontaminate → per-source cap — fed straight
+    * into [[trainerOrder]]'s pack → shuffle → stride/WFQ schedule. The
+    * tokenizer trains on the CURATED text (the redacted survivors), so
+    * block boundaries are in the units the training run will actually
+    * see — the composition a stage-local test cannot check: a contract
+    * break between curation's output and packing's input (a renamed
+    * column, a changed redaction, a survivor-set drift) moves block
+    * boundaries and fails the end-to-end oracle.
+    *
+    * Scale: the curation stages and the trainer stages each keep their
+    * own declared shapes; composition adds NO new shuffle — curation's
+    * survivor frame flows into the BPE/pack scans exactly where the
+    * raw corpus did.
+    */
+  def corpusToTrainer(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      nShards: Int = 8,
+      blockTokens: Int = PackBlockTokens,
+      merges: Int = Bpe.DefaultMerges,
+      maxWordTypes: Int = Bpe.DefaultMaxWordTypes): DataFrame =
+    trainerOrder(
+      curateFull(documents, benchmark)
+        .select(col("doc_id"), col("clean_text").as("text")),
+      nShards, blockTokens, merges, maxWordTypes)
+
   def packSequences(
       documents: DataFrame,
       blockTokens: Int = PackBlockTokens,
