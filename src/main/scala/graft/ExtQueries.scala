@@ -92,6 +92,11 @@ object ExtQueries {
     */
   val LabelPropRounds: Int = 3
 
+  /** Epoch pinned by the per-epoch trainer-order key (any non-zero
+    * epoch exercises the salted permutation; 0 is the base key).
+    */
+  val TrainerEpoch: Long = 1L
+
   /** THE capped probe batch of the serving-contract keys (kNN join /
     * PQ join / recall gates / negative mining / classification) — one
     * definition, so a probe-contract change cannot land in some keys
@@ -1396,6 +1401,12 @@ object ExtQueries {
       // the end-to-end (sched, shard, pos, block) order a trainer
       // reads, oracle-pinned so the stages cannot drift in composition
       Corpus.trainerOrder(docs(s, dir), nShards = PackShards)),
+    "trainer_order_epoch_documents" -> ((s: SparkSession, dir: String) =>
+      // epoch-2 read order: the epoch folds into the permutation salt —
+      // a different deterministic shuffle of the identical block set
+      // each epoch, reproducible for restarts (epoch 0 = the base key)
+      Corpus.trainerOrder(docs(s, dir), nShards = PackShards,
+        epoch = TrainerEpoch)),
     "select_budget_documents" -> ((s: SparkSession, dir: String) =>
       // "best B tokens": greedy by quality score desc, boundary stratum
       // by doc_id — score-histogram classification, so only ONE score
@@ -2039,30 +2050,20 @@ object ExtQueries {
     // exact longs on both engines, the mixture_schedule convention
     "trainer_order_documents" -> {
       val L = Corpus.PackBlockTokens
-      val S = PackShards
       s"""WITH ${bpeEncodeCtes(Bpe.DefaultMerges)},
          |${packCtes(L)},
-         |sb_r AS (SELECT doc_id, block_id::BIGINT AS block_id,
-         |    (least(off + c, (block_id + 1) * $L)
-         |      - greatest(off, block_id * $L))::BIGINT AS n_tokens
-         |  FROM ps_s),
-         |sb_blk AS (SELECT block_id, count(*)::BIGINT AS n_docs,
-         |    sum(n_tokens)::BIGINT AS n_tokens
-         |  FROM sb_r GROUP BY block_id),
-         |sb_s AS (SELECT DISTINCT 'blk:' || block_id::VARCHAR AS s FROM sb_blk),
-         |${hash64Ctes("sbk", "sb_s", "s")},
-         |sb_k AS (SELECT b.block_id, b.n_docs, b.n_tokens,
-         |    (h % 9223372036854775808::UHUGEINT)::BIGINT AS k
-         |  FROM sb_blk b JOIN sbk_h64 ON sbk_h64.s = 'blk:' || b.block_id::VARCHAR),
-         |to_sb AS (SELECT block_id, n_docs, n_tokens, (k % $S)::BIGINT AS shard,
-         |    (row_number() OVER (PARTITION BY k % $S ORDER BY k, block_id)
-         |      - 1)::BIGINT AS pos
-         |  FROM sb_k),
-         |to_c AS (SELECT shard, count(*)::BIGINT AS c FROM to_sb GROUP BY shard)
-         |SELECT (pos * 2 + 1) / (c * 2) AS sched_key, shard, pos,
-         |  block_id, n_docs, n_tokens
-         |FROM to_sb JOIN to_c USING (shard)
-         |ORDER BY sched_key, shard, pos""".stripMargin
+         |${trainerOrderTail(L, PackShards, "blk:")}""".stripMargin
+    },
+    // per-epoch reshuffle: the same chain with the epoch folded into
+    // the hash salt — a DIFFERENT deterministic permutation over the
+    // IDENTICAL block set each epoch (what an SGD training loop
+    // re-draws between epochs; epoch 0 is the historical salt, so the
+    // base key and anchors are untouched)
+    "trainer_order_epoch_documents" -> {
+      val L = Corpus.PackBlockTokens
+      s"""WITH ${bpeEncodeCtes(Bpe.DefaultMerges)},
+         |${packCtes(L)},
+         |${trainerOrderTail(L, PackShards, Corpus.epochSalt(TrainerEpoch))}""".stripMargin
     },
     // tokenizer-TRUE budget selection: the select_budget chain with the
     // per-doc cost swapped from the ws proxy to the trained BPE encode
@@ -3218,27 +3219,7 @@ object ExtQueries {
          |ctt AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM cap WHERE rn <= 50),
          |${bpeEncodeCtes(Bpe.DefaultMerges, "ctt")},
          |${packCtes(L)},
-         |sb_r AS (SELECT doc_id, block_id::BIGINT AS block_id,
-         |    (least(off + c, (block_id + 1) * $L)
-         |      - greatest(off, block_id * $L))::BIGINT AS n_tokens
-         |  FROM ps_s),
-         |sb_blk AS (SELECT block_id, count(*)::BIGINT AS n_docs,
-         |    sum(n_tokens)::BIGINT AS n_tokens
-         |  FROM sb_r GROUP BY block_id),
-         |sb_s AS (SELECT DISTINCT 'blk:' || block_id::VARCHAR AS s FROM sb_blk),
-         |${hash64Ctes("sbk", "sb_s", "s")},
-         |sb_k AS (SELECT b.block_id, b.n_docs, b.n_tokens,
-         |    (h % 9223372036854775808::UHUGEINT)::BIGINT AS k
-         |  FROM sb_blk b JOIN sbk_h64 ON sbk_h64.s = 'blk:' || b.block_id::VARCHAR),
-         |to_sb AS (SELECT block_id, n_docs, n_tokens, (k % $S)::BIGINT AS shard,
-         |    (row_number() OVER (PARTITION BY k % $S ORDER BY k, block_id)
-         |      - 1)::BIGINT AS pos
-         |  FROM sb_k),
-         |to_c AS (SELECT shard, count(*)::BIGINT AS c FROM to_sb GROUP BY shard)
-         |SELECT (pos * 2 + 1) / (c * 2) AS sched_key, shard, pos,
-         |  block_id, n_docs, n_tokens
-         |FROM to_sb JOIN to_c USING (shard)
-         |ORDER BY sched_key, shard, pos""".stripMargin
+         |${trainerOrderTail(L, S, "blk:")}""".stripMargin
     },
     "session_stats_events" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),
@@ -4148,6 +4129,36 @@ object ExtQueries {
        |ps_s AS (SELECT doc_id, c, off,
        |    unnest(generate_series(off // $blockTokens, (off + c - 1) // $blockTokens)) AS block_id
        |  FROM ps_o)""".stripMargin
+
+  /** The trainer-order oracle TAIL over a finished `ps_s` pack chain
+    * (block aggregate → `salt`-keyed hash permutation → per-shard rank
+    * → stride/WFQ schedule + final order) — ONE text shared by
+    * `trainer_order`, the composed `corpus_to_trainer`, and the
+    * per-epoch key (which differ only in upstream source and salt), so
+    * the schedule semantics can never drift between them.
+    */
+  private def trainerOrderTail(L: Int, S: Int, salt: String): String =
+    s"""sb_r AS (SELECT doc_id, block_id::BIGINT AS block_id,
+       |    (least(off + c, (block_id + 1) * $L)
+       |      - greatest(off, block_id * $L))::BIGINT AS n_tokens
+       |  FROM ps_s),
+       |sb_blk AS (SELECT block_id, count(*)::BIGINT AS n_docs,
+       |    sum(n_tokens)::BIGINT AS n_tokens
+       |  FROM sb_r GROUP BY block_id),
+       |sb_s AS (SELECT DISTINCT '$salt' || block_id::VARCHAR AS s FROM sb_blk),
+       |${hash64Ctes("sbk", "sb_s", "s")},
+       |sb_k AS (SELECT b.block_id, b.n_docs, b.n_tokens,
+       |    (h % 9223372036854775808::UHUGEINT)::BIGINT AS k
+       |  FROM sb_blk b JOIN sbk_h64 ON sbk_h64.s = '$salt' || b.block_id::VARCHAR),
+       |to_sb AS (SELECT block_id, n_docs, n_tokens, (k % $S)::BIGINT AS shard,
+       |    (row_number() OVER (PARTITION BY k % $S ORDER BY k, block_id)
+       |      - 1)::BIGINT AS pos
+       |  FROM sb_k),
+       |to_c AS (SELECT shard, count(*)::BIGINT AS c FROM to_sb GROUP BY shard)
+       |SELECT (pos * 2 + 1) / (c * 2) AS sched_key, shard, pos,
+       |  block_id, n_docs, n_tokens
+       |FROM to_sb JOIN to_c USING (shard)
+       |ORDER BY sched_key, shard, pos""".stripMargin
 
   /** Benchmark-decontamination oracle (8-gram containment over the
     * doc_id % 97 split) — shared verbatim by `decontaminate_documents`

@@ -1064,12 +1064,23 @@ object Corpus {
     * window rank; the two forms are equal because bucket order
     * prefixes key order.
     */
+  /** The hash salt for epoch `e`'s permutation. Epoch 0 keeps the
+    * historical `blk:` salt BIT-COMPATIBLE with the declared keys and
+    * the committed bench anchors; later epochs prefix the epoch number
+    * — same hash, different permutation, identical block set (the
+    * per-epoch reshuffle SGD training loops expect, reproducible for
+    * restarts because the salt is pure content+epoch).
+    */
+  def epochSalt(epoch: Long): String =
+    if (epoch == 0L) "blk:" else s"blk:e$epoch:"
+
   def shuffleBlocks(
       documents: DataFrame,
       nShards: Int = 8,
       blockTokens: Int = PackBlockTokens,
       merges: Int = Bpe.DefaultMerges,
-      maxWordTypes: Int = Bpe.DefaultMaxWordTypes): DataFrame = {
+      maxWordTypes: Int = Bpe.DefaultMaxWordTypes,
+      epoch: Long = 0L): DataFrame = {
     require(nShards >= 1, s"need a positive shard count: $nShards")
     val blocks = packSequences(documents, blockTokens, merges, maxWordTypes)
       .groupBy("block_id")
@@ -1078,7 +1089,7 @@ object Corpus {
       blocks
         .withColumn("_k",
           graft.functions.GraftFunctions.hash64(
-            concat(lit("blk:"), col("block_id").cast("string")))
+            concat(lit(epochSalt(epoch)), col("block_id").cast("string")))
             .bitwiseAND(lit(Long.MaxValue)))
         .withColumn("shard", col("_k") % lit(nShards.toLong))
         .withColumn("_b", shiftright(col("_k"), 51)))
@@ -1126,13 +1137,14 @@ object Corpus {
       nShards: Int = 8,
       blockTokens: Int = PackBlockTokens,
       merges: Int = Bpe.DefaultMerges,
-      maxWordTypes: Int = Bpe.DefaultMaxWordTypes): DataFrame = {
+      maxWordTypes: Int = Bpe.DefaultMaxWordTypes,
+      epoch: Long = 0L): DataFrame = {
     // pinned: the block frame feeds BOTH the shard-count aggregate and
     // the schedule join — unpinned, the rank windows downstream of
     // shuffleBlocks' own persist recompute per consumer (measured
     // 6.7 s vs 4.4 s for shuffle_blocks alone at sf0.1)
     val blocks = graft.core.CacheScope.persist(
-      shuffleBlocks(documents, nShards, blockTokens, merges, maxWordTypes))
+      shuffleBlocks(documents, nShards, blockTokens, merges, maxWordTypes, epoch))
     val counts = blocks.groupBy("shard").agg(count(lit(1)).as("_c"))
     blocks.join(broadcast(counts), Seq("shard"))
       .withColumn("sched_key", (col("pos") * 2 + 1) / (col("_c") * 2))

@@ -100,9 +100,14 @@ class QueryContractSpec extends AnyFunSuite {
     // construction: the knn_join shape with probes = the corpus,
     // shuffle-join on centroid_id, self excluded), plus
     // label_propagation_embeddings (cosine-weighted majority label per
-    // vertex over the kNN graph — decimal-exact votes, aggregate argmax)
-    assert(SparkEntry.queries.size == 156,
-      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.16 if intentional)")
+    // vertex over the kNN graph — decimal-exact votes, aggregate argmax).
+    // Round 14 adds label_propagation_iter_embeddings (Zhu & Ghahramani
+    // to fixed depth over the frozen graph), corpus_to_trainer_documents
+    // (curate_full's survivors through the trainer terminal, end to
+    // end), and trainer_order_epoch_documents (the per-epoch reshuffle
+    // salt) — see SURVEY §2.17
+    assert(SparkEntry.queries.size == 159,
+      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.17 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +
         "(every declared key is oracle-checked as of r9; update SURVEY §2.13 if intentional)")

@@ -270,6 +270,36 @@ class CorpusSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSet == ref)
   }
 
+  test("shuffleBlocks: epochs permute the identical block set differently, deterministically (r14)") {
+    val d = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    def run(epoch: Long) = {
+      val out = Corpus.shuffleBlocks(d, epoch = epoch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      graft.core.CacheScope.releaseAll()
+      out
+    }
+    val e0 = run(0L); val e1 = run(1L); val e1b = run(1L)
+    // identical block SET (ids + per-block doc/token counts) every epoch
+    def blockSet(x: Seq[(Long, Long, Long, Long, Long)]) =
+      x.map(t => (t._1, t._2, t._3)).toSet
+    assert(blockSet(e0.toSeq) == blockSet(e1.toSeq))
+    // epoch is deterministic (restart-reproducible)...
+    assert(e1.toSeq == e1b.toSeq)
+    // ...but a DIFFERENT permutation from epoch 0 (shard or pos moves)
+    val m0 = e0.map(t => t._1 -> ((t._4, t._5))).toMap
+    assert(e1.exists(t => m0(t._1) != ((t._4, t._5))),
+      "epoch 1 must permute differently from epoch 0")
+    // salted replay: epoch 1 keys are hash64("blk:e1:" + id)
+    val keyed = e1.map(t => (t._1, graft.functions.Hashing.hash64(s"blk:e1:${t._1}") & Long.MaxValue))
+    val want = keyed.groupBy(_._2 % 8).toSeq.flatMap { case (shard, ms) =>
+      ms.sortBy { case (bid, k) => (k, bid) }.zipWithIndex
+        .map { case ((bid, _), i) => bid -> ((shard, i.toLong)) }
+    }.toMap
+    e1.foreach { case (bid, _, _, shard, pos) =>
+      assert(want(bid) == ((shard, pos)), s"block $bid epoch-1 placement")
+    }
+  }
+
   test("shuffleBlocks: bucket-refined rank equals the direct per-shard window rank") {
     val d = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
     val got = Corpus.shuffleBlocks(d).collect()
