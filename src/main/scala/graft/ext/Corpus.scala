@@ -1175,11 +1175,20 @@ object Corpus {
       nShards: Int = 8,
       blockTokens: Int = PackBlockTokens,
       merges: Int = Bpe.DefaultMerges,
-      maxWordTypes: Int = Bpe.DefaultMaxWordTypes): DataFrame =
-    trainerOrder(
+      maxWordTypes: Int = Bpe.DefaultMaxWordTypes): DataFrame = {
+    // pinned: the BPE train + encode + pack stages scan their corpus
+    // several times — with the raw table those are cheap parquet
+    // re-reads, but here each scan would RE-RUN the whole curation
+    // chain (quality joins + dedup + the 8-gram decontamination join);
+    // the survivor frame is capped (≤ maxPerSource·|sources| rows), so
+    // pinning it is the oracle's MATERIALIZED ctt on the Spark side
+    // (unpinned measured 9.4 s vs curate_full 1.9 + trainer_order 3.8
+    // at sf0.1)
+    val curated = graft.core.CacheScope.persist(
       curateFull(documents, benchmark)
-        .select(col("doc_id"), col("clean_text").as("text")),
-      nShards, blockTokens, merges, maxWordTypes)
+        .select(col("doc_id"), col("clean_text").as("text")))
+    trainerOrder(curated, nShards, blockTokens, merges, maxWordTypes)
+  }
 
   def packSequences(
       documents: DataFrame,

@@ -869,29 +869,41 @@ object Similarity {
     * [[knnGraph]]'s shuffle-join law; the vote adds two map-side-
     * combinable aggregates keyed by vec_id.
     */
+  /** Per-vertex winning vote from a `(vec_id, pred_label, vote_w,
+    * n_votes)` table in ONE map-side-combinable aggregate:
+    * `max(struct(vote_w, −pred_label, n_votes))` IS the (max vote,
+    * ties to smallest label) argmax — struct comparison orders by
+    * vote_w first, then by negated label (labels are distinct within a
+    * vertex, so n_votes never participates in the ordering; it rides
+    * along as the winner's own count). Replaces the previous
+    * max-join-filter-min-join shape — four shuffles per round down to
+    * one — with the identical relational result (the declared keys'
+    * oracles keep the explicit argmax SQL; both stayed hash-green).
+    */
+  private def voteWinner(votes: DataFrame): DataFrame =
+    votes.groupBy("vec_id")
+      .agg(max(struct(col("vote_w"),
+        (-col("pred_label")).as("_np"), col("n_votes"))).as("_w"))
+      .select(col("vec_id"),
+        (-col("_w._np")).as("pred_label"),
+        col("_w.vote_w").as("vote_w"),
+        col("_w.n_votes").as("n_votes"))
+
   def labelPropagate(
       embeddings: DataFrame,
       k: Int = 4,
       nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    // pinned: the vote table feeds the max aggregate, the argmax
-    // filter-join, and the final stats join — unpinned, the whole
-    // graph build (assignment + candidate join + rank) recomputes per
-    // consumer wherever exchange reuse fails to cover it
+    // pinned: the vote table would otherwise recompute the whole graph
+    // build (assignment + candidate join + rank) wherever exchange
+    // reuse fails to cover a consumer
     val votes = graft.core.CacheScope.persist(
       knnGraph(embeddings, k, nCentroids, nProbe)
         .groupBy(col("probe_id").as("vec_id"), col("label").as("pred_label"))
         .agg(sum(col("cosine").cast("decimal(16,6)")).as("vote_w"),
           count(lit(1)).as("n_votes")))
-    val best = votes.groupBy("vec_id").agg(max("vote_w").as("_maxw"))
-    val winner = votes
-      .join(best, Seq("vec_id"))
-      .filter(col("vote_w") === col("_maxw"))
-      .groupBy("vec_id")
-      .agg(min("pred_label").as("pred_label"))
-      .join(votes, Seq("vec_id", "pred_label"))
     embeddings.select(col("vec_id"), col("label"))
-      .join(winner, Seq("vec_id"), "left")
+      .join(voteWinner(votes), Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"), col("pred_label"),
         col("vote_w").cast("double").as("vote_w"),
         coalesce(col("n_votes"), lit(0L)).as("n_votes"),
@@ -932,19 +944,15 @@ object Similarity {
     var cur = embeddings.select(col("vec_id"), col("label").as("cur_label"))
     var lastWinner: DataFrame = null
     for (r <- 1 to rounds) {
-      val votes = graft.core.CacheScope.persist(
-        edges
-          .join(cur.select(col("vec_id").as("nbr_id"),
-            col("cur_label").as("pred_label")), Seq("nbr_id"))
-          .groupBy(col("probe_id").as("vec_id"), col("pred_label"))
-          .agg(sum("w").as("vote_w"), count(lit(1)).as("n_votes")))
-      val best = votes.groupBy("vec_id").agg(max("vote_w").as("_maxw"))
-      val winner = votes
-        .join(best, Seq("vec_id"))
-        .filter(col("vote_w") === col("_maxw"))
-        .groupBy("vec_id")
-        .agg(min("pred_label").as("pred_label"))
-        .join(votes, Seq("vec_id", "pred_label"))
+      val votes = edges
+        .join(cur.select(col("vec_id").as("nbr_id"),
+          col("cur_label").as("pred_label")), Seq("nbr_id"))
+        .groupBy(col("probe_id").as("vec_id"), col("pred_label"))
+        .agg(sum("w").as("vote_w"), count(lit(1)).as("n_votes"))
+      // voteWinner is the votes table's ONLY consumer (one aggregate),
+      // so votes needs no pin; the winner frame feeds both the carry
+      // and (on the last round) the output
+      val winner = graft.core.CacheScope.persist(voteWinner(votes))
       lastWinner = winner
       // the final round's carry-forward frame has no consumer — the
       // output reads lastWinner directly
