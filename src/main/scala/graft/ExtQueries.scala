@@ -1153,6 +1153,11 @@ object ExtQueries {
       // among its probed cells; both sides shuffle on centroid_id (the
       // probe side cannot broadcast when it IS the corpus)
       Similarity.knnGraph(embs(s, dir), k = KnnGraphK)),
+    "knn_graph_refine_embeddings" -> ((s: SparkSession, dir: String) =>
+      // one NN-Descent round (Dong et al. 2011): candidates = current
+      // edges ∪ neighbors-of-neighbors, exact re-score, top-k — recall
+      // vs the exact graph is monotone non-decreasing by construction
+      Similarity.knnGraphRefine(embs(s, dir), k = KnnGraphK)),
     "label_propagation_embeddings" -> ((s: SparkSession, dir: String) =>
       // one round of label propagation over the kNN graph: cosine-
       // weighted majority label per vertex (decimal-exact votes,
@@ -2633,6 +2638,47 @@ object ExtQueries {
          |SELECT probe_id, vec_id, label, cosine FROM (
          |  SELECT kc.*, row_number() OVER (PARTITION BY probe_id
          |    ORDER BY cosine DESC, vec_id) AS rn FROM kc)
+         |WHERE rn <= $KnnGraphK
+         |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin,
+    // NN-Descent refinement round: the knn_graph chain as a CTE, its
+    // edges self-joined two hops out (self excluded), union with the
+    // direct edges, DISTINCT candidates re-scored exact and re-ranked
+    "knn_graph_refine_embeddings" ->
+      s"""WITH kp AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings),
+         |kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |    ORDER BY vec_id LIMIT 16),
+         |kasg AS (SELECT vec_id, label, embedding, cid FROM (
+         |    SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.embedding", "c.cvec", 64)}, 6) DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN kcent c) WHERE rn = 1),
+         |kpr AS (SELECT probe_id, cid FROM (
+         |    SELECT p.probe_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY round(${cosSql("c.cvec", "p.pe", 64)}, 6) DESC, c.cid) AS rn
+         |    FROM kcent c CROSS JOIN kp p) WHERE rn <= 4),
+         |kc AS (SELECT pr.probe_id, a.vec_id, a.label,
+         |      round(${cosSql("a.embedding", "p.pe", 64)}, 6) AS cosine
+         |    FROM kasg a JOIN kpr pr ON a.cid = pr.cid
+         |                JOIN kp p ON p.probe_id = pr.probe_id
+         |    WHERE a.vec_id <> pr.probe_id),
+         |kg AS (SELECT probe_id, vec_id, label, cosine FROM (
+         |    SELECT kc.*, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cosine DESC, vec_id) AS rn FROM kc)
+         |  WHERE rn <= $KnnGraphK),
+         |kh2 AS (SELECT a.probe_id, b.vec_id
+         |  FROM kg a JOIN kg b ON a.vec_id = b.probe_id
+         |  WHERE b.vec_id <> a.probe_id),
+         |kcand AS (SELECT DISTINCT probe_id, vec_id FROM (
+         |  SELECT probe_id, vec_id FROM kg
+         |  UNION ALL SELECT probe_id, vec_id FROM kh2)),
+         |kref AS (SELECT c.probe_id, c.vec_id, e2.label,
+         |    round(${cosSql("e2.embedding", "e1.embedding", 64)}, 6) AS cosine
+         |  FROM kcand c JOIN embeddings e1 ON e1.vec_id = c.probe_id
+         |               JOIN embeddings e2 ON e2.vec_id = c.vec_id)
+         |SELECT probe_id, vec_id, label, cosine FROM (
+         |  SELECT kref.*, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cosine DESC, vec_id) AS rn FROM kref)
          |WHERE rn <= $KnnGraphK
          |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin,
     // label propagation: the knn_graph chain wrapped as a CTE, then

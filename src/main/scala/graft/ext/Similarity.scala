@@ -672,6 +672,17 @@ object Similarity {
     * (≤ superProbe) both stages fall back to the flat ranking, so the
     * hier variant degrades to [[knnGraph]] EXACTLY (spec-pinned).
     */
+  /** Literal-expression budget for the two-level graph kernels
+    * (superProbe·nCentroids·dim floats in the probe CASE chains):
+    * nc=640/dim=64/superProbe=2 sits at ~82k terms and measured
+    * 19.6 s literal vs 1.26 s as data (SCALE.md r14) — compilation
+    * dominates well before the plan stops building. [[knnGraphHier]]
+    * auto-routes to [[knnGraphHierJoin]] above this budget; the two
+    * are spec-pinned bit-identical, so the switch is purely physical
+    * (nc=160 at ~20k terms stays literal, where literals win).
+    */
+  val GraphLiteralMaxTerms: Long = 50000L
+
   def knnGraphHier(
       embeddings: DataFrame,
       k: Int = 4,
@@ -680,6 +691,13 @@ object Similarity {
       superK: Int = 0,
       superProbe: Int = SuperProbeDefault): DataFrame = {
     val cents = seedCentroids(embeddings, nCentroids)
+    // route past the literal-plan cliff: the probe-list CASE chains
+    // carry ~superProbe·k·dim literal floats — as data instead when
+    // that exceeds the budget (bit-identical result, measured 15.5×
+    // at nc=640)
+    if (cents.nonEmpty &&
+        superProbe.toLong * cents.size * cents.head._2.length > GraphLiteralMaxTerms)
+      return knnGraphHierJoin(embeddings, k, nCentroids, nProbe, superK, superProbe)
     // fallback parity: when every super-cell is probed the hier path
     // must equal [[knnGraph]] BIT-FOR-BIT, so the degraded assignment
     // is the same PORTABLE flat argmin the flat graph uses (the
@@ -909,6 +927,53 @@ object Similarity {
         coalesce(col("n_votes"), lit(0L)).as("n_votes"),
         coalesce(col("pred_label") === col("label"), lit(false)).as("agrees"))
       .orderBy("vec_id")
+  }
+
+  /** One NN-DESCENT refinement round over the [[knnGraph]] edge table
+    * (Dong, Moses & Li 2011, WWW '11 — "a vector's neighbor's
+    * neighbors are likely its neighbors"): the candidate set per
+    * vertex is its current k edges UNION its neighbors-of-neighbors
+    * (two hops along the directed graph, self excluded), re-scored
+    * with the exact 6-dp cosine and cut back to top-k. Because the
+    * current edges are IN the candidate set and the rank keeps the
+    * best k of a superset, per-vertex recall vs the exact graph is
+    * MONOTONE non-decreasing (spec-gated: measured recall strictly
+    * improves on the near-isotropic fixture, where the IVF graph's
+    * cell approximation leaves the most room). The full NN-Descent
+    * algorithm iterates exactly this step to convergence.
+    *
+    * Scale: |edges| = n·k, the two-hop self-join emits ≤ n·k² rows
+    * (k is small by construction), two id-keyed embedding joins fetch
+    * the vector pairs, and the per-vertex top-k window is the graph
+    * family's usual per-probe state — no corpus-quadratic term, no
+    * new shuffle class.
+    */
+  def knnGraphRefine(
+      embeddings: DataFrame,
+      k: Int = 4,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val g = graft.core.CacheScope.persist(
+      knnGraph(embeddings, k, nCentroids, nProbe)
+        .select(col("probe_id"), col("vec_id")))
+    val twoHop = g.as("a")
+      .join(g.as("b"), col("a.vec_id") === col("b.probe_id"))
+      .filter(col("b.vec_id") =!= col("a.probe_id"))
+      .select(col("a.probe_id").as("probe_id"), col("b.vec_id").as("vec_id"))
+    val cand = g.unionByName(twoHop).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand
+      .join(embeddings.select(col("vec_id").as("probe_id"),
+        col("embedding").as("_pe")), Seq("probe_id"))
+      .join(embeddings.select(col("vec_id"), col("embedding"), col("label")),
+        Seq("vec_id"))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+        round(cosine(col("_pe"), col("embedding")), 6).as("cosine"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
   }
 
   /** ITERATED label propagation — Zhu & Ghahramani 2002's algorithm

@@ -104,9 +104,10 @@ class QueryContractSpec extends AnyFunSuite {
     // Round 14 adds label_propagation_iter_embeddings (Zhu & Ghahramani
     // to fixed depth over the frozen graph), corpus_to_trainer_documents
     // (curate_full's survivors through the trainer terminal, end to
-    // end), and trainer_order_epoch_documents (the per-epoch reshuffle
-    // salt) — see SURVEY §2.17
-    assert(SparkEntry.queries.size == 159,
+    // end), trainer_order_epoch_documents (the per-epoch reshuffle
+    // salt), and knn_graph_refine_embeddings (one NN-Descent round) —
+    // see SURVEY §2.17
+    assert(SparkEntry.queries.size == 160,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.17 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

@@ -1094,6 +1094,41 @@ class SimilaritySpec extends SparkSpec {
       "join variant diverged from literal hier at nc=64")
   }
 
+  test("knnGraphRefine: one NN-Descent round improves recall vs the exact graph (r14)") {
+    // driver ground truth: exact top-k per vertex by unrounded cosine
+    val vecs = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val k = 4
+    val exact = ids.flatMap { p =>
+      ids.filter(_ != p).map(v => (v, cos(vecs(p), vecs(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(k).map { case (v, _) => (p, v) }
+    }.toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val edges = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.count(exact.contains).toDouble / exact.size
+    }
+    val base = recall(Similarity.knnGraph(embs, k = k))
+    val refined = recall(Similarity.knnGraphRefine(embs, k = k))
+    info(f"recall vs exact: base $base%.4f -> refined $refined%.4f")
+    // direct edges are in the candidate set and rank keeps the best k
+    // of a superset: recall is monotone non-decreasing by construction,
+    // and the near-isotropic fixture leaves room — gate real improvement
+    assert(refined >= base, f"refinement lost recall: $base%.4f -> $refined%.4f")
+    assert(refined >= base + 0.01,
+      f"refinement should measurably improve recall here: $base%.4f -> $refined%.4f")
+    // structural invariants match the base graph's
+    val r = Similarity.knnGraphRefine(embs, k = k).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.forall { case (p, v) => p != v })
+    assert(r.groupBy(_._1).values.forall(_.length <= k))
+  }
+
   test("labelPropagateIter: rounds=1 equals labelPropagate bit-for-bit; later rounds vote with updated labels (r13 verdict #3)") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
     val one = rows(Similarity.labelPropagate(embs, k = 4))
