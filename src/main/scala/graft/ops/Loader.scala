@@ -427,8 +427,14 @@ object Loader {
       val hb = startHeartbeat(spark, table, path)
       try body
       finally {
-        hb.interrupt()
-        hb.join(5000)
+        // stop BEFORE release, and only join bounded: a beat blocked in
+        // a slow FS op (namenode stall) can outlive the join — the
+        // heartbeat's own cleanup (below) re-releases if its in-flight
+        // replace re-created the lease AFTER this release deleted it,
+        // so a stall can never brick the table until the TTL
+        hb.stop.set(true)
+        hb.thread.interrupt()
+        hb.thread.join(5000)
         heldLeases.get -= key
         releaseLease(spark, path)
       }
@@ -443,33 +449,77 @@ object Loader {
     * the TTL and got reaped), it stops touching the file rather than
     * clobbering the successor; the rewrite then fails loudly at the
     * next [[assertStillOwned]] checkpoint before anything destructive.
+    *
+    * Shutdown handshake (r14 review finding): the owner sets `stop`,
+    * interrupts, and joins BOUNDED — a beat blocked in a slow FS op can
+    * outlive the join, and its in-flight replace would re-create the
+    * lease after the owner's release deleted it, refusing every future
+    * acquirer until the TTL. So on exit the heartbeat re-releases the
+    * lease itself whenever a stop was requested while it was still
+    * live: whichever of the two (owner's release, heartbeat's cleanup)
+    * runs last observes the stray file and deletes it. The cleanup is
+    * verified BYTE-EXACT against the content this handle last wrote —
+    * not just the appId — so it can never touch a successor's lease OR
+    * this same app's NEXT lease on the table (same appId, acquired
+    * right after the owner's release while an old beat was stalled).
     */
-  private def startHeartbeat(
+  private[ops] final class HeartbeatHandle(
+      val thread: Thread, val stop: java.util.concurrent.atomic.AtomicBoolean)
+
+  private val heartbeatNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[ops] def startHeartbeat(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
-      path: org.apache.hadoop.fs.Path): Thread = {
+      path: org.apache.hadoop.fs.Path): HeartbeatHandle = {
     val appId = spark.sparkContext.applicationId
     val lfs = leaseFsFor(spark, path)
     val period = math.max(200L, math.min(60000L, leaseTtlMs(spark) / 4))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val marker = s"hb${heartbeatNonce.incrementAndGet()}"
     val t = new Thread(() => {
       var live = true
+      // exact content this handle last wrote: after the first beat,
+      // ownership checks compare BYTE-EXACT — an appId prefix is not
+      // enough, because this same app's NEXT lease on the table (a
+      // release-then-reacquire while an old beat was stalled) carries
+      // the same appId and must never be refreshed or deleted here
+      var expected: String = null
       try {
-        while (live && !Thread.interrupted()) {
+        while (live && !stop.get && !Thread.interrupted()) {
           Thread.sleep(period)
-          try {
-            if (lfs.read(path).startsWith(appId + " ")) {
-              val tmp = new org.apache.hadoop.fs.Path(path.getParent,
-                s"${path.getName}.$appId.${Thread.currentThread().getId}.hb.tmp")
-              lfs.write(tmp, s"$appId ${System.currentTimeMillis()}")
-              lfs.replace(tmp, path)
-            } else live = false // reaped/superseded: never touch the successor's lease
-          } catch { case _: java.io.IOException => () } // transient FS hiccup: retry next beat
+          if (!stop.get) {
+            try {
+              val cur = lfs.read(path)
+              // first beat: the owner still holds the lease (we run
+              // inside its withLease), so an appId match IS this op's
+              // acquire content; thereafter exact-match our own beats
+              val ours =
+                if (expected == null) cur.startsWith(appId + " ") else cur == expected
+              if (ours) {
+                val next = s"$appId ${System.currentTimeMillis()} $marker"
+                val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+                  s"${path.getName}.$appId.${Thread.currentThread().getId}.hb.tmp")
+                lfs.write(tmp, next)
+                lfs.replace(tmp, path)
+                expected = next
+              } else live = false // reaped/superseded: never touch the successor's lease
+            } catch { case _: java.io.IOException => () } // transient FS hiccup: retry next beat
+          }
         }
       } catch { case _: InterruptedException => () }
+      finally if (stop.get && live && expected != null) {
+        // an in-flight beat may have re-created the lease after the
+        // owner's release deleted it — delete ONLY the exact content
+        // this handle wrote
+        try {
+          if (lfs.read(path) == expected) lfs.delete(path)
+        } catch { case _: java.io.IOException => () } // gone or unreadable: nothing stray
+      }
     }, s"graft-lease-heartbeat-$table")
     t.setDaemon(true)
     t.start()
-    t
+    new HeartbeatHandle(t, stop)
   }
 
   /** Release a held lease — only if WE still own it (r13 review
@@ -574,10 +624,18 @@ object Loader {
         // holds the table, the third acquirer C now does too) — surface
         // it loudly naming both, and leave the claimed copy on disk as
         // forensics instead of silently deleting A's lease (r13 advice).
+        // the claim name is unique PER ATTEMPT (thread + wall clock, not
+        // just appId): a thread-shared name let reaper B's cleanup
+        // delete reaper A's claimed file mid-verify — or a kept
+        // DOUBLE-ADMIT forensics file — destroying a possibly-fresh
+        // lease with no restore (r14 review finding). No pre-delete is
+        // needed: replace clobbers any leftover destination, and unique
+        // names never collide with a prior crash's leftovers (inert —
+        // nothing ever reads them).
         val claimed = new org.apache.hadoop.fs.Path(path.getParent,
-          s"${path.getName}.reaped.$appId")
+          s"${path.getName}.reaped.$appId." +
+            s"${Thread.currentThread().getId}.${System.currentTimeMillis()}")
         try {
-          lfs.delete(claimed) // reap any leftover from this app's prior crash
           lfs.replace(path, claimed)
           val got = lfs.read(claimed)
           if (got != raw) {
@@ -737,14 +795,17 @@ object Loader {
         // untouched partitions
         val confKey = "spark.sql.sources.partitionOverwriteMode"
         val prev = spark.conf.get(confKey)
-        spark.conf.set(confKey, "dynamic")
-        assertStillOwned(spark, table) // last gate before the overwrite
-        try
+        // the ownership assert and the conf flip live INSIDE the try: a
+        // lost lease must not leak partitionOverwriteMode=dynamic into
+        // the session or strand the scratch table
+        try {
+          assertStillOwned(spark, table) // last gate before the overwrite
+          spark.conf.set(confKey, "dynamic")
           spark.table(tmp)
             .select(target.columns.map(col).toIndexedSeq: _*)
             .write.mode("overwrite")
             .insertInto(table)
-        finally {
+        } finally {
           spark.conf.set(confKey, prev)
           dropTable(spark, tmp)
         }
@@ -844,14 +905,16 @@ object Loader {
         writeTable(slice, tmp)
         val confKey = "spark.sql.sources.partitionOverwriteMode"
         val prev = spark.conf.get(confKey)
-        spark.conf.set(confKey, "dynamic")
-        assertStillOwned(spark, table) // last gate before the overwrite
-        try
+        // assert + conf flip inside the try, same as mergeInto: a lost
+        // lease must not leak dynamic mode or strand the scratch table
+        try {
+          assertStillOwned(spark, table) // last gate before the overwrite
+          spark.conf.set(confKey, "dynamic")
           spark.table(tmp)
             .select(target.columns.map(col).toIndexedSeq: _*)
             .write.mode("overwrite")
             .insertInto(table)
-        finally {
+        } finally {
           spark.conf.set(confKey, prev)
           dropTable(spark, tmp)
         }

@@ -666,6 +666,78 @@ class LoaderSpec extends SparkSpec {
     }
   }
 
+  test("lease heartbeat self-release: a stop the owner could not wait out still releases the lease (r14 review)") {
+    val prevTtl = spark.conf.getOption("spark.graft.lease.ttlMs")
+    spark.conf.set("spark.graft.lease.ttlMs", "1200") // beat period 300 ms
+    val path = Loader.leaseFile(spark, "lease_hb_selfrel")
+    try {
+      java.nio.file.Files.deleteIfExists(path)
+      Loader.acquireLease(spark, "lease_hb_selfrel")
+      val hb = Loader.startHeartbeat(
+        spark, "lease_hb_selfrel", Loader.leasePath(spark, "lease_hb_selfrel"))
+      // wait for at least one beat (the lease content gains the
+      // per-handle beat marker as a third token)
+      def tokens(): Int =
+        new String(java.nio.file.Files.readAllBytes(path), "UTF-8").split(' ').length
+      val deadline = System.currentTimeMillis() + 10000
+      while (tokens() < 3 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(tokens() == 3, "heartbeat must have beaten at least once")
+      // the owner signals stop but never interrupts or joins — the
+      // bounded-join-gave-up shape of the shutdown race: a beat in
+      // flight may re-create the lease AFTER the owner's release, so
+      // the heartbeat itself must delete the beat-written lease
+      hb.stop.set(true)
+      hb.thread.join(10000)
+      assert(!hb.thread.isAlive, "heartbeat must exit on the stop flag alone")
+      assert(!java.nio.file.Files.exists(path),
+        "heartbeat must self-release the lease it wrote")
+    } finally {
+      prevTtl match {
+        case Some(v) => spark.conf.set("spark.graft.lease.ttlMs", v)
+        case None    => spark.conf.unset("spark.graft.lease.ttlMs")
+      }
+      java.nio.file.Files.deleteIfExists(path)
+    }
+  }
+
+  test("lease heartbeat never touches the same app's NEXT lease on the table (r14 review)") {
+    val prevTtl = spark.conf.getOption("spark.graft.lease.ttlMs")
+    spark.conf.set("spark.graft.lease.ttlMs", "1200")
+    val path = Loader.leaseFile(spark, "lease_hb_decline")
+    try {
+      java.nio.file.Files.deleteIfExists(path)
+      Loader.acquireLease(spark, "lease_hb_decline")
+      val hb = Loader.startHeartbeat(
+        spark, "lease_hb_decline", Loader.leasePath(spark, "lease_hb_decline"))
+      def content(): String =
+        new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      val deadline = System.currentTimeMillis() + 10000
+      while (content().split(' ').length < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(content().split(' ').length == 3, "heartbeat must have beaten")
+      // the owner releases and the same app immediately RE-ACQUIRES
+      // (the stalled-old-heartbeat shape): same appId, fresh acquire
+      // content — neither a still-live beat nor the old handle's
+      // cleanup may refresh or delete it
+      java.nio.file.Files.delete(path)
+      val next = s"${spark.sparkContext.applicationId} ${System.currentTimeMillis()}"
+      java.nio.file.Files.write(path, next.getBytes("UTF-8"))
+      hb.stop.set(true)
+      hb.thread.join(10000)
+      assert(!hb.thread.isAlive)
+      assert(java.nio.file.Files.exists(path),
+        "the next operation's lease must survive the old heartbeat's shutdown")
+      assert(content() == next,
+        "the next operation's lease content must be untouched by old beats")
+    } finally {
+      prevTtl match {
+        case Some(v) => spark.conf.set("spark.graft.lease.ttlMs", v)
+        case None    => spark.conf.unset("spark.graft.lease.ttlMs")
+      }
+      java.nio.file.Files.deleteIfExists(path)
+    }
+  }
+
   test("lease Hadoop-FileContext protocol: acquire/refuse/reap/release round-trip on the warehouse FS (r13 verdict #1a)") {
     Loader.forceHadoopLeaseProtocol = true
     try {
