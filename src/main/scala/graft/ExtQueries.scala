@@ -92,6 +92,14 @@ object ExtQueries {
     */
   val LabelPropRounds: Int = 3
 
+  /** Rounds for the iterated NN-Descent key: round 2 is where the
+    * two-hop frontier first reaches past the initial approximate
+    * graph's probed cells (round 1 is the plain refine key); each
+    * round costs a full candidate re-score, so the declared depth
+    * stays at the knee.
+    */
+  val RefineRounds: Int = 2
+
   /** Epoch pinned by the per-epoch trainer-order key (any non-zero
     * epoch exercises the salted permutation; 0 is the base key).
     */
@@ -413,14 +421,16 @@ object ExtQueries {
     * (probe, j, code), DECIMAL(16,6) per-(probe, vec) sums, per-probe
     * shortlist windows with the family's id tie-breaks.
     */
-  private lazy val knnPqCtes: String = {
-    val m = Similarity.PqSubspaces
-    val ksub = Similarity.PqSubCentroids
-    val dsub = 64 / m
-    s"""kp AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
-       |    WHERE vec_id % $KnnProbeModulus = 0
-       |    ORDER BY vec_id LIMIT $KnnProbeLimit),
-       |kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  /** The shared kNN quantizer core (`kcent` seed centroids, `kasg`
+    * flat portable assignment, `kpr` per-probe probed-cell ranking) —
+    * ONE text for every knn_join-family oracle; assumes a preceding
+    * `kp(probe_id, pe, …)` CTE supplies the probe table (the one thing
+    * the family members legitimately vary). A rounding or tie-break
+    * fix lands here exactly once (the CurateFullCtes rule applied to
+    * this chain — it had grown to 8 verbatim copies, r14 review).
+    */
+  private lazy val knnCoreCtes: String =
+    s"""kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
        |    ORDER BY vec_id LIMIT 16),
        |kasg AS (SELECT vec_id, label, embedding, cid FROM (
        |    SELECT e.vec_id, e.label, e.embedding, c.cid,
@@ -431,7 +441,59 @@ object ExtQueries {
        |    SELECT p.probe_id, c.cid,
        |      row_number() OVER (PARTITION BY p.probe_id
        |        ORDER BY round(${cosSql("c.cvec", "p.pe", 64)}, 6) DESC, c.cid) AS rn
-       |    FROM kcent c CROSS JOIN kp p) WHERE rn <= 4),
+       |    FROM kcent c CROSS JOIN kp p) WHERE rn <= 4)""".stripMargin
+
+  /** The full kNN-GRAPH chain (`kp` = the whole corpus, the
+    * [[knnCoreCtes]] quantizer core, `kc` self-excluded candidate
+    * edges, `kg` the per-vertex top-[[KnnGraphK]] cut) — ONE text for
+    * the graph-family oracles (knn_graph, refine, label propagation
+    * one-round and iterated), so the edge semantics those keys share
+    * with the engine's one [[Similarity.knnGraph]] kernel also live in
+    * ONE oracle fragment.
+    */
+  private lazy val knnGraphCtes: String =
+    s"""kp AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings),
+       |$knnCoreCtes,
+       |kc AS (SELECT pr.probe_id, a.vec_id, a.label,
+       |      round(${cosSql("a.embedding", "p.pe", 64)}, 6) AS cosine
+       |    FROM kasg a JOIN kpr pr ON a.cid = pr.cid
+       |                JOIN kp p ON p.probe_id = pr.probe_id
+       |    WHERE a.vec_id <> pr.probe_id),
+       |kg AS (SELECT probe_id, vec_id, label, cosine FROM (
+       |    SELECT kc.*, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cosine DESC, vec_id) AS rn FROM kc)
+       |  WHERE rn <= $KnnGraphK)""".stripMargin
+
+  /** One unrolled NN-Descent round as oracle CTEs: `g<cur>` = the
+    * exact-re-scored per-vertex top-[[KnnGraphK]] over candidates
+    * (previous edges ∪ two-hop over them, self excluded) — ONE text
+    * for the one-round and fixed-depth refine oracles, mirroring the
+    * engine's shared `refineRound` kernel.
+    */
+  private def refineRoundCtes(prev: String, cur: String): String =
+    s"""kh2$cur AS (SELECT a.probe_id, b.vec_id
+       |  FROM $prev a JOIN $prev b ON a.vec_id = b.probe_id
+       |  WHERE b.vec_id <> a.probe_id),
+       |kcand$cur AS (SELECT DISTINCT probe_id, vec_id FROM (
+       |  SELECT probe_id, vec_id FROM $prev
+       |  UNION ALL SELECT probe_id, vec_id FROM kh2$cur)),
+       |kref$cur AS (SELECT c.probe_id, c.vec_id, e2.label,
+       |    round(${cosSql("e2.embedding", "e1.embedding", 64)}, 6) AS cosine
+       |  FROM kcand$cur c JOIN embeddings e1 ON e1.vec_id = c.probe_id
+       |               JOIN embeddings e2 ON e2.vec_id = c.vec_id),
+       |g$cur AS (SELECT probe_id, vec_id, label, cosine FROM (
+       |  SELECT kref$cur.*, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cosine DESC, vec_id) AS rn FROM kref$cur)
+       |  WHERE rn <= $KnnGraphK)""".stripMargin
+
+  private lazy val knnPqCtes: String = {
+    val m = Similarity.PqSubspaces
+    val ksub = Similarity.PqSubCentroids
+    val dsub = 64 / m
+    s"""kp AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+       |    WHERE vec_id % $KnnProbeModulus = 0
+       |    ORDER BY vec_id LIMIT $KnnProbeLimit),
+       |$knnCoreCtes,
        |kcand AS (SELECT vec_id, embedding FROM kasg
        |    WHERE cid IN (SELECT cid FROM kpr)),
        |pq_cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
@@ -1158,6 +1220,15 @@ object ExtQueries {
       // edges ∪ neighbors-of-neighbors, exact re-score, top-k — recall
       // vs the exact graph is monotone non-decreasing by construction
       Similarity.knnGraphRefine(embs(s, dir), k = KnnGraphK)),
+    "knn_graph_refine_iter_embeddings" -> ((s: SparkSession, dir: String) =>
+      // NN-Descent to fixed depth: each round expands candidates two
+      // hops over the PREVIOUS round's edges and re-scores exactly —
+      // per-vertex recall is monotone non-decreasing in rounds;
+      // rounds=1 is spec-pinned bit-identical to the one-round key,
+      // and the oracle unrolls rounds as CTE stages (the
+      // Lloyd/LR/label-prop trajectory recipe)
+      Similarity.knnGraphRefineIter(embs(s, dir), k = KnnGraphK,
+        rounds = RefineRounds)),
     "label_propagation_embeddings" -> ((s: SparkSession, dir: String) =>
       // one round of label propagation over the kNN graph: cosine-
       // weighted majority label per vertex (decimal-exact votes,
@@ -2592,18 +2663,7 @@ object ExtQueries {
       s"""WITH kp AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
          |    WHERE vec_id % $KnnProbeModulus = 0
          |    ORDER BY vec_id LIMIT $KnnProbeLimit),
-         |kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-         |    ORDER BY vec_id LIMIT 16),
-         |kasg AS (SELECT vec_id, label, embedding, cid FROM (
-         |    SELECT e.vec_id, e.label, e.embedding, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(${cosSql("e.embedding", "c.cvec", 64)}, 6) DESC, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN kcent c) WHERE rn = 1),
-         |kpr AS (SELECT probe_id, cid FROM (
-         |    SELECT p.probe_id, c.cid,
-         |      row_number() OVER (PARTITION BY p.probe_id
-         |        ORDER BY round(${cosSql("c.cvec", "p.pe", 64)}, 6) DESC, c.cid) AS rn
-         |    FROM kcent c CROSS JOIN kp p) WHERE rn <= 4),
+         |$knnCoreCtes,
          |kc AS (SELECT pr.probe_id, a.vec_id, a.label,
          |      round(${cosSql("a.embedding", "p.pe", 64)}, 6) AS cosine
          |    FROM kasg a JOIN kpr pr ON a.cid = pr.cid
@@ -2617,96 +2677,35 @@ object ExtQueries {
     // to the whole corpus, a self-exclusion filter on the candidates,
     // and the rank cut at KnnGraphK
     "knn_graph_embeddings" ->
-      s"""WITH kp AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings),
-         |kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-         |    ORDER BY vec_id LIMIT 16),
-         |kasg AS (SELECT vec_id, label, embedding, cid FROM (
-         |    SELECT e.vec_id, e.label, e.embedding, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(${cosSql("e.embedding", "c.cvec", 64)}, 6) DESC, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN kcent c) WHERE rn = 1),
-         |kpr AS (SELECT probe_id, cid FROM (
-         |    SELECT p.probe_id, c.cid,
-         |      row_number() OVER (PARTITION BY p.probe_id
-         |        ORDER BY round(${cosSql("c.cvec", "p.pe", 64)}, 6) DESC, c.cid) AS rn
-         |    FROM kcent c CROSS JOIN kp p) WHERE rn <= 4),
-         |kc AS (SELECT pr.probe_id, a.vec_id, a.label,
-         |      round(${cosSql("a.embedding", "p.pe", 64)}, 6) AS cosine
-         |    FROM kasg a JOIN kpr pr ON a.cid = pr.cid
-         |                JOIN kp p ON p.probe_id = pr.probe_id
-         |    WHERE a.vec_id <> pr.probe_id)
-         |SELECT probe_id, vec_id, label, cosine FROM (
-         |  SELECT kc.*, row_number() OVER (PARTITION BY probe_id
-         |    ORDER BY cosine DESC, vec_id) AS rn FROM kc)
-         |WHERE rn <= $KnnGraphK
+      s"""WITH $knnGraphCtes
+         |SELECT probe_id, vec_id, label, cosine FROM kg
          |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin,
     // NN-Descent refinement round: the knn_graph chain as a CTE, its
     // edges self-joined two hops out (self excluded), union with the
     // direct edges, DISTINCT candidates re-scored exact and re-ranked
     "knn_graph_refine_embeddings" ->
-      s"""WITH kp AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings),
-         |kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-         |    ORDER BY vec_id LIMIT 16),
-         |kasg AS (SELECT vec_id, label, embedding, cid FROM (
-         |    SELECT e.vec_id, e.label, e.embedding, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(${cosSql("e.embedding", "c.cvec", 64)}, 6) DESC, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN kcent c) WHERE rn = 1),
-         |kpr AS (SELECT probe_id, cid FROM (
-         |    SELECT p.probe_id, c.cid,
-         |      row_number() OVER (PARTITION BY p.probe_id
-         |        ORDER BY round(${cosSql("c.cvec", "p.pe", 64)}, 6) DESC, c.cid) AS rn
-         |    FROM kcent c CROSS JOIN kp p) WHERE rn <= 4),
-         |kc AS (SELECT pr.probe_id, a.vec_id, a.label,
-         |      round(${cosSql("a.embedding", "p.pe", 64)}, 6) AS cosine
-         |    FROM kasg a JOIN kpr pr ON a.cid = pr.cid
-         |                JOIN kp p ON p.probe_id = pr.probe_id
-         |    WHERE a.vec_id <> pr.probe_id),
-         |kg AS (SELECT probe_id, vec_id, label, cosine FROM (
-         |    SELECT kc.*, row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY cosine DESC, vec_id) AS rn FROM kc)
-         |  WHERE rn <= $KnnGraphK),
-         |kh2 AS (SELECT a.probe_id, b.vec_id
-         |  FROM kg a JOIN kg b ON a.vec_id = b.probe_id
-         |  WHERE b.vec_id <> a.probe_id),
-         |kcand AS (SELECT DISTINCT probe_id, vec_id FROM (
-         |  SELECT probe_id, vec_id FROM kg
-         |  UNION ALL SELECT probe_id, vec_id FROM kh2)),
-         |kref AS (SELECT c.probe_id, c.vec_id, e2.label,
-         |    round(${cosSql("e2.embedding", "e1.embedding", 64)}, 6) AS cosine
-         |  FROM kcand c JOIN embeddings e1 ON e1.vec_id = c.probe_id
-         |               JOIN embeddings e2 ON e2.vec_id = c.vec_id)
-         |SELECT probe_id, vec_id, label, cosine FROM (
-         |  SELECT kref.*, row_number() OVER (PARTITION BY probe_id
-         |    ORDER BY cosine DESC, vec_id) AS rn FROM kref)
-         |WHERE rn <= $KnnGraphK
+      s"""WITH $knnGraphCtes,
+         |${refineRoundCtes("kg", "1")}
+         |SELECT probe_id, vec_id, label, cosine FROM g1
          |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin,
+    // iterated NN-Descent: the knn_graph chain once, then the
+    // two-hop/re-score/top-k round UNROLLED once per round over the
+    // previous round's edges — the Lloyd/LR/label-prop trajectory
+    // oracle recipe applied to graph refinement
+    "knn_graph_refine_iter_embeddings" -> {
+      val roundCtes = (1 to RefineRounds).map(r =>
+        refineRoundCtes(if (r == 1) "kg" else s"g${r - 1}", r.toString))
+        .mkString(",\n")
+      s"""WITH $knnGraphCtes,
+         |$roundCtes
+         |SELECT probe_id, vec_id, label, cosine FROM g$RefineRounds
+         |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin
+    },
     // label propagation: the knn_graph chain wrapped as a CTE, then
     // per-(vertex, label) DECIMAL(16,6)-exact vote sums and the
     // aggregate argmax (max vote join + min label at the max)
     "label_propagation_embeddings" ->
-      s"""WITH kp AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings),
-         |kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-         |    ORDER BY vec_id LIMIT 16),
-         |kasg AS (SELECT vec_id, label, embedding, cid FROM (
-         |    SELECT e.vec_id, e.label, e.embedding, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(${cosSql("e.embedding", "c.cvec", 64)}, 6) DESC, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN kcent c) WHERE rn = 1),
-         |kpr AS (SELECT probe_id, cid FROM (
-         |    SELECT p.probe_id, c.cid,
-         |      row_number() OVER (PARTITION BY p.probe_id
-         |        ORDER BY round(${cosSql("c.cvec", "p.pe", 64)}, 6) DESC, c.cid) AS rn
-         |    FROM kcent c CROSS JOIN kp p) WHERE rn <= 4),
-         |kc AS (SELECT pr.probe_id, a.vec_id, a.label,
-         |      round(${cosSql("a.embedding", "p.pe", 64)}, 6) AS cosine
-         |    FROM kasg a JOIN kpr pr ON a.cid = pr.cid
-         |                JOIN kp p ON p.probe_id = pr.probe_id
-         |    WHERE a.vec_id <> pr.probe_id),
-         |kg AS (SELECT probe_id, vec_id, label, cosine FROM (
-         |    SELECT kc.*, row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY cosine DESC, vec_id) AS rn FROM kc)
-         |  WHERE rn <= $KnnGraphK),
+      s"""WITH $knnGraphCtes,
          |lv AS (SELECT probe_id AS vec_id, label AS pred_label,
          |    sum(CAST(cosine AS DECIMAL(16,6))) AS vote_w,
          |    count(*)::BIGINT AS n_votes
@@ -2741,28 +2740,7 @@ object ExtQueries {
            |  FROM l${r - 1} l LEFT JOIN lw$r w USING (vec_id))""".stripMargin
       }.mkString(",\n")
       val R = LabelPropRounds
-      s"""WITH kp AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings),
-         |kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-         |    ORDER BY vec_id LIMIT 16),
-         |kasg AS (SELECT vec_id, label, embedding, cid FROM (
-         |    SELECT e.vec_id, e.label, e.embedding, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(${cosSql("e.embedding", "c.cvec", 64)}, 6) DESC, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN kcent c) WHERE rn = 1),
-         |kpr AS (SELECT probe_id, cid FROM (
-         |    SELECT p.probe_id, c.cid,
-         |      row_number() OVER (PARTITION BY p.probe_id
-         |        ORDER BY round(${cosSql("c.cvec", "p.pe", 64)}, 6) DESC, c.cid) AS rn
-         |    FROM kcent c CROSS JOIN kp p) WHERE rn <= 4),
-         |kc AS (SELECT pr.probe_id, a.vec_id, a.label,
-         |      round(${cosSql("a.embedding", "p.pe", 64)}, 6) AS cosine
-         |    FROM kasg a JOIN kpr pr ON a.cid = pr.cid
-         |                JOIN kp p ON p.probe_id = pr.probe_id
-         |    WHERE a.vec_id <> pr.probe_id),
-         |kg AS (SELECT probe_id, vec_id, label, cosine FROM (
-         |    SELECT kc.*, row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY cosine DESC, vec_id) AS rn FROM kc)
-         |  WHERE rn <= $KnnGraphK),
+      s"""WITH $knnGraphCtes,
          |l0 AS (SELECT vec_id, label AS cur FROM embeddings),
          |$roundCtes,
          |lfin AS (SELECT w.vec_id, w.pred_label, lv.vote_w, lv.n_votes
@@ -2782,18 +2760,7 @@ object ExtQueries {
          |      embedding AS pe FROM embeddings
          |    WHERE vec_id % $KnnProbeModulus = 0
          |    ORDER BY vec_id LIMIT $KnnProbeLimit),
-         |kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-         |    ORDER BY vec_id LIMIT 16),
-         |kasg AS (SELECT vec_id, label, embedding, cid FROM (
-         |    SELECT e.vec_id, e.label, e.embedding, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(${cosSql("e.embedding", "c.cvec", 64)}, 6) DESC, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN kcent c) WHERE rn = 1),
-         |kpr AS (SELECT probe_id, cid FROM (
-         |    SELECT p.probe_id, c.cid,
-         |      row_number() OVER (PARTITION BY p.probe_id
-         |        ORDER BY round(${cosSql("c.cvec", "p.pe", 64)}, 6) DESC, c.cid) AS rn
-         |    FROM kcent c CROSS JOIN kp p) WHERE rn <= 4),
+         |$knnCoreCtes,
          |kc AS (SELECT pr.probe_id, p.probe_label, a.vec_id, a.label,
          |      round(${cosSql("a.embedding", "p.pe", 64)}, 6) AS cosine
          |    FROM kasg a JOIN kpr pr ON a.cid = pr.cid
@@ -2812,18 +2779,7 @@ object ExtQueries {
          |      embedding AS pe FROM embeddings
          |    WHERE vec_id % $KnnProbeModulus = 0
          |    ORDER BY vec_id LIMIT $KnnProbeLimit),
-         |kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-         |    ORDER BY vec_id LIMIT 16),
-         |kasg AS (SELECT vec_id, label, embedding, cid FROM (
-         |    SELECT e.vec_id, e.label, e.embedding, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(${cosSql("e.embedding", "c.cvec", 64)}, 6) DESC, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN kcent c) WHERE rn = 1),
-         |kpr AS (SELECT probe_id, cid FROM (
-         |    SELECT p.probe_id, c.cid,
-         |      row_number() OVER (PARTITION BY p.probe_id
-         |        ORDER BY round(${cosSql("c.cvec", "p.pe", 64)}, 6) DESC, c.cid) AS rn
-         |    FROM kcent c CROSS JOIN kp p) WHERE rn <= 4),
+         |$knnCoreCtes,
          |kn AS (SELECT probe_id, probe_label, vec_id, label FROM (
          |    SELECT pr.probe_id, p.probe_label, a.vec_id, a.label,
          |      row_number() OVER (PARTITION BY pr.probe_id

@@ -691,13 +691,6 @@ object Similarity {
       superK: Int = 0,
       superProbe: Int = SuperProbeDefault): DataFrame = {
     val cents = seedCentroids(embeddings, nCentroids)
-    // route past the literal-plan cliff: the probe-list CASE chains
-    // carry ~superProbe·k·dim literal floats — as data instead when
-    // that exceeds the budget (bit-identical result, measured 15.5×
-    // at nc=640)
-    if (cents.nonEmpty &&
-        superProbe.toLong * cents.size * cents.head._2.length > GraphLiteralMaxTerms)
-      return knnGraphHierJoin(embeddings, k, nCentroids, nProbe, superK, superProbe)
     // fallback parity: when every super-cell is probed the hier path
     // must equal [[knnGraph]] BIT-FOR-BIT, so the degraded assignment
     // is the same PORTABLE flat argmin the flat graph uses (the
@@ -712,6 +705,14 @@ object Similarity {
     // recomputes internally behind nearestCentroidTwoLevel's fixed API,
     // the one remaining duplicate run
     val cells = superCells(cents, k0)
+    // route past the literal-plan cliff: the probe-list CASE chains
+    // carry ~superProbe·k·dim literal floats — as data instead when
+    // that exceeds the budget (bit-identical result, measured 15.5×
+    // at nc=640). The collected cents/cells ride along — the route
+    // never re-runs the seed collect or the driver Lloyd (r14 review)
+    if (cents.nonEmpty &&
+        superProbe.toLong * cents.size * cents.head._2.length > GraphLiteralMaxTerms)
+      return knnGraphHierJoinWith(embeddings, cents, cells, k, nProbe, superProbe)
     val assignExpr =
       if (cells.size <= superProbe) nearestCentroidPortable(cents)
       else nearestCentroidTwoLevel(cents, superK, superProbe)
@@ -853,7 +854,24 @@ object Similarity {
     val cents = seedCentroids(embeddings, nCentroids)
     val k0 = if (superK > 0) superK
       else math.max(1, math.round(math.sqrt(cents.size.toDouble)).toInt)
-    val cells = superCells(cents, k0)
+    knnGraphHierJoinWith(embeddings, cents, superCells(cents, k0),
+      k, nProbe, superProbe)
+  }
+
+  /** [[knnGraphHierJoin]] over PRECOMPUTED centroids + super-cells:
+    * the auto-routing [[knnGraphHier]] has already collected both, and
+    * the assignment stage shares them too — one seed collect and one
+    * driver Lloyd per graph build, never per stage (r14 review
+    * finding; the same de-duplication the r13 fix made inside the
+    * literal path).
+    */
+  private def knnGraphHierJoinWith(
+      embeddings: DataFrame,
+      cents: Seq[(Long, Seq[Float])],
+      cells: Seq[(Seq[Float], Seq[(Long, Seq[Float])])],
+      k: Int,
+      nProbe: Int,
+      superProbe: Int): DataFrame = {
     val assigned =
       if (cells.size <= superProbe)
         // [[knnGraphHier]]'s fallback is the PORTABLE flat argmin (the
@@ -861,7 +879,8 @@ object Similarity {
         embeddings.withColumn("centroid_id", nearestCentroidPortable(cents))
           .select(col("centroid_id"), col("vec_id"), col("embedding"), col("label"))
       else
-        ivfAssignTwoLevelJoin(embeddings, cents, superK, superProbe)
+        twoLevelJoinAssignedWith(embeddings, cents, cells, superProbe,
+          carry = Seq("label"))
           .select(col("centroid_id"), col("vec_id"), col("embedding"), col("label"))
     val probeCells = probeCellsTwoLevelJoin(
       embeddings.select(col("vec_id").as("probe_id"), col("embedding")),
@@ -956,6 +975,20 @@ object Similarity {
     val g = graft.core.CacheScope.persist(
       knnGraph(embeddings, k, nCentroids, nProbe)
         .select(col("probe_id"), col("vec_id")))
+    refineRound(embeddings, g, k)
+      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
+  }
+
+  /** ONE NN-Descent round over an id-only edge frame `g(probe_id,
+    * vec_id)`: candidates = current edges ∪ neighbors-of-neighbors
+    * (two-hop self-join, self excluded), exact 6-dp re-score through
+    * the two id-keyed embedding joins, per-vertex top-k. The shared
+    * kernel under [[knnGraphRefine]] (one round) and
+    * [[knnGraphRefineIter]] (fixed depth), so the candidate and
+    * ranking semantics can never drift between them.
+    */
+  private def refineRound(
+      embeddings: DataFrame, g: DataFrame, k: Int): DataFrame = {
     val twoHop = g.as("a")
       .join(g.as("b"), col("a.vec_id") === col("b.probe_id"))
       .filter(col("b.vec_id") =!= col("a.probe_id"))
@@ -973,7 +1006,41 @@ object Similarity {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .drop("_rn")
-      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
+  }
+
+  /** NN-Descent run to FIXED DEPTH (Dong et al. 2011's iteration, the
+    * [[labelPropagateIter]] recipe applied to graph refinement): the
+    * approximate graph is built once, then each round expands
+    * candidates two hops over the PREVIOUS round's edges and re-scores
+    * exactly. Per-vertex recall vs the exact graph is MONOTONE
+    * non-decreasing round over round (each round's candidate set
+    * contains the previous round's surviving edges), so extra rounds
+    * can only help — the classic trade is rounds × (≤ n·k² candidate
+    * rows + two id-keyed embedding joins + the per-vertex rank
+    * window), no corpus-quadratic term at any depth. Each round's
+    * id-frame is persisted: round r's plan is one two-hop join deep,
+    * never a growing lineage. rounds=1 is [[knnGraphRefine]] exactly
+    * (spec-pinned bit-identical).
+    */
+  def knnGraphRefineIter(
+      embeddings: DataFrame,
+      k: Int = 4,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    var g = graft.core.CacheScope.persist(
+      knnGraph(embeddings, k, nCentroids, nProbe)
+        .select(col("probe_id"), col("vec_id")))
+    var scored: DataFrame = null
+    for (r <- 1 to rounds) {
+      scored = refineRound(embeddings, g, k)
+      // the final round's edge frame has exactly one consumer (the
+      // ordered output) — no pin, matching labelPropagateIter's tail
+      if (r < rounds)
+        g = graft.core.CacheScope.persist(scored.select("probe_id", "vec_id"))
+    }
+    scored.orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
   }
 
   /** ITERATED label propagation — Zhu & Ghahramani 2002's algorithm
@@ -1484,17 +1551,26 @@ object Similarity {
       batch: DataFrame,
       index: IvfIndex,
       maxFilesPerPartition: Int = 8): Seq[Long] = {
+    // pinned for the call (local persist, released in finally — NOT
+    // CacheScope: the streaming face calls this per micro-batch and a
+    // scope-queued pin would accumulate until some caller's
+    // releaseAll): the argmin assignment has two consumers (the
+    // touched-id collect, then the anti-joined append write) —
+    // unpinned, every batch would pay the full per-row argmin twice
     val assigned = ivfAssignTo(batch, index.centroids)
-    val touched = assigned.select("centroid_id").distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
-    if (touched.isEmpty) return Nil
-    val existingTouched = spark.read.parquet(path)
-      .filter(col("centroid_id").isin(touched: _*))
-      .select(col("vec_id"))
-    val fresh = assigned.join(existingTouched, Seq("vec_id"), "left_anti")
-    fresh.write.mode("append").partitionBy("centroid_id").parquet(path)
-    compactClustered(spark, path, touched, maxFilesPerPartition)
-    touched
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = assigned.select("centroid_id").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+      if (touched.isEmpty) return Nil
+      val existingTouched = spark.read.parquet(path)
+        .filter(col("centroid_id").isin(touched: _*))
+        .select(col("vec_id"))
+      val fresh = assigned.join(existingTouched, Seq("vec_id"), "left_anti")
+      fresh.write.mode("append").partitionBy("centroid_id").parquet(path)
+      compactClustered(spark, path, touched, maxFilesPerPartition)
+      touched
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** Per-partition small-file compaction for a [[writeClustered]]
@@ -1514,8 +1590,13 @@ object Similarity {
     val fs = root.getFileSystem(hconf)
     val over = partitions.filter { cid =>
       val d = new org.apache.hadoop.fs.Path(root, s"centroid_id=$cid")
+      // data files only: '_' metadata AND '.'-prefixed checksum
+      // sidecars (.part-*.crc on checksummed filesystems) are excluded,
+      // else every data file counts double and under-threshold
+      // partitions get rewritten on every touching micro-batch
       fs.exists(d) && fs.listStatus(d)
-        .count(s => s.isFile && !s.getPath.getName.startsWith("_")) >
+        .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".")) >
         maxFilesPerPartition
     }
     if (over.isEmpty) 0
@@ -2065,12 +2146,26 @@ object Similarity {
       superK: Int,
       superProbe: Int,
       carry: Seq[String]): DataFrame = {
-    require(superProbe >= 1, s"superProbe must be >= 1: $superProbe")
-    val extra = carry.filterNot(_ == "embedding")
     val k0 =
       if (superK > 0) superK
       else math.max(1, math.round(math.sqrt(centroids.size.toDouble)).toInt)
-    val cells = superCells(centroids, k0)
+    twoLevelJoinAssignedWith(df, centroids, superCells(centroids, k0),
+      superProbe, carry)
+  }
+
+  /** [[twoLevelJoinAssigned]] over a PRECOMPUTED super-cell partition —
+    * so a caller that already ran [[superCells]] (the graph builders
+    * share it with the probe lists) never pays the k-point driver
+    * Lloyd twice (r14 review finding).
+    */
+  private def twoLevelJoinAssignedWith(
+      df: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      cells: Seq[(Seq[Float], Seq[(Long, Seq[Float])])],
+      superProbe: Int,
+      carry: Seq[String]): DataFrame = {
+    require(superProbe >= 1, s"superProbe must be >= 1: $superProbe")
+    val extra = carry.filterNot(_ == "embedding")
     if (cells.size <= superProbe)
       // probing every cell IS the flat argmin — and at this size the
       // literal plan sits safely under the codegen cliff

@@ -141,4 +141,33 @@ class IvfPersistSpec extends SparkSpec {
     assert(spark.read.parquet(layout).count() == rowsBefore)
     assert(serve(layout) == serve(rebuilt), "compaction changed serving")
   }
+
+  test("compactClustered counts DATA files only: checksum sidecars never trigger a rewrite (r14 review)") {
+    import scala.jdk.CollectionConverters._
+    val trained = Similarity.buildIvfIndex(embs, nCentroids = 8, iterations = 2,
+      portable = true)
+    val layout = tmpPath("sidecar").stripSuffix("/index") + "/clustered"
+    Similarity.writeClustered(Similarity.ivfAssignTo(embs, trained.centroids), layout)
+    val root = java.nio.file.Paths.get(layout)
+    // pick a partition dir; on the local (checksummed) filesystem every
+    // data file has a '.…crc' sidecar — the exact double-count shape
+    val partDir = java.nio.file.Files.list(root).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("centroid_id="))
+      .toSeq.minBy(_.getFileName.toString)
+    def names() = java.nio.file.Files.list(partDir).iterator().asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    val dataFiles = names().count(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(dataFiles >= 1)
+    assert(names().exists(_.endsWith(".crc")),
+      "fixture sanity: this layout must carry checksum sidecars")
+    val cid = partDir.getFileName.toString.stripPrefix("centroid_id=").toLong
+    val before = names()
+    // at-threshold (not over): with sidecars wrongly counted this
+    // partition would cross 2× and be rewritten on every call
+    val n = Similarity.compactClustered(spark, layout, Seq(cid),
+      maxFilesPerPartition = dataFiles)
+    assert(n == 0, "an at-threshold partition must not be rewritten")
+    assert(names() == before, "compaction must not touch the partition's files")
+  }
 }

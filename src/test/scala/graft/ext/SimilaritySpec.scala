@@ -1127,6 +1127,35 @@ class SimilaritySpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1)))
     assert(r.forall { case (p, v) => p != v })
     assert(r.groupBy(_._1).values.forall(_.length <= k))
+
+    // iterated NN-Descent: rounds=1 IS the one-round kernel bit-for-bit
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(Similarity.knnGraphRefineIter(embs, k = k, rounds = 1)) ==
+      rows(Similarity.knnGraphRefine(embs, k = k)),
+      "rounds=1 diverged from the one-round refine kernel")
+    // recall is monotone non-decreasing in rounds (each round's
+    // candidates contain the previous round's surviving edges)
+    val r2 = recall(Similarity.knnGraphRefineIter(embs, k = k, rounds = 2))
+    info(f"recall vs exact: refined $refined%.4f -> round-2 $r2%.4f")
+    assert(r2 >= refined, f"round 2 lost recall: $refined%.4f -> $r2%.4f")
+    // hand-rolled round 2: one more two-hop/re-score/top-k pass over
+    // round-1's edges reproduces the engine's round-2 graph exactly
+    def roundOnce(edges: Set[(Long, Long)]): Set[(Long, Long)] = {
+      val byProbe = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      edges.flatMap { case (p, _) => // candidates per vertex p
+        val twoHop = byProbe.getOrElse(p, Set.empty)
+          .flatMap(v => byProbe.getOrElse(v, Set.empty)).filter(_ != p)
+        (byProbe(p) ++ twoHop).map { v =>
+          (v, BigDecimal(cos(vecs(p), vecs(v))).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }.toSeq.sortBy { case (v, c) => (-c, v) }.take(k).map { case (v, _) => (p, v) }
+      }
+    }
+    val eng1 = Similarity.knnGraphRefine(embs, k = k).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val eng2 = Similarity.knnGraphRefineIter(embs, k = k, rounds = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(roundOnce(eng1) == eng2,
+      "engine round 2 differs from a hand-rolled round over round-1 edges")
   }
 
   test("labelPropagateIter: rounds=1 equals labelPropagate bit-for-bit; later rounds vote with updated labels (r13 verdict #3)") {
