@@ -1483,6 +1483,13 @@ object ExtQueries {
       // each epoch, reproducible for restarts (epoch 0 = the base key)
       Corpus.trainerOrder(docs(s, dir), nShards = PackShards,
         epoch = TrainerEpoch)),
+    "curriculum_order_documents" -> ((s: SparkSession, dir: String) =>
+      // curriculum read order (Bengio 2009): the trainer terminal with
+      // each shard stream presenting its highest-quality blocks first
+      // (token-weighted mean of the per-doc quality score); shard
+      // assignment stays content-hashed, the WFQ schedule still
+      // interleaves shards proportionally
+      Corpus.curriculumOrder(docs(s, dir), nShards = PackShards)),
     "select_budget_documents" -> ((s: SparkSession, dir: String) =>
       // "best B tokens": greedy by quality score desc, boundary stratum
       // by doc_id — score-histogram classification, so only ONE score
@@ -2140,6 +2147,45 @@ object ExtQueries {
       s"""WITH ${bpeEncodeCtes(Bpe.DefaultMerges)},
          |${packCtes(L)},
          |${trainerOrderTail(L, PackShards, Corpus.epochSalt(TrainerEpoch))}""".stripMargin
+    },
+    // curriculum read order: the trainer chain with per-shard position
+    // ordered by token-weighted mean quality DESC (easy first) instead
+    // of the hash permutation; q_mass = Σ round(q·10⁴)·n_tokens is an
+    // exact BIGINT and the ordering key is one double division of
+    // exact longs (the sched_key portability convention). Shard
+    // assignment keeps the content hash.
+    "curriculum_order_documents" -> {
+      val L = Corpus.PackBlockTokens
+      val S = PackShards
+      s"""WITH ${bpeEncodeCtes(Bpe.DefaultMerges)},
+         |${packCtes(L)},
+         |cq_b AS (SELECT doc_id, $QualitySignalsSql FROM documents),
+         |cq AS (SELECT doc_id,
+         |    CAST(round(($QualityScoreSql) * 10000) AS BIGINT) AS q FROM cq_b),
+         |sb_r AS (SELECT doc_id, block_id::BIGINT AS block_id,
+         |    (least(off + c, (block_id + 1) * $L)
+         |      - greatest(off, block_id * $L))::BIGINT AS n_tokens
+         |  FROM ps_s),
+         |sb_blk AS (SELECT block_id, count(*)::BIGINT AS n_docs,
+         |    sum(r.n_tokens)::BIGINT AS n_tokens,
+         |    sum(cq.q * r.n_tokens)::BIGINT AS q_mass
+         |  FROM sb_r r JOIN cq USING (doc_id) GROUP BY block_id),
+         |sb_s AS (SELECT DISTINCT 'blk:' || block_id::VARCHAR AS s FROM sb_blk),
+         |${hash64Ctes("sbk", "sb_s", "s")},
+         |sb_k AS (SELECT b.block_id, b.n_docs, b.n_tokens, b.q_mass,
+         |    (h % 9223372036854775808::UHUGEINT)::BIGINT AS k
+         |  FROM sb_blk b JOIN sbk_h64 ON sbk_h64.s = 'blk:' || b.block_id::VARCHAR),
+         |to_sb AS (SELECT block_id, n_docs, n_tokens, q_mass,
+         |    (k % $S)::BIGINT AS shard,
+         |    (row_number() OVER (PARTITION BY k % $S
+         |        ORDER BY q_mass::DOUBLE / n_tokens DESC, block_id)
+         |      - 1)::BIGINT AS pos
+         |  FROM sb_k),
+         |to_c AS (SELECT shard, count(*)::BIGINT AS c FROM to_sb GROUP BY shard)
+         |SELECT (pos * 2 + 1) / (c * 2) AS sched_key, shard, pos,
+         |  block_id, n_docs, n_tokens, q_mass
+         |FROM to_sb JOIN to_c USING (shard)
+         |ORDER BY sched_key, shard, pos""".stripMargin
     },
     // tokenizer-TRUE budget selection: the select_budget chain with the
     // per-doc cost swapped from the ws proxy to the trained BPE encode

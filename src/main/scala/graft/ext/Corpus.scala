@@ -1153,6 +1153,75 @@ object Corpus {
       .orderBy("sched_key", "shard", "pos")
   }
 
+  /** CURRICULUM ordering of the trainer terminal (Bengio et al. 2009,
+    * "Curriculum Learning"; practiced as quality-ordered pre-training
+    * schedules): [[trainerOrder]] with the content-hash permutation
+    * WITHIN each shard replaced by a quality order — every shard
+    * stream presents its highest-quality (easiest) blocks first, and
+    * the stride/WFQ schedule still interleaves shards in proportion to
+    * their size, so every training prefix is the best remaining slice
+    * of the whole corpus. Shard ASSIGNMENT stays content-hashed
+    * (balance and determinism are the hash's job; only the read order
+    * inside a stream is the curriculum's).
+    *
+    * Block difficulty is the token-weighted mean of the per-document
+    * [[TextStats.qualityScoreColumn]]: `q_mass = Σ round(q·10⁴)·
+    * n_tokens` is an exact BIGINT (order-free, portable), and the
+    * ordering key `q_mass / n_tokens` is one correctly-rounded double
+    * division of exact longs — the `sched_key` portability convention.
+    *
+    * Scale shape: [[shuffleBlocks]]'s own machinery with the quality
+    * key in place of the hash key — the per-shard position is computed
+    * with the same two-level base trick (buckets = ⌊mean quality⌋, ≤
+    * 10⁴+1 of them), so no window ever sees more than one (shard,
+    * bucket) slice; the only additions are a doc-keyed quality join
+    * before the block aggregate and one extra exact SUM inside it.
+    */
+  def curriculumOrder(
+      documents: DataFrame,
+      nShards: Int = 8,
+      blockTokens: Int = PackBlockTokens,
+      merges: Int = Bpe.DefaultMerges,
+      maxWordTypes: Int = Bpe.DefaultMaxWordTypes): DataFrame = {
+    require(nShards >= 1, s"need a positive shard count: $nShards")
+    val docQ = documents.select(col("doc_id"),
+      round(TextStats.qualityScoreColumn(col("text")) * 10000, 0)
+        .cast("long").as("_q"))
+    val blocks = graft.core.CacheScope.persist(
+      packSequences(documents, blockTokens, merges, maxWordTypes)
+        .join(docQ, Seq("doc_id"))
+        .groupBy("block_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+          sum(col("_q") * col("n_tokens")).as("q_mass"))
+        .withColumn("_k",
+          graft.functions.GraftFunctions.hash64(
+            concat(lit(epochSalt(0L)), col("block_id").cast("string")))
+            .bitwiseAND(lit(Long.MaxValue)))
+        .withColumn("shard", col("_k") % lit(nShards.toLong))
+        .withColumn("_mq", col("q_mass").cast("double") / col("n_tokens"))
+        .withColumn("_b", floor(col("_mq")).cast("long")))
+    // per-shard curriculum position via the shuffleBlocks base trick:
+    // buckets ordered DESC (easy first), exact ordering inside each
+    val hw = Window.partitionBy("_hs").orderBy(col("_hb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = blocks.groupBy(col("shard").as("_hs"), col("_b").as("_hb"))
+      .agg(count(lit(1)).as("_hc"))
+      .withColumn("_base", coalesce(sum("_hc").over(hw), lit(0L)))
+      .select(col("_hs"), col("_hb"), col("_base"))
+    val rw = Window.partitionBy("shard", "_b")
+      .orderBy(col("_mq").desc, col("block_id"))
+    val sb = blocks
+      .join(broadcast(bases),
+        col("shard") === col("_hs") && col("_b") === col("_hb"))
+      .withColumn("pos", col("_base") + row_number().over(rw) - 1)
+    val counts = sb.groupBy("shard").agg(count(lit(1)).as("_c"))
+    sb.join(broadcast(counts), Seq("shard"))
+      .withColumn("sched_key", (col("pos") * 2 + 1) / (col("_c") * 2))
+      .select(col("sched_key"), col("shard"), col("pos"), col("block_id"),
+        col("n_docs"), col("n_tokens"), col("q_mass"))
+      .orderBy("sched_key", "shard", "pos")
+  }
+
   /** The raw-corpus → training-order contract END TO END, as one
     * relation (r13 verdict #5): [[curateFull]]'s survivor set — redact
     * → quality → dedup → decontaminate → per-source cap — fed straight

@@ -300,6 +300,50 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("curriculumOrder: same block set and shards as the hash shuffle; per-shard order is quality-descending (r14)") {
+    val d = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val cur = Corpus.curriculumOrder(d).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))) // (shard, pos, block_id, n_docs, n_tokens, q_mass)
+    val shuffled = Corpus.shuffleBlocks(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.core.CacheScope.releaseAll()
+    assert(cur.nonEmpty)
+    // identical block set with identical totals and identical shard
+    // assignment — the curriculum only changes the order WITHIN a shard
+    val curBlocks = cur.map { case (sh, _, bid, nd, nt, _) => (bid, nd, nt, sh) }.sorted
+    val shufBlocks = shuffled.map { case (bid, nd, nt, sh) => (bid, nd, nt, sh) }.sorted
+    assert(curBlocks.toSeq == shufBlocks.toSeq,
+      "curriculum changed the block set or shard assignment")
+    // per-shard: positions dense, mean quality non-increasing with pos
+    cur.groupBy(_._1).foreach { case (sh, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (0L until rows.length).toSeq,
+        s"shard $sh positions not dense")
+      val byPos = rows.sortBy(_._2)
+      val means = byPos.map { case (_, _, _, _, nt, qm) => qm.toDouble / nt }
+      assert(means.zip(means.tail).forall { case (a, b) => a >= b },
+        s"shard $sh not quality-descending")
+      // tie-break: equal means order by block_id ascending
+      byPos.sliding(2).foreach {
+        case Array(a, b) =>
+          val (ma, mb) = (a._6.toDouble / a._5, b._6.toDouble / b._5)
+          if (ma == mb) assert(a._3 < b._3, s"shard $sh tie not by block_id")
+        case _ => ()
+      }
+    }
+    // q_mass replay: token-weighted sum of the per-doc scaled quality
+    val q = TextStats.qualityScore(d).collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(4) * 10000)).toMap
+    val pack = Corpus.packSequences(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    graft.core.CacheScope.releaseAll()
+    val wantMass = pack.groupBy(_._2).view
+      .mapValues(_.map { case (did, _, nt) => q(did) * nt }.sum).toMap
+    cur.foreach { case (_, _, bid, _, _, qm) =>
+      assert(wantMass(bid) == qm, s"block $bid q_mass drifted")
+    }
+  }
+
   test("shuffleBlocks: bucket-refined rank equals the direct per-shard window rank") {
     val d = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
     val got = Corpus.shuffleBlocks(d).collect()
