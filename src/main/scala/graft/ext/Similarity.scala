@@ -917,7 +917,7 @@ object Similarity {
     * one — with the identical relational result (the declared keys'
     * oracles keep the explicit argmax SQL; both stayed hash-green).
     */
-  private def voteWinner(votes: DataFrame): DataFrame =
+  private[graft] def voteWinner(votes: DataFrame): DataFrame =
     votes.groupBy("vec_id")
       .agg(max(struct(col("vote_w"),
         (-col("pred_label")).as("_np"), col("n_votes"))).as("_w"))
