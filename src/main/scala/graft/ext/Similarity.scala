@@ -1103,6 +1103,131 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** [[knnGraphRefineIter]] run to CONVERGENCE instead of fixed depth —
+    * NN-Descent's natural stopping rule (Dong et al. 2011 iterate
+    * "until few updates occur"): rounds repeat until no edge changes,
+    * bounded by `maxRounds` as a guard. Unlike synchronous label
+    * propagation (which can oscillate — [[labelPropagateConverged]]'s
+    * documented caveat), this loop PROVABLY terminates: each round's
+    * candidates contain the previous round's surviving edges, so every
+    * vertex's sorted top-k score vector is monotone non-decreasing and
+    * bounded — an unchanged round is a fixed point forever. At
+    * convergence depth d the result equals
+    * `knnGraphRefineIter(rounds = d)` exactly (spec-pinned). Carry
+    * id-frames are localCheckpoint'd per round (the edge frame enters
+    * the two-hop self-join TWICE, the lineage-doubling shape), the
+    * previous round's released.
+    *
+    * @return (the refined edge table, rounds run — the unchanged
+    *         round counts)
+    */
+  def knnGraphRefineConverged(
+      embeddings: DataFrame,
+      k: Int = 4,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      maxRounds: Int = 20): (DataFrame, Int) = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    var g = knnGraph(embeddings, k, nCentroids, nProbe)
+      .select(col("probe_id"), col("vec_id"))
+      .localCheckpoint(true)
+    var prev: DataFrame = null
+    var lastScored: DataFrame = null
+    var r = 0
+    var changed = 1L
+    while (changed > 0 && r < maxRounds) {
+      r += 1
+      lastScored = refineRound(embeddings, g, k)
+      val next = lastScored.select("probe_id", "vec_id").localCheckpoint(true)
+      // edge-set delta: new edges not in the previous round (monotone
+      // top-k ⇒ a zero delta is symmetric and a fixed point forever)
+      changed = next.join(g, Seq("probe_id", "vec_id"), "left_anti").count()
+      if (prev != null)
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(prev)
+      prev = g
+      g = next
+    }
+    (lastScored.orderBy(col("probe_id"), col("cosine").desc, col("vec_id")), r)
+  }
+
+  /** [[labelPropagateIter]] run to CONVERGENCE instead of fixed depth
+    * (Zhu & Ghahramani's actual stopping rule): rounds repeat over the
+    * frozen graph until no vertex's carried label changes, bounded by
+    * `maxRounds` — the [[graft.ext.DedupClusters]] changed-count idiom
+    * applied to propagation. The declared fixed-depth KEY stays the
+    * oracle-checkable face (an unrolled-CTE oracle cannot express an
+    * unbounded loop); this is its operational sibling for the pipeline
+    * run, and by construction its result at convergence depth d equals
+    * `labelPropagateIter(…, rounds = d)` exactly (spec-pinned, along
+    * with early stopping). Per round: the iter key's one labels-sized
+    * equi-join + two vertex aggregates, PLUS one changed-count
+    * aggregate (an anti-equality join on the carried frame) — all
+    * vertex-keyed, no corpus window; each carry frame is
+    * localCheckpoint'd (NOT just persisted — the carry re-enters each
+    * round's plan twice, so an un-truncated lineage doubles per round)
+    * and the previous round's checkpoint is released, so every round's
+    * plan stays one join deep at any depth.
+    *
+    * @return (the [[labelPropagateIter]]-shaped result, rounds run —
+    *         the round whose votes produced no label change counts)
+    */
+  def labelPropagateConverged(
+      embeddings: DataFrame,
+      k: Int = 4,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      maxRounds: Int = 20): (DataFrame, Int) = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val edges = graft.core.CacheScope.persist(
+      knnGraph(embeddings, k, nCentroids, nProbe)
+        .select(col("probe_id"), col("vec_id").as("nbr_id"),
+          col("cosine").cast("decimal(16,6)").as("w")))
+    var cur = embeddings.select(col("vec_id"), col("label").as("cur_label"))
+      .localCheckpoint(true)
+    var prev: DataFrame = null
+    var lastWinner: DataFrame = null
+    var r = 0
+    var changed = 1L
+    while (changed > 0 && r < maxRounds) {
+      r += 1
+      val votes = edges
+        .join(cur.select(col("vec_id").as("nbr_id"),
+          col("cur_label").as("pred_label")), Seq("nbr_id"))
+        .groupBy(col("probe_id").as("vec_id"), col("pred_label"))
+        .agg(sum("w").as("vote_w"), count(lit(1)).as("n_votes"))
+      val winner = graft.core.CacheScope.persist(voteWinner(votes))
+      lastWinner = winner
+      // localCheckpoint, not persist: `cur` re-enters the plan TWICE
+      // per round (votes + carry), so an un-truncated lineage DOUBLES
+      // per round — at convergence depth 20 that is a million-node
+      // plan (the DedupClusters CC-loop idiom; persist pins data but
+      // keeps the logical plan)
+      val next = cur.join(winner.select(col("vec_id"), col("pred_label")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("pred_label"), col("cur_label")).as("cur_label"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(cur.as("p"), col("n.vec_id") === col("p.vec_id"))
+        .filter(col("n.cur_label") =!= col("p.cur_label"))
+        .count()
+      if (prev != null)
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(prev)
+      prev = cur
+      cur = next
+    }
+    // the last two frames stay checkpointed: the final round's input
+    // underpins lastWinner's recompute path (the CC loop's discipline)
+    val out = embeddings.select(col("vec_id"), col("label"))
+      .join(lastWinner, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("pred_label"),
+        col("vote_w").cast("double").as("vote_w"),
+        coalesce(col("n_votes"), lit(0L)).as("n_votes"),
+        coalesce(col("pred_label") === col("label"), lit(false)).as("agrees"))
+      .orderBy("vec_id")
+    (out, r)
+  }
+
   /** Brute-force per-probe exact top-k with probes as DATA — the
     * ground-truth kernel for batch recall evaluation ([[topK]]'s
     * contract per probe, [[knnJoin]]'s output shape). The bounded
