@@ -486,6 +486,42 @@ object ExtQueries {
        |    ORDER BY cosine DESC, vec_id) AS rn FROM kref$cur)
        |  WHERE rn <= $KnnGraphK)""".stripMargin
 
+  /** The curriculum trainer tail (quality join → exact q_mass block
+    * aggregate → content-hashed shard + quality-DESC per-shard position
+    * → the stride/WFQ schedule) — ONE text for the raw and
+    * curated-composed curriculum keys; `qualitySrc` is the relation
+    * difficulty is scored on (the one thing the two legitimately
+    * vary). Assumes the [[packCtes]] `ps_s` chain precedes it.
+    */
+  private def curriculumTail(L: Int, S: Int, qualitySrc: String): String =
+    s"""cq_b AS (SELECT doc_id, $QualitySignalsSql FROM $qualitySrc),
+       |cq AS (SELECT doc_id,
+       |    CAST(round(($QualityScoreSql) * 10000) AS BIGINT) AS q FROM cq_b),
+       |sb_r AS (SELECT doc_id, block_id::BIGINT AS block_id,
+       |    (least(off + c, (block_id + 1) * $L)
+       |      - greatest(off, block_id * $L))::BIGINT AS n_tokens
+       |  FROM ps_s),
+       |sb_blk AS (SELECT block_id, count(*)::BIGINT AS n_docs,
+       |    sum(r.n_tokens)::BIGINT AS n_tokens,
+       |    sum(cq.q * r.n_tokens)::BIGINT AS q_mass
+       |  FROM sb_r r JOIN cq USING (doc_id) GROUP BY block_id),
+       |sb_s AS (SELECT DISTINCT 'blk:' || block_id::VARCHAR AS s FROM sb_blk),
+       |${hash64Ctes("sbk", "sb_s", "s")},
+       |sb_k AS (SELECT b.block_id, b.n_docs, b.n_tokens, b.q_mass,
+       |    (h % 9223372036854775808::UHUGEINT)::BIGINT AS k
+       |  FROM sb_blk b JOIN sbk_h64 ON sbk_h64.s = 'blk:' || b.block_id::VARCHAR),
+       |to_sb AS (SELECT block_id, n_docs, n_tokens, q_mass,
+       |    (k % $S)::BIGINT AS shard,
+       |    (row_number() OVER (PARTITION BY k % $S
+       |        ORDER BY q_mass::DOUBLE / n_tokens DESC, block_id)
+       |      - 1)::BIGINT AS pos
+       |  FROM sb_k),
+       |to_c AS (SELECT shard, count(*)::BIGINT AS c FROM to_sb GROUP BY shard)
+       |SELECT (pos * 2 + 1) / (c * 2) AS sched_key, shard, pos,
+       |  block_id, n_docs, n_tokens, q_mass
+       |FROM to_sb JOIN to_c USING (shard)
+       |ORDER BY sched_key, shard, pos""".stripMargin
+
   private lazy val knnPqCtes: String = {
     val m = Similarity.PqSubspaces
     val ksub = Similarity.PqSubCentroids
@@ -1521,6 +1557,16 @@ object ExtQueries {
         d.filter(col("doc_id") % 97 === 0),
         nShards = PackShards)
     }),
+    "corpus_to_trainer_curriculum_documents" -> ((s: SparkSession, dir: String) => {
+      // the end-to-end contract with the curriculum read order: block
+      // difficulty scored on the CURATED text — a redaction or
+      // survivor-set change moves boundaries AND scores
+      val d = docs(s, dir)
+      Corpus.corpusToTrainerCurriculum(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0),
+        nShards = PackShards)
+    }),
     "sample_stratified_documents" -> ((s: SparkSession, dir: String) =>
       // per-lang proportional content-addressed sample
       Corpus.sampleStratified(docs(s, dir), frac = StratifiedFrac)),
@@ -2156,36 +2202,21 @@ object ExtQueries {
     // assignment keeps the content hash.
     "curriculum_order_documents" -> {
       val L = Corpus.PackBlockTokens
-      val S = PackShards
       s"""WITH ${bpeEncodeCtes(Bpe.DefaultMerges)},
          |${packCtes(L)},
-         |cq_b AS (SELECT doc_id, $QualitySignalsSql FROM documents),
-         |cq AS (SELECT doc_id,
-         |    CAST(round(($QualityScoreSql) * 10000) AS BIGINT) AS q FROM cq_b),
-         |sb_r AS (SELECT doc_id, block_id::BIGINT AS block_id,
-         |    (least(off + c, (block_id + 1) * $L)
-         |      - greatest(off, block_id * $L))::BIGINT AS n_tokens
-         |  FROM ps_s),
-         |sb_blk AS (SELECT block_id, count(*)::BIGINT AS n_docs,
-         |    sum(r.n_tokens)::BIGINT AS n_tokens,
-         |    sum(cq.q * r.n_tokens)::BIGINT AS q_mass
-         |  FROM sb_r r JOIN cq USING (doc_id) GROUP BY block_id),
-         |sb_s AS (SELECT DISTINCT 'blk:' || block_id::VARCHAR AS s FROM sb_blk),
-         |${hash64Ctes("sbk", "sb_s", "s")},
-         |sb_k AS (SELECT b.block_id, b.n_docs, b.n_tokens, b.q_mass,
-         |    (h % 9223372036854775808::UHUGEINT)::BIGINT AS k
-         |  FROM sb_blk b JOIN sbk_h64 ON sbk_h64.s = 'blk:' || b.block_id::VARCHAR),
-         |to_sb AS (SELECT block_id, n_docs, n_tokens, q_mass,
-         |    (k % $S)::BIGINT AS shard,
-         |    (row_number() OVER (PARTITION BY k % $S
-         |        ORDER BY q_mass::DOUBLE / n_tokens DESC, block_id)
-         |      - 1)::BIGINT AS pos
-         |  FROM sb_k),
-         |to_c AS (SELECT shard, count(*)::BIGINT AS c FROM to_sb GROUP BY shard)
-         |SELECT (pos * 2 + 1) / (c * 2) AS sched_key, shard, pos,
-         |  block_id, n_docs, n_tokens, q_mass
-         |FROM to_sb JOIN to_c USING (shard)
-         |ORDER BY sched_key, shard, pos""".stripMargin
+         |${curriculumTail(L, PackShards, "documents")}""".stripMargin
+    },
+    // curated corpus -> CURRICULUM order, end to end: the corpus_to_trainer
+    // contract with the quality-descending read order — difficulty is
+    // scored on the CURATED text (the units the trainer sees), so a
+    // redaction or survivor change moves boundaries AND scores
+    "corpus_to_trainer_curriculum_documents" -> {
+      val L = Corpus.PackBlockTokens
+      s"""WITH $CurateFullCtes,
+         |ctt AS MATERIALIZED (SELECT doc_id, clean_text AS text FROM cap WHERE rn <= 50),
+         |${bpeEncodeCtes(Bpe.DefaultMerges, "ctt")},
+         |${packCtes(L)},
+         |${curriculumTail(L, PackShards, "ctt")}""".stripMargin
     },
     // tokenizer-TRUE budget selection: the select_budget chain with the
     // per-doc cost swapped from the ws proxy to the trained BPE encode

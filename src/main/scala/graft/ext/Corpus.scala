@@ -1259,6 +1259,32 @@ object Corpus {
     trainerOrder(curated, nShards, blockTokens, merges, maxWordTypes)
   }
 
+  /** [[corpusToTrainer]] with the CURRICULUM read order: the curated
+    * survivor set through [[curriculumOrder]] instead of the hash
+    * shuffle — block difficulty is scored on the CURATED (redacted)
+    * text, the units the training run actually sees, so a redaction or
+    * survivor-set change moves both block boundaries AND difficulty
+    * scores and fails the end-to-end oracle. Same composition rule as
+    * the base contract: the curation chain is the shared fragment, the
+    * trainer stages keep their own declared shapes, and the
+    * composition adds NO new shuffle.
+    */
+  def corpusToTrainerCurriculum(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      nShards: Int = 8,
+      blockTokens: Int = PackBlockTokens,
+      merges: Int = Bpe.DefaultMerges,
+      maxWordTypes: Int = Bpe.DefaultMaxWordTypes): DataFrame = {
+    // pinned for the same reason as corpusToTrainer: the BPE train +
+    // encode + pack + quality scans would each re-run the curation
+    // chain unpinned
+    val curated = graft.core.CacheScope.persist(
+      curateFull(documents, benchmark)
+        .select(col("doc_id"), col("clean_text").as("text")))
+    curriculumOrder(curated, nShards, blockTokens, merges, maxWordTypes)
+  }
+
   def packSequences(
       documents: DataFrame,
       blockTokens: Int = PackBlockTokens,

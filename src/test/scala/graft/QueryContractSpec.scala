@@ -105,9 +105,12 @@ class QueryContractSpec extends AnyFunSuite {
     // to fixed depth over the frozen graph), corpus_to_trainer_documents
     // (curate_full's survivors through the trainer terminal, end to
     // end), trainer_order_epoch_documents (the per-epoch reshuffle
-    // salt), and knn_graph_refine_embeddings (one NN-Descent round) —
-    // see SURVEY §2.17
-    assert(SparkEntry.queries.size == 160,
+    // salt), and knn_graph_refine_embeddings (one NN-Descent round),
+    // then knn_graph_refine_iter_embeddings (NN-Descent to fixed
+    // depth), curriculum_order_documents (quality-descending shard
+    // streams), and corpus_to_trainer_curriculum_documents (the
+    // curated contract with the curriculum order) — see SURVEY §2.17
+    assert(SparkEntry.queries.size == 163,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.17 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +
