@@ -926,6 +926,45 @@ object Similarity {
         col("_w.vote_w").as("vote_w"),
         col("_w.n_votes").as("n_votes"))
 
+  /** One propagation VOTE round over a frozen weighted edge table
+    * `edges(probe_id, nbr_id, w)` and a carried label frame
+    * `cur(vec_id, cur_label)`: decimal-exact per-(vertex, label) vote
+    * sums, then [[voteWinner]]'s one-aggregate argmax — the shared
+    * kernel under the fixed-depth and convergence-detected
+    * propagation loops (one text, no drift).
+    */
+  private def voteRound(edges: DataFrame, cur: DataFrame): DataFrame =
+    voteWinner(edges
+      .join(cur.select(col("vec_id").as("nbr_id"),
+        col("cur_label").as("pred_label")), Seq("nbr_id"))
+      .groupBy(col("probe_id").as("vec_id"), col("pred_label"))
+      .agg(sum("w").as("vote_w"), count(lit(1)).as("n_votes")))
+
+  /** Carry-forward for voteless vertices: winner's label where one
+    * exists, else the previous round's — shared by both loops.
+    */
+  private def carryForward(cur: DataFrame, winner: DataFrame): DataFrame =
+    cur.join(winner.select(col("vec_id"), col("pred_label")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("pred_label"), col("cur_label")).as("cur_label"))
+
+  /** The propagation output projection (`vec_id, label, pred_label,
+    * vote_w, n_votes, agrees`, total order) from a final winner frame
+    * — ONE text for [[labelPropagate]], [[labelPropagateIter]], and
+    * [[labelPropagateConverged]], so the declared keys and the
+    * operational loop can never drift in their output semantics.
+    */
+  private def propagationOutput(
+      embeddings: DataFrame, winner: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"))
+      .join(winner, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("pred_label"),
+        col("vote_w").cast("double").as("vote_w"),
+        coalesce(col("n_votes"), lit(0L)).as("n_votes"),
+        coalesce(col("pred_label") === col("label"), lit(false)).as("agrees"))
+      .orderBy("vec_id")
+
   def labelPropagate(
       embeddings: DataFrame,
       k: Int = 4,
@@ -939,13 +978,7 @@ object Similarity {
         .groupBy(col("probe_id").as("vec_id"), col("label").as("pred_label"))
         .agg(sum(col("cosine").cast("decimal(16,6)")).as("vote_w"),
           count(lit(1)).as("n_votes")))
-    embeddings.select(col("vec_id"), col("label"))
-      .join(voteWinner(votes), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("label"), col("pred_label"),
-        col("vote_w").cast("double").as("vote_w"),
-        coalesce(col("n_votes"), lit(0L)).as("n_votes"),
-        coalesce(col("pred_label") === col("label"), lit(false)).as("agrees"))
-      .orderBy("vec_id")
+    propagationOutput(embeddings, voteWinner(votes))
   }
 
   /** One NN-DESCENT refinement round over the [[knnGraph]] edge table
@@ -1076,31 +1109,17 @@ object Similarity {
     var cur = embeddings.select(col("vec_id"), col("label").as("cur_label"))
     var lastWinner: DataFrame = null
     for (r <- 1 to rounds) {
-      val votes = edges
-        .join(cur.select(col("vec_id").as("nbr_id"),
-          col("cur_label").as("pred_label")), Seq("nbr_id"))
-        .groupBy(col("probe_id").as("vec_id"), col("pred_label"))
-        .agg(sum("w").as("vote_w"), count(lit(1)).as("n_votes"))
-      // voteWinner is the votes table's ONLY consumer (one aggregate),
-      // so votes needs no pin; the winner frame feeds both the carry
-      // and (on the last round) the output
-      val winner = graft.core.CacheScope.persist(voteWinner(votes))
+      // voteRound's votes table has one consumer (the argmax), so it
+      // needs no pin; the winner frame feeds both the carry and (on
+      // the last round) the output
+      val winner = graft.core.CacheScope.persist(voteRound(edges, cur))
       lastWinner = winner
       // the final round's carry-forward frame has no consumer — the
       // output reads lastWinner directly
-      if (r < rounds) cur = graft.core.CacheScope.persist(
-        cur.join(winner.select(col("vec_id"), col("pred_label")),
-            Seq("vec_id"), "left")
-          .select(col("vec_id"),
-            coalesce(col("pred_label"), col("cur_label")).as("cur_label")))
+      if (r < rounds)
+        cur = graft.core.CacheScope.persist(carryForward(cur, winner))
     }
-    embeddings.select(col("vec_id"), col("label"))
-      .join(lastWinner, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("label"), col("pred_label"),
-        col("vote_w").cast("double").as("vote_w"),
-        coalesce(col("n_votes"), lit(0L)).as("n_votes"),
-        coalesce(col("pred_label") === col("label"), lit(false)).as("agrees"))
-      .orderBy("vec_id")
+    propagationOutput(embeddings, lastWinner)
   }
 
   /** [[knnGraphRefineIter]] run to CONVERGENCE instead of fixed depth —
@@ -1190,23 +1209,19 @@ object Similarity {
     var changed = 1L
     while (changed > 0 && r < maxRounds) {
       r += 1
-      val votes = edges
-        .join(cur.select(col("vec_id").as("nbr_id"),
-          col("cur_label").as("pred_label")), Seq("nbr_id"))
-        .groupBy(col("probe_id").as("vec_id"), col("pred_label"))
-        .agg(sum("w").as("vote_w"), count(lit(1)).as("n_votes"))
-      val winner = graft.core.CacheScope.persist(voteWinner(votes))
+      // NO pin on intermediate winners (r14 review: up to maxRounds
+      // dead cached frames otherwise): each round's winner is fully
+      // consumed by `next`'s EAGER checkpoint; only the final round's
+      // is read again (by the output), one recompute from the pinned
+      // edges + the still-checkpointed final carry input
+      val winner = voteRound(edges, cur)
       lastWinner = winner
       // localCheckpoint, not persist: `cur` re-enters the plan TWICE
       // per round (votes + carry), so an un-truncated lineage DOUBLES
       // per round — at convergence depth 20 that is a million-node
       // plan (the DedupClusters CC-loop idiom; persist pins data but
       // keeps the logical plan)
-      val next = cur.join(winner.select(col("vec_id"), col("pred_label")),
-          Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("pred_label"), col("cur_label")).as("cur_label"))
-        .localCheckpoint(true)
+      val next = carryForward(cur, winner).localCheckpoint(true)
       changed = next.as("n")
         .join(cur.as("p"), col("n.vec_id") === col("p.vec_id"))
         .filter(col("n.cur_label") =!= col("p.cur_label"))
@@ -1218,14 +1233,7 @@ object Similarity {
     }
     // the last two frames stay checkpointed: the final round's input
     // underpins lastWinner's recompute path (the CC loop's discipline)
-    val out = embeddings.select(col("vec_id"), col("label"))
-      .join(lastWinner, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("label"), col("pred_label"),
-        col("vote_w").cast("double").as("vote_w"),
-        coalesce(col("n_votes"), lit(0L)).as("n_votes"),
-        coalesce(col("pred_label") === col("label"), lit(false)).as("agrees"))
-      .orderBy("vec_id")
-    (out, r)
+    (propagationOutput(embeddings, lastWinner), r)
   }
 
   /** Brute-force per-probe exact top-k with probes as DATA — the

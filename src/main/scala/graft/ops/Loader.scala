@@ -422,21 +422,25 @@ object Loader {
     val key = path.toString
     if (heldLeases.get.contains(key)) body
     else {
-      acquireLease(spark, table)
+      val acquired = acquireLease(spark, table)
       heldLeases.get += key
-      val hb = startHeartbeat(spark, table, path)
+      val hb = startHeartbeat(spark, table, path, acquired)
       try body
       finally {
-        // stop BEFORE release, and only join bounded: a beat blocked in
-        // a slow FS op (namenode stall) can outlive the join — the
-        // heartbeat's own cleanup (below) re-releases if its in-flight
-        // replace re-created the lease AFTER this release deleted it,
-        // so a stall can never brick the table until the TTL
         hb.stop.set(true)
         hb.thread.interrupt()
         hb.thread.join(5000)
         heldLeases.get -= key
-        releaseLease(spark, path)
+        // release ONLY when the heartbeat is provably finished: if a
+        // beat is still blocked in a slow FS op, deleting here opens a
+        // window where a successor acquires and the stalled replace
+        // then clobbers its fresh lease (r14 review). While the beat
+        // is in flight the lease simply stays held — acquirers are
+        // refused, which is the truthful state (this process still has
+        // an FS op against the table in the air) — and the heartbeat's
+        // own cleanup releases the moment it unblocks; a truly wedged
+        // FS leaves the lease to the TTL reap, also truthful.
+        if (!hb.thread.isAlive) releaseLease(spark, path)
       }
     }
   }
@@ -450,18 +454,22 @@ object Loader {
     * clobbering the successor; the rewrite then fails loudly at the
     * next [[assertStillOwned]] checkpoint before anything destructive.
     *
-    * Shutdown handshake (r14 review finding): the owner sets `stop`,
-    * interrupts, and joins BOUNDED — a beat blocked in a slow FS op can
-    * outlive the join, and its in-flight replace would re-create the
-    * lease after the owner's release deleted it, refusing every future
-    * acquirer until the TTL. So on exit the heartbeat re-releases the
-    * lease itself whenever a stop was requested while it was still
-    * live: whichever of the two (owner's release, heartbeat's cleanup)
-    * runs last observes the stray file and deletes it. The cleanup is
-    * verified BYTE-EXACT against the content this handle last wrote —
-    * not just the appId — so it can never touch a successor's lease OR
-    * this same app's NEXT lease on the table (same appId, acquired
-    * right after the owner's release while an old beat was stalled).
+    * Shutdown handshake (r14 review, two findings): the owner sets
+    * `stop`, interrupts, and joins BOUNDED. If the join succeeds the
+    * owner releases as usual (the heartbeat's cleanup will already
+    * have deleted its own last write — release is idempotent). If a
+    * beat is still blocked in a slow FS op, the owner does NOT release
+    * — deleting while a replace is in the air opens a window where a
+    * successor acquires and the stalled replace clobbers its fresh
+    * lease. Instead the lease simply stays held (acquirers refused —
+    * the truthful state: this process still has an FS op against the
+    * table in flight) and the heartbeat's cleanup releases the moment
+    * it unblocks; a truly wedged FS leaves the lease to the TTL reap.
+    * Every ownership check (beat AND cleanup) compares BYTE-EXACT
+    * against the content this handle wrote — seeded with the acquire
+    * content, never an appId-prefix match — so it can never refresh or
+    * delete a successor's lease OR this same app's NEXT lease on the
+    * table.
     */
   private[ops] final class HeartbeatHandle(
       val thread: Thread, val stop: java.util.concurrent.atomic.AtomicBoolean)
@@ -471,7 +479,8 @@ object Loader {
   private[ops] def startHeartbeat(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
-      path: org.apache.hadoop.fs.Path): HeartbeatHandle = {
+      path: org.apache.hadoop.fs.Path,
+      acquiredContent: String): HeartbeatHandle = {
     val appId = spark.sparkContext.applicationId
     val lfs = leaseFsFor(spark, path)
     val period = math.max(200L, math.min(60000L, leaseTtlMs(spark) / 4))
@@ -479,24 +488,20 @@ object Loader {
     val marker = s"hb${heartbeatNonce.incrementAndGet()}"
     val t = new Thread(() => {
       var live = true
-      // exact content this handle last wrote: after the first beat,
-      // ownership checks compare BYTE-EXACT — an appId prefix is not
-      // enough, because this same app's NEXT lease on the table (a
-      // release-then-reacquire while an old beat was stalled) carries
-      // the same appId and must never be refreshed or deleted here
-      var expected: String = null
+      // exact content this handle last wrote, seeded with the ACQUIRE
+      // content the owner handed over: every ownership check compares
+      // BYTE-EXACT — an appId-prefix match is never used, because this
+      // same app's NEXT lease on the table (a release-then-reacquire
+      // while an old beat was stalled) carries the same appId and must
+      // never be refreshed or deleted here (r14 review)
+      var expected: String = acquiredContent
       try {
         while (live && !stop.get && !Thread.interrupted()) {
           Thread.sleep(period)
           if (!stop.get) {
             try {
               val cur = lfs.read(path)
-              // first beat: the owner still holds the lease (we run
-              // inside its withLease), so an appId match IS this op's
-              // acquire content; thereafter exact-match our own beats
-              val ours =
-                if (expected == null) cur.startsWith(appId + " ") else cur == expected
-              if (ours) {
+              if (cur == expected) {
                 val next = s"$appId ${System.currentTimeMillis()} $marker"
                 val tmp = new org.apache.hadoop.fs.Path(path.getParent,
                   s"${path.getName}.$appId.${Thread.currentThread().getId}.hb.tmp")
@@ -508,7 +513,7 @@ object Loader {
           }
         }
       } catch { case _: InterruptedException => () }
-      finally if (stop.get && live && expected != null) {
+      finally if (stop.get && live) {
         // an in-flight beat may have re-created the lease after the
         // owner's release deleted it — delete ONLY the exact content
         // this handle wrote
@@ -579,7 +584,7 @@ object Loader {
   def acquireLease(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
-      ttlMs: Long = -1L): Unit = {
+      ttlMs: Long = -1L): String = {
     val ttl = if (ttlMs > 0) ttlMs else leaseTtlMs(spark)
     val path = leasePath(spark, table)
     val lfs = leaseFsFor(spark, path)
@@ -670,6 +675,7 @@ object Loader {
             refuse("a concurrent acquirer", 0L)
         }
     } finally lfs.delete(tmp)
+    content
   }
 
   /** Crash recovery for the swap rewrite: the drop-then-rename at the

@@ -672,9 +672,10 @@ class LoaderSpec extends SparkSpec {
     val path = Loader.leaseFile(spark, "lease_hb_selfrel")
     try {
       java.nio.file.Files.deleteIfExists(path)
-      Loader.acquireLease(spark, "lease_hb_selfrel")
+      val acquired = Loader.acquireLease(spark, "lease_hb_selfrel")
       val hb = Loader.startHeartbeat(
-        spark, "lease_hb_selfrel", Loader.leasePath(spark, "lease_hb_selfrel"))
+        spark, "lease_hb_selfrel", Loader.leasePath(spark, "lease_hb_selfrel"),
+        acquired)
       // wait for at least one beat (the lease content gains the
       // per-handle beat marker as a third token)
       def tokens(): Int =
@@ -706,9 +707,10 @@ class LoaderSpec extends SparkSpec {
     val path = Loader.leaseFile(spark, "lease_hb_decline")
     try {
       java.nio.file.Files.deleteIfExists(path)
-      Loader.acquireLease(spark, "lease_hb_decline")
+      val acquired = Loader.acquireLease(spark, "lease_hb_decline")
       val hb = Loader.startHeartbeat(
-        spark, "lease_hb_decline", Loader.leasePath(spark, "lease_hb_decline"))
+        spark, "lease_hb_decline", Loader.leasePath(spark, "lease_hb_decline"),
+        acquired)
       def content(): String =
         new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
       val deadline = System.currentTimeMillis() + 10000
