@@ -1232,8 +1232,11 @@ object Similarity {
       cur = next
     }
     // the last two frames stay checkpointed: the final round's input
-    // underpins lastWinner's recompute path (the CC loop's discipline)
-    (propagationOutput(embeddings, lastWinner), r)
+    // underpins lastWinner's recompute path (the CC loop's discipline).
+    // The FINAL winner is pinned here — only known to be final now —
+    // so a caller running several actions on the result pays the last
+    // vote round once, not once per action (r14 review)
+    (propagationOutput(embeddings, graft.core.CacheScope.persist(lastWinner)), r)
   }
 
   /** Brute-force per-probe exact top-k with probes as DATA — the

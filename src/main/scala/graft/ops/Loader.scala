@@ -229,8 +229,8 @@ object Loader {
   // (the lease file carries this session's applicationId, so the
   // refusal names the session itself), never a silent re-entrant pass.
   private val heldLeases =
-    ThreadLocal.withInitial[scala.collection.mutable.Set[String]](
-      () => scala.collection.mutable.Set.empty[String])
+    ThreadLocal.withInitial[scala.collection.mutable.Map[String, HeartbeatHandle]](
+      () => scala.collection.mutable.Map.empty[String, HeartbeatHandle])
 
   /** Lease filename for `table`: sanitized stem + an FNV-1a hash of the
     * RAW name. The sanitizer alone is not injective (`a b` and `a_b`
@@ -423,25 +423,47 @@ object Loader {
     if (heldLeases.get.contains(key)) body
     else {
       val acquired = acquireLease(spark, table)
-      heldLeases.get += key
       val hb = startHeartbeat(spark, table, path, acquired)
+      heldLeases.get(key) = hb
       try body
       finally {
-        hb.stop.set(true)
-        hb.thread.interrupt()
-        hb.thread.join(5000)
         heldLeases.get -= key
-        // release ONLY when the heartbeat is provably finished: if a
-        // beat is still blocked in a slow FS op, deleting here opens a
-        // window where a successor acquires and the stalled replace
-        // then clobbers its fresh lease (r14 review). While the beat
-        // is in flight the lease simply stays held — acquirers are
-        // refused, which is the truthful state (this process still has
-        // an FS op against the table in the air) — and the heartbeat's
-        // own cleanup releases the moment it unblocks; a truly wedged
-        // FS leaves the lease to the TTL reap, also truthful.
-        if (!hb.thread.isAlive) releaseLease(spark, path)
+        shutdownHeartbeat(spark, path, hb)
       }
+    }
+  }
+
+  /** The owner-side shutdown of a lease + its heartbeat, extracted so
+    * the skip-release contract is spec-testable (r14 review): stop the
+    * beat, join BOUNDED and interrupt-safely (an interrupt landing in
+    * the join must not skip the rest of the teardown — it used to
+    * strand the held-lease entry, poisoning the thread's re-entrancy
+    * fast path into unleased rewrites), then release ONLY when the
+    * heartbeat is provably finished. If a beat is still blocked in a
+    * slow FS op, deleting here opens a window where a successor
+    * acquires and the stalled replace clobbers its fresh lease — so
+    * the lease stays held (acquirers refused: the truthful state, this
+    * process still has an FS op against the table in the air) and the
+    * heartbeat's own cleanup releases the moment it unblocks; a truly
+    * wedged FS leaves the lease to the TTL reap. The release itself is
+    * BYTE-EXACT against the handle's own contents — never an
+    * appId-prefix match, which could delete this same app's next lease
+    * on the table acquired in the gap after the heartbeat's cleanup.
+    */
+  private[ops] def shutdownHeartbeat(
+      spark: org.apache.spark.sql.SparkSession,
+      path: org.apache.hadoop.fs.Path,
+      hb: HeartbeatHandle,
+      joinMs: Long = 5000L): Unit = {
+    hb.stop.set(true)
+    hb.thread.interrupt()
+    try hb.thread.join(joinMs)
+    catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+    if (!hb.thread.isAlive) {
+      val lfs = leaseFsFor(spark, path)
+      try {
+        if (hb.owns(lfs.read(path))) lfs.delete(path)
+      } catch { case _: java.io.IOException => () } // already gone
     }
   }
 
@@ -471,8 +493,21 @@ object Loader {
     * delete a successor's lease OR this same app's NEXT lease on the
     * table.
     */
+  /** `last` = the exact lease content this handle knows to be on disk
+    * from its own writes (seeded with the acquire content); `inflight`
+    * = a beat's content between its write and the replace completing.
+    * Owner-side checks ([[assertStillOwned]], the shutdown release)
+    * accept either — a reader racing an in-flight replace sees one of
+    * the two; anything else is a successor's lease.
+    */
   private[ops] final class HeartbeatHandle(
-      val thread: Thread, val stop: java.util.concurrent.atomic.AtomicBoolean)
+      val stop: java.util.concurrent.atomic.AtomicBoolean,
+      @volatile var last: String) {
+    @volatile var thread: Thread = null // set right after construction
+    @volatile var inflight: String = null
+    def owns(content: String): Boolean =
+      content == last || (inflight != null && content == inflight)
+  }
 
   private val heartbeatNonce = new java.util.concurrent.atomic.AtomicLong(0L)
 
@@ -486,28 +521,32 @@ object Loader {
     val period = math.max(200L, math.min(60000L, leaseTtlMs(spark) / 4))
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val marker = s"hb${heartbeatNonce.incrementAndGet()}"
+    // exact contents this handle wrote live ON THE HANDLE (volatile),
+    // seeded with the ACQUIRE content the owner handed over: every
+    // ownership check — beat, cleanup, assertStillOwned, the owner's
+    // release — compares BYTE-EXACT; an appId-prefix match is never
+    // used, because this same app's NEXT lease on the table carries
+    // the same appId and must never be matched here (r14 review)
+    val handle = new HeartbeatHandle(stop, acquiredContent)
     val t = new Thread(() => {
       var live = true
-      // exact content this handle last wrote, seeded with the ACQUIRE
-      // content the owner handed over: every ownership check compares
-      // BYTE-EXACT — an appId-prefix match is never used, because this
-      // same app's NEXT lease on the table (a release-then-reacquire
-      // while an old beat was stalled) carries the same appId and must
-      // never be refreshed or deleted here (r14 review)
-      var expected: String = acquiredContent
       try {
         while (live && !stop.get && !Thread.interrupted()) {
           Thread.sleep(period)
           if (!stop.get) {
             try {
               val cur = lfs.read(path)
-              if (cur == expected) {
+              if (cur == handle.last) {
                 val next = s"$appId ${System.currentTimeMillis()} $marker"
                 val tmp = new org.apache.hadoop.fs.Path(path.getParent,
                   s"${path.getName}.$appId.${Thread.currentThread().getId}.hb.tmp")
+                handle.inflight = next // published BEFORE the write: a
+                // racing owner-side read sees last or inflight, never
+                // an unaccounted beat
                 lfs.write(tmp, next)
                 lfs.replace(tmp, path)
-                expected = next
+                handle.last = next
+                handle.inflight = null
               } else live = false // reaped/superseded: never touch the successor's lease
             } catch { case _: java.io.IOException => () } // transient FS hiccup: retry next beat
           }
@@ -515,32 +554,17 @@ object Loader {
       } catch { case _: InterruptedException => () }
       finally if (stop.get && live) {
         // an in-flight beat may have re-created the lease after the
-        // owner's release deleted it — delete ONLY the exact content
-        // this handle wrote
+        // owner decided not to release — delete ONLY content this
+        // handle wrote
         try {
-          if (lfs.read(path) == expected) lfs.delete(path)
+          if (handle.owns(lfs.read(path))) lfs.delete(path)
         } catch { case _: java.io.IOException => () } // gone or unreadable: nothing stray
       }
     }, s"graft-lease-heartbeat-$table")
     t.setDaemon(true)
+    handle.thread = t
     t.start()
-    new HeartbeatHandle(t, stop)
-  }
-
-  /** Release a held lease — only if WE still own it (r13 review
-    * finding): a writer that outlived the TTL may have been reaped and
-    * superseded; deleting unconditionally would destroy the
-    * successor's fresh lease and admit a third writer on top of an
-    * already-compounded race.
-    */
-  private def releaseLease(
-      spark: org.apache.spark.sql.SparkSession,
-      path: org.apache.hadoop.fs.Path): Unit = {
-    val lfs = leaseFsFor(spark, path)
-    try {
-      if (lfs.read(path).startsWith(spark.sparkContext.applicationId + " "))
-        lfs.delete(path)
-    } catch { case _: java.io.IOException => () } // already gone
+    handle
   }
 
   /** Ownership re-check at the last gate before a DESTRUCTIVE step
@@ -555,17 +579,22 @@ object Loader {
   private def assertStillOwned(
       spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val path = leasePath(spark, table)
-    if (heldLeases.get.contains(path.toString)) {
-      val appId = spark.sparkContext.applicationId
-      val owner =
-        try Some(leaseFsFor(spark, path).read(path).split(' ').head)
+    heldLeases.get.get(path.toString).foreach { hb =>
+      // BYTE-EXACT against this operation's own lease contents (r14
+      // review): an appId-prefix match cannot distinguish this
+      // operation's lease from the same app's NEXT lease on the table
+      // — a stalled old beat clobbering a same-app successor would
+      // pass a prefix check and race the successor on the swap
+      val content =
+        try Some(leaseFsFor(spark, path).read(path))
         catch { case _: java.io.IOException => None }
-      if (!owner.contains(appId))
+      if (!content.exists(hb.owns))
         throw new IllegalStateException(
           s"lease on `$table` lost mid-rewrite (now held by " +
-            s"${owner.getOrElse("<nobody>")}): refusing the destructive swap " +
-            "— the rewrite outlived its TTL without heartbeating and was " +
-            "reaped; re-run when the successor releases")
+            s"${content.map(_.split(' ').head).getOrElse("<nobody>")}): " +
+            "refusing the destructive swap — the rewrite outlived its TTL " +
+            "without heartbeating and was reaped; re-run when the " +
+            "successor releases")
     }
   }
 

@@ -701,6 +701,39 @@ class LoaderSpec extends SparkSpec {
     }
   }
 
+  test("lease shutdown leaves the lease HELD while a beat is still in flight; releases once finished (r14 review)") {
+    val path = Loader.leaseFile(spark, "lease_hb_stall")
+    java.nio.file.Files.deleteIfExists(path)
+    val acquired = Loader.acquireLease(spark, "lease_hb_stall")
+    // a handle whose thread simulates a beat stalled in a slow FS op:
+    // it survives the interrupt and keeps running past the bounded join
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hb = new Loader.HeartbeatHandle(stop, acquired)
+    val t = new Thread(() => {
+      while (!stop.get) try Thread.sleep(20) catch { case _: InterruptedException => () }
+      // the "stalled FS op": immune to a pending interrupt — a real
+      // blocked filesystem call does not return early on interrupt
+      val end = System.currentTimeMillis() + 2000
+      while (System.currentTimeMillis() < end)
+        try Thread.sleep(50) catch { case _: InterruptedException => () }
+    })
+    t.setDaemon(true)
+    hb.thread = t
+    t.start()
+    Loader.shutdownHeartbeat(spark,
+      Loader.leasePath(spark, "lease_hb_stall"), hb, joinMs = 300)
+    assert(t.isAlive, "simulated stall must outlive the bounded join")
+    assert(java.nio.file.Files.exists(path),
+      "owner must NOT release while a beat may still be in flight")
+    t.join(10000)
+    assert(!t.isAlive)
+    // once the heartbeat is provably finished, the shutdown releases
+    Loader.shutdownHeartbeat(spark,
+      Loader.leasePath(spark, "lease_hb_stall"), hb, joinMs = 1000)
+    assert(!java.nio.file.Files.exists(path),
+      "owner releases once the heartbeat is finished")
+  }
+
   test("lease heartbeat never touches the same app's NEXT lease on the table (r14 review)") {
     val prevTtl = spark.conf.getOption("spark.graft.lease.ttlMs")
     spark.conf.set("spark.graft.lease.ttlMs", "1200")
