@@ -1502,6 +1502,12 @@ object ExtQueries {
       // packed blocks into (shard, pos) — the step between packing and
       // shard materialization; bucket-refined rank, no shard funnel
       Corpus.shuffleBlocks(docs(s, dir), nShards = PackShards)),
+    "block_provenance_documents" -> ((s: SparkSession, dir: String) =>
+      // per-block source attribution of the packed stream: the
+      // data-card relation (which sources fed block X, at what token
+      // share) — pack rows joined to (doc_id, source), one
+      // (block, source) aggregate, share = exact longs divided once
+      Corpus.blockProvenance(docs(s, dir))),
     "pack_sequences_documents" -> ((s: SparkSession, dir: String) =>
       // GPT-lineage concat-and-chunk: the trained-BPE token stream cut
       // into exact 512-token training blocks, docs splitting across
@@ -2151,6 +2157,24 @@ object ExtQueries {
     // masked-non-negative hash64 of 'blk:'||block_id; the oracle keeps
     // the straightforward per-shard window rank (the engine's
     // bucket-refined rank must only MATCH it)
+    // per-block source provenance: the pack chain joined to the
+    // (doc_id, source) projection, per-(block, source) counts, share =
+    // one double division of exact longs over the per-block window sum
+    "block_provenance_documents" -> {
+      val L = Corpus.PackBlockTokens
+      s"""WITH ${bpeEncodeCtes(Bpe.DefaultMerges)},
+         |${packCtes(L)},
+         |bp_r AS (SELECT p.doc_id, d.source, p.block_id::BIGINT AS block_id,
+         |    (least(p.off + p.c, (p.block_id + 1) * $L)
+         |      - greatest(p.off, p.block_id * $L))::BIGINT AS n_tokens
+         |  FROM ps_s p JOIN documents d USING (doc_id)),
+         |bp AS (SELECT block_id, source, count(*)::BIGINT AS n_segments,
+         |    sum(n_tokens)::BIGINT AS n_tokens
+         |  FROM bp_r GROUP BY block_id, source)
+         |SELECT block_id, source, n_segments, n_tokens,
+         |  n_tokens / (sum(n_tokens) OVER (PARTITION BY block_id)) AS token_share
+         |FROM bp ORDER BY block_id, source""".stripMargin
+    },
     "shuffle_blocks_documents" -> {
       val L = Corpus.PackBlockTokens
       val S = PackShards

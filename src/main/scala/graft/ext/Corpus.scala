@@ -1285,6 +1285,37 @@ object Corpus {
     curriculumOrder(curated, nShards, blockTokens, merges, maxWordTypes)
   }
 
+  /** Per-block SOURCE attribution of the packed training stream — the
+    * data-card / provenance relation a training run needs at 100 TB
+    * (which sources fed block X; audit trail when a source turns out
+    * contaminated or licence-revoked, and the mixture check at block
+    * granularity): one row per (block_id, source) with the token and
+    * doc-segment counts that source contributed, plus the source's
+    * token share of the block as one correctly-rounded double division
+    * of exact longs (the sched_key portability convention).
+    *
+    * Scale: [[packSequences]]' own stages plus one doc-keyed join to
+    * the (doc_id, source) projection, one map-side-combinable
+    * (block, source) aggregate, and a block-keyed window over that
+    * AGGREGATE's output (≤ |blocks|·|sources| rows — never the corpus)
+    * for the share denominator. No new shuffle class.
+    */
+  def blockProvenance(
+      documents: DataFrame,
+      blockTokens: Int = PackBlockTokens,
+      merges: Int = Bpe.DefaultMerges,
+      maxWordTypes: Int = Bpe.DefaultMaxWordTypes): DataFrame = {
+    val pack = packSequences(documents, blockTokens, merges, maxWordTypes)
+    val totals = Window.partitionBy("block_id")
+    pack
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("block_id", "source")
+      .agg(count(lit(1)).as("n_segments"), sum("n_tokens").as("n_tokens"))
+      .withColumn("token_share",
+        col("n_tokens") / sum("n_tokens").over(totals))
+      .orderBy("block_id", "source")
+  }
+
   def packSequences(
       documents: DataFrame,
       blockTokens: Int = PackBlockTokens,

@@ -109,8 +109,10 @@ class QueryContractSpec extends AnyFunSuite {
     // then knn_graph_refine_iter_embeddings (NN-Descent to fixed
     // depth), curriculum_order_documents (quality-descending shard
     // streams), and corpus_to_trainer_curriculum_documents (the
-    // curated contract with the curriculum order) — see SURVEY §2.17
-    assert(SparkEntry.queries.size == 163,
+    // curated contract with the curriculum order), and
+    // block_provenance_documents (per-block source attribution of the
+    // packed stream — the data-card relation) — see SURVEY §2.17
+    assert(SparkEntry.queries.size == 164,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.17 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +
