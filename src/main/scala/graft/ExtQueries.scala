@@ -2153,10 +2153,6 @@ object ExtQueries {
          |FROM ps_s
          |ORDER BY doc_id, block_id""".stripMargin
     },
-    // training-order shuffle: the pack chain's block rows keyed by the
-    // masked-non-negative hash64 of 'blk:'||block_id; the oracle keeps
-    // the straightforward per-shard window rank (the engine's
-    // bucket-refined rank must only MATCH it)
     // per-block source provenance: the pack chain joined to the
     // (doc_id, source) projection, per-(block, source) counts, share =
     // one double division of exact longs over the per-block window sum
@@ -2175,6 +2171,10 @@ object ExtQueries {
          |  n_tokens / (sum(n_tokens) OVER (PARTITION BY block_id)) AS token_share
          |FROM bp ORDER BY block_id, source""".stripMargin
     },
+    // training-order shuffle: the pack chain's block rows keyed by the
+    // masked-non-negative hash64 of 'blk:'||block_id; the oracle keeps
+    // the straightforward per-shard window rank (the engine's
+    // bucket-refined rank must only MATCH it)
     "shuffle_blocks_documents" -> {
       val L = Corpus.PackBlockTokens
       val S = PackShards

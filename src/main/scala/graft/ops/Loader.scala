@@ -457,14 +457,22 @@ object Loader {
       joinMs: Long = 5000L): Unit = {
     hb.stop.set(true)
     hb.thread.interrupt()
+    var interrupted = false
     try hb.thread.join(joinMs)
-    catch { case _: InterruptedException => Thread.currentThread().interrupt() }
-    if (!hb.thread.isAlive) {
-      val lfs = leaseFsFor(spark, path)
-      try {
-        if (hb.owns(lfs.read(path))) lfs.delete(path)
-      } catch { case _: java.io.IOException => () } // already gone
-    }
+    catch { case _: InterruptedException => interrupted = true }
+    // run the release with the interrupt flag CLEARED: an interrupted
+    // owner thread's FS read throws ClosedByInterrupt (an IOException),
+    // silently skipping the delete and leaking the lease for a full
+    // TTL (r14 review) — the flag is restored after
+    interrupted |= Thread.interrupted()
+    try {
+      if (!hb.thread.isAlive) {
+        val lfs = leaseFsFor(spark, path)
+        try {
+          if (hb.owns(lfs.read(path))) lfs.delete(path)
+        } catch { case _: java.io.IOException => () } // already gone
+      }
+    } finally if (interrupted) Thread.currentThread().interrupt()
   }
 
   /** Heartbeat daemon: refreshes the lease timestamp every TTL/4 so a
@@ -536,7 +544,15 @@ object Loader {
           if (!stop.get) {
             try {
               val cur = lfs.read(path)
-              if (cur == handle.last) {
+              // owns(), not == last: an FS client can throw AFTER the
+              // namenode applied a beat's rename (disk == inflight,
+              // last stale) — a last-only compare would mis-read our
+              // own landed beat as a successor and stop refreshing
+              // forever, aging an hours-long rewrite into the TTL reap
+              // (r14 review). Resync acknowledges the landed write.
+              if (handle.owns(cur)) {
+                handle.last = cur
+                handle.inflight = null
                 val next = s"$appId ${System.currentTimeMillis()} $marker"
                 val tmp = new org.apache.hadoop.fs.Path(path.getParent,
                   s"${path.getName}.$appId.${Thread.currentThread().getId}.hb.tmp")
@@ -555,7 +571,10 @@ object Loader {
       finally if (stop.get && live) {
         // an in-flight beat may have re-created the lease after the
         // owner decided not to release — delete ONLY content this
-        // handle wrote
+        // handle wrote. The thread is about to die: clear any pending
+        // interrupt first, or the read fails ClosedByInterrupt and the
+        // release is silently skipped (r14 review)
+        Thread.interrupted()
         try {
           if (handle.owns(lfs.read(path))) lfs.delete(path)
         } catch { case _: java.io.IOException => () } // gone or unreadable: nothing stray
@@ -584,11 +603,23 @@ object Loader {
       // review): an appId-prefix match cannot distinguish this
       // operation's lease from the same app's NEXT lease on the table
       // — a stalled old beat clobbering a same-app successor would
-      // pass a prefix check and race the successor on the swap
+      // pass a prefix check and race the successor on the swap.
+      // The handle state is snapshotted BEFORE the file read AND
+      // re-consulted after: a live beat completing between the read
+      // and the check moves `last`, and either the pre-read snapshot
+      // (file still old) or the post-read state (file already new)
+      // matches a healthy lease — only a genuinely foreign content
+      // misses both (r14 review: the un-snapshotted check spuriously
+      // aborted healthy rewrites at the destructive gate)
+      val lastBefore = hb.last
+      val inflightBefore = hb.inflight
       val content =
         try Some(leaseFsFor(spark, path).read(path))
         catch { case _: java.io.IOException => None }
-      if (!content.exists(hb.owns))
+      val owned = content.exists(c =>
+        c == lastBefore || (inflightBefore != null && c == inflightBefore) ||
+          hb.owns(c))
+      if (!owned)
         throw new IllegalStateException(
           s"lease on `$table` lost mid-rewrite (now held by " +
             s"${content.map(_.split(' ').head).getOrElse("<nobody>")}): " +
