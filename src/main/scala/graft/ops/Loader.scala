@@ -229,8 +229,34 @@ object Loader {
   // (the lease file carries this session's applicationId, so the
   // refusal names the session itself), never a silent re-entrant pass.
   private val heldLeases =
-    ThreadLocal.withInitial[scala.collection.mutable.Map[String, HeartbeatHandle]](
-      () => scala.collection.mutable.Map.empty[String, HeartbeatHandle])
+    ThreadLocal.withInitial[scala.collection.mutable.Map[String, LeaseGuard]](
+      () => scala.collection.mutable.Map.empty[String, LeaseGuard])
+
+  /** Per-scheme registry of object-store conditional-write backends
+    * (r14 verdict #1): a registered [[ConditionalLeaseStore]] gives a
+    * scheme whose rename is copy+delete (`s3a`, `gs`, …) a TRULY
+    * atomic lease protocol — every acquire/heartbeat/reap/release is
+    * one server-side compare-and-set — instead of the loud refusal /
+    * best-effort opt-in. Per-JVM, like the Hadoop FileSystem cache.
+    */
+  private val leaseStores =
+    new java.util.concurrent.ConcurrentHashMap[String, ConditionalLeaseStore]()
+
+  /** Wire `store` as the lease backend for warehouse `scheme` (e.g.
+    * `"s3a"`, `"gs"`). The store must implement the four conditional
+    * primitives over the real object store's public precondition API;
+    * see [[ConditionalLeaseStore]].
+    */
+  def registerLeaseStore(scheme: String, store: ConditionalLeaseStore): Unit =
+    leaseStores.put(scheme, store)
+
+  def unregisterLeaseStore(scheme: String): Unit = leaseStores.remove(scheme)
+
+  /** Spec hook: route [[withLease]] through a conditional store on any
+    * warehouse (the local spec warehouse is `file:`-schemed, whose
+    * real protocol is link(2)).
+    */
+  @volatile private[ops] var condStoreOverride: Option[ConditionalLeaseStore] = None
 
   /** Lease filename for `table`: sanitized stem + an FNV-1a hash of the
     * RAW name. The sanitizer alone is not injective (`a b` and `a_b`
@@ -292,23 +318,26 @@ object Loader {
     */
   def leaseProtocolFor(scheme: String, allowNonAtomic: Boolean = false): String =
     scheme match {
+      case s if leaseStores.containsKey(s)         => "conditional"
       case "file" | "local"                        => "link"
       case s if AtomicRenameSchemes.contains(s)    => "rename"
-      case s if allowNonAtomic                     => "rename" // best-effort
+      case s if allowNonAtomic                     => "rename" // best-effort LAST resort
       case s =>
         throw new IllegalStateException(
           s"warehouse scheme $s has no atomic create-if-absent/rename: the " +
             "single-writer lease would be a silent no-op across drivers. " +
-            "Use an HDFS-class warehouse for rewrite leases, or accept " +
-            "best-effort (non-atomic, small double-admit window) protection " +
-            "with spark.graft.lease.allowNonAtomicScheme=true")
+            "Register a ConditionalLeaseStore for the scheme (S3/GCS " +
+            "conditional writes — Loader.registerLeaseStore) for a truly " +
+            "atomic lease, use an HDFS-class warehouse, or — last resort — " +
+            "accept best-effort (non-atomic, small double-admit window) " +
+            "protection with spark.graft.lease.allowNonAtomicScheme=true")
     }
 
   /** The four primitives the lease protocol needs, per filesystem class.
     * All promote/moveAside/restore ops are fail-if-destination-exists;
     * `replace` is the heartbeat's atomic overwrite.
     */
-  private sealed trait LeaseFs {
+  private[ops] trait LeaseFs {
     def write(p: org.apache.hadoop.fs.Path, s: String): Unit
     def read(p: org.apache.hadoop.fs.Path): String
     def delete(p: org.apache.hadoop.fs.Path): Unit
@@ -321,7 +350,7 @@ object Loader {
     def mkdirs(p: org.apache.hadoop.fs.Path): Unit
   }
 
-  private final class NioLeaseFs extends LeaseFs {
+  private[ops] final class NioLeaseFs extends LeaseFs {
     private def nio(p: org.apache.hadoop.fs.Path) =
       java.nio.file.Paths.get(p.toUri.getPath)
     def write(p: org.apache.hadoop.fs.Path, s: String): Unit =
@@ -376,9 +405,15 @@ object Loader {
     */
   @volatile private[graft] var forceHadoopLeaseProtocol: Boolean = false
 
+  /** Spec hook: inject a wrapping LeaseFs — the wedged-filesystem
+    * heartbeat simulation (r14 verdict #7) drives the beat into a
+    * blocking FS stub through this.
+    */
+  @volatile private[ops] var leaseFsOverride: Option[LeaseFs] = None
+
   private def leaseFsFor(
       spark: org.apache.spark.sql.SparkSession,
-      path: org.apache.hadoop.fs.Path): LeaseFs = {
+      path: org.apache.hadoop.fs.Path): LeaseFs = leaseFsOverride.getOrElse {
     val scheme = Option(path.toUri.getScheme).getOrElse("file")
     val allow = spark.conf
       .getOption("spark.graft.lease.allowNonAtomicScheme").contains("true")
@@ -422,15 +457,277 @@ object Loader {
     val key = path.toString
     if (heldLeases.get.contains(key)) body
     else {
-      val acquired = acquireLease(spark, table)
-      val hb = startHeartbeat(spark, table, path, acquired)
-      heldLeases.get(key) = hb
+      val guard = acquireLeaseGuard(spark, table, path)
+      heldLeases.get(key) = guard
       try body
       finally {
         heldLeases.get -= key
-        shutdownHeartbeat(spark, path, hb)
+        guard.shutdown()
       }
     }
+  }
+
+  /** The held-lease abstraction [[withLease]]/[[assertStillOwned]] see:
+    * one per protocol family — [[HbLeaseGuard]] wraps the filesystem
+    * link/rename protocol + its heartbeat; [[CondLeaseGuard]] the
+    * object-store conditional-write protocol. Both answer the only two
+    * questions the rewriters ask: "is this lease still provably mine
+    * right now?" (the last gate before a destructive swap) and
+    * "shutdown" (stop beating, release if safe).
+    */
+  private[ops] sealed trait LeaseGuard {
+    def stillOwned(): Boolean
+    def ownerHint(): String
+    def shutdown(): Unit
+  }
+
+  /** Route by warehouse scheme: a registered conditional store wins
+    * (it is the strongest protocol), else the filesystem protocols.
+    */
+  private def acquireLeaseGuard(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      path: org.apache.hadoop.fs.Path): LeaseGuard = {
+    val scheme = Option(path.toUri.getScheme).getOrElse("file")
+    condStoreOverride.orElse(Option(leaseStores.get(scheme))) match {
+      case Some(store) =>
+        val handle = acquireCondLease(spark, table, store)
+        startCondHeartbeat(spark, table, handle)
+        new CondLeaseGuard(handle)
+      case None =>
+        val acquired = acquireLease(spark, table)
+        val hb = startHeartbeat(spark, table, path, acquired)
+        new HbLeaseGuard(spark, path, hb)
+    }
+  }
+
+  private[ops] final class HbLeaseGuard(
+      spark: org.apache.spark.sql.SparkSession,
+      path: org.apache.hadoop.fs.Path,
+      val hb: HeartbeatHandle) extends LeaseGuard {
+    /** BYTE-EXACT against this operation's own lease contents (r14
+      * review): an appId-prefix match cannot distinguish this
+      * operation's lease from the same app's NEXT lease on the table
+      * — a stalled old beat clobbering a same-app successor would
+      * pass a prefix check and race the successor on the swap.
+      * The handle state is snapshotted BEFORE the file read AND
+      * re-consulted after: a live beat completing between the read
+      * and the check moves `last`, and either the pre-read snapshot
+      * (file still old) or the post-read state (file already new)
+      * matches a healthy lease — only a genuinely foreign content
+      * misses both (r14 review: the un-snapshotted check spuriously
+      * aborted healthy rewrites at the destructive gate).
+      */
+    def stillOwned(): Boolean = {
+      val lastBefore = hb.last
+      val inflightBefore = hb.inflight
+      val content =
+        try Some(leaseFsFor(spark, path).read(path))
+        catch { case _: java.io.IOException => None }
+      lastContent = content
+      content.exists(c =>
+        c == lastBefore || (inflightBefore != null && c == inflightBefore) ||
+          hb.owns(c))
+    }
+    @volatile private var lastContent: Option[String] = None
+    def ownerHint(): String =
+      lastContent.map(_.split(' ').head).getOrElse("<nobody>")
+    def shutdown(): Unit = shutdownHeartbeat(spark, path, hb)
+  }
+
+  private[ops] final class CondLeaseGuard(val handle: CondLeaseHandle)
+      extends LeaseGuard {
+    /** One `get` against the store: the generation compare is the
+      * primary check (server-side version token — strictly stronger
+      * than content bytes); the content compare covers a beat whose
+      * write LANDED but whose ack was lost (live generation unknown
+      * to the handle, content provably ours).
+      */
+    def stillOwned(): Boolean = {
+      val cur = handle.store.get(handle.key)
+      lastOwner = cur.map(_._1.split(' ').head)
+      cur.exists { case (c, g) => g == handle.gen || handle.ownsContent(c) }
+    }
+    @volatile private var lastOwner: Option[String] = None
+    def ownerHint(): String = lastOwner.getOrElse("<nobody>")
+    def shutdown(): Unit = shutdownCondLease(handle)
+  }
+
+  /** The conditional-protocol lease handle: the store, the object key,
+    * the live GENERATION of our lease object (the server's version
+    * token — the thing every subsequent CAS preconditions on), and the
+    * exact contents this handle has written (`content` = last acked
+    * write; `inflight` = a beat between its CAS and the ack — the
+    * landed-but-unacked window, the conditional protocol's analogue of
+    * [[HeartbeatHandle.inflight]]).
+    */
+  private[ops] final class CondLeaseHandle(
+      val store: ConditionalLeaseStore,
+      val key: String,
+      @volatile var gen: Long,
+      @volatile var content: String) {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var thread: Thread = null
+    @volatile var inflight: String = null
+    def ownsContent(c: String): Boolean =
+      c == content || (inflight != null && c == inflight)
+  }
+
+  /** Acquire `table`'s lease via the conditional-write protocol (r14
+    * verdict #1): ONE `putIfAbsent` (S3 `If-None-Match: *` PUT / GCS
+    * `ifGenerationMatch=0`) on the happy path; a stale lease is reaped
+    * by ONE `replaceIf` CAS preconditioned on the generation the
+    * staleness was read at — either our content lands atomically (we
+    * own the fresh lease) or a concurrent acquirer/reaper beat us
+    * (loud refusal). No claim-aside files, no restore races, no
+    * DOUBLE-ADMIT in-flight states: the server-side precondition IS
+    * the fence the rename protocol builds from rename-aside + verify
+    * + forensics. Corrupt (unparsable-timestamp) leases fail safe as
+    * FRESH, same as [[acquireLease]].
+    */
+  private[ops] def acquireCondLease(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      store: ConditionalLeaseStore,
+      ttlMs: Long = -1L): CondLeaseHandle = {
+    val ttl = if (ttlMs > 0) ttlMs else leaseTtlMs(spark)
+    val key = leasePath(spark, table).toString
+    val appId = spark.sparkContext.applicationId
+    val content = s"$appId ${System.currentTimeMillis()}"
+    def refuse(owner: String, ageMs: Long): Nothing =
+      throw new IllegalStateException(
+        s"table `$table` is being written by $owner " +
+          s"(lease ${ageMs / 1000}s old at $key); concurrent " +
+          "merge/compact/zorder on one target is a silent race — " +
+          "retry after it releases, or delete the lease if the " +
+          "writer is known dead")
+    store.putIfAbsent(key, content) match {
+      case Some(g) => new CondLeaseHandle(store, key, g, content)
+      case None =>
+        store.get(key) match {
+          case None =>
+            // deleted between the put and the read: one clean retry
+            store.putIfAbsent(key, content) match {
+              case Some(g) => new CondLeaseHandle(store, key, g, content)
+              case None    => refuse("a concurrent acquirer", 0L)
+            }
+          case Some((raw, gSeen)) =>
+            val parts = raw.split(' ')
+            val owner = parts.headOption.getOrElse("<unknown>")
+            val ts = if (parts.length > 1)
+              parts(1).toLongOption.getOrElse(System.currentTimeMillis())
+            else System.currentTimeMillis()
+            val age = System.currentTimeMillis() - ts
+            if (age < ttl) refuse(owner, age)
+            store.replaceIf(key, content, gSeen) match {
+              case Some(g2) => new CondLeaseHandle(store, key, g2, content)
+              case None     => refuse("a concurrent reaper/acquirer", 0L)
+            }
+        }
+    }
+  }
+
+  /** Conditional-protocol heartbeat: every TTL/4, ONE `replaceIf` CAS
+    * on our own generation refreshes the lease timestamp. A failed
+    * precondition means we were reaped or superseded — unless a
+    * previous beat's write LANDED but its ack was lost (the SDK threw
+    * after the server applied): each beat first resyncs by a `get` —
+    * live bytes that are provably ours adopt the live generation
+    * (the rename beat's owns()-resync, r14 review, in conditional
+    * form); anything else stops the beat forever, never touching a
+    * successor's lease.
+    */
+  private[ops] def startCondHeartbeat(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      handle: CondLeaseHandle): Unit = {
+    val appId = spark.sparkContext.applicationId
+    val period = math.max(200L, math.min(60000L, leaseTtlMs(spark) / 4))
+    val marker = s"hb${heartbeatNonce.incrementAndGet()}"
+    val t = new Thread(() => {
+      var live = true
+      try {
+        while (live && !handle.stop.get && !Thread.interrupted()) {
+          Thread.sleep(period)
+          if (!handle.stop.get) {
+            try {
+              handle.store.get(handle.key) match {
+                case Some((c, g)) if g == handle.gen || handle.ownsContent(c) =>
+                  if (g != handle.gen) { // landed-unacked beat: adopt it
+                    handle.gen = g; handle.content = c; handle.inflight = null
+                  }
+                  val next = s"$appId ${System.currentTimeMillis()} $marker"
+                  handle.inflight = next // published BEFORE the CAS: a
+                  // racing owner-side check sees content or inflight,
+                  // never an unaccounted beat
+                  handle.store.replaceIf(handle.key, next, handle.gen) match {
+                    case Some(g2) =>
+                      handle.gen = g2; handle.content = next
+                      handle.inflight = null
+                    case None => live = false // superseded between get and CAS
+                  }
+                case _ => live = false // reaped/superseded: never touch the successor's lease
+              }
+            } catch { // transient store/SDK hiccup: retry next beat
+              case scala.util.control.NonFatal(_) => ()
+            }
+          }
+        }
+      } catch { case _: InterruptedException => () }
+      finally if (handle.stop.get && live) {
+        // the thread is about to die: clear any pending interrupt so
+        // an SDK call inside the release cannot die ClosedByInterrupt
+        Thread.interrupted()
+        try releaseCond(handle)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }, s"graft-lease-cond-heartbeat-$table")
+    t.setDaemon(true)
+    handle.thread = t
+    t.start()
+  }
+
+  /** Release a conditional lease: ONE conditional delete on our
+    * generation — atomic, with NO read-then-delete window (the
+    * r14-advice race the rename protocol needs claim-and-verify for
+    * is closed by the server-side precondition). A failed precondition
+    * resyncs by content once (a landed-unacked beat holds a newer
+    * generation with our bytes) and retries; foreign bytes are never
+    * touched.
+    */
+  private def releaseCond(handle: CondLeaseHandle): Unit =
+    if (!handle.store.deleteIf(handle.key, handle.gen)) {
+      handle.store.get(handle.key) match {
+        case Some((c, g)) if handle.ownsContent(c) =>
+          handle.store.deleteIf(handle.key, g); ()
+        case _ => () // successor's lease (or gone): not ours to touch
+      }
+    }
+
+  /** Owner-side shutdown of a conditional lease: stop the beat, join
+    * bounded and interrupt-safe, release ONLY when the beat is
+    * provably finished — the same skip-release contract as
+    * [[shutdownHeartbeat]]. (With generation preconditions a stalled
+    * beat CANNOT clobber a successor — its CAS carries our dead
+    * generation and the server refuses it — but the discipline stays
+    * uniform and truthful: while an op of ours may be in flight the
+    * lease stays held, the beat's own cleanup releases on unblock, a
+    * wedged SDK leaves it to the TTL reap.)
+    */
+  private[ops] def shutdownCondLease(
+      handle: CondLeaseHandle, joinMs: Long = 5000L): Unit = {
+    handle.stop.set(true)
+    val t = handle.thread
+    var interrupted = false
+    if (t != null) {
+      t.interrupt()
+      try t.join(joinMs)
+      catch { case _: InterruptedException => interrupted = true }
+    }
+    interrupted |= Thread.interrupted()
+    try {
+      if (t == null || !t.isAlive) releaseCond(handle)
+    } finally if (interrupted) Thread.currentThread().interrupt()
   }
 
   /** The owner-side shutdown of a lease + its heartbeat, extracted so
@@ -466,13 +763,68 @@ object Loader {
     // TTL (r14 review) — the flag is restored after
     interrupted |= Thread.interrupted()
     try {
-      if (!hb.thread.isAlive) {
-        val lfs = leaseFsFor(spark, path)
-        try {
-          if (hb.owns(lfs.read(path))) lfs.delete(path)
-        } catch { case _: java.io.IOException => () } // already gone
-      }
+      if (!hb.thread.isAlive)
+        releaseOwned(leaseFsFor(spark, path), path, hb,
+          spark.sparkContext.applicationId)
     } finally if (interrupted) Thread.currentThread().interrupt()
+  }
+
+  /** Race-free owner release (r14 advice): the old read-then-delete had
+    * a window — between the ownership read and the delete a TTL reaper
+    * could replace a just-gone-stale lease, and the delete then
+    * destroyed the REAPER's fresh lease. Claim-and-verify instead, the
+    * same pattern [[acquireLease]]'s reap path uses: atomically rename
+    * the lease aside under an attempt-unique private name, verify the
+    * claimed content is this handle's own, then delete it; foreign
+    * content is restored untouched. A restore that loses to a third
+    * acquirer's simultaneous promote is the same in-flight DOUBLE-ADMIT
+    * the reap path surfaces — thrown loudly naming both owners, with
+    * the displaced lease kept on disk as forensics. No-ops (lease
+    * leaks to the TTL reap — fail-safe) when the lease is already
+    * gone, already foreign, or the FS fails mid-verify.
+    */
+  private[ops] def releaseOwned(
+      lfs: LeaseFs,
+      path: org.apache.hadoop.fs.Path,
+      hb: HeartbeatHandle,
+      appId: String): Unit = {
+    val raw =
+      try lfs.read(path)
+      catch { case _: java.io.IOException => return } // already gone
+    if (!hb.owns(raw)) return // successor's lease: not ours to touch
+    val claimed = new org.apache.hadoop.fs.Path(path.getParent,
+      s"${path.getName}.released.$appId." +
+        s"${Thread.currentThread().getId}.${System.currentTimeMillis()}")
+    try lfs.replace(path, claimed)
+    catch { case _: java.io.IOException => return } // raced away: nothing of ours left
+    val got =
+      try Some(lfs.read(claimed))
+      catch { case _: java.io.IOException => None }
+    got match {
+      case Some(c) if hb.owns(c) =>
+        try lfs.delete(claimed)
+        catch { case _: java.io.IOException => () } // stray inert file; nothing reads it
+      case _ =>
+        // unreadable (cannot verify — restore rather than destroy) or a
+        // reaper's FRESH lease claimed in the window: put it back
+        try {
+          lfs.promote(claimed, path)
+          lfs.delete(claimed) // restore was a link on local FS
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException
+             | _: java.nio.file.FileAlreadyExistsException =>
+            val usurper =
+              try lfs.read(path).split(' ').head
+              catch { case _: java.io.IOException => "<unknown>" }
+            throw new IllegalStateException(
+              s"DOUBLE-ADMIT during release of $path: claimed a fresh lease " +
+                s"held by ${got.map(_.split(' ').head).getOrElse("<unreadable>")} " +
+                s"and its restore lost to $usurper — both may now be writing. " +
+                s"The displaced lease is kept at $claimed; stop one writer " +
+                "and delete that file")
+          case _: java.io.IOException => () // restore raced an acquire landing our way: leave forensics
+        }
+    }
   }
 
   /** Heartbeat daemon: refreshes the lease timestamp every TTL/4 so a
@@ -571,13 +923,18 @@ object Loader {
       finally if (stop.get && live) {
         // an in-flight beat may have re-created the lease after the
         // owner decided not to release — delete ONLY content this
-        // handle wrote. The thread is about to die: clear any pending
-        // interrupt first, or the read fails ClosedByInterrupt and the
-        // release is silently skipped (r14 review)
+        // handle wrote, via the claim-and-verify release (r14 advice:
+        // plain read-then-delete races a TTL reaper's fresh lease).
+        // The thread is about to die: clear any pending interrupt
+        // first, or the read fails ClosedByInterrupt and the release
+        // is silently skipped (r14 review)
         Thread.interrupted()
-        try {
-          if (handle.owns(lfs.read(path))) lfs.delete(path)
-        } catch { case _: java.io.IOException => () } // gone or unreadable: nothing stray
+        try releaseOwned(lfs, path, handle, appId)
+        catch {
+          // this daemon thread is dying — a throw would vanish into the
+          // default handler; a DOUBLE-ADMIT must still be LOUD
+          case e: IllegalStateException => System.err.println(e.getMessage)
+        }
       }
     }, s"graft-lease-heartbeat-$table")
     t.setDaemon(true)
@@ -598,31 +955,11 @@ object Loader {
   private def assertStillOwned(
       spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val path = leasePath(spark, table)
-    heldLeases.get.get(path.toString).foreach { hb =>
-      // BYTE-EXACT against this operation's own lease contents (r14
-      // review): an appId-prefix match cannot distinguish this
-      // operation's lease from the same app's NEXT lease on the table
-      // — a stalled old beat clobbering a same-app successor would
-      // pass a prefix check and race the successor on the swap.
-      // The handle state is snapshotted BEFORE the file read AND
-      // re-consulted after: a live beat completing between the read
-      // and the check moves `last`, and either the pre-read snapshot
-      // (file still old) or the post-read state (file already new)
-      // matches a healthy lease — only a genuinely foreign content
-      // misses both (r14 review: the un-snapshotted check spuriously
-      // aborted healthy rewrites at the destructive gate)
-      val lastBefore = hb.last
-      val inflightBefore = hb.inflight
-      val content =
-        try Some(leaseFsFor(spark, path).read(path))
-        catch { case _: java.io.IOException => None }
-      val owned = content.exists(c =>
-        c == lastBefore || (inflightBefore != null && c == inflightBefore) ||
-          hb.owns(c))
-      if (!owned)
+    heldLeases.get.get(path.toString).foreach { guard =>
+      if (!guard.stillOwned())
         throw new IllegalStateException(
           s"lease on `$table` lost mid-rewrite (now held by " +
-            s"${content.map(_.split(' ').head).getOrElse("<nobody>")}): " +
+            s"${guard.ownerHint()}): " +
             "refusing the destructive swap — the rewrite outlived its TTL " +
             "without heartbeating and was reaped; re-run when the " +
             "successor releases")

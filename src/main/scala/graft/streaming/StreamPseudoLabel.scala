@@ -32,9 +32,14 @@ object StreamPseudoLabel {
 
   /** Pseudo-label one (micro-)batch of probes (`probe_id`,
     * `embedding`) against a frozen assigned corpus + centroid set:
-    * one row per probe — `probe_id, pred_label, vote_w, n_votes`.
-    * Stateless per batch (the index and corpus are the state), so
-    * replays and restarts are trivially exact.
+    * one row per probe — `probe_id, pred_label, vote_w, n_votes`. A
+    * probe whose `nProbe` probed cells hold NO labeled candidates
+    * (possible with trained Lloyd centroids leaving empty cells) still
+    * gets its row — `pred_label`/`vote_w` null, `n_votes` 0 — so a
+    * serving pipeline sees the abstention instead of silently losing
+    * the vector (r14 advice). Stateless per batch (the index and
+    * corpus are the state), so replays and restarts are trivially
+    * exact.
     */
   def labelBatch(
       probes: DataFrame,
@@ -47,9 +52,13 @@ object StreamPseudoLabel {
       .groupBy(col("probe_id").as("vec_id"), col("label").as("pred_label"))
       .agg(sum(col("cosine").cast("decimal(16,6)")).as("vote_w"),
         count(lit(1)).as("n_votes"))
-    Similarity.voteWinner(votes)
+    val winners = Similarity.voteWinner(votes)
       .select(col("vec_id").as("probe_id"), col("pred_label"),
         col("vote_w").cast("double").as("vote_w"), col("n_votes"))
+    probes.select(col("probe_id"))
+      .join(winners, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("pred_label"), col("vote_w"),
+        coalesce(col("n_votes"), lit(0L)).as("n_votes"))
       .orderBy("probe_id")
   }
 

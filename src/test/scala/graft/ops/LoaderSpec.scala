@@ -796,6 +796,125 @@ class LoaderSpec extends SparkSpec {
     } finally Loader.forceHadoopLeaseProtocol = false
   }
 
+  test("release claim-and-verify: a reaper's fresh lease landing inside the release window survives (r14 advice)") {
+    val path = Loader.leaseFile(spark, "lease_rel_race")
+    java.nio.file.Files.deleteIfExists(path)
+    val acquired = Loader.acquireLease(spark, "lease_rel_race")
+    val hb = new Loader.HeartbeatHandle(
+      new java.util.concurrent.atomic.AtomicBoolean(true), acquired)
+    val reaperLease = s"reaper-app ${System.currentTimeMillis()}"
+    val real = new Loader.NioLeaseFs
+    val hPath = Loader.leasePath(spark, "lease_rel_race")
+    // the advice's exact window: the ownership read returns OUR content,
+    // and before the release acts a TTL reaper replaces the lease — the
+    // old read-then-delete destroyed the reaper's fresh lease here
+    var armed = true
+    val racy = new Loader.LeaseFs {
+      def read(p: org.apache.hadoop.fs.Path): String = {
+        val c = real.read(p)
+        if (armed && p == hPath && c == acquired) {
+          armed = false
+          real.delete(p)
+          real.write(p, reaperLease) // the reap lands right after the read
+        }
+        c
+      }
+      def write(p: org.apache.hadoop.fs.Path, s: String) = real.write(p, s)
+      def delete(p: org.apache.hadoop.fs.Path) = real.delete(p)
+      def exists(p: org.apache.hadoop.fs.Path) = real.exists(p)
+      def promote(s: org.apache.hadoop.fs.Path, d: org.apache.hadoop.fs.Path) =
+        real.promote(s, d)
+      def replace(s: org.apache.hadoop.fs.Path, d: org.apache.hadoop.fs.Path) =
+        real.replace(s, d)
+      def mkdirs(p: org.apache.hadoop.fs.Path) = real.mkdirs(p)
+    }
+    Loader.releaseOwned(racy, hPath, hb, spark.sparkContext.applicationId)
+    val after = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    assert(after == reaperLease,
+      s"the reaper's fresh lease must survive the release: $after")
+    java.nio.file.Files.deleteIfExists(path)
+    // and no claim-aside files left behind adjudicating this lease
+    val strays = java.nio.file.Files.list(path.getParent).toArray.map(_.toString)
+      .filter(s => s.contains("lease_rel_race") && s.contains(".released."))
+    assert(strays.isEmpty, s"restored release must clean its claim file: ${strays.toSeq}")
+  }
+
+  test("wedged heartbeat: TTL reap fires, the owner's last-gate check refuses the destructive swap (r14 verdict #7)") {
+    import spark.implicits._
+    val prevTtl = spark.conf.getOption("spark.graft.lease.ttlMs")
+    spark.conf.set("spark.graft.lease.ttlMs", "1200") // beat period 300 ms
+    dropWithLocation("lease_wedge_t")
+    Seq((1L, "a", 10.0)).toDF("k", "name", "v")
+      .write.mode("overwrite").saveAsTable("lease_wedge_t")
+    val real = new Loader.NioLeaseFs
+    val unwedge = new java.util.concurrent.CountDownLatch(1)
+    @volatile var wedgedBeats = 0
+    // a filesystem whose BEAT WRITES wedge: the thread blocks inside the
+    // FS call, interrupt-immune (a blocked filesystem op does not return
+    // on interrupt), until the spec releases it — then fails like a
+    // timed-out FS op would
+    val wedging = new Loader.LeaseFs {
+      def write(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+        if (p.getName.contains(".hb.tmp")) {
+          wedgedBeats += 1
+          while (!unwedge.await(50, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+            if (Thread.interrupted()) () // swallow: a wedged FS op ignores interrupts
+          }
+          throw new java.io.IOException("simulated FS timeout after wedge")
+        } else real.write(p, s)
+      }
+      def read(p: org.apache.hadoop.fs.Path) = real.read(p)
+      def delete(p: org.apache.hadoop.fs.Path) = real.delete(p)
+      def exists(p: org.apache.hadoop.fs.Path) = real.exists(p)
+      def promote(s: org.apache.hadoop.fs.Path, d: org.apache.hadoop.fs.Path) =
+        real.promote(s, d)
+      def replace(s: org.apache.hadoop.fs.Path, d: org.apache.hadoop.fs.Path) =
+        real.replace(s, d)
+      def mkdirs(p: org.apache.hadoop.fs.Path) = real.mkdirs(p)
+    }
+    val path = Loader.leaseFile(spark, "lease_wedge_t")
+    java.nio.file.Files.deleteIfExists(path)
+    Loader.leaseFsOverride = Some(wedging)
+    try {
+      val err = intercept[IllegalStateException] {
+        Loader.withLease(spark, "lease_wedge_t") {
+          // wait out the TTL: every beat is wedged, so the lease ages
+          val deadline = System.currentTimeMillis() + 15000
+          while (wedgedBeats == 0 && System.currentTimeMillis() < deadline)
+            Thread.sleep(50)
+          assert(wedgedBeats > 0, "a beat must have wedged")
+          Thread.sleep(Loader.leaseTtlMs(spark) + 500)
+          // a second driver's TTL reap succeeds against the stale lease
+          Loader.acquireLease(spark, "lease_wedge_t")
+          // the owner's rewrite is still running — its destructive swap
+          // must fail LOUDLY at the last gate, before the drop
+          Loader.mergeInto(spark, "lease_wedge_t",
+            Seq((1L, "z", 0.0)).toDF("k", "name", "v"), Seq("k"))
+        }
+      }
+      assert(err.getMessage.contains("lost mid-rewrite"), err.getMessage)
+      assert(spark.catalog.tableExists("lease_wedge_t"),
+        "the refused swap must not have dropped the target")
+      assert(spark.table("lease_wedge_t").collect()(0).getString(1) == "a",
+        "the wedged writer's merge must not land")
+      // the reaper's (successor's) lease survives the owner's shutdown:
+      // the skip-release contract held while the beat was still wedged
+      val content = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      assert(content.split(' ').length == 2,
+        s"the successor's acquire content must be untouched: $content")
+    } finally {
+      unwedge.countDown()
+      Loader.leaseFsOverride = None
+      prevTtl match {
+        case Some(v) => spark.conf.set("spark.graft.lease.ttlMs", v)
+        case None    => spark.conf.unset("spark.graft.lease.ttlMs")
+      }
+      java.nio.file.Files.deleteIfExists(path)
+      spark.sql("DROP TABLE IF EXISTS lease_wedge_t")
+      spark.sql(s"DROP TABLE IF EXISTS ${Loader.swapName("lease_wedge_t")}")
+    }
+  }
+
   test("single-writer lease: a stale lease (dead writer) is reaped, not honored") {
     import spark.implicits._
     dropWithLocation("lease_stale_target")

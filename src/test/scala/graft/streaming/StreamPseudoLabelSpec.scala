@@ -46,6 +46,30 @@ class StreamPseudoLabelSpec extends SparkSpec {
     }
   }
 
+  test("a probe whose probed cells hold no candidates still yields a row: null label, 0 votes (r14 advice)") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+    val corpus = Seq(
+      (1L, Seq(0.9f, 0.1f, 0f, 0f), 7),
+      (2L, Seq(0.8f, 0.2f, 0f, 0f), 7),
+      (3L, Seq(1.0f, 0.0f, 0f, 0f), 5))
+      .toDF("vec_id", "embedding", "label")
+    val assigned = corpus.withColumn("centroid_id",
+      Similarity.nearestCentroidPortable(cents))
+    val probes = Seq(
+      (100L, Seq(0f, 1f, 0f, 0f)),   // probes cell 1 — no corpus vectors there
+      (101L, Seq(0.85f, 0.15f, 0f, 0f)) // probes cell 0 — two label-7 neighbors
+    ).toDF("probe_id", "embedding")
+    val got = StreamPseudoLabel.labelBatch(probes, assigned, cents, k = 2, nProbe = 1)
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(100L, 101L),
+      "the empty-cell probe must not be dropped from the output")
+    val abstain = got(0)
+    assert(abstain.isNullAt(1) && abstain.isNullAt(2) && abstain.getLong(3) == 0L,
+      s"empty-cell probe should abstain loudly, got $abstain")
+    assert(got(1).getInt(1) == 7 && got(1).getLong(3) == 2L)
+  }
+
   test("streamed micro-batches equal one batch call; serves from the loaded index artifact") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
