@@ -105,6 +105,15 @@ object ExtQueries {
     */
   val TrainerEpoch: Long = 1L
 
+  /** Beam width / walk depth for the declared graph-walk retrieval
+    * key: beam 10 matches the family's serving k, and 3 hops reach
+    * past the entry landmarks' own neighborhoods while keeping the
+    * unrolled-CTE oracle readable — the [[RefineRounds]] knee logic
+    * applied to the search side.
+    */
+  val GraphSearchBeam: Int = 10
+  val GraphSearchRounds: Int = 3
+
   /** THE capped probe batch of the serving-contract keys (kNN join /
     * PQ join / recall gates / negative mining / classification) — one
     * definition, so a probe-contract change cannot land in some keys
@@ -1265,6 +1274,40 @@ object ExtQueries {
       // Lloyd/LR/label-prop trajectory recipe)
       Similarity.knnGraphRefineIter(embs(s, dir), k = KnnGraphK,
         rounds = RefineRounds)),
+    "knn_graph_append_embeddings" -> ((s: SparkSession, dir: String) => {
+      // INCREMENTAL graph maintenance (r14 verdict #2a) as a declared
+      // relation: the batch is the high-id tail past the seed vertices
+      // (so the frozen quantizer the base seeds equals the union's —
+      // every seed vertex is in base by construction), the base graph
+      // builds with the family kernel, and appendToGraph folds the
+      // batch in — newcomer edges + EXACT re-rank of only the affected
+      // vertices. The oracle is the FULL-REBUILD text of the knn_graph
+      // key verbatim, so the hash gates the incremental path's
+      // bit-exactness, not a weaker recall statement.
+      val e = embs(s, dir)
+      val cents = Similarity.seedCentroids(e, 16)
+      val seedCut = cents.map(_._1).max
+      val arriving = col("vec_id") % 10 === 9 && col("vec_id") > seedCut
+      val base = e.filter(!arriving)
+      val batch = e.filter(arriving)
+      val baseGraph = graft.core.CacheScope.persist(
+        Similarity.knnGraph(base, k = KnnGraphK))
+      Similarity.appendToGraph(baseGraph, base, batch, cents, k = KnnGraphK)
+    }),
+    "graph_search_embeddings" -> ((s: SparkSession, dir: String) => {
+      // graph-walk retrieval (r14 verdict #2b): per-probe beam search
+      // over the frozen edge table — the NSW/HNSW search step on the
+      // single-layer kNN graph, seeded at the quantizer's landmark
+      // vertices, GraphSearchRounds hops at beam GraphSearchBeam; the
+      // oracle unrolls the same rounds as CTE stages (the trajectory
+      // recipe). The edge table pins: every hop joins it once.
+      val e = embs(s, dir)
+      val g = graft.core.CacheScope.persist(
+        Similarity.knnGraph(e, k = KnnGraphK))
+      Similarity.graphSearch(e, g, probeBatch(e),
+        Similarity.seedCentroids(e, 16).map(_._1),
+        beam = GraphSearchBeam, rounds = GraphSearchRounds)
+    }),
     "label_propagation_embeddings" -> ((s: SparkSession, dir: String) =>
       // one round of label propagation over the kNN graph: cosine-
       // weighted majority label per vertex (decimal-exact votes,
@@ -1363,6 +1406,38 @@ object ExtQueries {
       // a verify) must never overwrite each other's layout mid-scan
       val path = s"$base/ivf_clustered"
       Similarity.writeClustered(assigned, path)
+      val probe = Similarity.defaultProbe(e)
+      val ids = Similarity.probeCentroidIds(index.toDF(s), probe, nProbe = 4,
+        portable = true)
+      Similarity.ivfTopKClustered(s.read.parquet(path), ids, probe)
+    }),
+    "similarity_ivf_appended_embeddings" -> ((s: SparkSession, dir: String) => {
+      // the index-maintenance lifecycle END-TO-END as one declared
+      // relation (r14 verdict #6): train on the BASE slice (portable
+      // Lloyd — the oracle unrolls the same 3 iterations over the same
+      // base), persist + load the frozen index, lay the base out
+      // clustered, then MAINTAIN — two appendToClustered batches fold
+      // the arriving vectors in, plus a RE-DELIVERY of the first batch
+      // (the anti-join idempotency contract, exercised inside the
+      // hashed key), and serving runs THROUGH the appended (never
+      // rebuilt) layout. The oracle serves a REBUILD over the union
+      // with the same frozen centroids — the spec-pinned equivalence,
+      // now hash-gated in the declared surface.
+      val e = embs(s, dir)
+      val base = e.filter(col("vec_id") % 5 =!= 0)
+      val b1 = e.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 === 0)
+      val b2 = e.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 =!= 0)
+      val trained = Similarity.buildIvfIndex(base, nCentroids = 16,
+        iterations = 3, portable = true)
+      val root = s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}"
+      Similarity.saveIndex(s, trained, s"$root/ivf_appended_index")
+      val index = Similarity.loadIndex(s, s"$root/ivf_appended_index")
+      val path = s"$root/ivf_appended"
+      Similarity.writeClustered(
+        Similarity.ivfAssignPortableTo(base, index.centroids), path)
+      Similarity.appendToClustered(s, path, b1, index, portable = true)
+      Similarity.appendToClustered(s, path, b2, index, portable = true)
+      Similarity.appendToClustered(s, path, b1, index, portable = true) // re-delivery: must no-op
       val probe = Similarity.defaultProbe(e)
       val ids = Similarity.probeCentroidIds(index.toDF(s), probe, nProbe = 4,
         portable = true)
@@ -2802,6 +2877,54 @@ object ExtQueries {
          |SELECT probe_id, vec_id, label, cosine FROM g$RefineRounds
          |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin
     },
+    // incremental graph append: the oracle IS the full-rebuild text of
+    // the knn_graph key (the key's split keeps every seed vertex in
+    // base, so the frozen quantizer equals the union's and the
+    // incremental fold is bit-identical to the rebuild — the k-max
+    // property top-k(top-k(A) ∪ B) = top-k(A ∪ B) under the family's
+    // total order makes the affected-vertex re-rank exact)
+    "knn_graph_append_embeddings" ->
+      s"""WITH $knnGraphCtes
+         |SELECT probe_id, vec_id, label, cosine FROM kg
+         |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin,
+    // graph-walk retrieval: the knn_graph chain once (the frozen edge
+    // table), then the beam-search round — one hop over the beam's
+    // edges, union with the beam, exact re-score, per-probe top-beam —
+    // UNROLLED once per hop (the trajectory-oracle recipe); the beam
+    // seeds from the quantizer's landmark vertices (kcent)
+    "graph_search_embeddings" -> {
+      def searchRound(prev: String, r: Int): String =
+        s"""gh$r AS (SELECT s.probe_id, kg.vec_id
+           |  FROM $prev s JOIN kg ON kg.probe_id = s.vec_id),
+           |gc$r AS (SELECT DISTINCT probe_id, vec_id FROM (
+           |  SELECT probe_id, vec_id FROM $prev
+           |  UNION ALL SELECT probe_id, vec_id FROM gh$r)),
+           |gx$r AS (SELECT c.probe_id, c.vec_id, e.label,
+           |    round(${cosSql("e.embedding", "g.gpe", 64)}, 6) AS cosine
+           |  FROM gc$r c JOIN embeddings e ON e.vec_id = c.vec_id
+           |              JOIN gp g ON g.probe_id = c.probe_id),
+           |gs$r AS (SELECT probe_id, vec_id, label, cosine FROM (
+           |  SELECT gx$r.*, row_number() OVER (PARTITION BY probe_id
+           |    ORDER BY cosine DESC, vec_id) AS rn FROM gx$r)
+           |  WHERE rn <= $GraphSearchBeam)""".stripMargin
+      val rounds = (1 to GraphSearchRounds)
+        .map(r => searchRound(if (r == 1) "gs0" else s"gs${r - 1}", r))
+        .mkString(",\n")
+      s"""WITH gp AS (SELECT vec_id AS probe_id, embedding AS gpe FROM embeddings
+         |    WHERE vec_id % $KnnProbeModulus = 0
+         |    ORDER BY vec_id LIMIT $KnnProbeLimit),
+         |$knnGraphCtes,
+         |gx0 AS (SELECT g.probe_id, c.cid AS vec_id, e.label,
+         |    round(${cosSql("e.embedding", "g.gpe", 64)}, 6) AS cosine
+         |  FROM gp g CROSS JOIN kcent c JOIN embeddings e ON e.vec_id = c.cid),
+         |gs0 AS (SELECT probe_id, vec_id, label, cosine FROM (
+         |  SELECT gx0.*, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cosine DESC, vec_id) AS rn FROM gx0)
+         |  WHERE rn <= $GraphSearchBeam),
+         |$rounds
+         |SELECT probe_id, vec_id, label, cosine FROM gs$GraphSearchRounds
+         |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin
+    },
     // label propagation: the knn_graph chain wrapped as a CTE, then
     // per-(vertex, label) DECIMAL(16,6)-exact vote sums and the
     // aggregate argmax (max vote join + min label at the max)
@@ -3970,6 +4093,29 @@ object ExtQueries {
          |cand AS (SELECT * FROM asgf WHERE cid IN (SELECT cid FROM pr))
          |SELECT vec_id, label, round(${cosSql("cand.embedding", "pp2.pe", 64)}, 6) AS cosine
          |FROM cand, p pp2 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // appended-layout serving: Lloyd trains over the BASE slice only
+    // (the parameterized lloydCtes — same 3 portable iterations), the
+    // UNION then assigns against the frozen base-trained centroids,
+    // and the probe/top-k chain mirrors the trained-IVF oracle: the
+    // rebuild the engine's appended (never rewritten) layout must
+    // serve identically to
+    "similarity_ivf_appended_embeddings" ->
+      s"""WITH ivb AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+         |${lloydCtes("ivb", "ia")},
+         |p AS (SELECT embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 1),
+         |uaf AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |        round(${cosSql("e.embedding", "c.cvec", 64)}, 6) AS d
+         |      FROM embeddings e CROSS JOIN iacent3 c),
+         |uasg AS (SELECT vec_id, label, embedding, cid FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+         |        FROM uaf) WHERE rn = 1),
+         |upr AS (SELECT cid FROM (
+         |        SELECT c.cid, round(${cosSql("c.cvec", "pp.pe", 64)}, 6) AS sim
+         |        FROM iacent3 c, p pp)
+         |       ORDER BY sim DESC, cid LIMIT 4),
+         |ucand AS (SELECT * FROM uasg WHERE cid IN (SELECT cid FROM upr))
+         |SELECT vec_id, label, round(${cosSql("ucand.embedding", "pp2.pe", 64)}, 6) AS cosine
+         |FROM ucand, p pp2 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     // minQuality tuning curve: same quality fragment → score histogram
     // → literal threshold grid inequality-joined against it
     // the grid LEFT-joins the histogram with coalesce(…, 0): a

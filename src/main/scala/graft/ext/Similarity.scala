@@ -1166,6 +1166,11 @@ object Similarity {
       prev = g
       g = next
     }
+    // the final round's `next` checkpoint has no consumer — lastScored
+    // recomputes from `prev`, the round's INPUT frame (r14 advice: the
+    // dangling n·k-row checkpoint stayed materialized until GC). Keep
+    // `prev`; release `g`, mirroring the in-loop discipline.
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(g)
     (lastScored.orderBy(col("probe_id"), col("cosine").desc, col("vec_id")), r)
   }
 
@@ -1237,6 +1242,144 @@ object Similarity {
     // so a caller running several actions on the result pays the last
     // vote round once, not once per action (r14 review)
     (propagationOutput(embeddings, graft.core.CacheScope.persist(lastWinner)), r)
+  }
+
+  /** INCREMENTAL kNN-graph maintenance (r14 verdict #2a) — the
+    * [[appendToClustered]] posture applied to the EDGE TABLE: fold an
+    * arriving vector batch into a persisted [[knnGraph]] without the
+    * full rebuild, against the FROZEN quantizer `centroids` (the
+    * [[ivfDrift]] monitor stays the judge of when the quantizer itself
+    * is due for retraining).
+    *
+    *  1. NEWCOMER edges: the batch probes its `nProbe` cells and ranks
+    *     candidates from the UNION corpus — the same [[graphTail]]
+    *     kernel a rebuild runs, restricted to the batch's probe rows.
+    *  2. AFFECTED vertices: the base vertices whose probed-cell sets
+    *     intersect the batch's assigned cells — exactly those whose
+    *     candidate set a rebuild would change. Their new candidate
+    *     pairs (vertex × batch member sharing a probed cell) are
+    *     scored once and RE-RANKED against the vertex's existing edge
+    *     rows. The incremental re-rank is EXACT, not approximate:
+    *     top-k(top-k(A) ∪ B) = top-k(A ∪ B) under the family's total
+    *     order (6-dp cosine desc, vec_id) — any old candidate outside
+    *     the stored top-k is dominated by k stored rows and can never
+    *     re-enter.
+    *  3. UNTOUCHED vertices keep their edge rows verbatim (anti-join)
+    *     — the appendToClustered untouched-partition contract in edge
+    *     form, spec-pinned.
+    *
+    * Result: BIT-IDENTICAL to [[knnGraph]] rebuilt over base ∪ batch
+    * with the same frozen centroids (spec-pinned, and hash-gated by
+    * the declared `knn_graph_append_embeddings` key whose oracle IS
+    * the rebuild). Cost: the batch's own probe/rank work + one
+    * probe-cell assignment pass over the base corpus (per-row argmin,
+    * no joins; at production scale the probe-cell frame is the
+    * persisted graph artifact's sidecar and the pass is a read) +
+    * |affected probe rows × batch cell members| pair scoring — never
+    * the corpus×corpus rebuild.
+    */
+  def appendToGraph(
+      baseGraph: DataFrame,
+      base: DataFrame,
+      batch: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      k: Int = 4,
+      nProbe: Int = 4): DataFrame = {
+    val batchAssigned = ivfAssignPortableTo(batch, centroids)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"), col("label"))
+    val unionAssigned = ivfAssignPortableTo(base, centroids)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"), col("label"))
+      .unionByName(batchAssigned)
+    // 1. the newcomers' own edges: the rebuild kernel, batch probes only
+    val batchProbeCells = probeCellsOf(
+      batch.select(col("vec_id").as("probe_id"), col("embedding")),
+      centroids, nProbe)
+    val newcomerEdges = graphTail(unionAssigned, batchProbeCells, k)
+    // 2. affected base vertices: probe-cell rows that hit a batch cell
+    // (the batch's distinct cells are ≤ min(|batch|, nCentroids) — a
+    // broadcast join, never a shuffle of the probe frame); pinned —
+    // consumed twice (the pair scoring and the affected-id frame)
+    val batchCells = batchAssigned.select("centroid_id").distinct()
+    val touchedProbe = graft.core.CacheScope.persist(
+      probeCellsOf(base.select(col("vec_id").as("probe_id"), col("embedding")),
+          centroids, nProbe)
+        .join(broadcast(batchCells), Seq("centroid_id")))
+    val newPairs = touchedProbe.join(batchAssigned, Seq("centroid_id"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+        round(cosine(col("_pe"), col("embedding")), 6).as("cosine"))
+    val affected = touchedProbe.select("probe_id").distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val rescored = baseGraph.join(affected, Seq("probe_id"), "left_semi")
+      .unionByName(newPairs)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+    // 3. untouched vertices' rows pass through verbatim
+    val untouched = baseGraph.join(affected, Seq("probe_id"), "left_anti")
+    untouched.unionByName(rescored).unionByName(newcomerEdges)
+      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
+  }
+
+  /** GRAPH-WALK retrieval (r14 verdict #2b) — the serving face the kNN
+    * graph exists for: per-probe BEAM SEARCH over the frozen edge
+    * table (the search step of the NSW/HNSW lineage — Malkov &
+    * Yashunin 2016, arXiv:1603.09320 — on the single-layer k-NN
+    * graph), unrolled to fixed depth like every other trajectory
+    * oracle. The beam seeds from the ENTRY set (the quantizer's seed
+    * vertices — deterministic, and already the index's coarse
+    * landmarks); each round expands ONE hop over the edges, re-scores
+    * exactly (6-dp cosine, vec_id tie-break) and keeps the best
+    * `beam`. The previous beam is always in the candidate set, so the
+    * best-found cosine per probe is MONOTONE non-decreasing in depth
+    * (spec-gated).
+    *
+    * Scale: per round ONE edge join keyed on the beam's vertex ids
+    * (|probes|·beam rows against the k-sparse edge table) + one
+    * id-keyed embedding lookup join — no round scans the corpus, and
+    * the walk serves from the same persisted edge artifact
+    * [[appendToGraph]] maintains. Each round's beam is pinned so
+    * round r's plan is one hop-join deep, never a growing lineage.
+    */
+  def graphSearch(
+      embeddings: DataFrame,
+      edges: DataFrame,
+      probes: DataFrame,
+      entryIds: Seq[Long],
+      beam: Int = 10,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(beam >= 1, s"beam must be >= 1: $beam")
+    val g = edges.select(col("probe_id").as("_src"), col("vec_id").as("_dst"))
+    val pe = probes.select(col("probe_id"), col("embedding").as("_pe"))
+    val corpus = embeddings.select(col("vec_id"), col("embedding"), col("label"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    // score a candidate id-frame and keep the per-probe beam; the probe
+    // batch is bounded (the serving contract) and broadcasts
+    def ranked(cand: DataFrame): DataFrame =
+      cand.join(corpus, Seq("vec_id"))
+        .join(broadcast(pe), Seq("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("label"),
+          round(cosine(col("_pe"), col("embedding")), 6).as("cosine"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= beam)
+        .drop("_rn")
+    // entry candidates: per probe, the literal entry-id list exploded —
+    // no join (a crossJoin here would plan a BroadcastNestedLoopJoin;
+    // the entry set is driver-resident by contract, like a probe list)
+    var cur = graft.core.CacheScope.persist(ranked(
+      pe.select(col("probe_id"),
+        explode(array(entryIds.map(lit(_)): _*)).as("vec_id"))))
+    for (_ <- 1 to rounds) {
+      val hop = cur.select("probe_id", "vec_id")
+        .join(g, col("vec_id") === col("_src"))
+        .select(col("probe_id"), col("_dst").as("vec_id"))
+      val cand = cur.select("probe_id", "vec_id").unionByName(hop).distinct()
+      cur = graft.core.CacheScope.persist(ranked(cand))
+    }
+    cur.orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
   }
 
   /** Brute-force per-probe exact top-k with probes as DATA — the
@@ -1686,14 +1829,20 @@ object Similarity {
       path: String,
       batch: DataFrame,
       index: IvfIndex,
-      maxFilesPerPartition: Int = 8): Seq[Long] = {
+      maxFilesPerPartition: Int = 8,
+      portable: Boolean = false): Seq[Long] = {
     // pinned for the call (local persist, released in finally — NOT
     // CacheScope: the streaming face calls this per micro-batch and a
     // scope-queued pin would accumulate until some caller's
     // releaseAll): the argmin assignment has two consumers (the
     // touched-id collect, then the anti-joined append write) —
-    // unpinned, every batch would pay the full per-row argmin twice
-    val assigned = ivfAssignTo(batch, index.centroids)
+    // unpinned, every batch would pay the full per-row argmin twice.
+    // `portable` = the 6-dp assignment argmin, for layouts whose base
+    // was written portably (the oracle-checked keys): appended vectors
+    // must land in the cell the SAME ranking gives, or a 6-dp tie
+    // could strand a vector outside the rebuild's cell
+    val assigned = (if (portable) ivfAssignPortableTo(batch, index.centroids)
+      else ivfAssignTo(batch, index.centroids))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val touched = assigned.select("centroid_id").distinct()

@@ -111,9 +111,16 @@ class QueryContractSpec extends AnyFunSuite {
     // streams), and corpus_to_trainer_curriculum_documents (the
     // curated contract with the curriculum order), and
     // block_provenance_documents (per-block source attribution of the
-    // packed stream — the data-card relation) — see SURVEY §2.17
-    assert(SparkEntry.queries.size == 164,
-      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.17 if intentional)")
+    // packed stream — the data-card relation) — see SURVEY §2.17.
+    // Round 15 adds knn_graph_append_embeddings (incremental graph
+    // maintenance: newcomer edges + exact re-rank of affected vertices,
+    // oracle = the full rebuild), graph_search_embeddings (beam-search
+    // retrieval over the frozen edge table, rounds unrolled in the
+    // oracle), and similarity_ivf_appended_embeddings (serving THROUGH
+    // an appendToClustered-maintained layout, oracle = rebuild over
+    // the union) — see SURVEY §2.18
+    assert(SparkEntry.queries.size == 167,
+      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.18 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +
         "(every declared key is oracle-checked as of r9; update SURVEY §2.13 if intentional)")

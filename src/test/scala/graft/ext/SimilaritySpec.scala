@@ -1234,4 +1234,78 @@ class SimilaritySpec extends SparkSpec {
       assert(pred(id) == c, s"mislabeled vertex $id not corrected: ${pred(id)}")
     }
   }
+
+  test("appendToGraph: bit-identical to the rebuild over the union; untouched vertices' rows verbatim (r15)") {
+    import org.apache.spark.sql.functions._
+    def rws(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    // the arriving batch is the high-id tail past the seed vertices, so
+    // the base's frozen quantizer equals the union's and the rebuild
+    // comparison is exact, not recall-gated
+    val cents = Similarity.seedCentroids(embs, 16)
+    val seedCut = cents.map(_._1).max
+    val cut = embs.agg(max("vec_id")).collect()(0).getLong(0) * 9 / 10
+    val arriving = col("vec_id") > seedCut && col("vec_id") >= cut
+    val base = embs.filter(!arriving)
+    val batch = embs.filter(arriving)
+    assert(batch.count() > 0 && base.count() > 16, "split must be non-trivial")
+    val baseGraph = graft.core.CacheScope.persist(
+      Similarity.knnGraph(base, k = 4))
+    val appended = Similarity.appendToGraph(baseGraph, base, batch, cents, k = 4)
+    val appendedRows = rws(appended)
+    // 1. exactness: the incremental fold equals the full rebuild
+    assert(appendedRows == rws(Similarity.knnGraph(embs, k = 4)),
+      "append diverged from the rebuild over the union")
+    // 2. untouched vertices keep their edge rows verbatim
+    val byVertex = appendedRows.groupBy(_.head.asInstanceOf[Long])
+    val baseByVertex = rws(baseGraph).groupBy(_.head.asInstanceOf[Long])
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    val changed = baseByVertex.keys.filter(v => byVertex(v) != baseByVertex(v))
+    assert(changed.nonEmpty, "fixture too easy: some vertex should be affected")
+    // every changed base vertex must have gained at least one batch edge
+    // OR been re-ranked by one — i.e. its new rows reference a batch id
+    // (an untouched vertex can never change: anti-join passthrough)
+    changed.foreach { v =>
+      assert(byVertex(v).exists(r => batchIds(r(1).asInstanceOf[Long])),
+        s"vertex $v changed without any batch edge — the untouched " +
+          "passthrough is broken")
+    }
+    graft.core.CacheScope.releaseAll()
+  }
+
+  test("graphSearch: best-found cosine is monotone in depth; lands in the probe's cluster on the clustered fixture (r15)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // clustered fixture (the production shape): 8 Gaussian clusters
+    val rnd = new scala.util.Random(11)
+    val dim = 16; val nClust = 8; val perC = 40
+    val centers = Array.fill(nClust, dim)(rnd.nextGaussian().toFloat)
+    val fix = (0 until nClust).flatMap { c =>
+      (0 until perC).map { i =>
+        ((i * nClust + c).toLong,
+          centers(c).map(x => x + 0.08f * rnd.nextGaussian().toFloat).toSeq, c)
+      }
+    }.toDF("vec_id", "embedding", "label")
+    val g = graft.core.CacheScope.persist(Similarity.knnGraph(fix, k = 4))
+    val probes = fix.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val entry = Similarity.seedCentroids(fix, 16).map(_._1)
+    def best(rounds: Int): Map[Long, Double] =
+      Similarity.graphSearch(fix, g, probes, entry, beam = 10, rounds = rounds)
+        .groupBy("probe_id").agg(max("cosine").as("m"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b1 = best(1); val b2 = best(2); val b3 = best(3)
+    b1.keys.foreach { p =>
+      assert(b2(p) >= b1(p) && b3(p) >= b2(p),
+        s"probe $p: best cosine not monotone (${b1(p)}, ${b2(p)}, ${b3(p)})")
+    }
+    // a probe IS a corpus vector: at depth 3 the walk must have landed
+    // in ITS cluster (in-cluster cosines at 0.08σ noise are ≥ ~0.99;
+    // cross-cluster are near-random) — the walk may stop one hop short
+    // of the exact vector on a k=4 graph, but a wrong-cluster beam
+    // would sit far below this gate
+    b3.foreach { case (p, m) =>
+      assert(m >= 0.98, s"probe $p: walk stuck outside its cluster (best $m)")
+    }
+    graft.core.CacheScope.releaseAll()
+  }
 }
