@@ -648,11 +648,31 @@ object Similarity {
       assigned: DataFrame, probeCells: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("vec_id"))
+    // per-(probe, cell) LOCAL top-k before the per-vertex rank: the
+    // candidate stream leaves the join hash-partitioned by
+    // centroid_id, and this aggregate's keys are a SUPERSET of that
+    // partitioning, so the prune runs inside the join stage with NO
+    // exchange — the rank window then sorts n·nProbe·k rows instead
+    // of the full n·cellsize candidate mass (≈30× at production cell
+    // sizes; the un-pruned window's sort spill is what broke the r15
+    // sf100 rung on one box: 10⁹ candidate rows through one
+    // probe-keyed exchange). EXACT: the global (cosine desc, vec_id)
+    // top-k restricted to one cell preserves rank, so it is contained
+    // in the union of per-cell top-ks under the same total order, and
+    // (probe, vec) pairs are unique across cells (cells disjoint) —
+    // bit-identical edges (the family's oracle keys stay hash-green).
     assigned
       .join(probeCells, Seq("centroid_id"))
       .filter(col("probe_id") =!= col("vec_id"))
-      .select(col("probe_id"), col("vec_id"), col("label"),
+      .select(col("probe_id"), col("centroid_id"), col("vec_id"), col("label"),
         round(cosine(col("_pe"), col("embedding")), 6).as("cosine"))
+      .groupBy("probe_id", "centroid_id")
+      .agg(slice(array_sort(collect_list(struct(
+          (-col("cosine")).as("d"), col("vec_id").as("v"),
+          col("label").as("l")))), 1, k).as("_top"))
+      .select(col("probe_id"), explode(col("_top")).as("_t"))
+      .select(col("probe_id"), col("_t.v").as("vec_id"),
+        col("_t.l").as("label"), (-col("_t.d")).as("cosine"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .drop("_rn")
@@ -1285,6 +1305,31 @@ object Similarity {
       centroids: Seq[(Long, Seq[Float])],
       k: Int = 4,
       nProbe: Int = 4): DataFrame = {
+    val p = appendEdgePieces(baseGraph, base, batch, centroids, k, nProbe)
+    // untouched vertices' rows pass through verbatim
+    val untouched = baseGraph.join(p.affected, Seq("probe_id"), "left_anti")
+    untouched.unionByName(p.rescored).unionByName(p.newcomerEdges)
+      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
+  }
+
+  /** The three frames an incremental graph append produces — shared by
+    * [[appendToGraph]] (whole-table result) and
+    * [[appendToGraphClustered]] (bounded partition rewrite), so the
+    * append semantics live in ONE kernel.
+    */
+  private[ext] final case class GraphAppend(
+      affected: DataFrame,      // (probe_id) — base vertices whose top-k may move
+      rescored: DataFrame,      // their re-ranked edge rows
+      newcomerEdges: DataFrame, // the batch vertices' own edges
+      batchAssigned: DataFrame) // (centroid_id, vec_id, embedding, label)
+
+  private def appendEdgePieces(
+      baseGraph: DataFrame,
+      base: DataFrame,
+      batch: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      k: Int,
+      nProbe: Int): GraphAppend = {
     val batchAssigned = ivfAssignPortableTo(batch, centroids)
       .select(col("centroid_id"), col("vec_id"), col("embedding"), col("label"))
     val unionAssigned = ivfAssignPortableTo(base, centroids)
@@ -1316,10 +1361,101 @@ object Similarity {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .drop("_rn")
-    // 3. untouched vertices' rows pass through verbatim
-    val untouched = baseGraph.join(affected, Seq("probe_id"), "left_anti")
-    untouched.unionByName(rescored).unionByName(newcomerEdges)
-      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
+    GraphAppend(affected, rescored, newcomerEdges, batchAssigned)
+  }
+
+  /** Persist a kNN-graph edge table PARTITIONED by the owning vertex's
+    * assigned cell (`g_cell` = the probe vertex's nearest centroid) —
+    * the [[writeClustered]] layout idea applied to EDGES, so
+    * incremental maintenance can rewrite only the partitions holding
+    * affected vertices instead of the whole edge table. `assigned` is
+    * the corpus assignment frame (vec_id, centroid_id) the graph was
+    * built over.
+    */
+  def writeGraphClustered(
+      edges: DataFrame, assigned: DataFrame, path: String): Unit =
+    edges
+      .join(assigned.select(col("vec_id").as("probe_id"),
+        col("centroid_id").as("g_cell")), Seq("probe_id"))
+      .write.mode("overwrite").partitionBy("g_cell").parquet(path)
+
+  /** INCREMENTAL maintenance of a [[writeGraphClustered]] layout — the
+    * [[appendToClustered]] contract applied to the EDGE table:
+    *
+    *  1. IDEMPOTENT: batch vectors whose vertex id already exists in
+    *     the layout are dropped (anti-join against the stored vertex
+    *     ids) — a re-delivered batch is a no-op, so at-least-once
+    *     delivery upstream cannot duplicate the graph.
+    *  2. The [[appendToGraph]] kernel computes the newcomers' edges
+    *     and the affected vertices' exact re-rank.
+    *  3. ONLY the partitions holding affected or newcomer vertices
+    *     rewrite (scratch dir + dynamic partition overwrite, the
+    *     [[compactClustered]] recipe); untouched partitions' files are
+    *     never listed, read, or rewritten — byte-identical by
+    *     construction (spec-pinned). Write amplification is bounded by
+    *     the CELLS the batch lands in or probes into, never the graph.
+    *
+    * `base` is the corpus the stored graph covers (vec_id, embedding,
+    * label — typically the sibling [[writeClustered]] vector layout),
+    * and must be the PRE-batch corpus: [[graft.streaming.StreamGraphMaintain]]
+    * sequences the two appends so that holds across crash/replay.
+    *
+    * @return the rewritten g_cell partition ids (empty = no-op)
+    */
+  def appendToGraphClustered(
+      spark: SparkSession,
+      path: String,
+      base: DataFrame,
+      batch: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      k: Int = 4,
+      nProbe: Int = 4): Seq[Long] = {
+    val stored = spark.read.parquet(path)
+    val fresh = batch
+      .join(stored.select(col("probe_id").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (fresh.isEmpty) return Nil
+      val p = appendEdgePieces(
+        stored.drop("g_cell"), base, fresh, centroids, k, nProbe)
+      // the owning cell of every rewritten vertex: affected vertices
+      // re-assign from the base corpus; newcomers carry their own cell
+      val baseCellsOf = ivfAssignPortableTo(base, centroids)
+        .select(col("vec_id").as("probe_id"), col("centroid_id").as("g_cell"))
+      val affectedCells = p.affected.join(baseCellsOf, Seq("probe_id"))
+      val rewritten = affectedCells.select("g_cell").distinct()
+        .collect().map(_.getLong(0)).toSet ++
+        p.batchAssigned.select("centroid_id").distinct()
+          .collect().map(_.getLong(0)).toSet
+      val cells = rewritten.toSeq.sorted
+      // the rewritten partitions' NEW contents: in-cell untouched rows
+      // verbatim + the re-ranked affected rows + the newcomers
+      val untouchedInCells = stored
+        .filter(col("g_cell").isin(cells: _*))
+        .join(p.affected, Seq("probe_id"), "left_anti")
+      val slice = untouchedInCells.unionByName(
+          p.rescored.join(affectedCells.select("probe_id", "g_cell")
+            .dropDuplicates("probe_id"), Seq("probe_id")))
+        .unionByName(
+          p.newcomerEdges.join(
+            p.batchAssigned.select(col("vec_id").as("probe_id"),
+              col("centroid_id").as("g_cell")), Seq("probe_id")))
+      // scratch + dynamic overwrite: a file-source write refuses to
+      // overwrite a path it also reads
+      val root = new org.apache.hadoop.fs.Path(path)
+      val tmp = new org.apache.hadoop.fs.Path(root.getParent,
+        root.getName + "_gappend_tmp")
+      slice.write.mode("overwrite").parquet(tmp.toString)
+      spark.read.parquet(tmp.toString)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("g_cell")
+        .parquet(path)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(tmp, true)
+      cells
+    } finally fresh.unpersist(blocking = false)
   }
 
   /** GRAPH-WALK retrieval (r14 verdict #2b) — the serving face the kNN

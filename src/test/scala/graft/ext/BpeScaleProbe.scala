@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
 object BpeScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // optional `t=<n>` second arg raises the binding type bound (r15:
+    // the m=32k rung runs over a ≥100k-type table per r14 verdict #4)
+    val (maxTypes, mergeArgs) = args.drop(1).toSeq match {
+      case t +: rest if t.startsWith("t=") => (t.drop(2).toInt, rest)
+      case rest                            => (16384, rest)
+    }
     val mergeCounts =
-      if (args.length > 1) args.drop(1).toSeq.map(_.toInt) else Seq(8, 256, 1024)
+      if (mergeArgs.nonEmpty) mergeArgs.map(_.toInt) else Seq(8, 256, 1024)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -37,7 +43,6 @@ object BpeScaleProbe {
       .select(concat(col("w"), col("w2"), col("w3")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .persist()
-    val maxTypes = 16384
     val types = trigram.orderBy(col("cnt").desc, col("w")).limit(maxTypes)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     println(s"BPEPROBE $sfDir types=${types.length} (bound $maxTypes)")
