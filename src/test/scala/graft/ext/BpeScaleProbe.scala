@@ -32,9 +32,14 @@ object BpeScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.io.Sources.table(spark, sfDir, "documents")
     docs.count()
+    // digits survive the split (r15): the sf10/sf100 replica corpora
+    // namespace words with digit prefixes (`r42word`) — an [a-z]-only
+    // split collapsed them back to the base vocabulary and the type
+    // table exhausted at ~28k; keeping digits yields the replica-scaled
+    // type population the ≥100k-type rung needs
     val w = docs
       .select(col("doc_id"),
-        posexplode(split(lower(col("text")), "[^a-z]+")).as(Seq("i", "w")))
+        posexplode(split(lower(col("text")), "[^a-z0-9]+")).as(Seq("i", "w")))
       .filter(length(col("w")) > 0)
     val win = Window.partitionBy("doc_id").orderBy("i")
     val trigram = w.withColumn("w2", lead("w", 1).over(win))
