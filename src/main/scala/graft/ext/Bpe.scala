@@ -77,7 +77,44 @@ object Bpe {
     * [[bpeEncode]]. Returns ≤ `merges` rounds (fewer iff the
     * vocabulary exhausts its pairs first).
     */
+  /** The trainer: [[mergeLoopIndexed]] — the pair-postings structure
+    * every production BPE trainer uses (Sennrich et al. 2016's
+    * reference implementation's shape). [[mergeLoopScan]] below is the
+    * direct-from-the-definition version, kept as the spec's reference:
+    * the two are pinned bit-identical (same merges, same tie-breaks,
+    * same counts), and the indexed one turns per-merge cost from
+    * O(|types|·len) into O(occurrences of the merged pair) — the r15
+    * production-vocab rung measured the scan loop at >29 min for
+    * m=32k over 131k types (driver, one core); the index is what
+    * makes that configuration trainable.
+    */
   private[ext] def mergeLoop(
+      wordCounts: Array[(String, Long)], merges: Int): Seq[Merge] =
+    mergeLoopIndexed(wordCounts, merges)
+
+  /** Greedy left-to-right non-overlapping application of ONE merge to
+    * a symbol array — the single definition both trainer variants and
+    * the vocab-update path share.
+    */
+  private def applyMergeOnce(
+      syms: Array[String], l: String, r: String, merged: String): Array[String] = {
+    val b = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        b += merged; i += 2
+      } else { b += syms(i); i += 1 }
+    }
+    b.result()
+  }
+
+  /** Reference trainer, direct from the BPE definition: re-count every
+    * adjacent pair over the whole table each round, take the max
+    * (ties to the lexicographically smallest pair), rewrite every
+    * type. O(m·|types|·len) — correct at any size, affordable only at
+    * modest type counts; [[mergeLoopIndexed]] is spec-pinned equal.
+    */
+  private[ext] def mergeLoopScan(
       wordCounts: Array[(String, Long)], merges: Int): Seq[Merge] = {
     var vocab: Array[(Array[String], Long)] = wordCounts.map { case (w, c) =>
       (w.map(_.toString).toArray :+ EndOfWord, c)
@@ -97,16 +134,109 @@ object Bpe {
         val merged = l + r
         out += Merge(rank, l, r, merged, c)
         vocab = vocab.map { case (syms, cnt) =>
-          val b = Array.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-              b += merged; i += 2
-            } else { b += syms(i); i += 1 }
-          }
-          (b.result(), cnt)
+          (applyMergeOnce(syms, l, r, merged), cnt)
         }
         rank += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Indexed trainer: exact pair counts maintained INCREMENTALLY with
+    * a pair→postings index (which types contain the pair) and a
+    * lazy-invalidation max-heap over (count, pair).
+    *
+    *  - Selection is identical to the scan loop: max count, ties to
+    *    the smallest (left, right) — the heap orders by
+    *    (-count, l, r) and every count CHANGE pushes a fresh entry,
+    *    so the best valid entry at the top is always the global
+    *    argmax; stale entries (count no longer current) pop and drop.
+    *  - A merge rewrites ONLY the types in its pair's postings
+    *    (validated — postings are add-only and may hold stale
+    *    members); each rewritten type subtracts its old adjacent-pair
+    *    counts and adds its new ones, the exact per-type delta, so
+    *    counts equal the scan loop's full recount at every round.
+    *  - Per-merge cost: O(occurrences of the merged pair · len +
+    *    changed-pairs · log heap) — independent of |types| once the
+    *    table is built.
+    */
+  private[ext] def mergeLoopIndexed(
+      wordCounts: Array[(String, Long)], merges: Int): Seq[Merge] = {
+    type Pair = (String, String)
+    val vocab: Array[Array[String]] = wordCounts.map { case (w, _) =>
+      w.map(_.toString).toArray :+ EndOfWord
+    }
+    val weight: Array[Long] = wordCounts.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[Pair, Long]
+    val postings = scala.collection.mutable.HashMap.empty[Pair, scala.collection.mutable.BitSet]
+    // delta a type's adjacent pairs into the global counts (sign ±1);
+    // postings only ever grow (stale members are validated at use)
+    def delta(ti: Int, sign: Long, touched: scala.collection.mutable.Set[Pair]): Unit = {
+      val syms = vocab(ti); val c = weight(ti) * sign
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        val n = counts.getOrElse(k, 0L) + c
+        if (n == 0L) counts.remove(k) else counts.update(k, n)
+        if (sign > 0) postings.getOrElseUpdate(k,
+          new scala.collection.mutable.BitSet(vocab.length)) += ti
+        touched += k
+        i += 1
+      }
+    }
+    val initTouched = scala.collection.mutable.Set.empty[Pair]
+    var ti = 0
+    while (ti < vocab.length) { delta(ti, 1L, initTouched); ti += 1 }
+    // max count first, ties to the smallest (l, r): PriorityQueue pops
+    // the LARGEST under its ordering, so order by (-(-cnt), …) reversed
+    final case class Cand(cnt: Long, l: String, r: String)
+    val best = Ordering.by[Cand, (Long, String, String)](c => (-c.cnt, c.l, c.r))
+    val heap = scala.collection.mutable.PriorityQueue.empty[Cand](best.reverse)
+    def push(k: Pair): Unit =
+      counts.get(k).foreach(c => heap.enqueue(Cand(c, k._1, k._2)))
+    counts.keysIterator.foreach(push)
+    def hasAdjacent(syms: Array[String], l: String, r: String): Boolean = {
+      var i = 0
+      while (i < syms.length - 1) {
+        if (syms(i) == l && syms(i + 1) == r) return true
+        i += 1
+      }
+      false
+    }
+    val out = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= merges && !exhausted) {
+      // pop to the best VALID entry (count still current)
+      var picked: Option[Cand] = None
+      while (picked.isEmpty && heap.nonEmpty) {
+        val c = heap.dequeue()
+        if (counts.get((c.l, c.r)).contains(c.cnt)) picked = Some(c)
+      }
+      picked match {
+        case None =>
+          // heap drained: by the push-on-change invariant this means no
+          // pairs remain; a defensive re-push covers any missed state
+          if (counts.isEmpty) exhausted = true
+          else counts.keysIterator.foreach(push)
+        case Some(c) =>
+          val (l, r) = (c.l, c.r)
+          val merged = l + r
+          out += Merge(rank, l, r, merged, c.cnt)
+          val members = postings.get((l, r)).map(_.toArray).getOrElse(Array.empty)
+          val touched = scala.collection.mutable.Set.empty[Pair]
+          var mi = 0
+          while (mi < members.length) {
+            val t = members(mi)
+            if (hasAdjacent(vocab(t), l, r)) {
+              delta(t, -1L, touched)
+              vocab(t) = applyMergeOnce(vocab(t), l, r, merged)
+              delta(t, 1L, touched)
+            }
+            mi += 1
+          }
+          touched.foreach(push)
+          rank += 1
       }
     }
     out.result()

@@ -213,29 +213,52 @@ object Similarity {
       nCentroids: Int,
       iterations: Int = 3,
       superK: Int = 0): Seq[(Long, Seq[Float])] =
-    kMeansLoop(embeddings, nCentroids, iterations, portable = false,
-      cents => nearestCentroidTwoLevel(cents, superK))
+    // AUTO-ROUTE past the literal-plan cliff (r15 — the r14
+    // knnGraphHier recipe applied to the trainer): past
+    // [[GraphLiteralMaxTerms]] plan floats the two-level CASE chain
+    // stops being buildable/compilable, so each Lloyd iteration
+    // assigns via the broadcast-join kernel instead — spec-pinned
+    // bit-equal to the literal assignment, so the switch is purely
+    // physical
+    kMeansLoopDf(embeddings, nCentroids, iterations, portable = false,
+      (df, cents) =>
+        if (SuperProbeDefault.toLong * cents.size * cents.head._2.length >
+            GraphLiteralMaxTerms)
+          twoLevelJoinAssigned(df, cents, superK, SuperProbeDefault, carry = Nil)
+        else df.withColumn("centroid_id", nearestCentroidTwoLevel(cents, superK)))
 
   private def kMeansLoop(
       embeddings: DataFrame,
       nCentroids: Int,
       iterations: Int,
       portable: Boolean,
-      assignOf: Seq[(Long, Seq[Float])] => Column): Seq[(Long, Seq[Float])] = {
+      assignOf: Seq[(Long, Seq[Float])] => Column): Seq[(Long, Seq[Float])] =
+    kMeansLoopDf(embeddings, nCentroids, iterations, portable,
+      (df, cents) => df.withColumn("centroid_id", assignOf(cents)))
+
+  /** The Lloyd loop over a FRAME-level assigner (r15): the join-based
+    * assignment kernels are DataFrame transforms, not column
+    * expressions, so the loop takes `(frame, centroids) => assigned
+    * frame` — the literal paths wrap their Column in [[kMeansLoop]].
+    */
+  private def kMeansLoopDf(
+      embeddings: DataFrame,
+      nCentroids: Int,
+      iterations: Int,
+      portable: Boolean,
+      assignFrame: (DataFrame, Seq[(Long, Seq[Float])]) => DataFrame): Seq[(Long, Seq[Float])] = {
     val cached = embeddings.select(col("vec_id"), col("embedding")).persist()
     try {
       var centroids = seedCentroids(cached, nCentroids)
         .zipWithIndex.map { case ((_, v), i) => i.toLong -> v }
       for (_ <- 0 until iterations) {
-        val assign = assignOf(centroids)
         // portable mode rounds each per-dimension mean to 6 dp before the
         // float cast: with the 6-dp assignment argmin this makes every
         // iteration's centroids reproducible across engines, so an
         // unrolled SQL replica of the SAME Lloyd run lands on
         // bit-identical centroids — the training becomes oracle-checkable
         val meanCol = if (portable) round(avg("v"), 6) else avg("v")
-        val updated = cached
-          .withColumn("centroid_id", assign)
+        val updated = assignFrame(cached, centroids)
           .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy("centroid_id", "pos").agg(meanCol.as("v"))
           .groupBy("centroid_id")
@@ -661,18 +684,23 @@ object Similarity {
     // in the union of per-cell top-ks under the same total order, and
     // (probe, vec) pairs are unique across cells (cells disjoint) —
     // bit-identical edges (the family's oracle keys stay hash-green).
+    // the local prune is a WINDOW, not a collect_list aggregate: at
+    // n·cellsize ≈ 10⁹ candidates the per-(probe, cell) group count
+    // forces ObjectHashAggregate past its sort fallback anyway, and
+    // the window's one map-side sort of the NARROW candidate rows
+    // (no embeddings ride past the select) spills compressed without
+    // a shuffle write+fetch on top
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id", "centroid_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
     assigned
       .join(probeCells, Seq("centroid_id"))
       .filter(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("centroid_id"), col("vec_id"), col("label"),
         round(cosine(col("_pe"), col("embedding")), 6).as("cosine"))
-      .groupBy("probe_id", "centroid_id")
-      .agg(slice(array_sort(collect_list(struct(
-          (-col("cosine")).as("d"), col("vec_id").as("v"),
-          col("label").as("l")))), 1, k).as("_top"))
-      .select(col("probe_id"), explode(col("_top")).as("_t"))
-      .select(col("probe_id"), col("_t.v").as("vec_id"),
-        col("_t.l").as("label"), (-col("_t.d")).as("cosine"))
+      .withColumn("_ln", row_number().over(wLocal))
+      .filter(col("_ln") <= k)
+      .drop("_ln", "centroid_id")
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .drop("_rn")
@@ -837,16 +865,24 @@ object Similarity {
       }.toIndexedSeq: _*))
       val probeSids = array(
         (1 to superProbe).map(p => element_at(ranked, p).getField("sid")): _*)
+      // the aggregate sees ONLY narrow (probe_id, (d, cid)) rows — the
+      // probe embedding is scored map-side in the broadcast-join stage
+      // and re-attached by an id-keyed join AFTER the per-probe slice:
+      // carrying `_pe` through the agg made ObjectHashAggregate's sort
+      // fallback sort n·superProbe·members WIDE rows (the r15 sf100
+      // rung's disk blow-up; narrow structs spill 20× smaller)
       probes
         .select(col("probe_id"), col("embedding").as("_pe"),
           explode(probeSids).as("sid"))
         .join(broadcast(memberDf), Seq("sid"))
+        .select(col("probe_id"),
+          struct(round(-cosine(col("_pe"), col("cvec")), 6).as("d"),
+            col("cid").as("cid")).as("_dc"))
         .groupBy("probe_id")
-        .agg(
-          first(col("_pe")).as("_pe"),
-          slice(array_sort(collect_list(struct(
-            round(-cosine(col("_pe"), col("cvec")), 6).as("d"),
-            col("cid").as("cid")))), 1, nProbe).as("_cells"))
+        .agg(slice(array_sort(collect_list(col("_dc"))), 1, nProbe)
+          .as("_cells"))
+        .join(probes.select(col("probe_id"), col("embedding").as("_pe")),
+          Seq("probe_id"))
         .select(col("probe_id"), col("_pe"),
           explode(transform(col("_cells"), x => x.getField("cid")))
             .as("centroid_id"))
@@ -2607,13 +2643,19 @@ object Similarity {
         (1 to superProbe).map(p => element_at(ranked, p).getField("sid")): _*)
       val candidate = struct(
         (-cosine(col("embedding"), col("cvec"))).as("d"), col("cid").as("cid"))
-      df.select(col("vec_id") +: col("embedding") +:
-          explode(probeSids).as("sid") +: extra.map(col): _*)
+      // the argmin aggregate sees ONLY narrow (vec_id, (d, cid)) rows:
+      // the embedding is consumed map-side by the candidate kernel and
+      // re-attached with an id-keyed join after — first(embedding) in
+      // the agg buffer pushed the whole candidate expansion (embedding
+      // per row) through ObjectHashAggregate's sort fallback (the r15
+      // sf100 rung's disk blow-up)
+      df.select(col("vec_id"), col("embedding"), explode(probeSids).as("sid"))
         .join(broadcast(memberDf), Seq("sid"))
+        .select(col("vec_id"), candidate.as("_c"))
         .groupBy("vec_id")
-        .agg(min(candidate).as("_s"),
-          first(col("embedding")).as("embedding") +:
-            extra.map(c => first(col(c)).as(c)): _*)
+        .agg(min(col("_c")).as("_s"))
+        .join(df.select(col("vec_id") +: col("embedding") +:
+          extra.map(col): _*), Seq("vec_id"))
         .select(col("vec_id") +: col("embedding") +:
           col("_s").getField("cid").as("centroid_id") +: extra.map(col): _*)
     }
@@ -2719,7 +2761,14 @@ object Similarity {
       index: IvfIndex,
       minCos: Double = SemDedupMinCos,
       superK: Int = 0): DataFrame =
-    semanticPairsFrom(
+    // AUTO-ROUTE past the literal-plan cliff (r15, the knnGraphHier
+    // recipe): at production cluster counts the two-level CASE chain
+    // exceeds [[GraphLiteralMaxTerms]] plan floats — assign via the
+    // spec-pinned bit-equal broadcast-join kernel instead
+    if (SuperProbeDefault.toLong * index.centroids.size *
+        index.centroids.head._2.length > GraphLiteralMaxTerms)
+      semanticPairsHierJoin(embeddings, index, minCos, superK)
+    else semanticPairsFrom(
       graft.core.CacheScope.persist(
         ivfAssignTwoLevelTo(embeddings, index.centroids, superK)
           .select(col("centroid_id"), col("vec_id"), col("embedding"))),

@@ -47,6 +47,20 @@ class BpeProductionVocabSpec extends SparkSpec {
 
   private lazy val ms: Seq[Bpe.Merge] = Bpe.mergeLoop(types, Merges)
 
+  test("indexed trainer is bit-identical to the reference scan loop (r15)") {
+    // the pair-postings trainer (the r15 fix for the >29-min m=32k
+    // rung) must select the SAME merge at every rank — same pairs,
+    // same tie-breaks, same recorded counts — as the
+    // direct-from-the-definition scan loop, on the production-shaped
+    // trigram table AND through exhaustion on a tiny table
+    assert(Bpe.mergeLoopIndexed(types, Merges) == Bpe.mergeLoopScan(types, Merges),
+      "indexed trainer diverged from the reference scan loop")
+    val tiny = Array(("abab", 5L), ("abc", 3L), ("bc", 3L), ("aab", 2L))
+    // m far past exhaustion: both must stop at the same dense rank list
+    assert(Bpe.mergeLoopIndexed(tiny, 64) == Bpe.mergeLoopScan(tiny, 64),
+      "indexed trainer diverged at/after exhaustion")
+  }
+
   test("driver merge loop learns 1024 merges over a binding 4096-type table") {
     assert(types.length == MaxTypes,
       s"the type bound must BIND (got ${types.length}) or the rung proves nothing")
