@@ -541,12 +541,25 @@ object Loader {
       * primary check (server-side version token — strictly stronger
       * than content bytes); the content compare covers a beat whose
       * write LANDED but whose ack was lost (live generation unknown
-      * to the handle, content provably ours).
+      * to the handle, content provably ours). The handle state is
+      * snapshotted BEFORE the store read AND re-consulted after (the
+      * r14 HbLeaseGuard discipline): a live beat CASing between the
+      * read and the compare moves `gen`/`content`, and either the
+      * pre-read snapshot (store still old) or the post-read state
+      * (store already new) matches a healthy lease — only genuinely
+      * foreign state misses both.
       */
     def stillOwned(): Boolean = {
+      val genBefore = handle.gen
+      val contentBefore = handle.content
+      val inflightBefore = handle.inflight
       val cur = handle.store.get(handle.key)
       lastOwner = cur.map(_._1.split(' ').head)
-      cur.exists { case (c, g) => g == handle.gen || handle.ownsContent(c) }
+      cur.exists { case (c, g) =>
+        g == genBefore || c == contentBefore ||
+          (inflightBefore != null && c == inflightBefore) ||
+          g == handle.gen || handle.ownsContent(c)
+      }
     }
     @volatile private var lastOwner: Option[String] = None
     def ownerHint(): String = lastOwner.getOrElse("<nobody>")

@@ -153,6 +153,40 @@ class CondLeaseSpec extends SparkSpec {
     }
   }
 
+  test("stillOwned survives a beat landing mid-check: the pre-read snapshot is accepted (r15 review)") {
+    val inner = freshStore
+    var handleRef: Loader.CondLeaseHandle = null
+    @volatile var armed = false
+    // a store whose read races a beat: the caller sees the PRE-beat
+    // state while the handle's bookkeeping has already moved on — the
+    // exact window that spuriously aborted healthy rewrites on the
+    // rename path before its r14 snapshot fix
+    val racy = new ConditionalLeaseStore {
+      def putIfAbsent(k: String, c: String) = inner.putIfAbsent(k, c)
+      def replaceIf(k: String, c: String, e: Long) = inner.replaceIf(k, c, e)
+      def deleteIf(k: String, e: Long) = inner.deleteIf(k, e)
+      def get(k: String) = {
+        val before = inner.get(k)
+        if (armed && before.isDefined) {
+          armed = false
+          val (c0, g0) = before.get
+          val next = c0 + " hbX"
+          val g1 = inner.replaceIf(k, next, g0).get
+          handleRef.gen = g1
+          handleRef.content = next
+        }
+        before
+      }
+    }
+    handleRef = Loader.acquireCondLease(spark, "cond_midcheck", racy)
+    val guard = new Loader.CondLeaseGuard(handleRef)
+    armed = true
+    assert(guard.stillOwned(),
+      "a beat landing between the store read and the compare must not " +
+        "read as a lost lease")
+    Loader.shutdownCondLease(handleRef)
+  }
+
   test("withLease end-to-end on the conditional protocol: merge guarded, released; mid-rewrite reap refuses the destructive swap") {
     import spark.implicits._
     val store = freshStore
