@@ -495,6 +495,48 @@ object ExtQueries {
        |    ORDER BY cosine DESC, vec_id) AS rn FROM kref$cur)
        |  WHERE rn <= $KnnGraphK)""".stripMargin
 
+  /** The graph-walk retrieval oracle (beam search unrolled as CTE
+    * stages — the trajectory recipe): `edge` names the edge CTE the
+    * hops expand over (`kg` for the full walk, `kgr` for the
+    * cell-restricted serving face), `extraCtes` injects the
+    * restriction CTEs after the shared graph chain. ONE text for both
+    * declared walks, mirroring the engine's one [[Similarity.graphSearch]]
+    * kernel behind [[Similarity.graphSearchClustered]].
+    */
+  private def graphSearchOracle(edge: String, extraCtes: String): String = {
+    def searchRound(prev: String, r: Int): String =
+      s"""gh$r AS (SELECT s.probe_id, $edge.vec_id
+         |  FROM $prev s JOIN $edge ON $edge.probe_id = s.vec_id),
+         |gc$r AS (SELECT DISTINCT probe_id, vec_id FROM (
+         |  SELECT probe_id, vec_id FROM $prev
+         |  UNION ALL SELECT probe_id, vec_id FROM gh$r)),
+         |gx$r AS (SELECT c.probe_id, c.vec_id, e.label,
+         |    round(${cosSql("e.embedding", "g.gpe", 64)}, 6) AS cosine
+         |  FROM gc$r c JOIN embeddings e ON e.vec_id = c.vec_id
+         |              JOIN gp g ON g.probe_id = c.probe_id),
+         |gs$r AS (SELECT probe_id, vec_id, label, cosine FROM (
+         |  SELECT gx$r.*, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cosine DESC, vec_id) AS rn FROM gx$r)
+         |  WHERE rn <= $GraphSearchBeam)""".stripMargin
+    val rounds = (1 to GraphSearchRounds)
+      .map(r => searchRound(if (r == 1) "gs0" else s"gs${r - 1}", r))
+      .mkString(",\n")
+    s"""WITH gp AS (SELECT vec_id AS probe_id, embedding AS gpe FROM embeddings
+       |    WHERE vec_id % $KnnProbeModulus = 0
+       |    ORDER BY vec_id LIMIT $KnnProbeLimit),
+       |$knnGraphCtes$extraCtes,
+       |gx0 AS (SELECT g.probe_id, c.cid AS vec_id, e.label,
+       |    round(${cosSql("e.embedding", "g.gpe", 64)}, 6) AS cosine
+       |  FROM gp g CROSS JOIN kcent c JOIN embeddings e ON e.vec_id = c.cid),
+       |gs0 AS (SELECT probe_id, vec_id, label, cosine FROM (
+       |  SELECT gx0.*, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cosine DESC, vec_id) AS rn FROM gx0)
+       |  WHERE rn <= $GraphSearchBeam),
+       |$rounds
+       |SELECT probe_id, vec_id, label, cosine FROM gs$GraphSearchRounds
+       |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin
+  }
+
   /** The curriculum trainer tail (quality join → exact q_mass block
     * aggregate → content-hashed shard + quality-DESC per-shard position
     * → the stride/WFQ schedule) — ONE text for the raw and
@@ -1295,18 +1337,81 @@ object ExtQueries {
       Similarity.appendToGraph(baseGraph, base, batch, cents, k = KnnGraphK)
     }),
     "graph_search_embeddings" -> ((s: SparkSession, dir: String) => {
-      // graph-walk retrieval (r14 verdict #2b): per-probe beam search
-      // over the frozen edge table — the NSW/HNSW search step on the
-      // single-layer kNN graph, seeded at the quantizer's landmark
-      // vertices, GraphSearchRounds hops at beam GraphSearchBeam; the
-      // oracle unrolls the same rounds as CTE stages (the trajectory
-      // recipe). The edge table pins: every hop joins it once.
+      // graph-walk retrieval (r14 verdict #2b → r15 verdict #1): the
+      // NSW beam search SERVED from the persisted clustered edge
+      // artifact — the graph is written via writeGraphClustered (the
+      // maintenance layout) and the walk consumes the LOADED edge
+      // table, never the in-memory one, so the oracle hash covers the
+      // edge artifact's persistence round-trip too (the
+      // similarity_ivf_trained save→load→serve precedent). Seeded at
+      // the quantizer's landmark vertices, GraphSearchRounds hops at
+      // beam GraphSearchBeam; the oracle unrolls the same rounds as
+      // CTE stages (the trajectory recipe).
       val e = embs(s, dir)
-      val g = graft.core.CacheScope.persist(
-        Similarity.knnGraph(e, k = KnnGraphK))
-      Similarity.graphSearch(e, g, probeBatch(e),
-        Similarity.seedCentroids(e, 16).map(_._1),
+      val cents = Similarity.seedCentroids(e, 16)
+      val root = s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}"
+      val path = s"$root/graph_clustered"
+      Similarity.writeGraphClustered(Similarity.knnGraph(e, k = KnnGraphK),
+        Similarity.ivfAssignPortableTo(e, cents), path)
+      Similarity.graphSearch(e, s.read.parquet(path).drop("g_cell"),
+        probeBatch(e), cents.map(_._1),
         beam = GraphSearchBeam, rounds = GraphSearchRounds)
+    }),
+    "graph_search_clustered_embeddings" -> ((s: SparkSession, dir: String) => {
+      // the serving face with IVF-style CELL RESTRICTION (r15 verdict
+      // #1's pruning half): the walk reads ONLY the probed cells'
+      // partitions of the clustered edge artifact — the literal cell
+      // list reaches the scan as PartitionFilters (PruningSpec pins
+      // it), bounding file IO by the probed cells, never the graph.
+      // Expansion is cell-local (the SPANN posting-list trade);
+      // out-of-cell vertices reached by an in-cell edge are scored but
+      // not expanded — deterministic under the frozen quantizer, so
+      // the oracle replicates the restriction as a WHERE on the edge
+      // CTE.
+      val e = embs(s, dir)
+      val cents = Similarity.seedCentroids(e, 16)
+      val root = s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}"
+      val path = s"$root/graph_clustered_serve"
+      Similarity.writeGraphClustered(Similarity.knnGraph(e, k = KnnGraphK),
+        Similarity.ivfAssignPortableTo(e, cents), path)
+      Similarity.graphSearchClustered(e, s.read.parquet(path),
+        probeBatch(e), cents, cents.map(_._1),
+        beam = GraphSearchBeam, rounds = GraphSearchRounds)
+    }),
+    "knn_graph_appended_embeddings" -> ((s: SparkSession, dir: String) => {
+      // clustered-graph MAINTENANCE end-to-end as one declared relation
+      // (r15 verdict #3 — the similarity_ivf_appended precedent applied
+      // to the EDGE artifact): base graph persisted via
+      // writeGraphClustered, two appendToGraphClustered batches fold
+      // the arriving vertices in (bounded partition rewrite), plus a
+      // RE-DELIVERY of the first batch (the vertex anti-join
+      // idempotency contract, exercised inside the hashed key), and
+      // the served relation reads the appended — never rebuilt —
+      // layout. The oracle is the full-rebuild text of the knn_graph
+      // key verbatim (same split invariant as knn_graph_append: every
+      // seed vertex stays in base, so the frozen quantizer equals the
+      // union's and the incremental fold is bit-identical).
+      val e = embs(s, dir)
+      val cents = Similarity.seedCentroids(e, 16)
+      val seedCut = cents.map(_._1).max
+      val arriving = col("vec_id") % 10 === 9 && col("vec_id") > seedCut
+      val base = e.filter(!arriving)
+      val b1 = e.filter(arriving && col("vec_id") % 20 === 9)
+      val b2 = e.filter(arriving && col("vec_id") % 20 === 19)
+      val root = s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}"
+      val path = s"$root/knn_graph_appended"
+      Similarity.writeGraphClustered(Similarity.knnGraph(base, k = KnnGraphK),
+        Similarity.ivfAssignPortableTo(base, cents), path)
+      Similarity.appendToGraphClustered(s, path, base, b1, cents,
+        k = KnnGraphK)
+      Similarity.appendToGraphClustered(s, path, base.unionByName(b1), b2,
+        cents, k = KnnGraphK)
+      Similarity.appendToGraphClustered(s, path,
+        base.unionByName(b1).unionByName(b2), b1, cents,
+        k = KnnGraphK) // re-delivery: must no-op on the vertex anti-join
+      s.read.parquet(path)
+        .select("probe_id", "vec_id", "label", "cosine")
+        .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
     }),
     "label_propagation_embeddings" -> ((s: SparkSession, dir: String) =>
       // one round of label propagation over the kNN graph: cosine-
@@ -2887,44 +2992,34 @@ object ExtQueries {
       s"""WITH $knnGraphCtes
          |SELECT probe_id, vec_id, label, cosine FROM kg
          |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin,
+    // clustered-graph maintenance: the same rebuild text — the key's
+    // two appends + re-delivery through the persisted layout must be
+    // bit-identical to the from-scratch graph over the union
+    "knn_graph_appended_embeddings" ->
+      s"""WITH $knnGraphCtes
+         |SELECT probe_id, vec_id, label, cosine FROM kg
+         |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin,
     // graph-walk retrieval: the knn_graph chain once (the frozen edge
     // table), then the beam-search round — one hop over the beam's
     // edges, union with the beam, exact re-score, per-probe top-beam —
     // UNROLLED once per hop (the trajectory-oracle recipe); the beam
     // seeds from the quantizer's landmark vertices (kcent)
-    "graph_search_embeddings" -> {
-      def searchRound(prev: String, r: Int): String =
-        s"""gh$r AS (SELECT s.probe_id, kg.vec_id
-           |  FROM $prev s JOIN kg ON kg.probe_id = s.vec_id),
-           |gc$r AS (SELECT DISTINCT probe_id, vec_id FROM (
-           |  SELECT probe_id, vec_id FROM $prev
-           |  UNION ALL SELECT probe_id, vec_id FROM gh$r)),
-           |gx$r AS (SELECT c.probe_id, c.vec_id, e.label,
-           |    round(${cosSql("e.embedding", "g.gpe", 64)}, 6) AS cosine
-           |  FROM gc$r c JOIN embeddings e ON e.vec_id = c.vec_id
-           |              JOIN gp g ON g.probe_id = c.probe_id),
-           |gs$r AS (SELECT probe_id, vec_id, label, cosine FROM (
-           |  SELECT gx$r.*, row_number() OVER (PARTITION BY probe_id
-           |    ORDER BY cosine DESC, vec_id) AS rn FROM gx$r)
-           |  WHERE rn <= $GraphSearchBeam)""".stripMargin
-      val rounds = (1 to GraphSearchRounds)
-        .map(r => searchRound(if (r == 1) "gs0" else s"gs${r - 1}", r))
-        .mkString(",\n")
-      s"""WITH gp AS (SELECT vec_id AS probe_id, embedding AS gpe FROM embeddings
-         |    WHERE vec_id % $KnnProbeModulus = 0
-         |    ORDER BY vec_id LIMIT $KnnProbeLimit),
-         |$knnGraphCtes,
-         |gx0 AS (SELECT g.probe_id, c.cid AS vec_id, e.label,
-         |    round(${cosSql("e.embedding", "g.gpe", 64)}, 6) AS cosine
-         |  FROM gp g CROSS JOIN kcent c JOIN embeddings e ON e.vec_id = c.cid),
-         |gs0 AS (SELECT probe_id, vec_id, label, cosine FROM (
-         |  SELECT gx0.*, row_number() OVER (PARTITION BY probe_id
-         |    ORDER BY cosine DESC, vec_id) AS rn FROM gx0)
-         |  WHERE rn <= $GraphSearchBeam),
-         |$rounds
-         |SELECT probe_id, vec_id, label, cosine FROM gs$GraphSearchRounds
-         |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin
-    },
+    "graph_search_embeddings" -> graphSearchOracle("kg", ""),
+    // the cell-restricted serving face: same walk, but the edge CTE is
+    // filtered to the probe batch's probed cells (gpr = per-probe
+    // nProbe nearest centroids over gp, kgr = edges whose OWNING
+    // vertex's kasg cell is probed) — the engine's PartitionFilters
+    // restriction replicated as a WHERE
+    "graph_search_clustered_embeddings" -> graphSearchOracle("kgr",
+      s""",
+         |gpr AS (SELECT probe_id, cid FROM (
+         |    SELECT g.probe_id, c.cid,
+         |      row_number() OVER (PARTITION BY g.probe_id
+         |        ORDER BY round(${cosSql("c.cvec", "g.gpe", 64)}, 6) DESC, c.cid) AS rn
+         |    FROM kcent c CROSS JOIN gp g) WHERE rn <= 4),
+         |kgr AS (SELECT kg.probe_id, kg.vec_id FROM kg
+         |  JOIN kasg a ON a.vec_id = kg.probe_id
+         |  WHERE a.cid IN (SELECT DISTINCT cid FROM gpr))""".stripMargin),
     // label propagation: the knn_graph chain wrapped as a CTE, then
     // per-(vertex, label) DECIMAL(16,6)-exact vote sums and the
     // aggregate argmax (max vote join + min label at the max)

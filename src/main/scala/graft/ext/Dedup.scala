@@ -605,8 +605,65 @@ object Dedup {
     * one corpus-position shuffle — the honest floor for exact-substring
     * semantics without a distributed suffix array.
     */
+  /** Pre-flight scratch limit for [[substringDedup]] (bytes). Default:
+    * the usable space under the first `spark.local.dir` (where the
+    * position sort spills). Set to a byte count to override, or `-1`
+    * to disable the guard entirely (cluster runs, where per-executor
+    * scratch is the cluster manager's business).
+    */
+  val SubstrScratchLimitConf = "spark.graft.substrDedup.scratchLimitBytes"
+
+  /** Estimated spill bytes of the one corpus-position sort per INPUT
+    * byte of `documents`' parquet files: snappy-compressed text
+    * expands ~3× to chars, and each char is one position row in the
+    * clustered window sort — (h: long, doc_id: long, pos: int) plus
+    * Tungsten/sort-array overhead ≈ 48 B. 144 B/input-byte is the
+    * honest order-of-magnitude the r15 sf100 rung measured the hard
+    * way (76 GB of scratch dead on a 100 GB box).
+    */
+  val SubstrScratchPerInputByte = 144L
+
+  /** (estimated sort-scratch bytes, configured limit bytes) for a
+    * [[substringDedup]] run over `documents` — file-size-based (free:
+    * one Hadoop listing of the frame's input files, no data read), so
+    * the refusal lands in SECONDS, not after filling the disk. An
+    * in-memory frame (no input files) estimates 0: the guard is for
+    * corpus-scale parquet inputs.
+    */
+  private[ext] def substrScratch(documents: DataFrame): (Long, Long) = {
+    val spark = documents.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inputBytes = documents.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try p.getFileSystem(conf).getFileStatus(p).getLen
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+    val limit = spark.conf.getOption(SubstrScratchLimitConf)
+      .map(_.toLong)
+      .getOrElse {
+        val dir = spark.sparkContext.getConf
+          .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
+          .split(',').head
+        new java.io.File(dir).getUsableSpace
+      }
+    (inputBytes * SubstrScratchPerInputByte, limit)
+  }
+
   def substringDedup(documents: DataFrame, k: Int = SubstrK): DataFrame = {
     require(k >= 2, s"span threshold must be >= 2 chars: $k")
+    // pre-flight (r15 verdict #5): the one-shuffle position sort is the
+    // scale-safe PLAN, but its spill is ~144× the input bytes and a
+    // single box runs out of scratch at ~sf30 (SCALE.md r15 measured
+    // the sf100 death at 76 GB) — estimate from file sizes and refuse
+    // in seconds instead of after filling the disk
+    val (est, limit) = substrScratch(documents)
+    require(limit < 0 || est <= limit,
+      f"substringDedup pre-flight: estimated sort scratch $est bytes " +
+        f"(~${est / 1e9}%.1f GB) exceeds the available/configured limit " +
+        f"$limit bytes (~${limit / 1e9}%.1f GB) - the position sort is " +
+        "cluster-sized beyond ~sf10 on one box (SCALE.md r15). Run on " +
+        "a cluster, shrink the input, or set " +
+        s"$SubstrScratchLimitConf (bytes; -1 disables) to override")
     // pinned: the normalization pass feeds the gram explode AND the
     // final cut join — without the pin the regex scan runs twice
     val normed = graft.core.CacheScope.persist(

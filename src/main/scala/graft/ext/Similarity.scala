@@ -1435,6 +1435,10 @@ object Similarity {
     * label — typically the sibling [[writeClustered]] vector layout),
     * and must be the PRE-batch corpus: [[graft.streaming.StreamGraphMaintain]]
     * sequences the two appends so that holds across crash/replay.
+    * ENFORCED (r15 advice): any stored vertex absent from `base` — the
+    * overlapping-redelivery shape, where newcomers would score against
+    * a corpus missing live graph vertices — fails the append loudly
+    * rather than silently diverging from the rebuild.
     *
     * @return the rewritten g_cell partition ids (empty = no-op)
     */
@@ -1453,17 +1457,59 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (fresh.isEmpty) return Nil
+      // pre-batch-corpus contract (r15 advice): every stored vertex
+      // must appear in `base` — an OVERLAPPING (not exact-replay)
+      // re-delivery supplies a base missing vertices the graph already
+      // holds, and since the anti-join above drops those vertices from
+      // `fresh` too, the genuine newcomers would be scored against a
+      // corpus silently missing them (edges to them never created,
+      // never re-ranked — divergence from the rebuild). Fail loudly
+      // instead; exact replays no-op on the anti-join above and never
+      // reach this check.
+      val orphaned = stored.select(col("probe_id").as("vec_id")).distinct()
+        .join(base.select("vec_id"), Seq("vec_id"), "left_anti")
+        .count()
+      require(orphaned == 0L,
+        s"appendToGraphClustered: $orphaned stored vertices absent from " +
+          "`base` - base must be the full pre-batch corpus the stored " +
+          "graph covers (the overlapping-redelivery shape); scoring " +
+          "against a smaller corpus would silently diverge from the " +
+          "rebuild")
       val p = appendEdgePieces(
         stored.drop("g_cell"), base, fresh, centroids, k, nProbe)
-      // the owning cell of every rewritten vertex: affected vertices
-      // re-assign from the base corpus; newcomers carry their own cell
-      val baseCellsOf = ivfAssignPortableTo(base, centroids)
-        .select(col("vec_id").as("probe_id"), col("centroid_id").as("g_cell"))
-      val affectedCells = p.affected.join(baseCellsOf, Seq("probe_id"))
-      val rewritten = affectedCells.select("g_cell").distinct()
-        .collect().map(_.getLong(0)).toSet ++
-        p.batchAssigned.select("centroid_id").distinct()
-          .collect().map(_.getLong(0)).toSet
+      // the owning cell of every rewritten vertex: an affected vertex's
+      // rows live where the STORED layout says they live (r15 advice:
+      // re-deriving via ivfAssignPortableTo(base, centroids) silently
+      // mismatches a layout whose g_cell was not produced by the flat
+      // portable argmin — e.g. a knnGraphHier build — leaving the
+      // vertex's stale rows in a never-rewritten partition); newcomers
+      // carry their own frozen-quantizer cell. A degenerate affected
+      // vertex with NO stored rows (zero prior edges) falls back to
+      // the frozen quantizer, scored over the affected slice only.
+      // partition-column type inference may read g_cell back narrower
+      // than the written long — normalize once here
+      val storedCells = stored
+        .select(col("probe_id"), col("g_cell").cast("long").as("g_cell"))
+        .distinct()
+      val affectedStored = p.affected.join(storedCells, Seq("probe_id"))
+      val fallback = ivfAssignPortableTo(
+          base.join(p.affected.select(col("probe_id").as("vec_id")),
+            Seq("vec_id"), "left_semi"), centroids)
+        .select(col("vec_id").as("probe_id"), col("centroid_id").as("_fb"))
+      val placeCell = p.affected
+        .join(affectedStored.groupBy("probe_id").agg(min("g_cell").as("_sc")),
+          Seq("probe_id"), "left")
+        .join(fallback, Seq("probe_id"), "left")
+        .select(col("probe_id"), coalesce(col("_sc"), col("_fb")).as("g_cell"))
+      // one driver-side job for the rewrite set: every cell HOLDING an
+      // affected vertex's rows (stale-row purge — for a malformed
+      // layout with a vertex in two cells, both rewrite and the
+      // re-rank lands in one: self-healing), every placement cell, and
+      // every cell the batch lands in
+      val rewritten = affectedStored.select("g_cell")
+        .unionByName(placeCell.select("g_cell"))
+        .unionByName(p.batchAssigned.select(col("centroid_id").as("g_cell")))
+        .distinct().collect().map(_.getLong(0)).toSet
       val cells = rewritten.toSeq.sorted
       // the rewritten partitions' NEW contents: in-cell untouched rows
       // verbatim + the re-ranked affected rows + the newcomers
@@ -1471,8 +1517,7 @@ object Similarity {
         .filter(col("g_cell").isin(cells: _*))
         .join(p.affected, Seq("probe_id"), "left_anti")
       val slice = untouchedInCells.unionByName(
-          p.rescored.join(affectedCells.select("probe_id", "g_cell")
-            .dropDuplicates("probe_id"), Seq("probe_id")))
+          p.rescored.join(placeCell, Seq("probe_id")))
         .unionByName(
           p.newcomerEdges.join(
             p.batchAssigned.select(col("vec_id").as("probe_id"),
@@ -1511,8 +1556,14 @@ object Similarity {
     * (|probes|·beam rows against the k-sparse edge table) + one
     * id-keyed embedding lookup join — no round scans the corpus, and
     * the walk serves from the same persisted edge artifact
-    * [[appendToGraph]] maintains. Each round's beam is pinned so
-    * round r's plan is one hop-join deep, never a growing lineage.
+    * [[appendToGraph]] maintains. Each round's beam is EAGERLY
+    * localCheckpoint'd and the previous round's released as soon as
+    * the next has materialized (the [[knnGraphRefineConverged]]
+    * discipline — r15 advice: the per-round CacheScope pins
+    * accumulated rounds+1 frames per serving CALL, leaking across
+    * repeated calls until some caller's releaseAll). Only the FINAL
+    * beam survives the call, CacheScope-tracked so the session's
+    * normal release lifecycle frees it.
     */
   def graphSearch(
       embeddings: DataFrame,
@@ -1541,17 +1592,65 @@ object Similarity {
     // entry candidates: per probe, the literal entry-id list exploded —
     // no join (a crossJoin here would plan a BroadcastNestedLoopJoin;
     // the entry set is driver-resident by contract, like a probe list)
-    var cur = graft.core.CacheScope.persist(ranked(
+    var cur = ranked(
       pe.select(col("probe_id"),
-        explode(array(entryIds.map(lit(_)): _*)).as("vec_id"))))
+        explode(array(entryIds.map(lit(_)): _*)).as("vec_id")))
+      .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val hop = cur.select("probe_id", "vec_id")
         .join(g, col("vec_id") === col("_src"))
         .select(col("probe_id"), col("_dst").as("vec_id"))
       val cand = cur.select("probe_id", "vec_id").unionByName(hop).distinct()
-      cur = graft.core.CacheScope.persist(ranked(cand))
+      // eager checkpoint: `cur` is fully consumed before its release
+      val next = ranked(cand).localCheckpoint(true)
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(cur)
+      cur = next
     }
-    cur.orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
+    graft.core.CacheScope.track(cur)
+      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
+  }
+
+  /** The DISTINCT probed cells of a probe BATCH under the frozen
+    * quantizer — driver-resident by the same contract as
+    * [[probeCentroidIds]] (bounded by nCentroids, never by the corpus
+    * or the batch): the literal list [[graphSearchClustered]] pushes
+    * into the edge scan as `PartitionFilters`.
+    */
+  def probeCellIds(
+      probes: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      nProbe: Int = 4): Seq[Long] =
+    probeCellsOf(probes.select(col("probe_id"), col("embedding")),
+        centroids, nProbe)
+      .select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+
+  /** [[graphSearch]] SERVING from a [[writeGraphClustered]] layout with
+    * IVF-style cell restriction: the walk expands only edges whose
+    * owning vertex lives in one of the probe batch's probed cells, so
+    * the literal cell list prunes parquet FILES at the scan
+    * (`PartitionFilters` — the [[ivfTopKClustered]] recipe applied to
+    * the edge artifact). The SPANN-style locality trade (Chen et al.
+    * 2021, arXiv:2111.08566: search only the nearest coarse cells'
+    * posting lists): a vertex outside the probed cells can still be
+    * SCORED when an in-cell edge reaches it, but is not expanded
+    * further. Deterministic given the frozen quantizer — the declared
+    * key's oracle replicates the restriction as a WHERE on the edge
+    * CTE — and IO is bounded by the probed cells, never the graph.
+    */
+  def graphSearchClustered(
+      embeddings: DataFrame,
+      storedEdges: DataFrame,
+      probes: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      entryIds: Seq[Long],
+      nProbe: Int = 4,
+      beam: Int = 10,
+      rounds: Int = 3): DataFrame = {
+    val cells = probeCellIds(probes, centroids, nProbe)
+    graphSearch(embeddings,
+      storedEdges.filter(col("g_cell").isin(cells: _*)).drop("g_cell"),
+      probes, entryIds, beam, rounds)
   }
 
   /** Brute-force per-probe exact top-k with probes as DATA — the

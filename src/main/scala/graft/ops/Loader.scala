@@ -578,7 +578,8 @@ object Loader {
       val store: ConditionalLeaseStore,
       val key: String,
       @volatile var gen: Long,
-      @volatile var content: String) {
+      @volatile var content: String,
+      val ttlMs: Long = -1L) {
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     @volatile var thread: Thread = null
     @volatile var inflight: String = null
@@ -606,7 +607,13 @@ object Loader {
     val ttl = if (ttlMs > 0) ttlMs else leaseTtlMs(spark)
     val key = leasePath(spark, table).toString
     val appId = spark.sparkContext.applicationId
-    val content = s"$appId ${System.currentTimeMillis()}"
+    // per-acquire nonce (r15 advice): two acquisitions by the same app
+    // on the same table in the same millisecond would otherwise be
+    // byte-identical, and the byte-exact ownership checks (owns /
+    // ownsContent / releaseCond's content-resync) could adopt — or
+    // deleteIf — a same-millisecond successor's live lease
+    val content =
+      s"$appId ${System.currentTimeMillis()} acq${heartbeatNonce.incrementAndGet()}"
     def refuse(owner: String, ageMs: Long): Nothing =
       throw new IllegalStateException(
         s"table `$table` is being written by $owner " +
@@ -615,13 +622,13 @@ object Loader {
           "retry after it releases, or delete the lease if the " +
           "writer is known dead")
     store.putIfAbsent(key, content) match {
-      case Some(g) => new CondLeaseHandle(store, key, g, content)
+      case Some(g) => new CondLeaseHandle(store, key, g, content, ttl)
       case None =>
         store.get(key) match {
           case None =>
             // deleted between the put and the read: one clean retry
             store.putIfAbsent(key, content) match {
-              case Some(g) => new CondLeaseHandle(store, key, g, content)
+              case Some(g) => new CondLeaseHandle(store, key, g, content, ttl)
               case None    => refuse("a concurrent acquirer", 0L)
             }
           case Some((raw, gSeen)) =>
@@ -633,7 +640,7 @@ object Loader {
             val age = System.currentTimeMillis() - ts
             if (age < ttl) refuse(owner, age)
             store.replaceIf(key, content, gSeen) match {
-              case Some(g2) => new CondLeaseHandle(store, key, g2, content)
+              case Some(g2) => new CondLeaseHandle(store, key, g2, content, ttl)
               case None     => refuse("a concurrent reaper/acquirer", 0L)
             }
         }
@@ -655,7 +662,12 @@ object Loader {
       table: String,
       handle: CondLeaseHandle): Unit = {
     val appId = spark.sparkContext.applicationId
-    val period = math.max(200L, math.min(60000L, leaseTtlMs(spark) / 4))
+    // beat at the lease's OWN ttl/4 (r15 advice): the acquire-time TTL
+    // rides on the handle — re-reading session config here would beat
+    // a custom-short-TTL lease too slowly and let a reaper steal it
+    // between beats
+    val ttl = if (handle.ttlMs > 0) handle.ttlMs else leaseTtlMs(spark)
+    val period = math.max(200L, math.min(60000L, ttl / 4))
     val marker = s"hb${heartbeatNonce.incrementAndGet()}"
     val t = new Thread(() => {
       var live = true
@@ -1000,7 +1012,11 @@ object Loader {
     val lfs = leaseFsFor(spark, path)
     lfs.mkdirs(path.getParent)
     val appId = spark.sparkContext.applicationId
-    val content = s"$appId ${System.currentTimeMillis()}"
+    // per-acquire nonce: same-millisecond same-app acquisitions must be
+    // byte-distinct for the byte-exact ownership checks (r15 advice —
+    // the conditional path's fix applied to the rename protocol too)
+    val content =
+      s"$appId ${System.currentTimeMillis()} acq${heartbeatNonce.incrementAndGet()}"
     val tmp = new org.apache.hadoop.fs.Path(path.getParent,
       s"${path.getName}.$appId.${Thread.currentThread().getId}.tmp")
     lfs.write(tmp, content)

@@ -1,0 +1,287 @@
+package graft.ops
+
+/** Vendor object-store shims for [[ConditionalLeaseStore]] (r15
+  * verdict: "a thin reflective S3/GCS adapter skeleton that compiles
+  * without the SDKs on the classpath").
+  *
+  * Both adapters bind to the vendor SDK via REFLECTION, so this
+  * library never declares the SDK as a dependency: construction
+  * resolves every class/method eagerly and fails loudly — naming the
+  * missing artifact and the certification suite — when the SDK is
+  * absent. The sandbox has no network, so these shims are
+  * compile-and-contract-gated, not integration-tested: certify a real
+  * deployment by subclassing [[ConditionalLeaseStoreContract]] with a
+  * `newStore()` returning one of these over a scratch bucket, exactly
+  * as [[InMemoryLeaseStoreContractSpec]] certifies the reference
+  * store.
+  *
+  * Mapping (each SPI op is ONE conditional HTTP call):
+  *
+  *   | SPI            | GCS (google-cloud-storage)                  | S3 (awssdk v2)                                  |
+  *   |----------------|---------------------------------------------|-------------------------------------------------|
+  *   | putIfAbsent    | create(blob, bytes, generationMatch(0))     | PutObject + If-None-Match: *                    |
+  *   | get            | get(blobId) → (content, generation)         | GetObject → (body, eTag)                        |
+  *   | replaceIf      | create(blob, bytes, generationMatch(g))     | HEAD → ETag; PutObject + If-Match: eTag         |
+  *   | deleteIf       | delete(blobId, generationMatch(g))          | HEAD → ETag; DeleteObject + If-Match: eTag      |
+  *
+  * GCS generations ARE the SPI's `Long` token. S3 exposes ETags
+  * (opaque strings), so the S3 shim derives the token from the ETag's
+  * leading 16 hex digits ([[S3ConditionalLeaseStore.genOf]]) and the
+  * HEAD+If-Match pair stays atomic: a writer landing between the HEAD
+  * and the conditional call flips the ETag and the precondition fails
+  * server-side (412), exactly the refusal the SPI wants.
+  */
+object ObjectStoreLeaseStores {
+
+  private[ops] def loadClass(name: String, artifact: String): Class[_] =
+    try Class.forName(name)
+    catch {
+      case _: ClassNotFoundException =>
+        throw new IllegalStateException(
+          s"$name is not on the classpath - add $artifact and certify " +
+            "the deployment with graft.ops.ConditionalLeaseStoreContract " +
+            "(the LeaseStore SPI's certification suite) before trusting " +
+            "the lease")
+    }
+
+  /** One-element vararg array of runtime type `c` (reflection cannot
+    * pass varargs as Object[] unless the array's component type is the
+    * vararg's exact class).
+    */
+  private[ops] def varargs1(c: Class[_], v: AnyRef): AnyRef = {
+    val arr = java.lang.reflect.Array.newInstance(c, 1)
+    java.lang.reflect.Array.set(arr, 0, v)
+    arr
+  }
+
+  private[ops] def varargs0(c: Class[_]): AnyRef =
+    java.lang.reflect.Array.newInstance(c, 0)
+
+  /** The S3 shim's SPI token for an ETag: its leading 16 hex digits as
+    * an unsigned long (quotes/dashes stripped). Documented trade: the
+    * token is a digest of the version identity, not the identity
+    * itself — the conditional calls always carry the full ETag, so a
+    * (2⁻⁶⁴-improbable) token collision can mis-REFUSE, never
+    * mis-admit.
+    */
+  private[ops] def s3GenOf(etag: String): Long = {
+    val hex = etag.filter(c => Character.digit(c, 16) >= 0).take(16)
+    if (hex.isEmpty) 0L else java.lang.Long.parseUnsignedLong(hex, 16)
+  }
+
+  /** `true` iff `t` (or its cause chain) is the vendor's
+    * precondition-failed signal: a class named `exClass` whose
+    * `codeMethod` returns 412 (or 409 — S3 signals a concurrent
+    * conditional-write conflict on the If-None-Match path with 409).
+    */
+  private[ops] def isPreconditionFailure(
+      t: Throwable, exClass: String, codeMethod: String): Boolean = {
+    var cur = t
+    while (cur != null) {
+      if (cur.getClass.getName == exClass ||
+          (cur.getClass.getSuperclass != null &&
+            cur.getClass.getSuperclass.getName == exClass)) {
+        val code =
+          try cur.getClass.getMethod(codeMethod).invoke(cur)
+              .asInstanceOf[Number].intValue()
+          catch { case _: ReflectiveOperationException => -1 }
+        return code == 412 || code == 409
+      }
+      cur = cur.getCause
+    }
+    false
+  }
+}
+
+/** GCS shim: `storage` must be a `com.google.cloud.storage.Storage`
+  * (built by the caller — credentials, retries, and endpoint are the
+  * deployment's business). GCS's generation number IS the SPI token,
+  * and `ifGenerationMatch(0)` is the documented create-if-absent
+  * precondition, so every SPI op is exactly one RPC.
+  */
+final class GcsConditionalLeaseStore(storage: AnyRef, bucket: String)
+    extends ConditionalLeaseStore {
+  import ObjectStoreLeaseStores._
+
+  private val artifact = "com.google.cloud:google-cloud-storage"
+  private val blobIdC = loadClass("com.google.cloud.storage.BlobId", artifact)
+  private val blobInfoC = loadClass("com.google.cloud.storage.BlobInfo", artifact)
+  private val targetOptC =
+    loadClass("com.google.cloud.storage.Storage$BlobTargetOption", artifact)
+  private val sourceOptC =
+    loadClass("com.google.cloud.storage.Storage$BlobSourceOption", artifact)
+  private val blobGetOptC =
+    loadClass("com.google.cloud.storage.Storage$BlobGetOption", artifact)
+  private val storageC = loadClass("com.google.cloud.storage.Storage", artifact)
+  private val blobIdOf = blobIdC.getMethod("of", classOf[String], classOf[String])
+  private val infoBuilder = blobInfoC.getMethod("newBuilder", blobIdC)
+  private val tgtGenMatch = targetOptC.getMethod("generationMatch", classOf[Long])
+  private val srcGenMatch = sourceOptC.getMethod("generationMatch", classOf[Long])
+  private val createM = storageC.getMethod("create", blobInfoC,
+    classOf[Array[Byte]], varargs0(targetOptC).getClass)
+  private val getM = storageC.getMethod("get", blobIdC,
+    varargs0(blobGetOptC).getClass)
+  private val deleteM = storageC.getMethod("delete", blobIdC,
+    varargs0(sourceOptC).getClass)
+
+  private def blobInfo(key: String): AnyRef = {
+    val id = blobIdOf.invoke(null, bucket, key)
+    val b = infoBuilder.invoke(null, id)
+    b.getClass.getMethod("build").invoke(b)
+  }
+
+  private def createWithGen(key: String, content: String, gen: Long): Option[Long] =
+    try {
+      val blob = createM.invoke(storage, blobInfo(key),
+        content.getBytes("UTF-8"),
+        varargs1(targetOptC, tgtGenMatch.invoke(null, Long.box(gen))))
+      Some(blob.getClass.getMethod("getGeneration").invoke(blob)
+        .asInstanceOf[java.lang.Long].longValue())
+    } catch {
+      case e: java.lang.reflect.InvocationTargetException
+          if isPreconditionFailure(e.getCause,
+            "com.google.cloud.storage.StorageException", "getCode") => None
+    }
+
+  def putIfAbsent(key: String, content: String): Option[Long] =
+    createWithGen(key, content, 0L)
+
+  def get(key: String): Option[(String, Long)] = {
+    val id = blobIdOf.invoke(null, bucket, key)
+    Option(getM.invoke(storage, id, varargs0(blobGetOptC))).map { blob =>
+      val bytes = blob.getClass
+        .getMethod("getContent", varargs0(
+          loadClass("com.google.cloud.storage.Blob$BlobSourceOption", artifact))
+          .getClass)
+        .invoke(blob, varargs0(
+          loadClass("com.google.cloud.storage.Blob$BlobSourceOption", artifact)))
+        .asInstanceOf[Array[Byte]]
+      val gen = blob.getClass.getMethod("getGeneration").invoke(blob)
+        .asInstanceOf[java.lang.Long].longValue()
+      (new String(bytes, "UTF-8"), gen)
+    }
+  }
+
+  def replaceIf(key: String, content: String, expect: Long): Option[Long] =
+    createWithGen(key, content, expect)
+
+  def deleteIf(key: String, expect: Long): Boolean =
+    try {
+      val id = blobIdOf.invoke(null, bucket, key)
+      deleteM.invoke(storage, id,
+          varargs1(sourceOptC, srcGenMatch.invoke(null, Long.box(expect))))
+        .asInstanceOf[java.lang.Boolean].booleanValue()
+    } catch {
+      case e: java.lang.reflect.InvocationTargetException
+          if isPreconditionFailure(e.getCause,
+            "com.google.cloud.storage.StorageException", "getCode") => false
+    }
+}
+
+/** S3 shim: `s3` must be a `software.amazon.awssdk.services.s3.S3Client`.
+  * S3's 2024 conditional-write preconditions (`If-None-Match: *` on
+  * create, `If-Match: <etag>` on replace/delete) carry the CAS; the
+  * SPI's Long token is derived from the ETag ([[genOf]]), and the
+  * replace/delete pair resolves the expected ETag with one HEAD first
+  * — still race-safe, because the conditional call re-checks
+  * server-side and 412s if anything landed after the HEAD.
+  */
+final class S3ConditionalLeaseStore(s3: AnyRef, bucket: String)
+    extends ConditionalLeaseStore {
+  import ObjectStoreLeaseStores._
+
+  private val artifact = "software.amazon.awssdk:s3"
+  private val putReqC = loadClass(
+    "software.amazon.awssdk.services.s3.model.PutObjectRequest", artifact)
+  private val getReqC = loadClass(
+    "software.amazon.awssdk.services.s3.model.GetObjectRequest", artifact)
+  private val headReqC = loadClass(
+    "software.amazon.awssdk.services.s3.model.HeadObjectRequest", artifact)
+  private val delReqC = loadClass(
+    "software.amazon.awssdk.services.s3.model.DeleteObjectRequest", artifact)
+  private val bodyC = loadClass(
+    "software.amazon.awssdk.core.sync.RequestBody", artifact)
+  private val noSuchKeyC = loadClass(
+    "software.amazon.awssdk.services.s3.model.NoSuchKeyException", artifact)
+  private val s3ExName = "software.amazon.awssdk.services.s3.model.S3Exception"
+  private val fromBytes = bodyC.getMethod("fromBytes", classOf[Array[Byte]])
+
+  /** The SPI token for an ETag — see [[ObjectStoreLeaseStores.s3GenOf]]. */
+  private def genOf(etag: String): Long = ObjectStoreLeaseStores.s3GenOf(etag)
+
+  private def build(reqC: Class[_], ifMatch: Option[String],
+      ifNoneMatch: Option[String], key: String): AnyRef = {
+    var b = reqC.getMethod("builder").invoke(null)
+    def call(m: String, v: AnyRef): Unit =
+      b = b.getClass.getMethod(m, classOf[String]).invoke(b, v)
+    call("bucket", bucket); call("key", key)
+    ifMatch.foreach(call("ifMatch", _))
+    ifNoneMatch.foreach(call("ifNoneMatch", _))
+    b.getClass.getMethod("build").invoke(b)
+  }
+
+  private def put(key: String, content: String, ifMatch: Option[String],
+      ifNoneMatch: Option[String]): Option[Long] =
+    try {
+      val req = build(putReqC, ifMatch, ifNoneMatch, key)
+      val resp = s3.getClass.getMethod("putObject", putReqC, bodyC)
+        .invoke(s3, req, fromBytes.invoke(null, content.getBytes("UTF-8")))
+      Some(genOf(resp.getClass.getMethod("eTag").invoke(resp)
+        .asInstanceOf[String]))
+    } catch {
+      case e: java.lang.reflect.InvocationTargetException
+          if isPreconditionFailure(e.getCause, s3ExName, "statusCode") => None
+    }
+
+  /** HEAD: `Some(etag)` if present, `None` if absent. */
+  private def headEtag(key: String): Option[String] =
+    try {
+      val resp = s3.getClass.getMethod("headObject", headReqC)
+        .invoke(s3, build(headReqC, None, None, key))
+      Some(resp.getClass.getMethod("eTag").invoke(resp).asInstanceOf[String])
+    } catch {
+      case e: java.lang.reflect.InvocationTargetException
+          if noSuchKeyC.isInstance(e.getCause) => None
+    }
+
+  def putIfAbsent(key: String, content: String): Option[Long] =
+    put(key, content, ifMatch = None, ifNoneMatch = Some("*"))
+
+  def get(key: String): Option[(String, Long)] =
+    try {
+      val resp = s3.getClass
+        .getMethod("getObjectAsBytes", getReqC)
+        .invoke(s3, build(getReqC, None, None, key))
+      val body = resp.getClass.getMethod("asByteArray").invoke(resp)
+        .asInstanceOf[Array[Byte]]
+      val inner = resp.getClass.getMethod("response").invoke(resp)
+      val etag = inner.getClass.getMethod("eTag").invoke(inner)
+        .asInstanceOf[String]
+      Some((new String(body, "UTF-8"), genOf(etag)))
+    } catch {
+      case e: java.lang.reflect.InvocationTargetException
+          if noSuchKeyC.isInstance(e.getCause) => None
+    }
+
+  def replaceIf(key: String, content: String, expect: Long): Option[Long] =
+    headEtag(key) match {
+      case Some(etag) if genOf(etag) == expect =>
+        put(key, content, ifMatch = Some(etag), ifNoneMatch = None)
+      case _ => None
+    }
+
+  def deleteIf(key: String, expect: Long): Boolean =
+    headEtag(key) match {
+      case Some(etag) if genOf(etag) == expect =>
+        try {
+          s3.getClass.getMethod("deleteObject", delReqC)
+            .invoke(s3, build(delReqC, Some(etag), None, key))
+          true
+        } catch {
+          case e: java.lang.reflect.InvocationTargetException
+              if isPreconditionFailure(e.getCause, s3ExName, "statusCode") =>
+            false
+        }
+      case _ => false
+    }
+}

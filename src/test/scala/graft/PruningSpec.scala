@@ -124,6 +124,48 @@ class PruningSpec extends SparkSpec {
     }
   }
 
+  test("clustered graph serving: probed cells prune edge-table FILES (r15 verdict #1)") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.functions.col
+    val e = graft.io.Sources.table(spark, sfDir, "embeddings")
+    val cents = Similarity.seedCentroids(e, 16)
+    val dir = java.nio.file.Files.createTempDirectory("graph_prune")
+    try {
+      val path = dir.resolve("graph").toString
+      Similarity.writeGraphClustered(Similarity.knnGraph(e, k = 4),
+        Similarity.ivfAssignPortableTo(e, cents), path)
+      // a bounded probe batch (2 probes × nProbe 4 ≤ 8 cells): the
+      // exact edge frame graphSearchClustered's hop joins consume —
+      // the walk materializes eagerly, so the scan shape is pinned on
+      // the restricted frame itself
+      val probes = e.filter(col("vec_id").isin(0L, 1L))
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      val cells = Similarity.probeCellIds(probes, cents, nProbe = 4)
+      assert(cells.nonEmpty && cells.size <= 8)
+      val q = spark.read.parquet(path)
+        .filter(col("g_cell").isin(cells: _*)).drop("g_cell")
+      val scan = flatten(q.queryExecution.executedPlan)
+        .collectFirst { case f: FileSourceScanExec => f }
+        .getOrElse(fail("no parquet scan in the clustered edge plan"))
+      assert(scan.partitionFilters.nonEmpty,
+        "probed cells did not become PartitionFilters on the edge scan")
+      val selected = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+      val all = scan.relation.location.listFiles(Nil, Nil)
+      assert(all.size >= 12, s"degenerate graph layout: ${all.size} partitions")
+      assert(selected.size <= cells.size,
+        s"probe lists ${selected.size} partitions, expected <= ${cells.size}")
+      assert(selected.size * 2 <= all.size,
+        s"cell pruning ineffective: ${selected.size} of ${all.size} partitions read")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
   test("ANN sketch layout: the hamming neighborhood prunes FILES") {
     import graft.ext.Similarity
     val e = graft.io.Sources.table(spark, sfDir, "embeddings")

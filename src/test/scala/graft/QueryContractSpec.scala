@@ -118,9 +118,14 @@ class QueryContractSpec extends AnyFunSuite {
     // retrieval over the frozen edge table, rounds unrolled in the
     // oracle), and similarity_ivf_appended_embeddings (serving THROUGH
     // an appendToClustered-maintained layout, oracle = rebuild over
-    // the union) — see SURVEY §2.18
-    assert(SparkEntry.queries.size == 167,
-      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.18 if intentional)")
+    // the union) — see SURVEY §2.18. Round 16 adds
+    // graph_search_clustered_embeddings (cell-restricted serving from
+    // the persisted clustered edge layout — PartitionFilters-pruned)
+    // and knn_graph_appended_embeddings (appendToGraphClustered
+    // lifecycle: persist → two appends + re-delivery → serve, oracle =
+    // the rebuild) — see SURVEY §2.19
+    assert(SparkEntry.queries.size == 169,
+      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.19 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +
         "(every declared key is oracle-checked as of r9; update SURVEY §2.13 if intentional)")

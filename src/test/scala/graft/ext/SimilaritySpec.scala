@@ -1308,4 +1308,50 @@ class SimilaritySpec extends SparkSpec {
     }
     graft.core.CacheScope.releaseAll()
   }
+
+  test("graphSearchClustered: nProbe=all is bit-identical to the full walk; restricted walk still lands in-cluster (r16)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    val dim = 16; val nClust = 8; val perC = 40
+    val centers = Array.fill(nClust, dim)(rnd.nextGaussian().toFloat)
+    val fix = (0 until nClust).flatMap { c =>
+      (0 until perC).map { i =>
+        ((i * nClust + c).toLong,
+          centers(c).map(x => x + 0.08f * rnd.nextGaussian().toFloat).toSeq, c)
+      }
+    }.toDF("vec_id", "embedding", "label")
+    val cents = Similarity.seedCentroids(fix, 16)
+    val g = Similarity.knnGraph(fix, k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("gsc")
+    val path = dir.resolve("graph").toString
+    Similarity.writeGraphClustered(g,
+      Similarity.ivfAssignPortableTo(fix, cents), path)
+    val probes = fix.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val entry = cents.map(_._1)
+    val stored = spark.read.parquet(path)
+    // nProbe = nCentroids probes EVERY cell: the restriction is vacuous
+    // and the served walk must be bit-identical to the full walk over
+    // the loaded layout — pins the delegation + the persistence
+    // round-trip in one assertion
+    val full = Similarity.graphSearch(fix, stored.drop("g_cell"), probes,
+      entry, beam = 10, rounds = 3).collect().map(_.toSeq).toSeq
+    val vacuous = Similarity.graphSearchClustered(fix, stored, probes, cents,
+      entry, nProbe = cents.length, beam = 10, rounds = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(vacuous == full,
+      "all-cells clustered walk diverged from the full walk")
+    // the REAL restriction (nProbe=4): expansion is cell-local, but on
+    // the clustered fixture the probe's own cells hold its cluster —
+    // the walk must still land in-cluster
+    val restricted = Similarity.graphSearchClustered(fix, stored, probes,
+      cents, entry, nProbe = 4, beam = 10, rounds = 3)
+    restricted.groupBy("probe_id").agg(max("cosine").as("m"))
+      .collect().foreach { r =>
+        assert(r.getDouble(1) >= 0.98,
+          s"probe ${r.getLong(0)}: restricted walk stuck outside its cluster (best ${r.getDouble(1)})")
+      }
+    graft.core.CacheScope.releaseAll()
+  }
 }

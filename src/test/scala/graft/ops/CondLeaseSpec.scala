@@ -115,6 +115,47 @@ class CondLeaseSpec extends SparkSpec {
     }
   }
 
+  test("acquire content is byte-unique per acquisition (r15 advice: same-app same-millisecond leases)") {
+    val store = freshStore
+    // same app, immediate release + re-acquire: even if both land in
+    // one millisecond, the acquire nonce keeps the contents distinct —
+    // a stale handle's byte-exact ownership check (owns/ownsContent,
+    // releaseCond's content-resync deleteIf) can never match, and so
+    // never delete, the successor's live lease
+    val h1 = Loader.acquireCondLease(spark, "cond_nonce", store)
+    val c1 = h1.content
+    Loader.shutdownCondLease(h1)
+    val h2 = Loader.acquireCondLease(spark, "cond_nonce", store)
+    try {
+      assert(h2.content != c1,
+        s"re-acquired lease content must be byte-distinct: $c1 vs ${h2.content}")
+      assert(h2.content.split(' ').lift(2).exists(_.startsWith("acq")),
+        s"acquire content must carry the nonce token: ${h2.content}")
+    } finally Loader.shutdownCondLease(h2)
+  }
+
+  test("heartbeat beats at the ACQUIRE-time TTL, not the session TTL (r15 advice)") {
+    // session TTL left at its (large) default: a heartbeat deriving its
+    // period from session config would beat far too slowly for this
+    // short custom-TTL lease and a reaper would steal it between beats
+    val store = freshStore
+    val h = Loader.acquireCondLease(spark, "cond_custom_ttl", store,
+      ttlMs = 1200) // beat period must become 300 ms
+    val g0 = h.gen
+    Loader.startCondHeartbeat(spark, "cond_custom_ttl", h)
+    try {
+      Thread.sleep(3000) // 2.5× the custom TTL
+      // a second acquirer honoring the same custom TTL is still
+      // refused: the beats kept the timestamp fresher than 1200 ms
+      val e = intercept[IllegalStateException] {
+        Loader.acquireCondLease(spark, "cond_custom_ttl", store, ttlMs = 1200)
+      }
+      assert(e.getMessage.contains("being written"), e.getMessage)
+      assert(h.gen > g0,
+        "beats must have advanced the generation within the custom TTL")
+    } finally Loader.shutdownCondLease(h)
+  }
+
   test("heartbeat landed-but-unacked CAS: the next beat resyncs by content and keeps the lease") {
     val prevTtl = spark.conf.getOption("spark.graft.lease.ttlMs")
     spark.conf.set("spark.graft.lease.ttlMs", "1200")

@@ -676,13 +676,14 @@ class LoaderSpec extends SparkSpec {
       val hb = Loader.startHeartbeat(
         spark, "lease_hb_selfrel", Loader.leasePath(spark, "lease_hb_selfrel"),
         acquired)
-      // wait for at least one beat (the lease content gains the
-      // per-handle beat marker as a third token)
-      def tokens(): Int =
-        new String(java.nio.file.Files.readAllBytes(path), "UTF-8").split(' ').length
+      // wait for at least one beat (the lease content's third token
+      // flips from the acquire nonce `acqN` to the beat marker `hbN`)
+      def beaten(): Boolean =
+        new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+          .split(' ').lift(2).exists(_.startsWith("hb"))
       val deadline = System.currentTimeMillis() + 10000
-      while (tokens() < 3 && System.currentTimeMillis() < deadline) Thread.sleep(50)
-      assert(tokens() == 3, "heartbeat must have beaten at least once")
+      while (!beaten() && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(beaten(), "heartbeat must have beaten at least once")
       // the owner signals stop but never interrupts or joins — the
       // bounded-join-gave-up shape of the shutdown race: a beat in
       // flight may re-create the lease AFTER the owner's release, so
@@ -747,9 +748,11 @@ class LoaderSpec extends SparkSpec {
       def content(): String =
         new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
       val deadline = System.currentTimeMillis() + 10000
-      while (content().split(' ').length < 3 && System.currentTimeMillis() < deadline)
+      while (!content().split(' ').lift(2).exists(_.startsWith("hb")) &&
+          System.currentTimeMillis() < deadline)
         Thread.sleep(50)
-      assert(content().split(' ').length == 3, "heartbeat must have beaten")
+      assert(content().split(' ').lift(2).exists(_.startsWith("hb")),
+        "heartbeat must have beaten")
       // the owner releases and the same app immediately RE-ACQUIRES
       // (the stalled-old-heartbeat shape): same appId, fresh acquire
       // content — neither a still-live beat nor the old handle's
@@ -900,7 +903,7 @@ class LoaderSpec extends SparkSpec {
       // the reaper's (successor's) lease survives the owner's shutdown:
       // the skip-release contract held while the beat was still wedged
       val content = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
-      assert(content.split(' ').length == 2,
+      assert(content.split(' ').lift(2).exists(_.startsWith("acq")),
         s"the successor's acquire content must be untouched: $content")
     } finally {
       unwedge.countDown()

@@ -88,6 +88,61 @@ class StreamGraphMaintainSpec extends SparkSpec {
       "re-delivered batch must leave the layout file-identical")
   }
 
+  test("appendToGraphClustered: overlapping (not exact-replay) re-delivery with a smaller base fails loudly (r15 advice)") {
+    val (cents, base, b1, b2) = tailSplit()
+    assert(b1.count() > 0 && b2.count() > 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-gcomp")
+    val gPath = root.resolve("graph").toString
+    Similarity.writeGraphClustered(Similarity.knnGraph(base, k = 4),
+      Similarity.ivfAssignPortableTo(base, cents), gPath)
+    Similarity.appendToGraphClustered(spark, gPath, base, b1, cents, k = 4)
+    // the dangerous shape: a re-delivered batch with DIFFERENT
+    // composition (b1 ∪ b2 — b1 overlaps, b2 is fresh) against the
+    // PRE-b1 base: b1's vertices are live in the graph but absent from
+    // both base and fresh, so b2 would score against a corpus missing
+    // them — must refuse, not silently diverge
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendToGraphClustered(
+        spark, gPath, base, b1.unionByName(b2), cents, k = 4)
+    }
+    assert(ex.getMessage.contains("stored vertices absent"),
+      s"wrong refusal message: ${ex.getMessage}")
+    // the SAME overlapping batch with the honest pre-batch base (base
+    // ∪ b1) is legal: overlap no-ops on the anti-join, b2 folds in
+    Similarity.appendToGraphClustered(
+      spark, gPath, base.unionByName(b1), b1.unionByName(b2), cents, k = 4)
+    assert(edgeRows(gPath) ==
+      Similarity.knnGraph(embs, k = 4).collect().map(_.toSeq).toSeq,
+      "overlapping batch with honest base diverged from the rebuild")
+  }
+
+  test("appendToGraphClustered: a layout whose g_cell is NOT the flat argmin still purges stale rows (r15 advice)") {
+    val (cents, base, b1, _) = tailSplit()
+    val root = java.nio.file.Files.createTempDirectory("graft-gperm")
+    val gPath = root.resolve("graph").toString
+    // adversarial layout: cells permuted away from the portable argmin
+    // (the knnGraphHier / non-portable-assignment shape the advice
+    // names) — the append must derive each affected vertex's owning
+    // cell from the STORED layout, or its stale rows survive in a
+    // never-rewritten partition as duplicates
+    val permuted = Similarity.ivfAssignPortableTo(base, cents)
+      .withColumn("centroid_id", lit(1000L) + col("centroid_id"))
+    val baseGraph = Similarity.knnGraph(base, k = 4)
+    Similarity.writeGraphClustered(baseGraph, permuted, gPath)
+    Similarity.appendToGraphClustered(spark, gPath, base, b1, cents, k = 4)
+    val rows = edgeRows(gPath)
+    val pairs = rows.map(r => (r(0), r(1)))
+    assert(pairs.distinct.size == pairs.size,
+      "stale rows survived in a never-rewritten partition (duplicate edges)")
+    assert(rows ==
+      Similarity.appendToGraph(
+          graft.core.CacheScope.persist(Similarity.knnGraph(base, k = 4)),
+          base, b1, cents, k = 4)
+        .collect().map(_.toSeq).toSeq,
+      "permuted-layout append diverged from the whole-table append")
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("maintainBatch: vector+graph pair converges to the rebuild; crash-replay at any point is a no-op (face 15)") {
     val (cents, base, b1, b2) = tailSplit()
     val index = Similarity.IvfIndex(cents)
