@@ -114,6 +114,17 @@ object ExtQueries {
   val GraphSearchBeam: Int = 10
   val GraphSearchRounds: Int = 3
 
+  /** HNSW hierarchy of the declared descent key: 2 upper layers at a
+    * geometric 1/4 ratio (the deterministic `vec_id % 4^l == 0` rule),
+    * each upper layer walked 2 hops at beam 4 — wide enough to hand
+    * the base layer an in-neighborhood entry set, small enough that
+    * the per-layer CTE blocks stay readable in the unrolled oracle.
+    */
+  val HnswLevels: Int = 2
+  val HnswRatio: Int = 4
+  val HnswUpperBeam: Int = 4
+  val HnswUpperRounds: Int = 2
+
   /** THE capped probe batch of the serving-contract keys (kNN join /
     * PQ join / recall gates / negative mining / classification) — one
     * definition, so a probe-contract change cannot land in some keys
@@ -494,6 +505,83 @@ object ExtQueries {
        |  SELECT kref$cur.*, row_number() OVER (PARTITION BY probe_id
        |    ORDER BY cosine DESC, vec_id) AS rn FROM kref$cur)
        |  WHERE rn <= $KnnGraphK)""".stripMargin
+
+  /** [[knnGraphCtes]] parameterized for HNSW layer `m = ratio^l`: the
+    * layer's vertex subset under the hash rule
+    * `(hash64('v:'⧺id) & Long.Max) % m == 0` (the engine's
+    * [[graft.ext.Similarity.hnswLayerPredicate]], via the shared
+    * `hash64Ctes` cross-hash contract), the subset's own graph chain
+    * (lowest-16-id seed quantizer, nProbe 4, per-vertex
+    * top-[[KnnGraphK]]), the layer's LANDMARK STAR (`${p}mesh`: every
+    * layer vertex → each of the 16 quantizer seeds — HNSW's long-range
+    * links, without which a beam entering at the wrong cluster could
+    * never leave it), and the union edge table `${p}kgm` the descent
+    * actually walks.
+    */
+  private def knnGraphCtesFor(p: String, m: Long): String =
+    s"""${p}ids AS (SELECT vec_id, 'v:' || vec_id::VARCHAR AS s FROM embeddings),
+       |${hash64Ctes(s"${p}lh", s"${p}ids", "s")},
+       |${p}src AS (SELECT e.vec_id, e.label, e.embedding FROM embeddings e
+       |  JOIN ${p}ids i ON i.vec_id = e.vec_id
+       |  JOIN ${p}lh_h64 hh ON hh.s = i.s
+       |  WHERE ((hh.h % 9223372036854775808::UHUGEINT)::BIGINT % $m) = 0),
+       |${p}kp AS (SELECT vec_id AS probe_id, embedding AS pe FROM ${p}src),
+       |${p}kcent AS (SELECT vec_id AS cid, embedding AS cvec FROM ${p}src
+       |    ORDER BY vec_id LIMIT 16),
+       |${p}kasg AS (SELECT vec_id, label, embedding, cid FROM (
+       |    SELECT e.vec_id, e.label, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${cosSql("e.embedding", "c.cvec", 64)}, 6) DESC, c.cid) AS rn
+       |    FROM ${p}src e CROSS JOIN ${p}kcent c) WHERE rn = 1),
+       |${p}kpr AS (SELECT probe_id, cid FROM (
+       |    SELECT p.probe_id, c.cid,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY round(${cosSql("c.cvec", "p.pe", 64)}, 6) DESC, c.cid) AS rn
+       |    FROM ${p}kcent c CROSS JOIN ${p}kp p) WHERE rn <= 4),
+       |${p}kc AS (SELECT pr.probe_id, a.vec_id, a.label,
+       |      round(${cosSql("a.embedding", "p.pe", 64)}, 6) AS cosine
+       |    FROM ${p}kasg a JOIN ${p}kpr pr ON a.cid = pr.cid
+       |                JOIN ${p}kp p ON p.probe_id = pr.probe_id
+       |    WHERE a.vec_id <> pr.probe_id),
+       |${p}kg AS (SELECT probe_id, vec_id, label, cosine FROM (
+       |    SELECT ${p}kc.*, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cosine DESC, vec_id) AS rn FROM ${p}kc)
+       |  WHERE rn <= $KnnGraphK),
+       |${p}mesh AS (SELECT s.vec_id AS probe_id, c.cid AS vec_id, eb.label,
+       |    round(${cosSql("eb.embedding", "s.embedding", 64)}, 6) AS cosine
+       |  FROM ${p}src s JOIN ${p}kcent c ON c.cid <> s.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = c.cid),
+       |${p}kgm AS (SELECT DISTINCT probe_id, vec_id, label, cosine FROM (
+       |  SELECT probe_id, vec_id, label, cosine FROM ${p}kg
+       |  UNION ALL SELECT probe_id, vec_id, label, cosine FROM ${p}mesh))""".stripMargin
+
+  /** One beam-search STAGE (entry scoring + `rounds` unrolled hops) as
+    * prefixed CTEs over edge table `edge`, seeded from `entryCte`
+    * (`probe_id`, `vec_id` rows) — the oracle text of
+    * [[Similarity.beamSearchFrom]]; the final beam is `${p}gs$rounds`.
+    * Assumes the probe CTE `gp` precedes it.
+    */
+  private def beamStageCtes(p: String, edge: String, entryCte: String,
+      beam: Int, rounds: Int): String = {
+    def stage(cand: String, r: Int): String =
+      s"""${p}gx$r AS (SELECT c.probe_id, c.vec_id, e.label,
+         |    round(${cosSql("e.embedding", "g.gpe", 64)}, 6) AS cosine
+         |  FROM $cand c JOIN embeddings e ON e.vec_id = c.vec_id
+         |              JOIN gp g ON g.probe_id = c.probe_id),
+         |${p}gs$r AS (SELECT probe_id, vec_id, label, cosine FROM (
+         |  SELECT ${p}gx$r.*, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cosine DESC, vec_id) AS rn FROM ${p}gx$r)
+         |  WHERE rn <= $beam)""".stripMargin
+    def hop(prev: String, r: Int): String =
+      s"""${p}gh$r AS (SELECT s.probe_id, $edge.vec_id
+         |  FROM $prev s JOIN $edge ON $edge.probe_id = s.vec_id),
+         |${p}gc$r AS (SELECT DISTINCT probe_id, vec_id FROM (
+         |  SELECT probe_id, vec_id FROM $prev
+         |  UNION ALL SELECT probe_id, vec_id FROM ${p}gh$r)),
+         |${stage(s"${p}gc$r", r)}""".stripMargin
+    (stage(entryCte, 0) +:
+      (1 to rounds).map(r => hop(s"${p}gs${r - 1}", r))).mkString(",\n")
+  }
 
   /** The graph-walk retrieval oracle (beam search unrolled as CTE
     * stages — the trajectory recipe): `edge` names the edge CTE the
@@ -1377,6 +1465,25 @@ object ExtQueries {
       Similarity.graphSearchClustered(e, s.read.parquet(path),
         probeBatch(e), cents, cents.map(_._1),
         beam = GraphSearchBeam, rounds = GraphSearchRounds)
+    }),
+    "graph_search_hnsw_embeddings" -> ((s: SparkSession, dir: String) => {
+      // HNSW descent (r15 verdict #8): 2 geometric upper layers under
+      // the deterministic id-HASH rule (hnswLayerPredicate), each the
+      // knnGraph kernel over its subset + the landmark STAR (the
+      // long-range edges that keep a clustered corpus navigable); the
+      // walk starts at the TOP layer's single minimum-id entry, each
+      // upper layer beam-walks 2 hops at beam 4 and hands its beam
+      // down as the next layer's per-probe entry set; the base layer
+      // runs exactly the graph_search bottom stage. The oracle unrolls
+      // every layer's graph chain and beam stages as prefixed CTE
+      // blocks (the trajectory recipe, once per layer).
+      val e = embs(s, dir)
+      Similarity.hnswSearch(e,
+        Similarity.hnswLayerGraphs(e, levels = HnswLevels, ratio = HnswRatio,
+          k = KnnGraphK),
+        probeBatch(e), beam = GraphSearchBeam, rounds = GraphSearchRounds,
+        upperBeam = HnswUpperBeam, upperRounds = HnswUpperRounds,
+        ratio = HnswRatio)
     }),
     "knn_graph_appended_embeddings" -> ((s: SparkSession, dir: String) => {
       // clustered-graph MAINTENANCE end-to-end as one declared relation
@@ -3005,6 +3112,33 @@ object ExtQueries {
     // UNROLLED once per hop (the trajectory-oracle recipe); the beam
     // seeds from the quantizer's landmark vertices (kcent)
     "graph_search_embeddings" -> graphSearchOracle("kg", ""),
+    // HNSW descent: one prefixed graph chain + one beam-stage block per
+    // layer (top entry = the top layer's minimum id), then the base
+    // layer's stage over the shared kg — every layer's quantizer, walk
+    // depth, and tie-breaks replicated exactly
+    "graph_search_hnsw_embeddings" -> {
+      def mod(l: Int) = math.pow(HnswRatio.toDouble, l.toDouble).toLong
+      val layerCtes = (HnswLevels to 1 by -1)
+        .map(l => knnGraphCtesFor(s"h$l", mod(l)))
+        .mkString(",\n")
+      val descent = (HnswLevels to 1 by -1).map { l =>
+        val entry = if (l == HnswLevels) "htop" else s"h${l + 1}out"
+        beamStageCtes(s"h$l", s"h${l}kgm", entry, HnswUpperBeam,
+          HnswUpperRounds) + ",\n" +
+          s"h${l}out AS (SELECT probe_id, vec_id FROM h${l}gs$HnswUpperRounds)"
+      }.mkString(",\n")
+      s"""WITH gp AS (SELECT vec_id AS probe_id, embedding AS gpe FROM embeddings
+         |    WHERE vec_id % $KnnProbeModulus = 0
+         |    ORDER BY vec_id LIMIT $KnnProbeLimit),
+         |$layerCtes,
+         |$knnGraphCtes,
+         |htop AS (SELECT g.probe_id, t.vec_id FROM gp g CROSS JOIN
+         |  (SELECT min(vec_id) AS vec_id FROM h${HnswLevels}src) t),
+         |$descent,
+         |${beamStageCtes("h0", "kg", "h1out", GraphSearchBeam, GraphSearchRounds)}
+         |SELECT probe_id, vec_id, label, cosine FROM h0gs$GraphSearchRounds
+         |ORDER BY probe_id, cosine DESC, vec_id""".stripMargin
+    },
     // the cell-restricted serving face: same walk, but the edge CTE is
     // filtered to the probe batch's probed cells (gpr = per-probe
     // nProbe nearest centroids over gp, kgr = edges whose OWNING

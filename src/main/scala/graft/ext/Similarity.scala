@@ -1572,6 +1572,29 @@ object Similarity {
       entryIds: Seq[Long],
       beam: Int = 10,
       rounds: Int = 3): DataFrame = {
+    // entry candidates: per probe, the literal entry-id list exploded —
+    // no join (a crossJoin here would plan a BroadcastNestedLoopJoin;
+    // the entry set is driver-resident by contract, like a probe list)
+    val entry = probes.select(col("probe_id"),
+      explode(array(entryIds.map(lit(_)): _*)).as("vec_id"))
+    beamSearchFrom(embeddings, edges, probes, entry, beam, rounds)
+  }
+
+  /** The beam-search kernel behind [[graphSearch]] and [[hnswSearch]]:
+    * walk `edges` from a PER-PROBE entry frame (`probe_id`, `vec_id`)
+    * — the generalization the layer descent needs, where each layer's
+    * entries are the previous layer's beam, not a global literal list.
+    * Same contract as [[graphSearch]] otherwise (eager per-round
+    * checkpoints, previous beam released once the next materializes,
+    * final frame CacheScope-tracked).
+    */
+  private[ext] def beamSearchFrom(
+      embeddings: DataFrame,
+      edges: DataFrame,
+      probes: DataFrame,
+      entry: DataFrame,
+      beam: Int,
+      rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     require(beam >= 1, s"beam must be >= 1: $beam")
     val g = edges.select(col("probe_id").as("_src"), col("vec_id").as("_dst"))
@@ -1589,13 +1612,7 @@ object Similarity {
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") <= beam)
         .drop("_rn")
-    // entry candidates: per probe, the literal entry-id list exploded —
-    // no join (a crossJoin here would plan a BroadcastNestedLoopJoin;
-    // the entry set is driver-resident by contract, like a probe list)
-    var cur = ranked(
-      pe.select(col("probe_id"),
-        explode(array(entryIds.map(lit(_)): _*)).as("vec_id")))
-      .localCheckpoint(true)
+    var cur = ranked(entry.select("probe_id", "vec_id")).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val hop = cur.select("probe_id", "vec_id")
         .join(g, col("vec_id") === col("_src"))
@@ -1651,6 +1668,124 @@ object Similarity {
     graphSearch(embeddings,
       storedEdges.filter(col("g_cell").isin(cells: _*)).drop("g_cell"),
       probes, entryIds, beam, rounds)
+  }
+
+  /** Layer-`l` membership predicate of the HNSW hierarchy: the
+    * DETERMINISTIC geometric rule `hash64("v:" ⧺ vec_id) & Long.Max
+    * % ratio^l == 0` — the portable stand-in for HNSW's exponential
+    * level draw. HASH of the id, not the raw id residue: any
+    * correlation between id arithmetic and content (interleaved
+    * cluster ids, sharded id ranges) would otherwise make a "layer" a
+    * content-biased sample (the clustered fixture catches exactly
+    * this). The masked-hash-mod form is the engine/oracle cross-hash
+    * contract ([[graft.functions.GraftFunctions.hash64]] /
+    * `hash64Ctes`, the writeShards recipe).
+    */
+  private[graft] def hnswLayerPredicate(l: Int, ratio: Int): Column = {
+    val m = math.pow(ratio.toDouble, l.toDouble).toLong
+    (graft.functions.GraftFunctions.hash64(
+      concat(lit("v:"), col("vec_id").cast("string")))
+      .bitwiseAND(lit(Long.MaxValue)) % m) === 0
+  }
+
+  /** The HNSW layer hierarchy over the kNN-graph family (Malkov &
+    * Yashunin 2016 §4: a geometric stack of ever-sparser graphs whose
+    * upper layers make ENTRY-POINT selection logarithmic — the walk
+    * descends from a single top-layer entry instead of scoring every
+    * coarse landmark per probe). Layer membership is
+    * [[hnswLayerPredicate]] (deterministic, so the DuckDB oracle
+    * replicates every layer bit-exactly). Element 0 is the base graph
+    * — [[knnGraph]] unchanged.
+    *
+    * Each UPPER layer is the family kernel over the layer's subset
+    * (its own lowest-16-id seed quantizer) UNION a LANDMARK STAR:
+    * every layer vertex gains an edge to each of the subset's 16
+    * quantizer seeds (≤16 extra edges per layer vertex, literal-array
+    * explode — no join). The star is the long-range-link half of
+    * HNSW's edge mix, and it is load-bearing: a pure kNN graph over
+    * clustered data has no cross-cluster edges (nearest neighbors are
+    * in-cluster by construction), so a beam entering a layer at the
+    * wrong cluster could never leave it — the navigability failure
+    * Malkov & Yashunin's insertion heuristic exists to prevent,
+    * re-created here deterministically. The BASE layer stays pure
+    * kNN: its entries arrive already in-neighborhood from layer 1.
+    */
+  def hnswLayerGraphs(
+      embeddings: DataFrame,
+      levels: Int = 2,
+      ratio: Int = 4,
+      k: Int = 4,
+      nCentroidsOf: Option[Long => Int] = None,
+      hier: Boolean = false): Seq[DataFrame] = {
+    require(levels >= 1, s"levels must be >= 1: $levels")
+    require(ratio >= 2, s"ratio must be >= 2: $ratio")
+    // the per-layer graph builder: the declared key keeps the
+    // oracle-checkable flat kernel at nc=16; at corpus scale pass
+    // `nCentroidsOf = Some(n => n/cellSize)` (the SemDeDup nc ∝ corpus
+    // law — fixed nc makes the flat kernel's candidate mass quadratic
+    // per decade) and `hier = true` to route through the two-level
+    // join kernel past the literal-plan cliff, exactly as knn-graph
+    // builds do (SCALE.md r15)
+    def build(sub: DataFrame): DataFrame = {
+      val nc = nCentroidsOf.map(f => f(sub.count())).getOrElse(16)
+      if (hier) knnGraphHierJoin(sub, k, nc) else knnGraph(sub, k, nc)
+    }
+    build(embeddings) +: (1 to levels).map { l =>
+      val sub = embeddings.filter(hnswLayerPredicate(l, ratio))
+      val cents = seedCentroids(sub, 16)
+      val ids = cents.map(_._1)
+      // landmark labels: 16 rows, configuration-bounded driver collect
+      val labOf = sub.filter(col("vec_id").isin(ids: _*))
+        .select("vec_id", "label").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val lmArr = array(cents.map { case (id, v) =>
+        struct(lit(id).as("lid"), array(v.map(lit): _*).as("lvec"),
+          lit(labOf(id)).as("llab"))
+      }.toIndexedSeq: _*)
+      val mesh = sub
+        .select(col("vec_id").as("probe_id"), col("embedding").as("_pe"))
+        .select(col("probe_id"), col("_pe"), explode(lmArr).as("_l"))
+        .filter(col("probe_id") =!= col("_l.lid"))
+        .select(col("probe_id"), col("_l.lid").as("vec_id"),
+          col("_l.llab").as("label"),
+          round(cosine(col("_pe"), col("_l.lvec")), 6).as("cosine"))
+      build(sub).unionByName(mesh).distinct()
+    }
+  }
+
+  /** HNSW-style DESCENT search over [[hnswLayerGraphs]]: start at the
+    * top layer's single entry vertex (its minimum id — deterministic),
+    * beam-walk each upper layer at width `upperBeam` for `upperRounds`
+    * hops, hand the surviving beam down as the NEXT layer's per-probe
+    * entry set, and run the base layer exactly as [[graphSearch]] does
+    * (`beam` × `rounds` — the bottom stage is unchanged, per the
+    * lineage). vs landmark seeding: the entry stage scores ONE vertex
+    * per probe instead of nCentroids, and each upper layer is
+    * ratio^l-sparser than the corpus — the entry cost that made
+    * [[graphSearch]]'s seeding linear in the landmark count becomes
+    * logarithmic in corpus size. Fixed depths keep the whole descent
+    * oracle-unrollable (the trajectory recipe, one CTE block per
+    * layer).
+    */
+  def hnswSearch(
+      embeddings: DataFrame,
+      layers: Seq[DataFrame],
+      probes: DataFrame,
+      beam: Int = 10,
+      rounds: Int = 3,
+      upperBeam: Int = 4,
+      upperRounds: Int = 2,
+      ratio: Int = 4): DataFrame = {
+    require(layers.size >= 2, s"need a base + >=1 upper layer: ${layers.size}")
+    val levels = layers.size - 1
+    val topEntry = embeddings.filter(hnswLayerPredicate(levels, ratio))
+      .agg(min("vec_id")).collect()(0).getLong(0)
+    var entry: DataFrame = probes.select(col("probe_id"))
+      .withColumn("vec_id", lit(topEntry))
+    for (l <- levels to 1 by -1)
+      entry = beamSearchFrom(embeddings, layers(l), probes, entry,
+        upperBeam, upperRounds).select("probe_id", "vec_id")
+    beamSearchFrom(embeddings, layers(0), probes, entry, beam, rounds)
   }
 
   /** Brute-force per-probe exact top-k with probes as DATA — the

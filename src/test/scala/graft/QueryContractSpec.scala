@@ -121,10 +121,12 @@ class QueryContractSpec extends AnyFunSuite {
     // the union) — see SURVEY §2.18. Round 16 adds
     // graph_search_clustered_embeddings (cell-restricted serving from
     // the persisted clustered edge layout — PartitionFilters-pruned)
-    // and knn_graph_appended_embeddings (appendToGraphClustered
+    // knn_graph_appended_embeddings (appendToGraphClustered
     // lifecycle: persist → two appends + re-delivery → serve, oracle =
-    // the rebuild) — see SURVEY §2.19
-    assert(SparkEntry.queries.size == 169,
+    // the rebuild), and graph_search_hnsw_embeddings (geometric layer
+    // descent, every layer's graph + walk oracle-unrolled) — see
+    // SURVEY §2.19
+    assert(SparkEntry.queries.size == 170,
       s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.19 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +

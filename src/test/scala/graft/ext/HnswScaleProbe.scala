@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe (Test/runMain graft.ext.HnswScaleProbe <sfDir> [probes]):
+  * the r15-verdict-#8 measurement — SERVING cost of the HNSW layer
+  * descent vs the landmark-seeded single-layer walk on the SAME base
+  * graph and probe batch. Graphs build once outside the timers (the
+  * serving contract: both faces walk frozen artifacts); each timed
+  * call is the probe batch end-to-end. The landmark walk's entry
+  * stage scores nCentroids=16 candidates per probe and hops a graph
+  * whose every vertex is corpus-resident; the descent scores ONE
+  * top-layer entry and routes through layers 1/16 and 1/4 of the
+  * corpus before the base stage — the entry-cost shape HNSW's layer
+  * hierarchy exists for.
+  */
+object HnswScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nProbes = if (args.length > 1) args(1).toInt else 16
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = graft.io.Sources.table(spark, sfDir, "embeddings")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = e.count()
+    val probes = e.filter(col("vec_id") % 97 === 0).orderBy("vec_id")
+      .limit(nProbes).select(col("vec_id").as("probe_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    probes.count()
+    // frozen artifacts, built once outside the timers — with the
+    // PRODUCTION build path (nc ∝ corpus at ~125/cell, hier join),
+    // since the fixed-nc flat kernel's candidate mass is quadratic
+    // per decade (SCALE.md's documented fixture property)
+    val layers = Similarity.hnswLayerGraphs(e, levels = 2, ratio = 4, k = 4,
+        nCentroidsOf = Some(c => math.max(16, (c / 125).toInt)), hier = true)
+      .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    layers.foreach(_.count())
+    val entry = Similarity.seedCentroids(e, 16).map(_._1)
+    // the PRODUCTION landmark baseline: a graph built at nc ∝ corpus
+    // has nc landmarks — seeding the flat walk with all of them is the
+    // per-probe entry scoring the hierarchy exists to remove
+    val ncFull = math.max(16, (n / 125).toInt)
+    val entryFull = Similarity.seedCentroids(e, ncFull).map(_._1)
+    for (run <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val flat = Similarity.graphSearch(e, layers(0), probes, entry,
+        beam = 10, rounds = 3).count()
+      val tFlat = (System.nanoTime() - t0) / 1e9
+      graft.core.CacheScope.releaseAll()
+      val tf0 = System.nanoTime()
+      val flatFull = Similarity.graphSearch(e, layers(0), probes, entryFull,
+        beam = 10, rounds = 3).count()
+      val tFlatFull = (System.nanoTime() - tf0) / 1e9
+      graft.core.CacheScope.releaseAll()
+      val t1 = System.nanoTime()
+      val hnsw = Similarity.hnswSearch(e, layers, probes,
+        beam = 10, rounds = 3, upperBeam = 4, upperRounds = 2).count()
+      val tHnsw = (System.nanoTime() - t1) / 1e9
+      graft.core.CacheScope.releaseAll()
+      println(f"HNSWSERVE $sfDir n=$n probes=$nProbes run$run " +
+        f"landmark16=$tFlat%.3f s (rows=$flat) " +
+        f"landmark$ncFull=$tFlatFull%.3f s (rows=$flatFull) " +
+        f"descent=$tHnsw%.3f s (rows=$hnsw)")
+    }
+    // quality: recall@10 of each face against exact brute force — the
+    // number that decides whether the descent's cheaper entry stage
+    // costs accuracy
+    val truth = Similarity.knnJoinExact(e, probes, k = 10)
+      .select("probe_id", "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val denom = truth.count()
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("probe_id", "vec_id").join(truth, Seq("probe_id", "vec_id"))
+        .count().toDouble / denom
+    val rFlat = recall(Similarity.graphSearch(e, layers(0), probes, entry,
+      beam = 10, rounds = 3))
+    val rHnsw = recall(Similarity.hnswSearch(e, layers, probes,
+      beam = 10, rounds = 3, upperBeam = 4, upperRounds = 2))
+    println(f"HNSWSERVE recall@10 landmark=$rFlat%.4f descent=$rHnsw%.4f")
+    graft.core.CacheScope.releaseAll()
+    spark.stop()
+  }
+}

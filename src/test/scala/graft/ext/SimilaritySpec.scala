@@ -1354,4 +1354,40 @@ class SimilaritySpec extends SparkSpec {
       }
     graft.core.CacheScope.releaseAll()
   }
+
+  test("hnswSearch: geometric layer sizes; the descent lands in the probe's cluster (r16)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    val dim = 16; val nClust = 8; val perC = 40
+    val centers = Array.fill(nClust, dim)(rnd.nextGaussian().toFloat)
+    val fix = (0 until nClust).flatMap { c =>
+      (0 until perC).map { i =>
+        ((i * nClust + c).toLong,
+          centers(c).map(x => x + 0.08f * rnd.nextGaussian().toFloat).toSeq, c)
+      }
+    }.toDF("vec_id", "embedding", "label")
+    val layers = Similarity.hnswLayerGraphs(fix, levels = 2, ratio = 4, k = 4)
+    // the deterministic id-HASH rule gives geometric layer sizes
+    // (~1/4 per level, binomial spread) — and, unlike a raw id
+    // residue, cannot alias with the fixture's interleaved cluster
+    // ids (vec_id % 16 == 0 here would select ONLY cluster 0)
+    val sizes = layers.map(_.select("probe_id").distinct().count())
+    assert(sizes(1) >= sizes(0) / 8 && sizes(1) <= sizes(0) * 2 / 5,
+      s"layer 1 not geometric: $sizes")
+    assert(sizes(2) >= 2 && sizes(2) <= sizes(1) * 3 / 5,
+      s"layer 2 not geometric: $sizes")
+    val probes = fix.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    // the descent starts at ONE top-layer vertex (not 16 landmarks)
+    // and must still land every probe in its own cluster at depth 3
+    val out = Similarity.hnswSearch(fix, layers, probes,
+      beam = 10, rounds = 3, upperBeam = 4, upperRounds = 2)
+    out.groupBy("probe_id").agg(max("cosine").as("m"))
+      .collect().foreach { r =>
+        assert(r.getDouble(1) >= 0.98,
+          s"probe ${r.getLong(0)}: descent stuck outside its cluster (best ${r.getDouble(1)})")
+      }
+    graft.core.CacheScope.releaseAll()
+  }
 }
