@@ -1778,8 +1778,16 @@ object Similarity {
       ratio: Int = 4): DataFrame = {
     require(layers.size >= 2, s"need a base + >=1 upper layer: ${layers.size}")
     val levels = layers.size - 1
-    val topEntry = embeddings.filter(hnswLayerPredicate(levels, ratio))
-      .agg(min("vec_id")).collect()(0).getLong(0)
+    val topRow = embeddings.filter(hnswLayerPredicate(levels, ratio))
+      .agg(min("vec_id")).collect()(0)
+    // loud degenerate-corpus guard: a corpus smaller than ~ratio^levels
+    // can hash to an EMPTY top layer — name the remedy instead of
+    // NPE-ing on the null min
+    require(!topRow.isNullAt(0),
+      s"hnswSearch: the top layer (level $levels, ratio $ratio) holds no " +
+        "vertices - the corpus is too small for this hierarchy; lower " +
+        "`levels` (or serve with graphSearch directly)")
+    val topEntry = topRow.getLong(0)
     var entry: DataFrame = probes.select(col("probe_id"))
       .withColumn("vec_id", lit(topEntry))
     for (l <- levels to 1 by -1)
