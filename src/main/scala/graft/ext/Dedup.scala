@@ -628,7 +628,14 @@ object Dedup {
     * one Hadoop listing of the frame's input files, no data read), so
     * the refusal lands in SECONDS, not after filling the disk. An
     * in-memory frame (no input files) estimates 0: the guard is for
-    * corpus-scale parquet inputs.
+    * corpus-scale parquet inputs. The estimate is PLAN-WIDE —
+    * `inputFiles` sums every file any scan in the plan reads, so a
+    * filtered/joined frame is over-estimated (a conservative guard,
+    * overridable via [[SubstrScratchLimitConf]]). The default limit
+    * walks up from the first `spark.local.dir` to its nearest EXISTING
+    * ancestor (Spark creates local dirs lazily and `getUsableSpace` on
+    * a missing path returns 0 — r16 advice: every file-backed input
+    * would be spuriously refused), falling back to `java.io.tmpdir`.
     */
   private[ext] def substrScratch(documents: DataFrame): (Long, Long) = {
     val spark = documents.sparkSession
@@ -644,7 +651,11 @@ object Dedup {
         val dir = spark.sparkContext.getConf
           .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
           .split(',').head
-        new java.io.File(dir).getUsableSpace
+        var cur = new java.io.File(dir).getAbsoluteFile
+        while (cur != null && !cur.exists()) cur = cur.getParentFile
+        if (cur != null) cur.getUsableSpace
+        else new java.io.File(System.getProperty("java.io.tmpdir"))
+          .getUsableSpace
       }
     (inputBytes * SubstrScratchPerInputByte, limit)
   }

@@ -1732,25 +1732,51 @@ object Similarity {
     }
     build(embeddings) +: (1 to levels).map { l =>
       val sub = embeddings.filter(hnswLayerPredicate(l, ratio))
+      // loud degenerate-corpus guard (r16 advice): a corpus too small
+      // for the hierarchy hashes to an EMPTY layer subset, and
+      // seedCentroids over it would yield zero landmarks — an opaque
+      // analysis error at build time, BEFORE hnswSearch's top-layer
+      // guard could ever fire. Name the remedy here instead.
+      require(!sub.isEmpty,
+        s"hnswLayerGraphs: layer $l (ratio $ratio) holds no vertices - " +
+          "the corpus is too small for this hierarchy; lower `levels` " +
+          "(or serve the lower levels with graphSearch directly)")
       val cents = seedCentroids(sub, 16)
-      val ids = cents.map(_._1)
-      // landmark labels: 16 rows, configuration-bounded driver collect
-      val labOf = sub.filter(col("vec_id").isin(ids: _*))
-        .select("vec_id", "label").collect()
-        .map(r => r.getLong(0) -> r.getInt(1)).toMap
-      val lmArr = array(cents.map { case (id, v) =>
-        struct(lit(id).as("lid"), array(v.map(lit): _*).as("lvec"),
-          lit(labOf(id)).as("llab"))
-      }.toIndexedSeq: _*)
-      val mesh = sub
-        .select(col("vec_id").as("probe_id"), col("embedding").as("_pe"))
-        .select(col("probe_id"), col("_pe"), explode(lmArr).as("_l"))
-        .filter(col("probe_id") =!= col("_l.lid"))
-        .select(col("probe_id"), col("_l.lid").as("vec_id"),
-          col("_l.llab").as("label"),
-          round(cosine(col("_pe"), col("_l.lvec")), 6).as("cosine"))
-      build(sub).unionByName(mesh).distinct()
+      build(sub).unionByName(landmarkStar(sub, cents, sub)).distinct()
     }
+  }
+
+  /** The LANDMARK-STAR edges of one HNSW layer: every vertex of
+    * `vertices` gains an edge to each of the layer's 16 quantizer
+    * seeds (`cents`), self excluded — ≤16 extra edges per vertex via a
+    * literal-array explode, no join. `labelSrc` supplies the landmark
+    * LABELS (the layer subset — landmarks are layer members; `vertices`
+    * may be a batch that does not contain them). ONE kernel for the
+    * in-memory hierarchy ([[hnswLayerGraphs]]), the persisted build
+    * ([[writeHnswClustered]]), and the incremental star append
+    * ([[appendToHnswClustered]]) — so the star semantics can never
+    * diverge between build and maintenance.
+    */
+  private[ext] def landmarkStar(
+      vertices: DataFrame,
+      cents: Seq[(Long, Seq[Float])],
+      labelSrc: DataFrame): DataFrame = {
+    val ids = cents.map(_._1)
+    // landmark labels: 16 rows, configuration-bounded driver collect
+    val labOf = labelSrc.filter(col("vec_id").isin(ids: _*))
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lmArr = array(cents.map { case (id, v) =>
+      struct(lit(id).as("lid"), array(v.map(lit): _*).as("lvec"),
+        lit(labOf(id)).as("llab"))
+    }.toIndexedSeq: _*)
+    vertices
+      .select(col("vec_id").as("probe_id"), col("embedding").as("_pe"))
+      .select(col("probe_id"), col("_pe"), explode(lmArr).as("_l"))
+      .filter(col("probe_id") =!= col("_l.lid"))
+      .select(col("probe_id"), col("_l.lid").as("vec_id"),
+        col("_l.llab").as("label"),
+        round(cosine(col("_pe"), col("_l.lvec")), 6).as("cosine"))
   }
 
   /** HNSW-style DESCENT search over [[hnswLayerGraphs]]: start at the
@@ -1788,12 +1814,251 @@ object Similarity {
         "vertices - the corpus is too small for this hierarchy; lower " +
         "`levels` (or serve with graphSearch directly)")
     val topEntry = topRow.getLong(0)
+    hnswDescend(embeddings, layers, probes, topEntry, beam, rounds,
+      upperBeam, upperRounds)
+  }
+
+  /** The descent kernel behind [[hnswSearch]] and [[hnswSearchStored]]:
+    * seed every probe at `topEntry`, beam-walk each upper layer and
+    * hand the surviving beam down, then run the base stage — NO
+    * corpus-wide work of any kind (the entry id arrives as a literal).
+    */
+  private def hnswDescend(
+      embeddings: DataFrame,
+      layers: Seq[DataFrame],
+      probes: DataFrame,
+      topEntry: Long,
+      beam: Int,
+      rounds: Int,
+      upperBeam: Int,
+      upperRounds: Int): DataFrame = {
+    val levels = layers.size - 1
     var entry: DataFrame = probes.select(col("probe_id"))
       .withColumn("vec_id", lit(topEntry))
     for (l <- levels to 1 by -1)
       entry = beamSearchFrom(embeddings, layers(l), probes, entry,
         upperBeam, upperRounds).select("probe_id", "vec_id")
     beamSearchFrom(embeddings, layers(0), probes, entry, beam, rounds)
+  }
+
+  // ------------------------------------------ persisted HNSW hierarchy
+
+  /** A LOADED [[writeHnswClustered]] hierarchy: the per-layer edge
+    * frames (element 0 = base) plus the frozen top-entry vertex id and
+    * the hierarchy's shape — everything [[hnswSearchStored]] needs to
+    * descend with zero corpus-wide work before the first hop.
+    */
+  final case class HnswStored(
+      layers: IndexedSeq[DataFrame],
+      topEntry: Long,
+      levels: Int,
+      ratio: Int)
+
+  /** PERSIST the HNSW hierarchy as a maintained artifact (r16 verdict
+    * #1/#7 — the `graph_search` save→load→walk precedent one level
+    * up). Layout under `path`:
+    *
+    *   - `l0`        — the base kNN graph, [[writeGraphClustered]]
+    *     (g_cell-partitioned under the CORPUS quantizer — the same
+    *     layout [[appendToGraphClustered]] maintains);
+    *   - `l<j>/knn`  — layer j's kNN edges, [[writeGraphClustered]]
+    *     under the LAYER's own lowest-16-id seed quantizer;
+    *   - `l<j>/star` — layer j's landmark-star edges (append-only:
+    *     maintenance appends newcomers' stars, landmarks are frozen);
+    *   - `meta`      — one row `(top_entry, levels, ratio)`: the top
+    *     layer's minimum vertex id, persisted WITH the hierarchy so
+    *     serving never re-derives it with a corpus scan (r16 verdict
+    *     #7 — the entry id is a property of the frozen artifact).
+    *
+    * A serving user pays the hierarchy build ONCE here; every
+    * [[hnswSearchStored]] batch afterwards reads only the layer edges
+    * its hops touch. kNN and star edges persist SEPARATELY because
+    * they maintain differently (exact re-rank vs append-only) — the
+    * read face re-unions them, and the layer-parity spec pins the
+    * round trip bit-identical to [[hnswLayerGraphs]].
+    */
+  def writeHnswClustered(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      path: String,
+      levels: Int = 2,
+      ratio: Int = 4,
+      k: Int = 4,
+      nCentroidsOf: Option[Long => Int] = None,
+      hier: Boolean = false): Unit = {
+    require(levels >= 1, s"levels must be >= 1: $levels")
+    require(ratio >= 2, s"ratio must be >= 2: $ratio")
+    def build(sub: DataFrame): DataFrame = {
+      val nc = nCentroidsOf.map(f => f(sub.count())).getOrElse(16)
+      if (hier) knnGraphHierJoin(sub, k, nc) else knnGraph(sub, k, nc)
+    }
+    // the levels+1 layer builds share NOTHING (disjoint outputs, each
+    // reads the immutable corpus) — submit them concurrently so the
+    // small upper-layer jobs fill the scheduler gaps of the base build
+    // (on a cluster: independent stages over one immutable input; the
+    // write wall-clock is max(layer), not sum)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val baseF = Future {
+      val cents = seedCentroids(embeddings, 16)
+      writeGraphClustered(build(embeddings),
+        ivfAssignPortableTo(embeddings, cents), s"$path/l0")
+    }
+    val upperF = (1 to levels).map { l =>
+      Future {
+        val sub = embeddings.filter(hnswLayerPredicate(l, ratio))
+        // one driver job for the emptiness guard AND the layer minimum
+        val minRow = sub.agg(min("vec_id")).collect()(0)
+        require(!minRow.isNullAt(0),
+          s"writeHnswClustered: layer $l (ratio $ratio) holds no " +
+            "vertices - the corpus is too small for this hierarchy; " +
+            "lower `levels`")
+        val lcents = seedCentroids(sub, 16)
+        writeGraphClustered(build(sub),
+          ivfAssignPortableTo(sub, lcents), s"$path/l$l/knn")
+        landmarkStar(sub, lcents, sub)
+          .write.mode("overwrite").parquet(s"$path/l$l/star")
+        minRow.getLong(0)
+      }
+    }
+    Await.result(baseF, scala.concurrent.duration.Duration.Inf)
+    val mins = upperF.map(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    import spark.implicits._
+    Seq((mins.last, levels, ratio)).toDF("top_entry", "levels", "ratio")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[writeHnswClustered]] hierarchy: each upper layer is the
+    * stored kNN edges ∪ its landmark star, DISTINCT — exactly the
+    * [[hnswLayerGraphs]] union, now over parquet scans instead of a
+    * rebuilt plan (the whole point: the descent's repeated hop joins
+    * re-read small files, never re-run the build DAG).
+    */
+  def readHnswClustered(spark: SparkSession, path: String): HnswStored = {
+    val m = spark.read.parquet(s"$path/meta").collect()(0)
+    val topEntry = m.getLong(m.fieldIndex("top_entry"))
+    val levels = m.getInt(m.fieldIndex("levels"))
+    val ratio = m.getInt(m.fieldIndex("ratio"))
+    val cols = Seq("probe_id", "vec_id", "label", "cosine").map(col)
+    val base = spark.read.parquet(s"$path/l0").select(cols: _*)
+    val uppers = (1 to levels).map { l =>
+      spark.read.parquet(s"$path/l$l/knn").select(cols: _*)
+        .unionByName(spark.read.parquet(s"$path/l$l/star").select(cols: _*))
+        .distinct()
+    }
+    HnswStored((base +: uppers).toIndexedSeq, topEntry, levels, ratio)
+  }
+
+  /** [[hnswSearch]] SERVING from a loaded artifact: the descent starts
+    * at the PERSISTED top-entry id — no `agg(min)` corpus scan, no
+    * layer build; the only corpus touches are the beam stages' bounded
+    * id-keyed embedding lookups (r16 verdict #7: zero O(corpus) work
+    * before the first hop).
+    */
+  def hnswSearchStored(
+      embeddings: DataFrame,
+      stored: HnswStored,
+      probes: DataFrame,
+      beam: Int = 10,
+      rounds: Int = 3,
+      upperBeam: Int = 4,
+      upperRounds: Int = 2): DataFrame =
+    hnswDescend(embeddings, stored.layers, probes, stored.topEntry,
+      beam, rounds, upperBeam, upperRounds)
+
+  /** INCREMENTAL maintenance of a [[writeHnswClustered]] hierarchy
+    * (r16 verdict #2): [[hnswLayerPredicate]] is deterministic per id,
+    * so an arriving vector's layer memberships are known at arrival —
+    * fold the batch into EVERY layer it hashes into:
+    *
+    *   - base layer: [[appendToGraphClustered]] verbatim (vertex
+    *     anti-join idempotency, bounded partition rewrite);
+    *   - each upper layer's kNN half: the same kernel over the layer
+    *     SUBSET under the layer's frozen lowest-16-id quantizer;
+    *   - each upper layer's star half: the newcomers' landmark-star
+    *     edges APPENDED (landmarks are frozen layer seeds; existing
+    *     vertices' stars never change), anti-joined against the stored
+    *     star's vertex ids so a re-delivered batch no-ops;
+    *   - `meta` is INVARIANT: the top entry is the top layer's lowest
+    *     frozen seed, and the seed-cut guard below rejects any arrival
+    *     that could undercut it — maintenance never rewrites it.
+    *
+    * Append ≡ rebuild-over-union PER LAYER (the declared
+    * `hnsw_appended` key hash-gates it against the full-rebuild
+    * oracle) under the same invariant every incremental face carries:
+    * arriving ids must not displace any frozen seed — enforced loudly
+    * per layer, since a batch id below a layer's seed cut would change
+    * the rebuild's quantizer and silently diverge.
+    *
+    * `base` must be the full PRE-batch corpus the stored hierarchy
+    * covers (the [[appendToGraphClustered]] contract, checked there);
+    * `centroids` is the corpus-level quantizer the base layer was
+    * written under. Write amplification: the touched g_cell partitions
+    * per layer + the newcomers' star rows — never a layer rebuild.
+    *
+    * @return per-level rewritten g_cell partition ids (level → cells;
+    *         empty everywhere = the re-delivery no-op)
+    */
+  def appendToHnswClustered(
+      spark: SparkSession,
+      path: String,
+      base: DataFrame,
+      batch: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      k: Int = 4,
+      nProbe: Int = 4): Map[Int, Seq[Long]] = {
+    val m = spark.read.parquet(s"$path/meta").collect()(0)
+    val storedTop = m.getLong(m.fieldIndex("top_entry"))
+    val levels = m.getInt(m.fieldIndex("levels"))
+    val ratio = m.getInt(m.fieldIndex("ratio"))
+    // per-layer folds touch DISJOINT artifacts (l0, l<j>/knn, l<j>/star)
+    // over immutable inputs — run them concurrently, like the build
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val baseF = Future {
+      0 -> appendToGraphClustered(spark, s"$path/l0", base, batch,
+        centroids, k, nProbe)
+    }
+    val upperF = (1 to levels).map { l =>
+      Future {
+        val subBase = base.filter(hnswLayerPredicate(l, ratio))
+        val subBatch = batch.filter(hnswLayerPredicate(l, ratio))
+        // one driver job: emptiness AND the arriving minimum together
+        val minRow = subBatch.agg(min("vec_id")).collect()(0)
+        if (minRow.isNullAt(0)) l -> (Nil: Seq[Long])
+        else {
+          val lcents = seedCentroids(subBase, 16)
+          val seedCut = lcents.map(_._1).max
+          val minBatch = minRow.getLong(0)
+          require(minBatch > seedCut,
+            s"appendToHnswClustered: layer $l batch holds vec_id " +
+              s"$minBatch <= the layer's frozen seed cut $seedCut - " +
+              "arriving ids below a layer's lowest-16-id quantizer " +
+              "seeds would change the rebuild's quantizer and silently " +
+              "diverge from it")
+          val cells = appendToGraphClustered(spark, s"$path/l$l/knn",
+            subBase, subBatch, lcents, k, nProbe)
+          val storedStar = spark.read.parquet(s"$path/l$l/star")
+          val freshStar = subBatch.join(
+            storedStar.select(col("probe_id").as("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+          if (!freshStar.isEmpty)
+            landmarkStar(freshStar, lcents, subBase)
+              .write.mode("append").parquet(s"$path/l$l/star")
+          l -> cells
+        }
+      }
+    }
+    val out = (baseF +: upperF)
+      .map(Await.result(_, scala.concurrent.duration.Duration.Inf)).toMap
+    // the top entry is INVARIANT under valid appends: it is the top
+    // layer's minimum id — i.e. its lowest frozen seed — and the
+    // per-layer seed-cut requirement above already rejects any arrival
+    // at or below the top layer's 16th-lowest id, so no arrival can
+    // undercut it; `meta` never rewrites (storedTop read above only to
+    // document the invariant at the call site)
+    val _ = storedTop
+    out
   }
 
   /** Brute-force per-probe exact top-k with probes as DATA — the

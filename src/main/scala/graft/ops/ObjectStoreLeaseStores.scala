@@ -58,11 +58,18 @@ object ObjectStoreLeaseStores {
     java.lang.reflect.Array.newInstance(c, 0)
 
   /** The S3 shim's SPI token for an ETag: its leading 16 hex digits as
-    * an unsigned long (quotes/dashes stripped). Documented trade: the
-    * token is a digest of the version identity, not the identity
-    * itself — the conditional calls always carry the full ETag, so a
-    * (2⁻⁶⁴-improbable) token collision can mis-REFUSE, never
-    * mis-admit.
+    * an unsigned long (quotes/dashes stripped). Documented trade
+    * (direction matters — r16 advice): the token is a digest of the
+    * version identity, not the identity itself, and replaceIf/deleteIf
+    * compare the caller's remembered TOKEN against the freshly-HEADed
+    * ETag's token, then If-Match the CURRENT ETag. So If-Match fences
+    * only the HEAD-to-call window; if a DIFFERENT live version's token
+    * collides with a stale `expect`, the write is ADMITTED against a
+    * version the caller never observed. Probability 2⁻⁶⁴ per
+    * stale-CAS attempt — acceptable for a lease heartbeat, but the
+    * honest failure mode is mis-ADMIT, not mis-refuse. Eliminating it
+    * needs the SPI handle to carry the full ETag (a String token), at
+    * which point If-Match carries the remembered identity itself.
     */
   private[ops] def s3GenOf(etag: String): Long = {
     val hex = etag.filter(c => Character.digit(c, 16) >= 0).take(16)
@@ -86,6 +93,27 @@ object ObjectStoreLeaseStores {
               .asInstanceOf[Number].intValue()
           catch { case _: ReflectiveOperationException => -1 }
         return code == 412 || code == 409
+      }
+      cur = cur.getCause
+    }
+    false
+  }
+
+  /** `true` iff `t` (or its cause chain) is the vendor's not-found
+    * signal (code 404) — same walk as [[isPreconditionFailure]].
+    */
+  private[ops] def isNotFound(
+      t: Throwable, exClass: String, codeMethod: String): Boolean = {
+    var cur = t
+    while (cur != null) {
+      if (cur.getClass.getName == exClass ||
+          (cur.getClass.getSuperclass != null &&
+            cur.getClass.getSuperclass.getName == exClass)) {
+        val code =
+          try cur.getClass.getMethod(codeMethod).invoke(cur)
+              .asInstanceOf[Number].intValue()
+          catch { case _: ReflectiveOperationException => -1 }
+        return code == 404
       }
       cur = cur.getCause
     }
@@ -146,20 +174,52 @@ final class GcsConditionalLeaseStore(storage: AnyRef, bucket: String)
   def putIfAbsent(key: String, content: String): Option[Long] =
     createWithGen(key, content, 0L)
 
+  private val blobSrcOptC =
+    loadClass("com.google.cloud.storage.Blob$BlobSourceOption", artifact)
+  private val blobSrcGenMatch = blobSrcOptC.getMethod("generationMatch")
+
+  /** Read is TWO RPCs (metadata get, then content get) — r16 advice:
+    * without a precondition the second RPC can return a NEWER
+    * version's bytes against the first RPC's generation (a torn pair
+    * the heartbeat's content-resync would consume). `generationMatch()`
+    * pins the content read to the generation the metadata returned; a
+    * concurrent replace between the RPCs 412s and the read retries
+    * from fresh metadata (bounded — unbounded churn on a lease object
+    * means the lease is already lost).
+    */
   def get(key: String): Option[(String, Long)] = {
-    val id = blobIdOf.invoke(null, bucket, key)
-    Option(getM.invoke(storage, id, varargs0(blobGetOptC))).map { blob =>
-      val bytes = blob.getClass
-        .getMethod("getContent", varargs0(
-          loadClass("com.google.cloud.storage.Blob$BlobSourceOption", artifact))
-          .getClass)
-        .invoke(blob, varargs0(
-          loadClass("com.google.cloud.storage.Blob$BlobSourceOption", artifact)))
-        .asInstanceOf[Array[Byte]]
-      val gen = blob.getClass.getMethod("getGeneration").invoke(blob)
-        .asInstanceOf[java.lang.Long].longValue()
-      (new String(bytes, "UTF-8"), gen)
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val id = blobIdOf.invoke(null, bucket, key)
+      Option(getM.invoke(storage, id, varargs0(blobGetOptC))) match {
+        case None => return None
+        case Some(blob) =>
+          try {
+            val bytes = blob.getClass
+              .getMethod("getContent", varargs0(blobSrcOptC).getClass)
+              .invoke(blob, varargs1(blobSrcOptC, blobSrcGenMatch.invoke(null)))
+              .asInstanceOf[Array[Byte]]
+            val gen = blob.getClass.getMethod("getGeneration").invoke(blob)
+              .asInstanceOf[java.lang.Long].longValue()
+            return Some((new String(bytes, "UTF-8"), gen))
+          } catch {
+            // 412: precondition mismatch; 404: the pinned generation is
+            // gone entirely (replaced-and-GC'd or deleted) — both mean
+            // "the metadata RPC's generation is no longer the live one":
+            // retry from fresh metadata (a delete surfaces as None there)
+            case e: java.lang.reflect.InvocationTargetException
+                if isPreconditionFailure(e.getCause,
+                  "com.google.cloud.storage.StorageException", "getCode") ||
+                  isNotFound(e.getCause,
+                    "com.google.cloud.storage.StorageException", "getCode") =>
+              ()
+          }
+      }
     }
+    throw new IllegalStateException(
+      s"GcsConditionalLeaseStore.get($key): content/generation kept " +
+        "racing concurrent replaces after 5 attempts")
   }
 
   def replaceIf(key: String, content: String, expect: Long): Option[Long] =

@@ -96,6 +96,81 @@ object StreamGraphMaintain {
         }
       }
 
+  /** [[maintainBatch]] for a LAYERED hierarchy (r16 verdict #2's
+    * streaming half): the arriving batch folds into the vector layout
+    * AND every layer of a [[Similarity.writeHnswClustered]] artifact
+    * it hashes into ([[Similarity.appendToHnswClustered]] — kNN halves
+    * re-ranked exactly, star halves appended, top entry invariant).
+    * Same crash-point analysis as the flat face: the hierarchy folds
+    * FIRST (reading the pre-batch corpus as its scoring base), then
+    * the vectors append; every per-layer half is idempotent on its own
+    * vertex anti-join, so a crash between ANY two writes (mid-
+    * hierarchy included) replays to the single-clean-delivery state.
+    */
+  def maintainBatchHnsw(
+      spark: SparkSession,
+      vectors: DataFrame,
+      index: Similarity.IvfIndex,
+      vecPath: String,
+      hnswPath: String,
+      k: Int = 4,
+      nProbe: Int = 4,
+      maxFilesPerPartition: Int = 8): Map[Int, Seq[Long]] = {
+    val corpus = spark.read.parquet(vecPath)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val fresh = vectors.select(col("vec_id"), col("embedding"), col("label"))
+      .join(corpus.select("vec_id"), Seq("vec_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (fresh.isEmpty) Map.empty
+      else {
+        val cells = Similarity.appendToHnswClustered(
+          spark, hnswPath, corpus, fresh, index.centroids, k, nProbe)
+        Similarity.appendToClustered(
+          spark, vecPath, fresh, index, maxFilesPerPartition, portable = true)
+        cells
+      }
+    } finally fresh.unpersist(blocking = false)
+  }
+
+  /** Writer for the layered face — every micro-batch folds into the
+    * vector layout + the full HNSW hierarchy via [[maintainBatchHnsw]].
+    */
+  def maintainHnsw(
+      vectors: DataFrame,
+      index: Similarity.IvfIndex,
+      vecPath: String,
+      hnswPath: String,
+      k: Int = 4,
+      nProbe: Int = 4,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          maintainBatchHnsw(batch.sparkSession, batch, index, vecPath,
+            hnswPath, k, nProbe)
+          ()
+        }
+      }
+
+  /** Convenience: one AvailableNow layered maintenance pass. */
+  def maintainHnswOnce(
+      spark: SparkSession,
+      vectors: DataFrame,
+      index: Similarity.IvfIndex,
+      vecPath: String,
+      hnswPath: String,
+      checkpointDir: String,
+      k: Int = 4,
+      nProbe: Int = 4): StreamingQuery = {
+    val q = maintainHnsw(vectors, index, vecPath, hnswPath, k, nProbe)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Convenience: run one AvailableNow maintenance pass to completion. */
   def maintainOnce(
       spark: SparkSession,
