@@ -284,6 +284,42 @@ case class AHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `png_ahash64(payload)`: 64-bit perceptual average-hash of a PNG
+  * payload's DECODED pixels ([[Hashing.pngAHash64]] — real inflate +
+  * per-scanline filter reversal, then the [[AHash64Expr]] cell walk);
+  * null for non-PNG / malformed payloads (same custom-codegen reason
+  * as [[AHash64Expr]]: the kernel's null result must set the null
+  * flag).
+  */
+case class PngAHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_png_ahash64"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary argument, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.pngAHash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("pngahash")
+      s"""java.lang.Long $tmp = graft.functions.Hashing.pngAHash64($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PngAHash64Expr =
+    copy(child = newChild)
+}
+
 /** `audiohash64(payload)`: 64-bit sign-of-energy-delta content hash of
   * a WAV payload's PCM body ([[Hashing.audioHash64]]); null for
   * non-WAV / malformed payloads (same custom-codegen reason as

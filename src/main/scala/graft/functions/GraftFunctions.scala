@@ -52,6 +52,9 @@ object GraftFunctions {
   def aHash64(c: Column): Column =
     GraftBridge.column(AHash64Expr(GraftBridge.expression(c)))
 
+  def pngAHash64(c: Column): Column =
+    GraftBridge.column(PngAHash64Expr(GraftBridge.expression(c)))
+
   def audioHash64(c: Column): Column =
     GraftBridge.column(AudioHash64Expr(GraftBridge.expression(c)))
 
@@ -149,6 +152,7 @@ object GraftFunctions {
     fn("graft_random_project", "(vec, k)", 2, 2)(es =>
       RandomProjectExpr(es.head, litInt("graft_random_project", es(1)))),
     fn("graft_ahash64", "(payload)", 1, 1)(es => AHash64Expr(es.head)),
+    fn("graft_png_ahash64", "(payload)", 1, 1)(es => PngAHash64Expr(es.head)),
     fn("graft_audiohash64", "(payload)", 1, 1)(es => AudioHash64Expr(es.head)),
     fn("graft_videohash64", "(payload)", 1, 1)(es => VideoHash64Expr(es.head)),
   )

@@ -429,4 +429,84 @@ class MultimodalSpec extends SparkSpec {
       assert(!cols.contains("payload"), s"payload reaches a join: $cols")
     }
   }
+
+  test("pngPixels: inflate + all five filter reversals recover the padded body; ImageIO agrees (r17)") {
+    import graft.functions.Hashing
+    // ≥5 rows so the generator's cycling filter types exercise every
+    // reversal branch (None/Sub/Up/Average/Paeth)
+    val id = 7L // w = 8 + 7 % 24 = 15
+    val body = ("The quick brown fox jumps over the lazy dog. " * 4).getBytes("UTF-8")
+    val png = Multimodal.pngBytes(id, body)
+    val w = Multimodal.Gen.pngWidth(id)
+    val h = (body.length + w - 1) / w
+    assert(h >= 5, s"fixture too short to cycle all filters: $h rows")
+    val expect = java.util.Arrays.copyOf(body, w * h)
+    val got = Hashing.pngPixels(png)
+    assert(got != null && got.sameElements(expect),
+      "decoded pixels != zero-padded body")
+    // independent decoder: the JDK's own ImageIO reads the same bytes
+    // — a real-codec differential, not a round trip through our code
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null, "ImageIO refused the generated PNG")
+    assert(img.getWidth == w && img.getHeight == h)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      assert(raster.getSample(x, y, 0) == (expect(y * w + x) & 0xff),
+        s"ImageIO pixel ($x,$y) disagrees with pngPixels")
+    // and the hash kernel equals the BMP cell walk over the same buffer
+    val viaBmp = Hashing.aHash64(Multimodal.bmpBytes(0L, expect))
+    assert(Hashing.pngAHash64(png) == viaBmp,
+      "pngAHash64 != aHash64 over the identical pixel buffer")
+  }
+
+  test("pngPixels: malformed payloads (bad magic, CRC corruption, truncation, unsupported shape) yield null, never throw (r17)") {
+    import graft.functions.Hashing
+    val body = "some pixel content for the decoder".getBytes("UTF-8")
+    val png = Multimodal.pngBytes(3L, body)
+    assert(Hashing.pngPixels(null) == null)
+    assert(Hashing.pngPixels("not a png at all".getBytes) == null)
+    // flip one IDAT byte: the chunk CRC must refuse it
+    val corrupt = png.clone()
+    corrupt(8 + 25 + 12 + 10) = (corrupt(8 + 25 + 12 + 10) ^ 0x40).toByte
+    assert(Hashing.pngPixels(corrupt) == null, "CRC corruption not refused")
+    // truncation mid-chunk
+    assert(Hashing.pngPixels(java.util.Arrays.copyOf(png, png.length - 9)) == null)
+    // unsupported shape: 16-bit depth in a CRC-correct IHDR
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val t = tpe.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+      be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val deep = sig ++ chunk("IHDR",
+      be32(4) ++ be32(4) ++ Array[Byte](16, 0, 0, 0, 0)) ++
+      chunk("IDAT", Array[Byte](1, 2, 3)) ++ chunk("IEND", Array.emptyByteArray)
+    assert(Hashing.pngPixels(deep) == null, "16-bit depth not refused")
+    // inflate-length mismatch: a valid zlib stream shorter than the
+    // declared scanlines must be refused, not zero-filled
+    val shortRaw = new java.util.zip.Deflater()
+    shortRaw.setInput(Array[Byte](0, 1, 2)); shortRaw.finish()
+    val zb = new Array[Byte](64)
+    val zn = shortRaw.deflate(zb); shortRaw.end()
+    val tooShort = sig ++ chunk("IHDR",
+      be32(4) ++ be32(4) ++ Array[Byte](8, 0, 0, 0, 0)) ++
+      chunk("IDAT", java.util.Arrays.copyOf(zb, zn)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(Hashing.pngPixels(tooShort) == null, "truncated stream not refused")
+  }
+
+  test("pngAHash: near-identical pixel buffers pair within the radius through the PNG round trip (r17)") {
+    import org.apache.spark.sql.functions._
+    val base = "A long enough shared payload for meaningful cells. " * 6
+    val pngs = Multimodal.asPngTable(docsDF(Seq(
+      (0L, base), (24L, base + "x"), // same width (24 % 24 = 0): near-dup
+      (7L, "completely different content here, nothing alike at all " * 5))))
+    val pairs = Multimodal.phashPngPairs(pngs).collect()
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 24L),
+      s"near-identical PNGs did not pair: ${pairs.mkString(", ")}")
+    assert(!pairs.exists(r => r.getLong(1) == 7L || r.getLong(0) == 7L),
+      "unrelated PNG paired")
+  }
 }
