@@ -555,6 +555,41 @@ object ExtQueries {
        |  SELECT probe_id, vec_id, label, cosine FROM ${p}kg
        |  UNION ALL SELECT probe_id, vec_id, label, cosine FROM ${p}mesh))""".stripMargin
 
+  /** The exact-substring-dedup oracle (Lee et al. ExactSubstr as SQL:
+    * gram-text grouping finds duplicated ≥k-grams, first occurrence by
+    * (doc_id, pos), covered positions removed, survivors re-joined in
+    * order) — ONE text for the single-sort key AND the hash-range
+    * ranged key, which must be bit-identical by construction.
+    */
+  private lazy val substrDedupOracle: String = {
+    val k = Dedup.SubstrK
+    s"""WITH sd_d AS (SELECT doc_id, $NormSql AS norm FROM documents),
+       |sd_i AS (SELECT doc_id, norm,
+       |    unnest(range(0, greatest(0, len(norm) - ${k - 1}))) AS pos FROM sd_d),
+       |sd_g AS (SELECT doc_id, pos, substr(norm, (pos + 1)::INTEGER, $k) AS gram
+       |    FROM sd_i),
+       |sd_k1 AS (SELECT gram, min(doc_id) AS kdoc FROM sd_g
+       |    GROUP BY gram HAVING count(*) >= 2),
+       |sd_k AS (SELECT g.gram, k1.kdoc, min(g.pos) AS kpos
+       |    FROM sd_k1 k1 JOIN sd_g g ON g.gram = k1.gram AND g.doc_id = k1.kdoc
+       |    GROUP BY 1, 2),
+       |sd_cut AS (SELECT g.doc_id, g.pos FROM sd_g g JOIN sd_k k ON g.gram = k.gram
+       |    WHERE NOT (g.doc_id = k.kdoc AND g.pos = k.kpos)),
+       |sd_c AS (SELECT doc_id, norm, unnest(range(0, len(norm))) AS p FROM sd_d),
+       |sd_cov AS (SELECT DISTINCT c.doc_id, c.p FROM sd_c c JOIN sd_cut s
+       |    ON s.doc_id = c.doc_id AND c.p >= s.pos AND c.p < s.pos + $k),
+       |sd_kept AS (SELECT c.doc_id,
+       |      string_agg(substr(c.norm, (c.p + 1)::INTEGER, 1), '' ORDER BY c.p)
+       |        AS text_kept
+       |    FROM sd_c c LEFT JOIN sd_cov v ON v.doc_id = c.doc_id AND v.p = c.p
+       |    WHERE v.doc_id IS NULL GROUP BY c.doc_id)
+       |SELECT d.doc_id, len(d.norm)::BIGINT AS n_chars,
+       |       len(coalesce(kp.text_kept, ''))::BIGINT AS n_kept_chars,
+       |       coalesce(kp.text_kept, '') AS text_kept
+       |FROM sd_d d LEFT JOIN sd_kept kp USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** One beam-search STAGE (entry scoring + `rounds` unrolled hops) as
     * prefixed CTEs over edge table `edge`, seeded from `entryCte`
     * (`probe_id`, `vec_id` rows) — the oracle text of
@@ -1323,6 +1358,14 @@ object ExtQueries {
       // ≥SubstrK-char span whose text occurs earlier in the corpus,
       // keeping the first occurrence — the surviving text is rebuilt
       Dedup.substringDedup(docs(s, dir))),
+    "dedup_substring_ranged_documents" -> ((s: SparkSession, dir: String) =>
+      // the hash-range REMEDY (r16 verdict #5) as its own declared key:
+      // the duplicated-gram position sort split into 4 sequential
+      // hash-range passes, each sorting ~1/4 of the position stream
+      // (scratch ÷ passes — the single-box execution of the N-node
+      // posture); the oracle is the single-sort key's text VERBATIM,
+      // so the hash gates the ranged execution bit-identical
+      Dedup.substringDedupPasses(docs(s, dir), passes = 4)),
     // -- similarity search --
     "similarity_topk_embeddings" -> ((s: SparkSession, dir: String) => {
       val e = embs(s, dir)
@@ -2964,34 +3007,12 @@ object ExtQueries {
     // Survivor text: per-character covered marking (a char is cut iff
     // some non-first duplicated-gram window [pos, pos+k) contains it),
     // which equals the engine's interval-merge fold by construction.
-    "dedup_substring_documents" -> {
-      val k = Dedup.SubstrK
-      s"""WITH sd_d AS (SELECT doc_id, $NormSql AS norm FROM documents),
-         |sd_i AS (SELECT doc_id, norm,
-         |    unnest(range(0, greatest(0, len(norm) - ${k - 1}))) AS pos FROM sd_d),
-         |sd_g AS (SELECT doc_id, pos, substr(norm, (pos + 1)::INTEGER, $k) AS gram
-         |    FROM sd_i),
-         |sd_k1 AS (SELECT gram, min(doc_id) AS kdoc FROM sd_g
-         |    GROUP BY gram HAVING count(*) >= 2),
-         |sd_k AS (SELECT g.gram, k1.kdoc, min(g.pos) AS kpos
-         |    FROM sd_k1 k1 JOIN sd_g g ON g.gram = k1.gram AND g.doc_id = k1.kdoc
-         |    GROUP BY 1, 2),
-         |sd_cut AS (SELECT g.doc_id, g.pos FROM sd_g g JOIN sd_k k ON g.gram = k.gram
-         |    WHERE NOT (g.doc_id = k.kdoc AND g.pos = k.kpos)),
-         |sd_c AS (SELECT doc_id, norm, unnest(range(0, len(norm))) AS p FROM sd_d),
-         |sd_cov AS (SELECT DISTINCT c.doc_id, c.p FROM sd_c c JOIN sd_cut s
-         |    ON s.doc_id = c.doc_id AND c.p >= s.pos AND c.p < s.pos + $k),
-         |sd_kept AS (SELECT c.doc_id,
-         |      string_agg(substr(c.norm, (c.p + 1)::INTEGER, 1), '' ORDER BY c.p)
-         |        AS text_kept
-         |    FROM sd_c c LEFT JOIN sd_cov v ON v.doc_id = c.doc_id AND v.p = c.p
-         |    WHERE v.doc_id IS NULL GROUP BY c.doc_id)
-         |SELECT d.doc_id, len(d.norm)::BIGINT AS n_chars,
-         |       len(coalesce(kp.text_kept, ''))::BIGINT AS n_kept_chars,
-         |       coalesce(kp.text_kept, '') AS text_kept
-         |FROM sd_d d LEFT JOIN sd_kept kp USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "dedup_substring_documents" -> substrDedupOracle,
+    // the hash-range-partitioned execution must be BIT-IDENTICAL to the
+    // single-sort plan (the union over ranges of per-range non-first
+    // duplicated positions is the global set — grouping key h never
+    // crosses ranges), so the oracle is the same text verbatim
+    "dedup_substring_ranged_documents" -> substrDedupOracle,
     // hyperplane-LSH near-dup pairs: the seeded plane matrix is emitted
     // into the SQL as literals (same constants as the codegen'd kernel),
     // so banding, candidates, and cosine verify all replicate exactly

@@ -660,44 +660,109 @@ object Dedup {
     (inputBytes * SubstrScratchPerInputByte, limit)
   }
 
+  /** Explicit pass count for [[substringDedup]]'s hash-range remedy
+    * (overrides the estimate-derived auto value; 1 = force single
+    * pass).
+    */
+  val SubstrPassesConf = "spark.graft.substrDedup.passes"
+
+  /** Auto-sharding cap: past this many sequential ranges the single
+    * box is simply the wrong tool and the pre-flight refuses, naming
+    * both numbers.
+    */
+  val SubstrMaxAutoPasses = 64
+
   def substringDedup(documents: DataFrame, k: Int = SubstrK): DataFrame = {
     require(k >= 2, s"span threshold must be >= 2 chars: $k")
-    // pre-flight (r15 verdict #5): the one-shuffle position sort is the
-    // scale-safe PLAN, but its spill is ~144× the input bytes and a
-    // single box runs out of scratch at ~sf30 (SCALE.md r15 measured
-    // the sf100 death at 76 GB) — estimate from file sizes and refuse
-    // in seconds instead of after filling the disk
+    // pre-flight (r15 verdict #5 → r16 verdict #5): the one-shuffle
+    // position sort is the scale-safe PLAN, but its spill is ~144× the
+    // input bytes and a single box runs out of scratch at ~sf30
+    // (SCALE.md r15 measured the sf100 death at 76 GB). The REMEDY is
+    // hash-range partitioning (below): ⌈est/limit⌉ sequential ranges,
+    // each sorting only its share of the position stream within the
+    // scratch budget. Refuse only past [[SubstrMaxAutoPasses]].
+    val spark = documents.sparkSession
     val (est, limit) = substrScratch(documents)
-    require(limit < 0 || est <= limit,
+    val passes = spark.conf.getOption(SubstrPassesConf).map(_.toInt)
+      .getOrElse {
+        if (limit < 0 || est <= limit) 1
+        else ((est + limit - 1) / limit).toInt
+      }
+    require(passes >= 1, s"$SubstrPassesConf must be >= 1: $passes")
+    require(limit < 0 || passes <= SubstrMaxAutoPasses,
       f"substringDedup pre-flight: estimated sort scratch $est bytes " +
         f"(~${est / 1e9}%.1f GB) exceeds the available/configured limit " +
-        f"$limit bytes (~${limit / 1e9}%.1f GB) - the position sort is " +
-        "cluster-sized beyond ~sf10 on one box (SCALE.md r15). Run on " +
-        "a cluster, shrink the input, or set " +
-        s"$SubstrScratchLimitConf (bytes; -1 disables) to override")
-    // pinned: the normalization pass feeds the gram explode AND the
-    // final cut join — without the pin the regex scan runs twice
+        f"$limit bytes (~${limit / 1e9}%.1f GB) by more than " +
+        s"${SubstrMaxAutoPasses}x - even the hash-range remedy would " +
+        "need an impractical pass count on one box. Run on a cluster, " +
+        "shrink the input, or set " +
+        s"$SubstrScratchLimitConf (bytes; -1 disables) or " +
+        s"$SubstrPassesConf to override")
+    substringDedupPasses(documents, k, passes)
+  }
+
+  /** [[substringDedup]] with the position sort HASH-RANGE PARTITIONED
+    * into `passes` ranges (r16 verdict #5 — the remedy, not just the
+    * fence): the duplicated-gram detection is a per-`h` decision, so
+    * partitioning the GRAM-HASH SPACE (`pmod(h, passes)`) splits the
+    * clustered window sort into `passes` independent jobs whose spills
+    * are each ~1/passes of the whole. Run SEQUENTIALLY on one box
+    * (each pass's eager checkpoint completes — and frees its sort
+    * scratch — before the next starts: N passes on one box ≡ the
+    * N-node cluster posture where each node sorts one range); only the
+    * DUPLICATED positions survive each pass (a small fraction of a
+    * mostly-clean corpus), so the carried state is cut starts, never
+    * the position stream. The per-pass cost re-derives the gram
+    * explode from the pinned normalized corpus — CPU ×passes for
+    * scratch ÷passes, the honest trade (at cluster scale the ranges
+    * run in parallel instead and the trade disappears).
+    *
+    * `passes = 1` is the original single-sort plan, bit-identical by
+    * construction (spec-pinned for the ranged path too: the union over
+    * ranges of per-range non-first duplicated positions IS the global
+    * set, since grouping key `h` never crosses ranges).
+    */
+  def substringDedupPasses(
+      documents: DataFrame, k: Int = SubstrK, passes: Int = 1): DataFrame = {
+    require(k >= 2, s"span threshold must be >= 2 chars: $k")
+    require(passes >= 1, s"passes must be >= 1: $passes")
+    // pinned: the normalization pass feeds the gram explode(s) AND the
+    // final cut join — without the pin the regex scan runs per pass + 1
     val normed = graft.core.CacheScope.persist(
       documents.select(col("doc_id"), TextStats.normText(col("text")).as("norm")))
-    val occ = normed.select(col("doc_id"),
-      posexplode(graft.functions.GraftFunctions.charGramHashes(col("norm"), k))
-        .as(Seq("pos", "h")))
     // global first occurrence per gram + multiplicity as ONE window
     // pass clustered by the 64-bit hash: every non-first occurrence of
     // a duplicated gram starts a cut window [pos, pos+k). Partition-only
-    // window (no ORDER BY) — WindowExec clusters by `h` alone, so the
-    // corpus's position stream shuffles and sorts ONCE. The earlier
+    // window (no ORDER BY) — WindowExec clusters by `h` alone, so each
+    // range's position stream shuffles and sorts ONCE. The earlier
     // aggregate-then-join-back shape paid that shuffle TWICE the moment
     // the duplicated-gram set outgrew the broadcast threshold (sf1
     // measured: 821k dup grams → SMJ re-shuffled all 17.8M positions;
     // at 100 TB the dup set is never broadcast-sized). Gram hashes are
     // ~distinct, so the old groupBy's map-side combine bought nothing.
     val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val cuts = occ
-      .withColumn("_first", min(struct(col("doc_id"), col("pos"))).over(wh))
-      .withColumn("_n", count(lit(1)).over(wh))
-      .filter(col("_n") >= 2 &&
-        !(col("doc_id") === col("_first.doc_id") && col("pos") === col("_first.pos")))
+    def cutStarts(range: Option[Int]): DataFrame = {
+      val occ = normed.select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.charGramHashes(col("norm"), k))
+          .as(Seq("pos", "h")))
+      val sliced = range.fold(occ)(r =>
+        occ.filter(pmod(col("h"), lit(passes.toLong)) === r.toLong))
+      sliced
+        .withColumn("_first", min(struct(col("doc_id"), col("pos"))).over(wh))
+        .withColumn("_n", count(lit(1)).over(wh))
+        .filter(col("_n") >= 2 &&
+          !(col("doc_id") === col("_first.doc_id") && col("pos") === col("_first.pos")))
+        .select("doc_id", "pos")
+    }
+    val dupPos =
+      if (passes == 1) cutStarts(None)
+      else (0 until passes).map { r =>
+        // eager checkpoint = the SEQUENTIAL barrier: pass r's sort has
+        // completed (scratch freed) before pass r+1's plan runs; only
+        // the duplicated positions survive into the carried frame
+        graft.core.CacheScope.track(cutStarts(Some(r)).localCheckpoint(true))
+      }.reduce(_.unionByName(_))
+    val cuts = dupPos
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
     // interval-merge fold: walk the sorted starts once, appending the

@@ -196,6 +196,41 @@ class InMemoryLeaseStoreContractSpec extends ConditionalLeaseStoreContract {
   def newStore(): ConditionalLeaseStore = new InMemoryLeaseStore
 }
 
+/** The EMULATED-BACKEND certification (r16 verdict #3): the pure-JDK
+  * HTTP adapter over an in-process object-store emulator — the whole
+  * contract (CAS semantics, 16-way races, the Loader protocol matrix,
+  * the lost-ack resync) runs over REAL loopback sockets: status-code
+  * mapping, generation-header parsing, and server-side preconditions
+  * exercised for real, the role fake-gcs-server plays in a networked
+  * CI. One emulator backs every test (the shared-bucket posture the
+  * contract documents).
+  */
+class HttpLeaseStoreContractSpec extends ConditionalLeaseStoreContract {
+  private lazy val emulator = new ObjectStoreEmulator
+  def storeName: String = "http"
+  def newStore(): ConditionalLeaseStore =
+    new HttpConditionalLeaseStore(emulator.endpoint)
+  override def afterAll(): Unit = {
+    try emulator.stop() finally super.afterAll()
+  }
+}
+
+/** OPT-IN external-endpoint certification: point
+  * `GRAFT_LEASE_HTTP_ENDPOINT` at any deployed server speaking the
+  * generation-preconditioned protocol ([[HttpConditionalLeaseStore]]'s
+  * doc table) and the full contract runs against it; without the env
+  * the suite cancels (the r16-advice opt-in profile shape).
+  */
+class ExternalLeaseStoreContractSpec extends ConditionalLeaseStoreContract {
+  private val endpoint = sys.env.get("GRAFT_LEASE_HTTP_ENDPOINT")
+  def storeName: String = "ext"
+  def newStore(): ConditionalLeaseStore = {
+    assume(endpoint.nonEmpty,
+      "GRAFT_LEASE_HTTP_ENDPOINT not set - external certification skipped")
+    new HttpConditionalLeaseStore(endpoint.get)
+  }
+}
+
 /** The vendor shims are reflective: without the SDK on the classpath
   * they must fail AT CONSTRUCTION, naming the missing artifact and the
   * certification suite — never limp along to a runtime
