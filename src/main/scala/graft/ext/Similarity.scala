@@ -1359,6 +1359,40 @@ object Similarity {
       newcomerEdges: DataFrame, // the batch vertices' own edges
       batchAssigned: DataFrame) // (centroid_id, vec_id, embedding, label)
 
+  /** The assignment + probe-cell kernels the append family runs,
+    * ROUTED past the literal-plan cliff exactly like the graph
+    * builders (r17 — the production-nc append): under the
+    * [[GraphLiteralMaxTerms]] budget, the PORTABLE literal kernels the
+    * declared keys freeze (oracle-checkable 6-dp argmin); above it,
+    * the two-level broadcast-join kernels over the same FROZEN
+    * centroid matrix ([[twoLevelJoinAssignedWith]] /
+    * [[probeCellsTwoLevelJoin]], super-cells derived deterministically
+    * from the centroids alone) — both are per-row deterministic
+    * functions of (embedding, centroid matrix), so append ≡ rebuild
+    * still holds, now against [[knnGraphHierJoin]] at the same nc: the
+    * production build path whose layouts a production append
+    * maintains (spec-pinned).
+    */
+  private def appendKernels(
+      centroids: Seq[(Long, Seq[Float])],
+      nProbe: Int): (DataFrame => DataFrame, DataFrame => DataFrame) = {
+    val dim = centroids.headOption.map(_._2.length).getOrElse(0)
+    if (centroids.isEmpty ||
+        SuperProbeDefault.toLong * centroids.size * dim <= GraphLiteralMaxTerms)
+      (df => ivfAssignPortableTo(df, centroids)
+         .select(col("centroid_id"), col("vec_id"), col("embedding"), col("label")),
+       df => probeCellsOf(df, centroids, nProbe))
+    else {
+      val k0 = math.max(1, math.round(math.sqrt(centroids.size.toDouble)).toInt)
+      val cells = superCells(centroids, k0)
+      (df => twoLevelJoinAssignedWith(df, centroids, cells, SuperProbeDefault,
+           carry = Seq("label"))
+         .select(col("centroid_id"), col("vec_id"), col("embedding"), col("label")),
+       df => probeCellsTwoLevelJoin(df, centroids, cells, nProbe,
+         SuperProbeDefault))
+    }
+  }
+
   private def appendEdgePieces(
       baseGraph: DataFrame,
       base: DataFrame,
@@ -1366,15 +1400,12 @@ object Similarity {
       centroids: Seq[(Long, Seq[Float])],
       k: Int,
       nProbe: Int): GraphAppend = {
-    val batchAssigned = ivfAssignPortableTo(batch, centroids)
-      .select(col("centroid_id"), col("vec_id"), col("embedding"), col("label"))
-    val unionAssigned = ivfAssignPortableTo(base, centroids)
-      .select(col("centroid_id"), col("vec_id"), col("embedding"), col("label"))
-      .unionByName(batchAssigned)
+    val (assign, probeCells) = appendKernels(centroids, nProbe)
+    val batchAssigned = assign(batch)
+    val unionAssigned = assign(base).unionByName(batchAssigned)
     // 1. the newcomers' own edges: the rebuild kernel, batch probes only
-    val batchProbeCells = probeCellsOf(
-      batch.select(col("vec_id").as("probe_id"), col("embedding")),
-      centroids, nProbe)
+    val batchProbeCells = probeCells(
+      batch.select(col("vec_id").as("probe_id"), col("embedding")))
     val newcomerEdges = graphTail(unionAssigned, batchProbeCells, k)
     // 2. affected base vertices: probe-cell rows that hit a batch cell
     // (the batch's distinct cells are ≤ min(|batch|, nCentroids) — a
@@ -1382,8 +1413,7 @@ object Similarity {
     // consumed twice (the pair scoring and the affected-id frame)
     val batchCells = batchAssigned.select("centroid_id").distinct()
     val touchedProbe = graft.core.CacheScope.persist(
-      probeCellsOf(base.select(col("vec_id").as("probe_id"), col("embedding")),
-          centroids, nProbe)
+      probeCells(base.select(col("vec_id").as("probe_id"), col("embedding")))
         .join(broadcast(batchCells), Seq("centroid_id")))
     val newPairs = touchedProbe.join(batchAssigned, Seq("centroid_id"))
       .filter(col("probe_id") =!= col("vec_id"))
@@ -1413,6 +1443,13 @@ object Similarity {
     edges
       .join(assigned.select(col("vec_id").as("probe_id"),
         col("centroid_id").as("g_cell")), Seq("probe_id"))
+      // cluster the write by the partition column: without this every
+      // task writes a file into every cell it touches (≤ tasks ×
+      // cells files — at production nc the serving walk's repeated
+      // edge scans drown in file listings/opens; measured 13× on the
+      // descent at nc=1568). One shuffle at write time buys ONE file
+      // per cell, the layout a 100 TB artifact needs anyway.
+      .repartition(col("g_cell"))
       .write.mode("overwrite").partitionBy("g_cell").parquet(path)
 
   /** INCREMENTAL maintenance of a [[writeGraphClustered]] layout — the
@@ -1492,9 +1529,10 @@ object Similarity {
         .select(col("probe_id"), col("g_cell").cast("long").as("g_cell"))
         .distinct()
       val affectedStored = p.affected.join(storedCells, Seq("probe_id"))
-      val fallback = ivfAssignPortableTo(
+      val (assignK, _) = appendKernels(centroids, nProbe)
+      val fallback = assignK(
           base.join(p.affected.select(col("probe_id").as("vec_id")),
-            Seq("vec_id"), "left_semi"), centroids)
+            Seq("vec_id"), "left_semi"))
         .select(col("vec_id").as("probe_id"), col("centroid_id").as("_fb"))
       val placeCell = p.affected
         .join(affectedStored.groupBy("probe_id").agg(min("g_cell").as("_sc")),
@@ -1529,6 +1567,9 @@ object Similarity {
         root.getName + "_gappend_tmp")
       slice.write.mode("overwrite").parquet(tmp.toString)
       spark.read.parquet(tmp.toString)
+        // same one-file-per-cell discipline as writeGraphClustered —
+        // an append must not degrade the layout it maintains
+        .repartition(col("g_cell"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("g_cell")
@@ -1885,40 +1926,54 @@ object Similarity {
       ratio: Int = 4,
       k: Int = 4,
       nCentroidsOf: Option[Long => Int] = None,
-      hier: Boolean = false): Unit = {
+      hier: Boolean = false,
+      nCentroids: Int = 16): Unit = {
     require(levels >= 1, s"levels must be >= 1: $levels")
     require(ratio >= 2, s"ratio must be >= 2: $ratio")
-    def build(sub: DataFrame): DataFrame = {
-      val nc = nCentroidsOf.map(f => f(sub.count())).getOrElse(16)
-      if (hier) knnGraphHierJoin(sub, k, nc) else knnGraph(sub, k, nc)
-    }
     // the levels+1 layer builds share NOTHING (disjoint outputs, each
     // reads the immutable corpus) — submit them concurrently so the
     // small upper-layer jobs fill the scheduler gaps of the base build
     // (on a cluster: independent stages over one immutable input; the
-    // write wall-clock is max(layer), not sum)
+    // write wall-clock is max(layer), not sum).
+    //
+    // PRODUCTION nc (r17): `nCentroids` sets the base layout's cell
+    // count and `nCentroidsOf` the per-layer build/layout nc ∝ layer
+    // size — at nc past the literal-plan cliff every assignment routes
+    // through the two-level join kernels ([[appendKernels]]), and the
+    // landmark STAR stays at 16 seeds regardless (≤16 extra edges per
+    // vertex is the hierarchy's design constant, not a layout knob).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val baseF = Future {
-      val cents = seedCentroids(embeddings, 16)
-      writeGraphClustered(build(embeddings),
-        ivfAssignPortableTo(embeddings, cents), s"$path/l0")
+      val nc0 = nCentroidsOf.map(f => f(embeddings.count()))
+        .getOrElse(nCentroids)
+      val g = if (hier) knnGraphHierJoin(embeddings, k, nc0)
+        else knnGraph(embeddings, k, nc0)
+      val cents = seedCentroids(embeddings, nCentroids)
+      writeGraphClustered(g,
+        appendKernels(cents, 4)._1(embeddings), s"$path/l0")
     }
     val upperF = (1 to levels).map { l =>
       Future {
         val sub = embeddings.filter(hnswLayerPredicate(l, ratio))
-        // one driver job for the emptiness guard AND the layer minimum
-        val minRow = sub.agg(min("vec_id")).collect()(0)
-        require(!minRow.isNullAt(0),
+        // one driver job: the emptiness guard, the layer minimum, and
+        // the layer size together
+        val mc = sub.agg(min("vec_id"), count(lit(1))).collect()(0)
+        require(!mc.isNullAt(0),
           s"writeHnswClustered: layer $l (ratio $ratio) holds no " +
             "vertices - the corpus is too small for this hierarchy; " +
             "lower `levels`")
-        val lcents = seedCentroids(sub, 16)
-        writeGraphClustered(build(sub),
-          ivfAssignPortableTo(sub, lcents), s"$path/l$l/knn")
-        landmarkStar(sub, lcents, sub)
+        val nc = nCentroidsOf.map(f => f(mc.getLong(1))).getOrElse(16)
+        val g = if (hier) knnGraphHierJoin(sub, k, nc)
+          else knnGraph(sub, k, nc)
+        val starCents = seedCentroids(sub, 16)
+        val layoutCents =
+          if (nc <= 16) starCents else seedCentroids(sub, nc)
+        writeGraphClustered(g,
+          appendKernels(layoutCents, 4)._1(sub), s"$path/l$l/knn")
+        landmarkStar(sub, starCents, sub)
           .write.mode("overwrite").parquet(s"$path/l$l/star")
-        minRow.getLong(0)
+        mc.getLong(0)
       }
     }
     Await.result(baseF, scala.concurrent.duration.Duration.Inf)
@@ -2006,7 +2061,8 @@ object Similarity {
       batch: DataFrame,
       centroids: Seq[(Long, Seq[Float])],
       k: Int = 4,
-      nProbe: Int = 4): Map[Int, Seq[Long]] = {
+      nProbe: Int = 4,
+      nCentroidsOf: Option[Long => Int] = None): Map[Int, Seq[Long]] = {
     val m = spark.read.parquet(s"$path/meta").collect()(0)
     val storedTop = m.getLong(m.fieldIndex("top_entry"))
     val levels = m.getInt(m.fieldIndex("levels"))
@@ -2027,23 +2083,33 @@ object Similarity {
         val minRow = subBatch.agg(min("vec_id")).collect()(0)
         if (minRow.isNullAt(0)) l -> (Nil: Seq[Long])
         else {
-          val lcents = seedCentroids(subBase, 16)
-          val seedCut = lcents.map(_._1).max
+          // the star landmarks are ALWAYS the layer's 16 lowest-id
+          // seeds; the kNN layout's quantizer scales with the layer
+          // (`nCentroidsOf` — must match the write) and its lowest-nc
+          // id set NESTS the star's, so one cut guards both
+          val starCents = seedCentroids(subBase, 16)
+          val layoutCents = nCentroidsOf match {
+            case None => starCents
+            case Some(f) =>
+              val nc = f(subBase.count())
+              if (nc <= 16) starCents else seedCentroids(subBase, nc)
+          }
+          val seedCut = layoutCents.map(_._1).max
           val minBatch = minRow.getLong(0)
           require(minBatch > seedCut,
             s"appendToHnswClustered: layer $l batch holds vec_id " +
               s"$minBatch <= the layer's frozen seed cut $seedCut - " +
-              "arriving ids below a layer's lowest-16-id quantizer " +
-              "seeds would change the rebuild's quantizer and silently " +
+              "arriving ids below a layer's frozen quantizer seeds " +
+              "would change the rebuild's quantizer and silently " +
               "diverge from it")
           val cells = appendToGraphClustered(spark, s"$path/l$l/knn",
-            subBase, subBatch, lcents, k, nProbe)
+            subBase, subBatch, layoutCents, k, nProbe)
           val storedStar = spark.read.parquet(s"$path/l$l/star")
           val freshStar = subBatch.join(
             storedStar.select(col("probe_id").as("vec_id")).distinct(),
             Seq("vec_id"), "left_anti")
           if (!freshStar.isEmpty)
-            landmarkStar(freshStar, lcents, subBase)
+            landmarkStar(freshStar, starCents, subBase)
               .write.mode("append").parquet(s"$path/l$l/star")
           l -> cells
         }

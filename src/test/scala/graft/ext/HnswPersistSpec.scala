@@ -178,6 +178,40 @@ class HnswPersistSpec extends SparkSpec {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("appendToGraphClustered at PRODUCTION nc (past the literal cliff): two-level kernels, append ≡ the knnGraphHierJoin rebuild over the union (r17)") {
+    val maxId = embs.agg(max("vec_id")).collect()(0).getLong(0)
+    val arriving = col("vec_id") >= maxId - maxId / 50
+    val base = embs.filter(!arriving)
+    val batch = embs.filter(arriving)
+    assert(batch.count() > 0)
+    // nc chosen PAST the literal-plan cliff (2·nc·dim > 50000) but
+    // under the base's size so the frozen lowest-nc seed set equals
+    // the union's (the high-id tail invariant)
+    val nc = 400
+    val cents = Similarity.seedCentroids(base, nc)
+    assert(cents.size == nc &&
+      2L * cents.size * cents.head._2.length > Similarity.GraphLiteralMaxTerms,
+      s"fixture under the cliff: ${cents.size} x ${cents.head._2.length}")
+    val root = java.nio.file.Files.createTempDirectory("graft-gprod")
+    val p = root.resolve("g").toString
+    // an ARBITRARY deterministic placement (not the append's argmin) —
+    // the stored-cell derivation must place affected vertices where
+    // the LAYOUT says, and placement never changes the edge ROWS
+    Similarity.writeGraphClustered(
+      Similarity.knnGraphHierJoin(base, k = 4, nCentroids = nc),
+      base.select(col("vec_id"), (col("vec_id") % 29).as("centroid_id")), p)
+    Similarity.appendToGraphClustered(spark, p, base, batch, cents, k = 4)
+    val appended = spark.read.parquet(p)
+      .select("probe_id", "vec_id", "label", "cosine")
+      .orderBy(col("probe_id"), col("cosine").desc, col("vec_id"))
+      .collect().map(_.toSeq).toSeq
+    val rebuilt = Similarity.knnGraphHierJoin(embs, k = 4, nCentroids = nc)
+      .collect().map(_.toSeq).toSeq
+    assert(appended == rebuilt,
+      "production-nc append diverged from the hier-join rebuild")
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("maintainBatchHnsw: vector+hierarchy converge to the rebuild; crash-replay mid-hierarchy heals (face 15, layered)") {
     val (cents, base, batch) = layerSplit(2, 4)
     val index = Similarity.IvfIndex(cents)
