@@ -126,8 +126,14 @@ class QueryContractSpec extends AnyFunSuite {
     // the rebuild), and graph_search_hnsw_embeddings (geometric layer
     // descent, every layer's graph + walk oracle-unrolled) — see
     // SURVEY §2.19
-    assert(SparkEntry.queries.size == 170,
-      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.19 if intentional)")
+    // r17 additions: hnsw_appended_embeddings (per-layer hierarchy
+    // maintenance, oracle = rebuild-over-union per layer),
+    // media_phash_png_pairs_documents (PNG inflate+unfilter decode,
+    // differential oracle), dedup_substring_ranged_documents (the
+    // hash-range scratch remedy, single-sort oracle verbatim) — see
+    // SURVEY §2.20
+    assert(SparkEntry.queries.size == 173,
+      s"query count drifted: ${SparkEntry.queries.size} (update SURVEY §2.20 if intentional)")
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size,
       s"oracle count drifted: ${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} " +
         "(every declared key is oracle-checked as of r9; update SURVEY §2.13 if intentional)")
