@@ -1514,70 +1514,235 @@ object Similarity {
           "rebuild")
       val p = appendEdgePieces(
         stored.drop("g_cell"), base, fresh, centroids, k, nProbe)
-      // the owning cell of every rewritten vertex: an affected vertex's
-      // rows live where the STORED layout says they live (r15 advice:
-      // re-deriving via ivfAssignPortableTo(base, centroids) silently
-      // mismatches a layout whose g_cell was not produced by the flat
-      // portable argmin — e.g. a knnGraphHier build — leaving the
-      // vertex's stale rows in a never-rewritten partition); newcomers
-      // carry their own frozen-quantizer cell. A degenerate affected
-      // vertex with NO stored rows (zero prior edges) falls back to
-      // the frozen quantizer, scored over the affected slice only.
-      // partition-column type inference may read g_cell back narrower
-      // than the written long — normalize once here
-      val storedCells = stored
-        .select(col("probe_id"), col("g_cell").cast("long").as("g_cell"))
-        .distinct()
-      val affectedStored = p.affected.join(storedCells, Seq("probe_id"))
-      val (assignK, _) = appendKernels(centroids, nProbe)
-      val fallback = assignK(
-          base.join(p.affected.select(col("probe_id").as("vec_id")),
-            Seq("vec_id"), "left_semi"))
-        .select(col("vec_id").as("probe_id"), col("centroid_id").as("_fb"))
-      val placeCell = p.affected
-        .join(affectedStored.groupBy("probe_id").agg(min("g_cell").as("_sc")),
-          Seq("probe_id"), "left")
-        .join(fallback, Seq("probe_id"), "left")
-        .select(col("probe_id"), coalesce(col("_sc"), col("_fb")).as("g_cell"))
-      // one driver-side job for the rewrite set: every cell HOLDING an
-      // affected vertex's rows (stale-row purge — for a malformed
-      // layout with a vertex in two cells, both rewrite and the
-      // re-rank lands in one: self-healing), every placement cell, and
-      // every cell the batch lands in
-      val rewritten = affectedStored.select("g_cell")
-        .unionByName(placeCell.select("g_cell"))
-        .unionByName(p.batchAssigned.select(col("centroid_id").as("g_cell")))
-        .distinct().collect().map(_.getLong(0)).toSet
-      val cells = rewritten.toSeq.sorted
-      // the rewritten partitions' NEW contents: in-cell untouched rows
-      // verbatim + the re-ranked affected rows + the newcomers
-      val untouchedInCells = stored
-        .filter(col("g_cell").isin(cells: _*))
-        .join(p.affected, Seq("probe_id"), "left_anti")
-      val slice = untouchedInCells.unionByName(
-          p.rescored.join(placeCell, Seq("probe_id")))
-        .unionByName(
-          p.newcomerEdges.join(
-            p.batchAssigned.select(col("vec_id").as("probe_id"),
-              col("centroid_id").as("g_cell")), Seq("probe_id")))
-      // scratch + dynamic overwrite: a file-source write refuses to
-      // overwrite a path it also reads
+      foldIntoLayout(spark, path, stored, base, p, centroids, nProbe)
+    } finally fresh.unpersist(blocking = false)
+  }
+
+  /** The fold TAIL shared by [[appendToGraphClustered]] (exact append)
+    * and [[refreshGraphClustered]] (deferred-debt settlement): place
+    * each rewritten vertex, compute the rewrite set, write the touched
+    * partitions through scratch + dynamic overwrite. One body, so the
+    * two faces can never drift on placement or rewrite semantics.
+    */
+  private def foldIntoLayout(
+      spark: SparkSession,
+      path: String,
+      stored: DataFrame,
+      base: DataFrame,
+      p: GraphAppend,
+      centroids: Seq[(Long, Seq[Float])],
+      nProbe: Int): Seq[Long] = {
+    // the owning cell of every rewritten vertex: an affected vertex's
+    // rows live where the STORED layout says they live (r15 advice:
+    // re-deriving via ivfAssignPortableTo(base, centroids) silently
+    // mismatches a layout whose g_cell was not produced by the flat
+    // portable argmin — e.g. a knnGraphHier build — leaving the
+    // vertex's stale rows in a never-rewritten partition); newcomers
+    // carry their own frozen-quantizer cell. A degenerate affected
+    // vertex with NO stored rows (zero prior edges) falls back to
+    // the frozen quantizer, scored over the affected slice only.
+    // partition-column type inference may read g_cell back narrower
+    // than the written long — normalize once here
+    val storedCells = stored
+      .select(col("probe_id"), col("g_cell").cast("long").as("g_cell"))
+      .distinct()
+    val affectedStored = p.affected.join(storedCells, Seq("probe_id"))
+    val (assignK, _) = appendKernels(centroids, nProbe)
+    val fallback = assignK(
+        base.join(p.affected.select(col("probe_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"))
+      .select(col("vec_id").as("probe_id"), col("centroid_id").as("_fb"))
+    val placeCell = p.affected
+      .join(affectedStored.groupBy("probe_id").agg(min("g_cell").as("_sc")),
+        Seq("probe_id"), "left")
+      .join(fallback, Seq("probe_id"), "left")
+      .select(col("probe_id"), coalesce(col("_sc"), col("_fb")).as("g_cell"))
+    // one driver-side job for the rewrite set: every cell HOLDING an
+    // affected vertex's rows (stale-row purge — for a malformed
+    // layout with a vertex in two cells, both rewrite and the
+    // re-rank lands in one: self-healing), every placement cell, and
+    // every cell the batch lands in
+    val rewritten = affectedStored.select("g_cell")
+      .unionByName(placeCell.select("g_cell"))
+      .unionByName(p.batchAssigned.select(col("centroid_id").as("g_cell")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val cells = rewritten.toSeq.sorted
+    // the rewritten partitions' NEW contents: in-cell untouched rows
+    // verbatim + the re-ranked affected rows + the newcomers
+    val untouchedInCells = stored
+      .filter(col("g_cell").isin(cells: _*))
+      .join(p.affected, Seq("probe_id"), "left_anti")
+    val slice = untouchedInCells.unionByName(
+        p.rescored.join(placeCell, Seq("probe_id")))
+      .unionByName(
+        p.newcomerEdges.join(
+          p.batchAssigned.select(col("vec_id").as("probe_id"),
+            col("centroid_id").as("g_cell")), Seq("probe_id")))
+    // scratch + dynamic overwrite: a file-source write refuses to
+    // overwrite a path it also reads
+    val root = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(root.getParent,
+      root.getName + "_gappend_tmp")
+    slice.write.mode("overwrite").parquet(tmp.toString)
+    spark.read.parquet(tmp.toString)
+      // same one-file-per-cell discipline as writeGraphClustered —
+      // an append must not degrade the layout it maintains
+      .repartition(col("g_cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("g_cell")
+      .parquet(path)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(tmp, true)
+    cells
+  }
+
+  /** O(batch) DEFERRED fold into a [[writeGraphClustered]] layout
+    * (r17 — the escape from the exact fold's write amplification that
+    * SCALE.md names): the newcomers' own edges are computed EXACTLY
+    * (scored against the full pre-batch corpus) and appended into the
+    * cells the batch lands in — and NOTHING else is touched: no
+    * corpus-wide probe-cell pass, no affected-vertex re-rank; write
+    * amplification is the batch's own cells, full stop. Until
+    * [[refreshGraphClustered]] settles the debt, EXISTING vertices'
+    * stored top-k may miss edges toward newcomers (the graph serves
+    * slightly stale — the posture production ANN services run:
+    * arrivals searchable immediately, exactness amortized across
+    * folds). Every deferred cell is recorded as an idempotent marker
+    * under `_pending/` (an underscore sidecar, invisible to parquet
+    * listings), so the debt survives crashes and accumulates across
+    * folds. Same vertex anti-join idempotency and pre-batch-corpus
+    * contract as the exact fold.
+    *
+    * @return the batch's cells (rewritten + marked pending)
+    */
+  def appendToGraphClusteredDeferred(
+      spark: SparkSession,
+      path: String,
+      base: DataFrame,
+      batch: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      k: Int = 4,
+      nProbe: Int = 4): Seq[Long] = {
+    val stored = spark.read.parquet(path)
+    val fresh = batch
+      .join(stored.select(col("probe_id").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (fresh.isEmpty) return Nil
+      val orphaned = stored.select(col("probe_id").as("vec_id")).distinct()
+        .join(base.select("vec_id"), Seq("vec_id"), "left_anti")
+        .count()
+      require(orphaned == 0L,
+        s"appendToGraphClusteredDeferred: $orphaned stored vertices " +
+          "absent from `base` - base must be the full pre-batch corpus")
+      val (assign, probeCells) = appendKernels(centroids, nProbe)
+      val batchAssigned = assign(fresh)
+      val unionAssigned = assign(base).unionByName(batchAssigned)
+      val batchProbeCells = probeCells(
+        fresh.select(col("vec_id").as("probe_id"), col("embedding")))
+      val newcomerEdges = graphTail(unionAssigned, batchProbeCells, k)
+      val cells = batchAssigned.select("centroid_id").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val slice = stored.filter(col("g_cell").isin(cells: _*))
+        .unionByName(newcomerEdges.join(
+          batchAssigned.select(col("vec_id").as("probe_id"),
+            col("centroid_id").as("g_cell")), Seq("probe_id")))
       val root = new org.apache.hadoop.fs.Path(path)
       val tmp = new org.apache.hadoop.fs.Path(root.getParent,
-        root.getName + "_gappend_tmp")
+        root.getName + "_gdefer_tmp")
       slice.write.mode("overwrite").parquet(tmp.toString)
       spark.read.parquet(tmp.toString)
-        // same one-file-per-cell discipline as writeGraphClustered —
-        // an append must not degrade the layout it maintains
         .repartition(col("g_cell"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("g_cell")
         .parquet(path)
-      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(tmp, true)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(tmp, true)
+      // the debt ledger: one empty marker per deferred cell (created
+      // AFTER the data lands — a crash between the two replays the
+      // batch, the anti-join no-ops, the markers re-create: idempotent)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_pending"))
+      cells.foreach(c => fs.createNewFile(
+        new org.apache.hadoop.fs.Path(root, s"_pending/cell=$c")))
       cells
     } finally fresh.unpersist(blocking = false)
+  }
+
+  /** Settle the deferred debt: the exact re-rank the deferred folds
+    * skipped, run lazily/periodically. Affected = every corpus vertex
+    * whose probe cells include a PENDING cell; candidates = the
+    * pending cells' CURRENT members — a superset of the deferred
+    * newcomers, and scoring the extra old members is
+    * exactness-preserving (they were already reflected in the stored
+    * top-k: `top-k(top-k(A) ∪ X) = top-k(A)` for `X ⊆ A` under the
+    * family's total order). After refresh the layout EQUALS the exact
+    * fold's result — deferred-fold(s) + refresh ≡
+    * [[appendToGraphClustered]](s) ≡ the rebuild, spec-pinned — and
+    * the pending markers clear. `corpus` must be the full CURRENT
+    * corpus (base ∪ every folded batch).
+    *
+    * @return the rewritten cells (empty = no pending debt)
+    */
+  def refreshGraphClustered(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      k: Int = 4,
+      nProbe: Int = 4): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pendDir = new org.apache.hadoop.fs.Path(root, "_pending")
+    if (!fs.exists(pendDir)) return Nil
+    val pending = fs.listStatus(pendDir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("cell=")).map(_.stripPrefix("cell=").toLong)
+      .sorted
+    if (pending.isEmpty) return Nil
+    val stored = spark.read.parquet(path)
+    val orphaned = stored.select(col("probe_id").as("vec_id")).distinct()
+      .join(corpus.select("vec_id"), Seq("vec_id"), "left_anti")
+      .count()
+    require(orphaned == 0L,
+      s"refreshGraphClustered: $orphaned stored vertices absent from " +
+        "`corpus` - it must be the full current corpus the layout covers")
+    val (assign, probeCells) = appendKernels(centroids, nProbe)
+    import spark.implicits._
+    val pendDf = pending.toDF("centroid_id")
+    val touchedProbe = graft.core.CacheScope.persist(
+      probeCells(corpus.select(col("vec_id").as("probe_id"), col("embedding")))
+        .join(broadcast(pendDf), Seq("centroid_id")))
+    val members = assign(corpus).join(broadcast(pendDf), Seq("centroid_id"))
+    val newPairs = touchedProbe.join(members, Seq("centroid_id"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+        round(cosine(col("_pe"), col("embedding")), 6).as("cosine"))
+    val affected = touchedProbe.select("probe_id").distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    // DISTINCT before the rank: unlike the exact fold (whose new pairs
+    // all point at genuinely-new vertices), a stored edge row whose
+    // target lives in a pending cell is re-derived verbatim by the
+    // member scoring — both copies carry identical 6-dp values
+    val rescored = stored.drop("g_cell")
+      .select("probe_id", "vec_id", "label", "cosine")
+      .join(affected, Seq("probe_id"), "left_semi")
+      .unionByName(newPairs)
+      .distinct()
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+    val cells = foldIntoLayout(spark, path, stored, corpus,
+      GraphAppend(affected, rescored,
+        stored.drop("g_cell")
+          .select("probe_id", "vec_id", "label", "cosine").limit(0),
+        members.limit(0)),
+      centroids, nProbe)
+    pending.foreach(c => fs.delete(
+      new org.apache.hadoop.fs.Path(root, s"_pending/cell=$c"), false))
+    cells
   }
 
   /** GRAPH-WALK retrieval (r14 verdict #2b) — the serving face the kNN

@@ -143,6 +143,59 @@ class StreamGraphMaintainSpec extends SparkSpec {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("deferred fold: O(batch) write amplification, newcomers searchable immediately; refresh settles to the exact fold ≡ the rebuild (r17)") {
+    val (cents, base, b1, b2) = tailSplit()
+    assert(b1.count() > 0 && b2.count() > 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-gdefer")
+    val gPath = root.resolve("graph").toString
+    Similarity.writeGraphClustered(Similarity.knnGraph(base, k = 4),
+      Similarity.ivfAssignPortableTo(base, cents), gPath)
+    val before = graphFiles(java.nio.file.Paths.get(gPath))
+    val cells1 = Similarity.appendToGraphClusteredDeferred(
+      spark, gPath, base, b1, cents, k = 4)
+    // the deferred bound, verbatim: rewritten cells == the cells the
+    // batch LANDS in — never the affected vertices' home cells
+    val batchCells = Similarity.ivfAssignPortableTo(b1, cents)
+      .select("centroid_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(cells1.toSet == batchCells,
+      s"deferred rewrite $cells1 != batch cells $batchCells")
+    val after1 = graphFiles(java.nio.file.Paths.get(gPath))
+    val rewritten = cells1.map(c => s"g_cell=$c/").toSet
+    before.foreach { case (rel, meta) =>
+      if (!rewritten.exists(rel.startsWith) && !rel.startsWith("_pending"))
+        assert(after1.get(rel).contains(meta),
+          s"cell outside the batch changed under a deferred fold: $rel")
+    }
+    // newcomers are searchable IMMEDIATELY: their own edge rows equal
+    // the exact fold's newcomer rows (scored against the full
+    // pre-batch corpus)
+    val b1Ids = b1.select("vec_id").collect().map(_.getLong(0)).toSet
+    val deferredNew = edgeRows(gPath).filter(r => b1Ids(r.head.asInstanceOf[Long]))
+    val exactNew = Similarity.appendToGraph(
+        graft.core.CacheScope.persist(Similarity.knnGraph(base, k = 4)),
+        base, b1, cents, k = 4)
+      .collect().map(_.toSeq).toSeq
+      .filter(r => b1Ids(r.head.asInstanceOf[Long]))
+    assert(deferredNew == exactNew,
+      "deferred newcomers' edges diverged from the exact fold's")
+    // a second deferred fold accumulates debt; ONE refresh settles
+    // both — the layout must equal the from-scratch rebuild
+    Similarity.appendToGraphClusteredDeferred(
+      spark, gPath, base.unionByName(b1), b2, cents, k = 4)
+    assert(Similarity.refreshGraphClustered(
+      spark, gPath, embs, cents, k = 4).nonEmpty)
+    assert(edgeRows(gPath) ==
+      Similarity.knnGraph(embs, k = 4).collect().map(_.toSeq).toSeq,
+      "settled layout diverged from the rebuild")
+    // the debt is cleared: refresh again is a no-op; a re-delivered
+    // batch no-ops on the vertex anti-join
+    assert(Similarity.refreshGraphClustered(
+      spark, gPath, embs, cents, k = 4) == Nil)
+    assert(Similarity.appendToGraphClusteredDeferred(
+      spark, gPath, embs, b1, cents, k = 4) == Nil)
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("maintainBatch: vector+graph pair converges to the rebuild; crash-replay at any point is a no-op (face 15)") {
     val (cents, base, b1, b2) = tailSplit()
     val index = Similarity.IvfIndex(cents)
